@@ -1,0 +1,300 @@
+"""Range-vector functions f(m[d]) as single-shuffle grouped aggregations.
+
+Semantics source: vendor/.../promql/functions.go (cited per function).
+Each evaluates as groupBy(t, sig) over the range frame — every step of the
+query in ONE hash aggregation, versus the reference's per-step re-slicing
+(matrixIterSlice). Order-dependent math (counter resets, changes) is hoisted
+to per-sample lag columns computed once per series BEFORE the window fan-out,
+so no per-window sorting is needed — see selectors._with_order_cols.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from metric_store_release_spark.datamodel import NAME_LABEL, sig
+from metric_store_release_spark.engine.results import RangeFrame
+
+__all__ = ["RANGE_FUNCS", "NEEDS_ORDER_COLS", "apply_range_func"]
+
+
+def _strip_name(df: DataFrame) -> DataFrame:
+    labels = F.map_filter(F.col("labels"), lambda k, _: k != F.lit(NAME_LABEL))
+    return df.withColumn("labels", labels).withColumn("sig", sig(F.col("labels")))
+
+
+def _grouped(frame: RangeFrame, *aggs: Column, keep_name: bool = False) -> DataFrame:
+    out = (
+        frame.df.groupBy("t", "sig")
+        .agg(F.any_value(F.col("labels")).alias("labels"), *aggs)
+    )
+    return out if keep_name else _strip_name(out)
+
+
+def _simple(agg_fn, keep_name: bool = False):
+    """agg_fn: () -> Column — lazily built (Columns need an active session)."""
+
+    def handler(frame: RangeFrame, params: list[float]) -> DataFrame:
+        return _grouped(frame, agg_fn().alias("value"), keep_name=keep_name).select(
+            "t", "labels", "sig", "value"
+        )
+
+    return handler
+
+
+def _nan_aware_min() -> Column:
+    # functions.go:584-595 — NaN only if every sample is NaN. Spark orders
+    # NaN above all doubles, so plain min already skips NaN; all-NaN groups
+    # yield NaN naturally.
+    non_nan = F.min(F.when(~F.isnan("value"), F.col("value")))
+    return F.coalesce(non_nan, F.lit(float("nan")))
+
+
+def _nan_aware_max() -> Column:
+    non_nan = F.max(F.when(~F.isnan("value"), F.col("value")))
+    return F.coalesce(non_nan, F.lit(float("nan")))
+
+
+def _extrapolated_rate(
+    frame: RangeFrame, is_counter: bool, is_rate: bool
+) -> DataFrame:
+    """rate/increase/delta — functions.go:67-170 extrapolatedRate.
+
+    resultValue = last − first (+ Σ pre-reset levels for counters), then
+    extrapolated toward the window edges unless the first/last samples sit
+    further than 1.1× the average sample spacing from them (then extrapolate
+    half an average interval), with counters additionally clamped at their
+    extrapolated zero crossing.
+    """
+    rng_s = frame.range_ms / 1000.0
+    drop_col = F.col("drop") if is_counter else F.lit(0.0)
+    grouped = _grouped(
+        frame,
+        F.min_by(F.struct(F.col("ts"), F.col("value"), drop_col.alias("drop")), "ts").alias(
+            "first"
+        ),
+        F.max_by(F.struct("ts", "value"), "ts").alias("last"),
+        F.count(F.lit(1)).alias("cnt"),
+        F.sum(drop_col).alias("dropsum"),
+    ).filter(F.col("cnt") >= 2)
+
+    first_t = F.col("first.ts") + F.lit(frame.offset_ms)
+    last_t = F.col("last.ts") + F.lit(frame.offset_ms)
+    # window geometry relative to the output step t (engine applies offset by
+    # shifting sample service times, so shift sample ts back here)
+    range_start = F.col("t") - F.lit(frame.range_ms)
+    range_end = F.col("t")
+
+    result = F.col("last.value") - F.col("first.value")
+    if is_counter:
+        # dropsum includes the first sample's adjustment whose prev sample
+        # lies before the window — subtract it back out
+        result = result + (F.col("dropsum") - F.col("first.drop"))
+
+    dur_to_start = (first_t - range_start).cast("double") / 1000.0
+    dur_to_end = (range_end - last_t).cast("double") / 1000.0
+    sampled = (last_t - first_t).cast("double") / 1000.0
+    avg_gap = sampled / (F.col("cnt") - 1).cast("double")
+
+    if is_counter:
+        dur_to_zero = F.when(
+            (result > 0) & (F.col("first.value") >= 0),
+            sampled * (F.col("first.value") / result),
+        ).otherwise(F.lit(float("inf")))
+        dur_to_start = F.least(dur_to_start, dur_to_zero)
+
+    threshold = avg_gap * 1.1
+    extrap = (
+        sampled
+        + F.when(dur_to_start < threshold, dur_to_start).otherwise(avg_gap / 2)
+        + F.when(dur_to_end < threshold, dur_to_end).otherwise(avg_gap / 2)
+    )
+    factor = extrap / sampled
+    if is_rate:
+        factor = factor / F.lit(rng_s)
+    return grouped.select("t", "labels", "sig", (result * factor).alias("value"))
+
+
+def _instant_value(frame: RangeFrame, is_rate: bool) -> DataFrame:
+    """irate/idelta — functions.go:247-278 instantValue: last two samples.
+
+    The per-series lag columns give each sample its predecessor; the window's
+    last sample plus its predecessor are the two points, valid only when the
+    predecessor itself falls inside the window.
+    """
+    grouped = _grouped(
+        frame,
+        F.max_by(F.struct("ts", "value", "prev_ts", "prev_value"), "ts").alias("last"),
+    )
+    window_start = F.col("t") - F.lit(frame.offset_ms) - F.lit(frame.range_ms)
+    ok = (
+        F.col("last.prev_ts").isNotNull()
+        & (F.col("last.prev_ts") > window_start)
+        & (F.col("last.ts") != F.col("last.prev_ts"))
+    )
+    diff = F.col("last.value") - F.col("last.prev_value")
+    if is_rate:
+        raw = F.when(
+            F.col("last.value") < F.col("last.prev_value"), F.col("last.value")
+        ).otherwise(diff)
+        value = raw / ((F.col("last.ts") - F.col("last.prev_ts")).cast("double") / 1000.0)
+    else:
+        value = diff
+    return grouped.filter(ok).select("t", "labels", "sig", value.alias("value"))
+
+
+def _deriv_cols() -> tuple[Column, Column]:
+    """Least-squares slope/intercept vs ts seconds — functions.go:891-950.
+
+    The reference centers x at the first sample's ts for numeric stability;
+    regr_slope is mathematically identical (covariance/variance form).
+    """
+    x = F.col("ts").cast("double") / 1000.0
+    y = F.col("value")
+    slope = F.expr("regr_slope(value, ts / 1000.0)")
+    avg_x = F.avg(x)
+    avg_y = F.avg(y)
+    return slope, avg_y - slope * avg_x  # intercept at x=0
+
+
+def _deriv(frame: RangeFrame, params: list[float]) -> DataFrame:
+    slope, _ = _deriv_cols()
+    return (
+        _grouped(frame, slope.alias("value"), F.count(F.lit(1)).alias("cnt"))
+        .filter(F.col("cnt") >= 2)
+        .select("t", "labels", "sig", "value")
+    )
+
+
+def _predict_linear(frame: RangeFrame, params: list[float]) -> DataFrame:
+    horizon = params[0]
+    slope, intercept = _deriv_cols()
+    out = _grouped(
+        frame,
+        slope.alias("slope"),
+        intercept.alias("intercept"),
+        F.count(F.lit(1)).alias("cnt"),
+    ).filter(F.col("cnt") >= 2)
+    # prediction at eval time t (seconds) + horizon; engine shifts by offset
+    pred_x = (F.col("t") - F.lit(frame.offset_ms)).cast("double") / 1000.0 + F.lit(
+        horizon
+    )
+    return out.select(
+        "t",
+        "labels",
+        "sig",
+        (F.col("intercept") + F.col("slope") * pred_x).alias("value"),
+    )
+
+
+def _changes(frame: RangeFrame, params: list[float]) -> DataFrame:
+    """functions.go:1193-1213 — value changes between consecutive samples in
+    the window; the first in-window sample's lag pair straddles the window
+    boundary and is excluded."""
+    return _sum_minus_first("change", frame)
+
+
+def _resets(frame: RangeFrame, params: list[float]) -> DataFrame:
+    """functions.go:1162-1191."""
+    return _sum_minus_first("reset", frame)
+
+
+def _sum_minus_first(col: str, frame: RangeFrame) -> DataFrame:
+    grouped = _grouped(
+        frame,
+        F.sum(col).alias("total"),
+        F.min_by(F.col(col), "ts").alias("first_contrib"),
+    )
+    return grouped.select(
+        "t",
+        "labels",
+        "sig",
+        (F.col("total") - F.col("first_contrib")).cast("double").alias("value"),
+    )
+
+
+def _quantile_over_time(frame: RangeFrame, params: list[float]) -> DataFrame:
+    q = params[0]
+    if math.isnan(q):
+        value = F.lit(float("nan"))
+    elif q < 0:
+        value = F.lit(float("-inf"))
+    elif q > 1:
+        value = F.lit(float("inf"))
+    else:
+        # promql/quantile.go:387-402 — rank = q·(n−1), linear interpolation:
+        # exactly SQL percentile()'s continuous interpolation
+        value = F.expr(f"percentile(value, {q!r})")
+    return _grouped(frame, value.alias("value")).select("t", "labels", "sig", "value")
+
+
+def _holt_winters(frame: RangeFrame, params: list[float]) -> DataFrame:
+    """functions.go:302-348 double exponential smoothing — genuinely
+    sequential, so the per-window sorted value array feeds a tight Python
+    comprehension via aggregate over collected arrays (small windows; the
+    collect is bounded by samples-per-window)."""
+    sf_, tf_ = params
+    grouped = _grouped(
+        frame,
+        F.array_sort(F.collect_list(F.struct("ts", "value"))).alias("pts"),
+    ).filter(F.size("pts") >= 2)
+
+    from pyspark.sql.types import DoubleType
+
+    @F.udf(DoubleType())
+    def hw(pts):
+        vals = [p.value for p in pts]
+        s1 = vals[0]
+        b = vals[1] - vals[0]
+        s0 = 0.0
+        for i in range(1, len(vals)):
+            x = sf_ * vals[i]
+            if i - 1 != 0:
+                b = tf_ * (s1 - s0) + (1 - tf_) * b
+            y = (1 - sf_) * (s1 + b)
+            s0, s1 = s1, x + y
+        return float(s1)
+
+    return grouped.select("t", "labels", "sig", hw("pts").alias("value"))
+
+
+def _ts_seconds(frame: RangeFrame, params: list[float]) -> DataFrame:
+    # last_over_time keeps the metric name (it returns the sample itself)
+    grouped = _grouped(
+        frame, F.max_by(F.struct("ts", "value"), "ts").alias("last"), keep_name=True
+    )
+    return grouped.select("t", "labels", "sig", F.col("last.value").alias("value"))
+
+
+RANGE_FUNCS = {
+    "rate": lambda f, p: _extrapolated_rate(f, True, True),
+    "increase": lambda f, p: _extrapolated_rate(f, True, False),
+    "delta": lambda f, p: _extrapolated_rate(f, False, False),
+    "irate": lambda f, p: _instant_value(f, True),
+    "idelta": lambda f, p: _instant_value(f, False),
+    "sum_over_time": _simple(lambda: F.sum("value")),
+    "avg_over_time": _simple(lambda: F.avg("value")),
+    "min_over_time": _simple(_nan_aware_min),
+    "max_over_time": _simple(_nan_aware_max),
+    "count_over_time": _simple(lambda: F.count(F.lit(1)).cast("double")),
+    "last_over_time": _ts_seconds,
+    "present_over_time": _simple(lambda: F.lit(1.0)),
+    "stddev_over_time": _simple(lambda: F.coalesce(F.stddev_pop("value"), F.lit(0.0))),
+    "stdvar_over_time": _simple(lambda: F.coalesce(F.var_pop("value"), F.lit(0.0))),
+    "quantile_over_time": _quantile_over_time,
+    "deriv": _deriv,
+    "predict_linear": _predict_linear,
+    "changes": _changes,
+    "resets": _resets,
+    "holt_winters": _holt_winters,
+}
+
+#: functions whose math needs the per-series lag columns
+NEEDS_ORDER_COLS = {"rate", "increase", "irate", "idelta", "changes", "resets"}
+
+
+def apply_range_func(name: str, frame: RangeFrame, params: list[float]) -> DataFrame:
+    return RANGE_FUNCS[name](frame, params)

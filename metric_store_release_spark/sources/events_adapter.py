@@ -1,0 +1,41 @@
+"""Adapters: driver testdata parquet → canonical samples DataFrame.
+
+The `events` table (event_id, ts timestamp, user_id, event_type, value,
+props) is the metric-shaped driver fixture (FIXTURES.md §F7). Two series
+granularities:
+
+  by_type:        one series per event_type            (5 series, dense)
+  by_type_user:   one series per (event_type, user bucket)  (50 series)
+
+Equality on `name` (= event_type) pushes down to the parquet scan.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def samples_from_events(
+    spark: SparkSession, sf_dir: str, granularity: str = "by_type_user"
+) -> DataFrame:
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    base = ev.select(
+        F.unix_millis("ts").alias("ts"),
+        F.col("event_type").alias("name"),
+        F.col("value").cast("double").alias("value"),
+        F.col("user_id"),
+    )
+    if granularity == "by_type":
+        labels = F.expr("map('kind', 'event')")
+    elif granularity == "by_type_user":
+        labels = F.create_map(
+            F.lit("user"), (F.col("user_id") % 10).cast("string")
+        )
+    else:
+        raise ValueError(granularity)
+    return base.select("ts", "name", "value", labels.alias("labels"))
+
+
+def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
