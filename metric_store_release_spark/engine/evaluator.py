@@ -230,7 +230,7 @@ class Evaluator:
                 c.end_ms,
                 c.step_ms,
                 F.col("ts") + F.lit(off),
-                F.col("ts") + F.lit(off + node.range_ms - 1),
+                F.col("ts") + F.lit(off + node.range_ms),
             )
         return RangeFrame(exploded, node.range_ms, off, order_cols)
 

@@ -132,7 +132,7 @@ def _instant_value(frame: RangeFrame, is_rate: bool) -> DataFrame:
     window_start = F.col("t") - F.lit(frame.offset_ms) - F.lit(frame.range_ms)
     ok = (
         F.col("last.prev_ts").isNotNull()
-        & (F.col("last.prev_ts") > window_start)
+        & (F.col("last.prev_ts") >= window_start)
         & (F.col("last.ts") != F.col("last.prev_ts"))
     )
     diff = F.col("last.value") - F.col("last.prev_value")
@@ -178,10 +178,9 @@ def _predict_linear(frame: RangeFrame, params: list[float]) -> DataFrame:
         intercept.alias("intercept"),
         F.count(F.lit(1)).alias("cnt"),
     ).filter(F.col("cnt") >= 2)
-    # prediction at eval time t (seconds) + horizon; engine shifts by offset
-    pred_x = (F.col("t") - F.lit(frame.offset_ms)).cast("double") / 1000.0 + F.lit(
-        horizon
-    )
+    # funcPredictLinear: linearRegression(samples, enh.Ts) — the intercept
+    # sits at the raw eval time t, regardless of offset/@ on the selector
+    pred_x = F.col("t").cast("double") / 1000.0 + F.lit(horizon)
     return out.select(
         "t",
         "labels",

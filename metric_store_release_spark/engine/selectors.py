@@ -204,7 +204,7 @@ def range_frame(
     off = selector.offset_ms
     if selector.at_ms is not None:
         ref = selector.at_ms - off
-        base = base_scan(samples, selector, ref - range_ms + 1, ref)
+        base = base_scan(samples, selector, ref - range_ms, ref)
         base = base.filter(~F.coalesce(F.col("stale"), F.lit(False)))
         if order_cols:
             base = _with_order_cols(base)
@@ -220,21 +220,22 @@ def range_frame(
             )
             .drop("__k")
         )
-    min_ts = start_ms - off - range_ms + 1
+    min_ts = start_ms - off - range_ms
     max_ts = end_ms - off
     base = base_scan(samples, selector, min_ts, max_ts)
     base = base.filter(~F.coalesce(F.col("stale"), F.lit(False)))
     if order_cols:
         base = _with_order_cols(base)
-    # sample serves windows t with  t-off-range < ts <= t-off
-    #   ⇔  ts + off <= t < ts + off + range
+    # v0.47 windows are CLOSED [t-off-range, t-off] (engine.go:2056 t >= mint;
+    # changed to left-open only in Prometheus 3.x) — sample serves windows
+    #   ts + off <= t <= ts + off + range
     return _explode_to_steps(
         base,
         start_ms,
         end_ms,
         step_ms,
         F.col("ts") + F.lit(off),
-        F.col("ts") + F.lit(off + range_ms - 1),
+        F.col("ts") + F.lit(off + range_ms),
     )
 
 
