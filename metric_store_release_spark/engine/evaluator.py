@@ -737,13 +737,12 @@ class Evaluator:
                     value.alias("value"),
                 )
             else:
-                kept_value = (
-                    F.col("rv") if card == VectorMatchCard.ONE_TO_MANY else F.col("lv")
-                )
+                # vectorElemBinop returns the ORIGINAL lhs value even under
+                # group_right (engine.go:2270-2276 double swap)
                 out = joined.filter(keep).select(
                     "t",
                     out_labels.alias("labels"),
-                    kept_value.alias("value"),
+                    F.col("lv").alias("value"),
                 )
         else:
             value = sf.arith_op(lv, rv, op)

@@ -112,7 +112,7 @@ def instant_vector(
     lookback_ms: int,
 ) -> DataFrame:
     """Instant selector: per (series, step) the most recent sample within
-    (t - offset - lookback, t - offset]; staleness markers end the series
+    [t - offset - lookback, t - offset]; staleness markers end the series
     (vendor promql/engine.go:1881-1914).
 
     Returns the VectorResult schema (t, labels, sig, value, sample_ts).
@@ -122,17 +122,18 @@ def instant_vector(
         # @ pins evaluation: evaluate once at at_ms, replicate across steps.
         pinned = _instant_at(samples, selector, selector.at_ms - off, lookback_ms)
         return _replicate_over_grid(pinned, start_ms, end_ms, step_ms)
-    min_ts = start_ms - off - lookback_ms + 1
+    min_ts = start_ms - off - lookback_ms
     max_ts = end_ms - off
     base = base_scan(samples, selector, min_ts, max_ts)
-    # sample at ts serves eval times t with ts <= t-off < ts + lookback
+    # valid iff ts >= t-off-lookback (NON-strict, engine.go:1906) — sample
+    # serves eval times t in [ts+off, ts+off+lookback]
     exploded = _explode_to_steps(
         base,
         start_ms,
         end_ms,
         step_ms,
         F.col("ts") + F.lit(off),
-        F.col("ts") + F.lit(off + lookback_ms - 1),
+        F.col("ts") + F.lit(off + lookback_ms),
     )
     picked = (
         exploded.groupBy("t", "sig")
@@ -152,7 +153,7 @@ def instant_vector(
 def _instant_at(
     samples: DataFrame, selector: VectorSelector, ref_ms: int, lookback_ms: int
 ) -> DataFrame:
-    base = base_scan(samples, selector, ref_ms - lookback_ms + 1, ref_ms)
+    base = base_scan(samples, selector, ref_ms - lookback_ms, ref_ms)
     return (
         base.groupBy("sig")
         .agg(F.max_by(F.struct("value", "labels", "stale", "ts"), "ts").alias("s"))

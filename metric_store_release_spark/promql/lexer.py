@@ -28,6 +28,21 @@ KEYWORDS = {
     "end",
 }
 
+_AGG_KEYWORDS = {
+    "sum",
+    "avg",
+    "min",
+    "max",
+    "count",
+    "group",
+    "stddev",
+    "stdvar",
+    "topk",
+    "bottomk",
+    "quantile",
+    "count_values",
+}
+
 _DURATION_RE = re.compile(r"(?:[0-9]+(?:ms|s|m|h|d|w|y))+")
 _NUMBER_RE = re.compile(
     r"0[xX][0-9a-fA-F]+|[0-9]*\.?[0-9]+(?:[eE][+-]?[0-9]+)?|\.[0-9]+"
@@ -141,7 +156,12 @@ def tokenize(src: str) -> list[Token]:
             continue
         m = _IDENT_RE.match(src, i)
         if m and c != ":":  # leading ':' is the subquery step separator
-            toks.append(Token("IDENT", m.group(), i))
+            text = m.group()
+            # keywords and aggregator names are case-insensitive (vendor
+            # promql/parser/lex.go key lookup lowercases)
+            if text.lower() in KEYWORDS or text.lower() in _AGG_KEYWORDS:
+                text = text.lower()
+            toks.append(Token("IDENT", text, i))
             i = m.end()
             continue
         for op in _OPS:
