@@ -60,7 +60,7 @@ def histogram_quantile(vector_df: DataFrame, q: float) -> DataFrame:
                 array(named_struct(
                     'le', x.le,
                     'value', greatest(x.value,
-                                      coalesce(element_at(acc, -1).value, x.value))
+                                      coalesce(try_element_at(acc, -1).value, x.value))
                 ))
             )
         )
@@ -69,7 +69,7 @@ def histogram_quantile(vector_df: DataFrame, q: float) -> DataFrame:
     grouped = grouped.withColumn("bk", mono)
 
     n = F.size("bk")
-    last = F.element_at("bk", -1)
+    last = F.try_element_at(F.col("bk"), F.lit(-1))
     observations = last.getField("value")
     rank = F.lit(q) * observations
 
@@ -79,10 +79,10 @@ def histogram_quantile(vector_df: DataFrame, q: float) -> DataFrame:
         F.expr("transform(bk, (x, i) -> struct(i + 1 as i, x.value as v))"),
         lambda s: (s.getField("v") >= rank) & (s.getField("i") < n),
     )
-    b = F.coalesce(F.element_at(idxs, 1).getField("i"), n)
+    b = F.coalesce(F.try_element_at(idxs, F.lit(1)).getField("i"), n)
 
-    bucket = F.element_at("bk", b)
-    prev_bucket = F.element_at("bk", F.greatest(b - 1, F.lit(1)))
+    bucket = F.try_element_at(F.col("bk"), b.cast("int"))
+    prev_bucket = F.try_element_at(F.col("bk"), F.greatest(b - 1, F.lit(1)).cast("int"))
     bucket_start = F.when(b > 1, prev_bucket.getField("le")).otherwise(F.lit(0.0))
     prev_count = F.when(b > 1, prev_bucket.getField("value")).otherwise(F.lit(0.0))
     count = bucket.getField("value") - prev_count
@@ -91,7 +91,7 @@ def histogram_quantile(vector_df: DataFrame, q: float) -> DataFrame:
         adj_rank / count
     )
 
-    second_highest = F.element_at("bk", n - 1).getField("le")
+    second_highest = F.try_element_at(F.col("bk"), (n - 1).cast("int")).getField("le")
     value = (
         F.when(F.lit(q != q), F.lit(float("nan")))  # q is NaN
         .when(F.lit(q < 0), F.lit(float("-inf")))
