@@ -1,10 +1,18 @@
-"""Driver contract for the spark-graft builder (PySpark target).
+"""Driver contract: entry() smoke, queries() vs oracle_sql() correctness.
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+Each queries() entry exercises one operator family from SURVEY.md §2 through
+the real engine (PromQL string → parser → DataFrame planner) over the driver
+testdata; the paired oracle_sql() reproduces the exact PromQL semantics
+(lookback as-of, closed range windows, rate extrapolation, bucket
+interpolation) in ANSI SQL for DuckDB.
+
+Conventions:
+  - samples = events.parquet as (ts epoch-ms, name=event_type, value,
+    labels={'user': user_id % 10}) — FIXTURES.md §F7
+  - step grid: 2024-01-02 .. 2024-01-29 UTC, 6 h steps (109 steps)
+  - lookback 2 h (engine config; series spacing at sf0.01 is ~36 min)
+  - FP-computed values rounded to 6 dp on BOTH sides (summation order
+    differs between engines)
 """
 
 from __future__ import annotations
@@ -12,27 +20,1002 @@ from __future__ import annotations
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+START = 1704153600000  # 2024-01-02T00:00:00Z
+END = 1706486400000  # 2024-01-29T00:00:00Z
+STEP = 21_600_000  # 6 h
+LOOKBACK = 7_200_000  # 2 h
+RANGE = 86_400_000  # 1 d windows for range functions
+RANGE_S = RANGE / 1000.0
+
+_ENTRY_SF_DIR = "/root/testdata/sf0.001"
 
 
+# --------------------------------------------------------------------- helpers
+def _engine(spark: SparkSession, lookback_ms: int = LOOKBACK):
+    from metric_store_release_spark import EngineConfig, PromQLEngine
+
+    return PromQLEngine(spark, EngineConfig(lookback_ms=lookback_ms))
+
+
+def _samples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from metric_store_release_spark.sources.events_adapter import samples_from_events
+
+    return samples_from_events(spark, sf_dir, "by_type_user")
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+
+
+def _promql(
+    q: str,
+    label_cols: dict[str, str] | None = None,
+    round_value: bool = True,
+    keep_name: bool = False,
+) -> Callable[[SparkSession, str], DataFrame]:
+    """PromQL range query → flat (t[, labels…], value) DataFrame."""
+
+    def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+        eng = _engine(spark)
+        out = eng.query_range(_samples(spark, sf_dir), q, START, END, STEP)
+        cols = [F.col("t")]
+        if keep_name:
+            cols.append(F.col("labels").getItem("__name__").alias("name"))
+        for key, alias in (label_cols or {}).items():
+            cols.append(F.col("labels").getItem(key).alias(alias))
+        v = F.round(F.col("value"), 6) if round_value else F.col("value")
+        cols.append(v.alias("value"))
+        return out.select(*cols)
+
+    return run
+
+
+# shared oracle CTE fragments ------------------------------------------------
+_SAMPLES_CTE = """
+samples AS (
+  SELECT epoch_ms(ts) AS ts, event_type AS name, value,
+         CAST(user_id % 10 AS VARCHAR) AS usr
+  FROM events
+),
+steps AS (SELECT unnest(generate_series({start}, {end}, {step})) AS t)
+""".format(start=START, end=END, step=STEP)
+
+
+def _inst_cte(where: str = "TRUE") -> str:
+    """Instant-vector CTE: as-of pick per (t, series) within the lookback."""
+    return f"""
+inst AS (
+  SELECT * FROM (
+    SELECT s.t, p.name, p.usr, p.value, p.ts,
+           row_number() OVER (PARTITION BY s.t, p.name, p.usr
+                              ORDER BY p.ts DESC) AS rn
+    FROM steps s
+    JOIN samples p ON p.ts <= s.t AND p.ts >= s.t - {LOOKBACK}
+    WHERE {where}
+  ) WHERE rn = 1
+)
+"""
+
+
+def _flagged_cte(where: str) -> str:
+    """Per-series lag columns for counter/change math (window per series)."""
+    return f"""
+flagged AS (
+  SELECT ts, name, usr, value,
+         lag(value) OVER w AS prev_value,
+         lag(ts)    OVER w AS prev_ts,
+         CASE WHEN value < lag(value) OVER w
+              THEN lag(value) OVER w ELSE 0.0 END AS drp,
+         CASE WHEN lag(value) OVER w IS NOT NULL
+               AND value <> lag(value) OVER w THEN 1 ELSE 0 END AS chg,
+         CASE WHEN value < lag(value) OVER w THEN 1 ELSE 0 END AS rst
+  FROM samples WHERE {where}
+  WINDOW w AS (PARTITION BY name, usr ORDER BY ts)
+),
+win AS (
+  SELECT s.t, f.*
+  FROM steps s
+  JOIN flagged f ON f.ts >= s.t - {RANGE} AND f.ts <= s.t
+)
+"""
+
+
+_EXTRAP_AGG = f"""
+agg AS (
+  SELECT t, name, usr,
+         min(ts) AS first_ts, max(ts) AS last_ts,
+         arg_min(value, ts) AS first_v, arg_max(value, ts) AS last_v,
+         arg_min(drp, ts) AS first_drp,
+         count(*) AS cnt, sum(drp) AS dropsum
+  FROM win GROUP BY t, name, usr
+),
+geom AS (
+  SELECT *,
+         (first_ts - (t - {RANGE})) / 1000.0 AS dstart0,
+         (t - last_ts) / 1000.0 AS dend,
+         (last_ts - first_ts) / 1000.0 AS sampled,
+         ((last_ts - first_ts) / 1000.0) / (cnt - 1) AS avg_gap
+  FROM agg WHERE cnt >= 2
+)
+"""
+
+
+def _extrap_value(counter: bool, per_second: bool) -> str:
+    resultv = (
+        "(last_v - first_v + dropsum - first_drp)" if counter else "(last_v - first_v)"
+    )
+    dstart = (
+        f"LEAST(dstart0, CASE WHEN {resultv} > 0 AND first_v >= 0 "
+        f"THEN sampled * (first_v / {resultv}) ELSE 1e308 END)"
+        if counter
+        else "dstart0"
+    )
+    divisor = f" / {RANGE_S}" if per_second else ""
+    return f"""
+SELECT t,
+       ROUND({resultv} *
+             ((sampled
+               + CASE WHEN {dstart} < avg_gap * 1.1 THEN {dstart}
+                      ELSE avg_gap / 2 END
+               + CASE WHEN dend < avg_gap * 1.1 THEN dend
+                      ELSE avg_gap / 2 END) / sampled){divisor}, 6) AS value
+FROM geom
+"""
+
+
+# ---------------------------------------------------------------- entrypoints
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: per-user click throughput (rate + agg) at sf0.001."""
+    eng = _engine(spark, lookback_ms=4 * 3_600_000)
+    samples = _samples(spark, _ENTRY_SF_DIR)
+    out = eng.query_range(
+        samples, 'sum by (user) (rate(click[1d]))', START, END, STEP
+    )
+    return out.select(
+        "t", F.col("labels").getItem("user").alias("usr"), F.round("value", 6).alias("value")
+    )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    q: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    # --- selectors (§2.2) ---------------------------------------------------
+    q["promql_selector"] = _promql(
+        'click{user="3"}', round_value=False
+    )
+    q["promql_selector_regex"] = _promql(
+        '{__name__=~"c.*|s.*", user!~"[0-4]"}',
+        label_cols={"user": "usr"},
+        keep_name=True,
+        round_value=False,
+    )
+    q["promql_offset"] = _promql(
+        'purchase{user="5"} offset 1d', round_value=False
+    )
+
+    # --- aggregations (§2.4) ------------------------------------------------
+    q["promql_sum_by_user"] = _promql(
+        "sum by (user) (click)", label_cols={"user": "usr"}
+    )
+    q["promql_avg_without"] = _promql(
+        "avg without (user) (purchase)", keep_name=False
+    )
+    q["promql_topk"] = _promql(
+        "topk(3, sum by (user) (click))", label_cols={"user": "usr"}
+    )
+    q["promql_quantile_agg"] = _promql("quantile(0.5, click)")
+    q["promql_stddev_agg"] = _promql("stddev(click)")
+    q["promql_count_values"] = _promql(
+        'count_values("v", purchase{user="7"})',
+        label_cols={"v": "v"},
+        round_value=False,
+    )
+
+    # --- range functions (§2.5) --------------------------------------------
+    q["promql_sum_over_time"] = _promql(
+        'sum_over_time(click{user="3"}[1d])'
+    )
+    q["promql_count_over_time"] = _promql(
+        "count_over_time(signup[1d])", label_cols={"user": "usr"}, round_value=False
+    )
+    q["promql_rate"] = _promql('rate(click{user="3"}[1d])')
+    q["promql_increase"] = _promql('increase(click{user="3"}[1d])')
+    q["promql_delta"] = _promql('delta(view{user="2"}[1d])')
+    q["promql_irate"] = _promql('irate(click{user="3"}[1d])')
+    q["promql_changes"] = _promql('changes(click{user="4"}[1d])', round_value=False)
+    q["promql_resets"] = _promql('resets(click{user="4"}[1d])', round_value=False)
+    q["promql_deriv"] = _promql('deriv(click{user="3"}[1d])')
+    q["promql_predict_linear"] = _promql('predict_linear(click{user="3"}[1d], 3600)')
+
+    # --- binary ops & set ops (§2.3) ---------------------------------------
+    q["promql_binop_add"] = _promql(
+        "click + on(user) purchase", label_cols={"user": "usr"}
+    )
+    q["promql_binop_filter"] = _promql(
+        "click > 15", label_cols={"user": "usr"}, round_value=False
+    )
+    q["promql_binop_bool"] = _promql(
+        "click >= bool 10", label_cols={"user": "usr"}, round_value=False
+    )
+    q["promql_and"] = _promql(
+        "(click > 15) and (purchase > 15)", label_cols={"user": "usr"},
+        round_value=False,
+    )
+    q["promql_unless"] = _promql(
+        "(click > 15) unless (purchase > 15)", label_cols={"user": "usr"},
+        round_value=False,
+    )
+    q["promql_or"] = _promql(
+        "(click > 18) or (purchase > 18)",
+        label_cols={"user": "usr"},
+        keep_name=True,
+        round_value=False,
+    )
+
+    # --- scalar functions / label ops (§2.6) -------------------------------
+    q["promql_scalar_math"] = _promql(
+        'clamp(round(click{user="3"} * 2 - 5), 0, 40)', round_value=False
+    )
+    q["promql_label_replace"] = _promql(
+        'label_replace(click{user=~"1|2"}, "bucket", "u$1", "user", "(.*)")',
+        label_cols={"bucket": "bucket"},
+        round_value=False,
+    )
+    q["promql_date_fn"] = _promql(
+        'hour(timestamp(click{user="3"}))', round_value=False
+    )
+    q["promql_absent"] = _promql(
+        'absent(nosuch_metric{user="9"})', round_value=False
+    )
+
+    # --- subqueries (§2.5) --------------------------------------------------
+    q["promql_subquery"] = _promql("avg_over_time(sum(click)[1d:6h])")
+
+    # --- histogram (§2.6 histogram_quantile) -------------------------------
+    q["promql_histogram_quantile"] = _hist_quantile_query
+
+    # --- TPC-H-ish relational head-to-heads ---------------------------------
+    q["tpch_q1"] = _tpch_q1
+    q["tpch_q3"] = _tpch_q3
+
+    # --- streaming rollup analog (§2.9) ------------------------------------
+    q["rollup_counter"] = _rollup_counter
+
+    # --- data-pipeline: dedup (§north star) ---------------------------------
+    q["dedup_exact"] = _dedup_exact
+    q["dedup_minhash_lsh"] = _dedup_minhash
+    q["dedup_simhash"] = _dedup_simhash
+    q["dedup_ngram_jaccard"] = _ngram_jaccard
+    q["embedding_topk"] = _embedding_topk
+    q["embedding_dedup"] = _embedding_dedup
+    q["text_quality"] = _text_quality
+    q["text_lang_id"] = _lang_id
+    q["doc_fingerprint"] = _doc_fingerprint
+    q["multimodal_features"] = _multimodal_features  # rows-only (mapInPandas)
+    return q
 
 
+# ------------------------------------------------------- non-promql callables
+def _hist_quantile_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bucketed histogram built from events (cumulative le counts per step),
+    then histogram_quantile(0.9, ...) through the engine."""
+    from metric_store_release_spark.sources.events_adapter import ts_ms
+
+    raw = spark.read.parquet(f"{sf_dir}/events.parquet")
+    ev = raw.select(ts_ms(raw).alias("ts"), "value").filter(
+        F.col("ts").between(START - RANGE, END)
+    )
+    n_steps = (END - START) // STEP
+    k0 = F.greatest(F.lit(0), F.ceil((F.col("ts") - F.lit(START)) / F.lit(STEP)).cast("long"))
+    k1 = F.least(
+        F.lit(n_steps),
+        F.floor((F.col("ts") + F.lit(RANGE) - F.lit(START)) / F.lit(STEP)).cast("long"),
+    )
+    windowed = (
+        ev.withColumn("k0", k0)
+        .withColumn("k1", k1)
+        .filter(F.col("k0") <= F.col("k1"))
+        .withColumn("k", F.explode(F.sequence("k0", "k1")))
+        .withColumn("t", (F.lit(START) + F.col("k") * F.lit(STEP)).cast("long"))
+    )
+    les = [5.0, 10.0, 15.0, 20.0, float("inf")]
+    counts = windowed.groupBy("t").agg(
+        *[
+            F.sum(F.when(F.col("value") <= le, 1).otherwise(0))
+            .cast("double")
+            .alias(f"c{i}")
+            for i, le in enumerate(les)
+        ]
+    )
+    buckets = counts.select(
+        "t",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit("+Inf" if le == float("inf") else str(le)).alias("le"),
+                        F.col(f"c{i}").alias("cnt"),
+                    )
+                    for i, le in enumerate(les)
+                ]
+            )
+        ).alias("b"),
+    )
+    samples = buckets.select(
+        F.col("t").alias("ts"),
+        F.lit("ev_bucket").alias("name"),
+        F.col("b.cnt").alias("value"),
+        F.create_map(F.lit("le"), F.col("b.le")).alias("labels"),
+        F.lit(False).alias("stale"),
+    )
+    eng = _engine(spark, lookback_ms=1)
+    out = eng.query_range(samples, "histogram_quantile(0.9, ev_bucket)", START, END, STEP)
+    return out.select("t", F.round("value", 6).alias("value"))
+
+
+def _tpch_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 4).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 4).alias("sum_base_price"),
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4
+            ).alias("sum_disc_price"),
+            F.round(
+                F.sum(
+                    F.col("l_extendedprice")
+                    * (1 - F.col("l_discount"))
+                    * (1 + F.col("l_tax"))
+                ),
+                4,
+            ).alias("sum_charge"),
+            F.round(F.avg("l_quantity"), 6).alias("avg_qty"),
+            F.round(F.avg("l_extendedprice"), 6).alias("avg_price"),
+            F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+def _tpch_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .filter(
+            (F.col("c_mktsegment") == "BUILDING")
+            & (F.col("o_orderdate") < F.lit("1995-03-15"))
+            & (F.col("l_shipdate") > F.lit("1995-03-15"))
+        )
+        .groupBy("o_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4
+            ).alias("revenue")
+        )
+    )
+
+
+def _rollup_counter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Timer→counter rollup analog (nozzle/rollup/counter.go): tumbling
+    10-minute counts per source tag."""
+    from metric_store_release_spark.sources.events_adapter import ts_ms
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    ev = ev.withColumn("ts_t", F.timestamp_millis(ts_ms(ev)))
+    return (
+        ev.groupBy(F.window("ts_t", "10 minutes").alias("w"), F.col("event_type"))
+        .agg(F.count(F.lit(1)).alias("total"))
+        .select(
+            F.unix_millis(F.col("w.start")).alias("window_start"),
+            F.col("event_type"),
+            F.col("total"),
+        )
+    )
+
+
+def _dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from metric_store_release_spark.pipeline.dedup import exact_duplicates
+
+    return exact_duplicates(_docs(spark, sf_dir))
+
+
+def _dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from metric_store_release_spark.pipeline.dedup import minhash_lsh_candidates
+
+    return minhash_lsh_candidates(
+        _docs(spark, sf_dir), num_hashes=8, bands=4, shingle_n=3
+    )
+
+
+def _dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from metric_store_release_spark.pipeline.dedup import simhash
+
+    return simhash(_docs(spark, sf_dir), bits=16)
+
+
+def _ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from metric_store_release_spark.pipeline.dedup import ngram_jaccard_pairs
+
+    return ngram_jaccard_pairs(_docs(spark, sf_dir), shingle_n=3, threshold=0.5)
+
+
+def _embedding_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from metric_store_release_spark.pipeline.similarity import brute_force_topk
+
+    emb = _emb(spark, sf_dir)
+    queries_df = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding")
+    )
+    return brute_force_topk(emb.filter(F.col("vec_id") >= 5), queries_df, k=10)
+
+
+def _embedding_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from metric_store_release_spark.pipeline.similarity import embedding_cosine_dedup
+
+    return embedding_cosine_dedup(_emb(spark, sf_dir), threshold=0.9)
+
+
+def _text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from metric_store_release_spark.pipeline.text import quality_features
+
+    return quality_features(_docs(spark, sf_dir)).select(
+        "doc_id", "n_tokens", "mean_word_len", "stopword_ratio", "punct_ratio",
+        "quality_score",
+    )
+
+
+def _lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from metric_store_release_spark.pipeline.text import language_id
+
+    return language_id(_docs(spark, sf_dir)).select("doc_id", "lang_pred")
+
+
+def _doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from metric_store_release_spark.pipeline.text import doc_fingerprint
+
+    docs = _docs(spark, sf_dir)
+    return docs.select(
+        "doc_id", doc_fingerprint(F.col("text")).alias("fingerprint")
+    )
+
+
+def _multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from metric_store_release_spark.pipeline.multimodal import (
+        extract_media_features,
+        fake_media_from_documents,
+    )
+
+    return extract_media_features(fake_media_from_documents(_docs(spark, sf_dir)))
+
+
+# -------------------------------------------------------------------- oracles
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    o: dict[str, str] = {}
+
+    o["promql_selector"] = f"""
+WITH {_SAMPLES_CTE}, {_inst_cte("p.name = 'click' AND p.usr = '3'")}
+SELECT t, value FROM inst
+"""
+
+    o["promql_selector_regex"] = f"""
+WITH {_SAMPLES_CTE}, {_inst_cte(
+        "regexp_full_match(p.name, 'c.*|s.*') AND NOT regexp_full_match(p.usr, '[0-4]')"
+    )}
+SELECT t, name, usr, value FROM inst
+"""
+
+    o["promql_offset"] = f"""
+WITH {_SAMPLES_CTE},
+inst AS (
+  SELECT * FROM (
+    SELECT s.t, p.value,
+           row_number() OVER (PARTITION BY s.t ORDER BY p.ts DESC) AS rn
+    FROM steps s
+    JOIN samples p ON p.ts <= s.t - {RANGE} AND p.ts >= s.t - {RANGE} - {LOOKBACK}
+    WHERE p.name = 'purchase' AND p.usr = '5'
+  ) WHERE rn = 1
+)
+SELECT t, value FROM inst
+"""
+
+    o["promql_sum_by_user"] = f"""
+WITH {_SAMPLES_CTE}, {_inst_cte("p.name = 'click'")}
+SELECT t, usr, ROUND(SUM(value), 6) AS value FROM inst GROUP BY t, usr
+"""
+
+    o["promql_avg_without"] = f"""
+WITH {_SAMPLES_CTE}, {_inst_cte("p.name = 'purchase'")}
+SELECT t, ROUND(AVG(value), 6) AS value FROM inst GROUP BY t
+"""
+
+    o["promql_topk"] = f"""
+WITH {_SAMPLES_CTE}, {_inst_cte("p.name = 'click'")},
+sums AS (SELECT t, usr, SUM(value) AS sv FROM inst GROUP BY t, usr)
+SELECT t, usr, value FROM (
+  SELECT t, usr, ROUND(sv, 6) AS value,
+         row_number() OVER (PARTITION BY t ORDER BY sv DESC) AS rk
+  FROM sums
+) WHERE rk <= 3
+"""
+
+    o["promql_quantile_agg"] = f"""
+WITH {_SAMPLES_CTE}, {_inst_cte("p.name = 'click'")}
+SELECT t, ROUND(CAST(quantile_cont(value, 0.5) AS DOUBLE), 6) AS value
+FROM inst GROUP BY t
+"""
+
+    o["promql_stddev_agg"] = f"""
+WITH {_SAMPLES_CTE}, {_inst_cte("p.name = 'click'")}
+SELECT t, ROUND(COALESCE(stddev_pop(value), 0.0), 6) AS value FROM inst GROUP BY t
+"""
+
+    o["promql_count_values"] = f"""
+WITH {_SAMPLES_CTE}, {_inst_cte("p.name = 'purchase' AND p.usr = '7'")}
+SELECT t,
+       CASE WHEN value = CAST(value AS BIGINT)
+            THEN CAST(CAST(value AS BIGINT) AS VARCHAR)
+            ELSE CAST(value AS VARCHAR) END AS v,
+       CAST(COUNT(*) AS DOUBLE) AS value
+FROM inst GROUP BY t, v
+"""
+
+    o["promql_sum_over_time"] = f"""
+WITH {_SAMPLES_CTE}
+SELECT s.t, ROUND(SUM(p.value), 6) AS value
+FROM steps s JOIN samples p
+  ON p.ts >= s.t - {RANGE} AND p.ts <= s.t
+WHERE p.name = 'click' AND p.usr = '3'
+GROUP BY s.t
+"""
+
+    o["promql_count_over_time"] = f"""
+WITH {_SAMPLES_CTE}
+SELECT s.t, p.usr, CAST(COUNT(*) AS DOUBLE) AS value
+FROM steps s JOIN samples p
+  ON p.ts >= s.t - {RANGE} AND p.ts <= s.t
+WHERE p.name = 'signup'
+GROUP BY s.t, p.usr
+"""
+
+    rate_where = "name = 'click' AND usr = '3'"
+    o["promql_rate"] = (
+        f"WITH {_SAMPLES_CTE}, {_flagged_cte(rate_where)}, {_EXTRAP_AGG}"
+        + _extrap_value(counter=True, per_second=True)
+    )
+    o["promql_increase"] = (
+        f"WITH {_SAMPLES_CTE}, {_flagged_cte(rate_where)}, {_EXTRAP_AGG}"
+        + _extrap_value(counter=True, per_second=False)
+    )
+    o["promql_delta"] = (
+        f"WITH {_SAMPLES_CTE}, {_flagged_cte('name = %s AND usr = %s' % (chr(39) + 'view' + chr(39), chr(39) + '2' + chr(39)))}, {_EXTRAP_AGG}"
+        + _extrap_value(counter=False, per_second=False)
+    )
+
+    o["promql_irate"] = f"""
+WITH {_SAMPLES_CTE}, {_flagged_cte(rate_where)}
+SELECT t,
+       ROUND(
+         CASE WHEN lv < pv THEN lv ELSE lv - pv END
+           / ((lts - pts) / 1000.0), 6) AS value
+FROM (
+  SELECT t, max(ts) AS lts,
+         arg_max(value, ts) AS lv,
+         arg_max(prev_value, ts) AS pv,
+         arg_max(prev_ts, ts) AS pts
+  FROM win GROUP BY t
+)
+WHERE pts IS NOT NULL AND pts >= t - {RANGE} AND lts <> pts
+"""
+
+    changes_where = "name = 'click' AND usr = '4'"
+    o["promql_changes"] = f"""
+WITH {_SAMPLES_CTE}, {_flagged_cte(changes_where)}
+SELECT t, CAST(SUM(chg) - arg_min(chg, ts) AS DOUBLE) AS value
+FROM win GROUP BY t
+"""
+    o["promql_resets"] = f"""
+WITH {_SAMPLES_CTE}, {_flagged_cte(changes_where)}
+SELECT t, CAST(SUM(rst) - arg_min(rst, ts) AS DOUBLE) AS value
+FROM win GROUP BY t
+"""
+
+    o["promql_deriv"] = f"""
+WITH {_SAMPLES_CTE}, {_flagged_cte(rate_where)}
+SELECT t, ROUND(regr_slope(value, ts / 1000.0), 6) AS value
+FROM win GROUP BY t HAVING COUNT(*) >= 2
+"""
+
+    o["promql_predict_linear"] = f"""
+WITH {_SAMPLES_CTE}, {_flagged_cte(rate_where)}
+SELECT t,
+       ROUND(
+         (AVG(value) - regr_slope(value, ts / 1000.0) * AVG(ts / 1000.0))
+         + regr_slope(value, ts / 1000.0) * (t / 1000.0 + 3600), 6) AS value
+FROM win GROUP BY t HAVING COUNT(*) >= 2
+"""
+
+    o["promql_binop_add"] = f"""
+WITH {_SAMPLES_CTE}, {_inst_cte("p.name IN ('click', 'purchase')")}
+SELECT a.t, a.usr, ROUND(a.value + b.value, 6) AS value
+FROM inst a JOIN inst b ON a.t = b.t AND a.usr = b.usr
+WHERE a.name = 'click' AND b.name = 'purchase'
+"""
+
+    o["promql_binop_filter"] = f"""
+WITH {_SAMPLES_CTE}, {_inst_cte("p.name = 'click'")}
+SELECT t, usr, value FROM inst WHERE value > 15
+"""
+
+    o["promql_binop_bool"] = f"""
+WITH {_SAMPLES_CTE}, {_inst_cte("p.name = 'click'")}
+SELECT t, usr, CASE WHEN value >= 10 THEN 1.0 ELSE 0.0 END AS value FROM inst
+"""
+
+    o["promql_and"] = f"""
+WITH {_SAMPLES_CTE}, {_inst_cte("p.name IN ('click', 'purchase')")}
+SELECT a.t, a.usr, a.value
+FROM inst a
+WHERE a.name = 'click' AND a.value > 15
+  AND EXISTS (SELECT 1 FROM inst b
+              WHERE b.t = a.t AND b.usr = a.usr
+                AND b.name = 'purchase' AND b.value > 15)
+"""
+
+    o["promql_unless"] = f"""
+WITH {_SAMPLES_CTE}, {_inst_cte("p.name IN ('click', 'purchase')")}
+SELECT a.t, a.usr, a.value
+FROM inst a
+WHERE a.name = 'click' AND a.value > 15
+  AND NOT EXISTS (SELECT 1 FROM inst b
+                  WHERE b.t = a.t AND b.usr = a.usr
+                    AND b.name = 'purchase' AND b.value > 15)
+"""
+
+    o["promql_or"] = f"""
+WITH {_SAMPLES_CTE}, {_inst_cte("p.name IN ('click', 'purchase')")}
+SELECT t, name, usr, value FROM inst WHERE name = 'click' AND value > 18
+UNION ALL
+SELECT b.t, b.name, b.usr, b.value FROM inst b
+WHERE b.name = 'purchase' AND b.value > 18
+  AND NOT EXISTS (SELECT 1 FROM inst a
+                  WHERE a.t = b.t AND a.usr = b.usr
+                    AND a.name = 'click' AND a.value > 18)
+"""
+
+    o["promql_scalar_math"] = f"""
+WITH {_SAMPLES_CTE}, {_inst_cte("p.name = 'click' AND p.usr = '3'")}
+SELECT t,
+       CASE WHEN FLOOR(value * 2 - 5 + 0.5) > 40 THEN 40.0
+            WHEN FLOOR(value * 2 - 5 + 0.5) < 0 THEN 0.0
+            ELSE FLOOR(value * 2 - 5 + 0.5) END AS value
+FROM inst
+"""
+
+    o["promql_label_replace"] = f"""
+WITH {_SAMPLES_CTE}, {_inst_cte("p.name = 'click' AND p.usr IN ('1','2')")}
+SELECT t, 'u' || usr AS bucket, value FROM inst
+"""
+
+    o["promql_date_fn"] = f"""
+WITH {_SAMPLES_CTE}, {_inst_cte("p.name = 'click' AND p.usr = '3'")}
+SELECT t, CAST(hour(to_timestamp(ts / 1000)) AS DOUBLE) AS value FROM inst
+"""
+
+    o["promql_absent"] = """
+WITH steps AS (SELECT unnest(generate_series({start}, {end}, {step})) AS t)
+SELECT t, 1.0 AS value FROM steps
+""".format(start=START, end=END, step=STEP)
+
+    o["promql_subquery"] = f"""
+WITH {_SAMPLES_CTE},
+steps2 AS (SELECT unnest(generate_series({START - RANGE}, {END}, {STEP})) AS t2),
+inner_inst AS (
+  SELECT * FROM (
+    SELECT s.t2, p.name, p.usr, p.value,
+           row_number() OVER (PARTITION BY s.t2, p.name, p.usr
+                              ORDER BY p.ts DESC) AS rn
+    FROM steps2 s
+    JOIN samples p ON p.ts <= s.t2 AND p.ts >= s.t2 - {LOOKBACK}
+    WHERE p.name = 'click'
+  ) WHERE rn = 1
+),
+inner_sum AS (SELECT t2, SUM(value) AS sv FROM inner_inst GROUP BY t2)
+SELECT s.t, ROUND(AVG(i.sv), 6) AS value
+FROM steps s JOIN inner_sum i ON i.t2 >= s.t - {RANGE} AND i.t2 <= s.t
+GROUP BY s.t
+"""
+
+    o["promql_histogram_quantile"] = f"""
+WITH ev AS (
+  SELECT epoch_ms(ts) AS ts, value FROM events
+  WHERE epoch_ms(ts) BETWEEN {START - RANGE} AND {END}
+),
+steps AS (SELECT unnest(generate_series({START}, {END}, {STEP})) AS t),
+counts AS (
+  SELECT s.t,
+         CAST(SUM(CASE WHEN e.value <= 5  THEN 1 ELSE 0 END) AS DOUBLE) AS c0,
+         CAST(SUM(CASE WHEN e.value <= 10 THEN 1 ELSE 0 END) AS DOUBLE) AS c1,
+         CAST(SUM(CASE WHEN e.value <= 15 THEN 1 ELSE 0 END) AS DOUBLE) AS c2,
+         CAST(SUM(CASE WHEN e.value <= 20 THEN 1 ELSE 0 END) AS DOUBLE) AS c3,
+         CAST(COUNT(*) AS DOUBLE) AS cinf
+  FROM steps s JOIN ev e ON e.ts >= s.t - {RANGE} AND e.ts <= s.t
+  GROUP BY s.t
+)
+SELECT t,
+  ROUND(CASE
+    WHEN cinf = 0 THEN NULL
+    WHEN c0 >= 0.9 * cinf THEN 5.0 * ((0.9 * cinf) / c0)
+    WHEN c1 >= 0.9 * cinf THEN 5.0 + 5.0 * ((0.9 * cinf - c0) / (c1 - c0))
+    WHEN c2 >= 0.9 * cinf THEN 10.0 + 5.0 * ((0.9 * cinf - c1) / (c2 - c1))
+    WHEN c3 >= 0.9 * cinf THEN 15.0 + 5.0 * ((0.9 * cinf - c2) / (c3 - c2))
+    ELSE 20.0
+  END, 6) AS value
+FROM counts WHERE cinf > 0
+"""
+
+    o["tpch_q1"] = """
+SELECT l_returnflag, l_linestatus,
+       ROUND(SUM(l_quantity), 4) AS sum_qty,
+       ROUND(SUM(l_extendedprice), 4) AS sum_base_price,
+       ROUND(SUM(l_extendedprice * (1 - l_discount)), 4) AS sum_disc_price,
+       ROUND(SUM(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 4) AS sum_charge,
+       ROUND(AVG(l_quantity), 6) AS avg_qty,
+       ROUND(AVG(l_extendedprice), 6) AS avg_price,
+       ROUND(AVG(l_discount), 6) AS avg_disc,
+       COUNT(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+    o["tpch_q3"] = """
+SELECT o_orderkey, o_orderdate, o_orderpriority,
+       ROUND(SUM(l_extendedprice * (1 - l_discount)), 4) AS revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < TIMESTAMP '1995-03-15'
+  AND l_shipdate > TIMESTAMP '1995-03-15'
+GROUP BY o_orderkey, o_orderdate, o_orderpriority
+"""
+
+    o["rollup_counter"] = """
+SELECT (epoch_ms(ts) // 600000) * 600000 AS window_start,
+       event_type, COUNT(*) AS total
+FROM events GROUP BY 1, 2
+"""
+
+    o["dedup_exact"] = """
+SELECT md5(text) AS digest, COUNT(*) AS n_docs, MIN(doc_id) AS keep_id
+FROM documents GROUP BY 1 HAVING COUNT(*) > 1
+"""
+
+    o["dedup_minhash_lsh"] = _minhash_oracle()
+
+    o["dedup_simhash"] = _simhash_oracle()
+
+    o["dedup_ngram_jaccard"] = _jaccard_oracle()
+
+    o["embedding_topk"] = """
+WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+           FROM embeddings WHERE vec_id < 5),
+c AS (SELECT vec_id, embedding::DOUBLE[] AS cv FROM embeddings WHERE vec_id >= 5),
+scored AS (
+  SELECT q.query_id, c.vec_id,
+         ROUND(list_dot_product(q.qv, c.cv)
+               / (sqrt(list_dot_product(q.qv, q.qv))
+                  * sqrt(list_dot_product(c.cv, c.cv))), 6) AS cos_sim
+  FROM q CROSS JOIN c
+)
+SELECT query_id, vec_id, cos_sim, rank FROM (
+  SELECT *, CAST(row_number() OVER (PARTITION BY query_id
+                               ORDER BY cos_sim DESC, vec_id ASC) AS INT) AS rank
+  FROM scored
+) WHERE rank <= 10
+"""
+
+    o["embedding_dedup"] = """
+WITH c AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       ROUND(list_dot_product(a.v, b.v)
+             / (sqrt(list_dot_product(a.v, a.v))
+                * sqrt(list_dot_product(b.v, b.v))), 6) AS cos_sim
+FROM c a JOIN c b ON a.vec_id < b.vec_id
+WHERE list_dot_product(a.v, b.v)
+      / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v)))
+      >= 0.9 - 5e-7
+"""
+
+    o["text_quality"] = _text_quality_oracle()
+
+    o["text_lang_id"] = _lang_id_oracle()
+
+    o["doc_fingerprint"] = _fingerprint_oracle()
+
+    # multimodal_features: mapInPandas decode stub — no SQL equivalent
+    return o
+
+
+def _minhash_oracle(num_hashes: int = 8, bands: int = 4, shingle_n: int = 3) -> str:
+    rows = num_hashes // bands
+    mins = ",\n         ".join(
+        f"MIN(('0x' || substr(md5('{i}:' || sh), 1, 8))::BIGINT) AS mh{i}"
+        for i in range(num_hashes)
+    )
+    band_exprs = []
+    for b in range(bands):
+        parts = " || '_' || ".join(
+            f"CAST(mh{b * rows + r} AS VARCHAR)" for r in range(rows)
+        )
+        band_exprs.append(f"STRUCT_PACK(band_id := {b}, bh := md5({parts}))")
+    bands_sql = ", ".join(band_exprs)
+    return f"""
+WITH toks AS (
+  SELECT doc_id, list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS ws
+  FROM documents
+),
+sh AS (
+  SELECT doc_id,
+         CASE WHEN len(ws) >= {shingle_n}
+              THEN list_distinct([array_to_string(ws[i:i+{shingle_n - 1}], ' ')
+                    for i in range(1, len(ws) - {shingle_n - 1} + 1)])
+              ELSE [array_to_string(ws, ' ')] END AS shingles
+  FROM toks
+),
+flat AS (SELECT doc_id, unnest(shingles) AS sh FROM sh),
+sigs AS (
+  SELECT doc_id, {mins}
+  FROM flat GROUP BY doc_id
+),
+banded AS (
+  SELECT doc_id, unnest([{bands_sql}]) AS e FROM sigs
+),
+stacked AS (SELECT doc_id, e.band_id AS band_id, e.bh AS bh FROM banded)
+SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+FROM stacked a JOIN stacked b
+  ON a.band_id = b.band_id AND a.bh = b.bh AND a.doc_id < b.doc_id
+"""
+
+
+def _simhash_oracle(bits: int = 16) -> str:
+    votes = " + ".join(
+        f"""CASE WHEN (
+      SELECT SUM(CASE WHEN (('0x' || substr(md5('0:' || w), 1, 8))::BIGINT >> {b}) & 1 = 1
+                      THEN 1 ELSE -1 END)
+      FROM unnest(words) AS u(w)) > 0 THEN {1 << b}::BIGINT ELSE 0::BIGINT END"""
+        for b in range(bits)
+    )
+    return f"""
+WITH toks AS (
+  SELECT doc_id,
+         list_distinct(list_filter(string_split_regex(text, '\\s+'), x -> x <> '')) AS words
+  FROM documents
+)
+SELECT doc_id, ({votes}) AS simhash FROM toks
+"""
+
+
+def _jaccard_oracle(shingle_n: int = 3, threshold: float = 0.5) -> str:
+    return f"""
+WITH toks AS (
+  SELECT doc_id, list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS ws
+  FROM documents
+),
+sh AS (
+  SELECT doc_id,
+         CASE WHEN len(ws) >= {shingle_n}
+              THEN list_distinct([array_to_string(ws[i:i+{shingle_n - 1}], ' ')
+                    for i in range(1, len(ws) - {shingle_n - 1} + 1)])
+              ELSE [array_to_string(ws, ' ')] END AS shingles
+  FROM toks
+),
+sizes AS (SELECT doc_id, len(shingles) AS set_size FROM sh),
+inv AS (SELECT doc_id, unnest(shingles) AS shingle FROM sh),
+inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS inter
+  FROM inv a JOIN inv b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT id_a, id_b,
+       ROUND(inter * 1.0 / (sa.set_size + sb.set_size - inter), 6) AS jaccard
+FROM inter
+JOIN sizes sa ON sa.doc_id = id_a
+JOIN sizes sb ON sb.doc_id = id_b
+WHERE inter * 1.0 / (sa.set_size + sb.set_size - inter) >= {threshold} - 5e-7
+"""
+
+
+def _text_quality_oracle() -> str:
+    stop = "', '".join(
+        ["the", "a", "and", "of", "to", "in", "is", "that", "for", "on"]
+    )
+    return f"""
+WITH toks AS (
+  SELECT doc_id, text,
+         list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS ws
+  FROM documents
+),
+feat AS (
+  SELECT doc_id,
+         len(ws) AS n_tokens,
+         CASE WHEN len(ws) > 0 THEN length(text) * 1.0 / len(ws) ELSE 0.0 END AS mwl,
+         CASE WHEN len(ws) > 0
+              THEN len(list_filter(ws, x -> list_contains(['{stop}'], lower(x)))) * 1.0 / len(ws)
+              ELSE 0.0 END AS sr,
+         CASE WHEN length(text) > 0
+              THEN length(regexp_replace(text, '[a-zA-Z0-9\\s]', '', 'g')) * 1.0 / length(text)
+              ELSE 0.0 END AS pr
+  FROM toks
+)
+SELECT doc_id, n_tokens,
+       ROUND(mwl, 6) AS mean_word_len,
+       ROUND(sr, 6) AS stopword_ratio,
+       ROUND(pr, 6) AS punct_ratio,
+       ROUND(LEAST(
+         (CASE WHEN n_tokens >= 10 AND n_tokens <= 100000 THEN 0.4 ELSE 0.0 END)
+         + (CASE WHEN mwl >= 3 AND mwl <= 12 THEN 0.3 ELSE 0.0 END)
+         + sr * 2.0, 1.0), 6) AS quality_score
+FROM feat
+"""
+
+
+def _lang_id_oracle() -> str:
+    stopwords = {
+        "en": ["the", "a", "and", "of", "to", "in", "is", "that", "for", "on"],
+        "de": ["der", "die", "das", "und", "ist", "nicht", "mit", "ein", "zu", "den"],
+        "fr": ["le", "la", "les", "et", "de", "un", "une", "est", "pour", "dans"],
+        "es": ["el", "la", "los", "de", "que", "y", "en", "un", "una", "es"],
+    }
+    hit_cols = []
+    for lang in sorted(stopwords):
+        lst = "', '".join(stopwords[lang])
+        hit_cols.append(
+            f"len(list_filter(ws, x -> list_contains(['{lst}'], x))) AS h_{lang}"
+        )
+    return f"""
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '') AS ws
+  FROM documents
+),
+hits AS (SELECT doc_id, {', '.join(hit_cols)} FROM toks)
+SELECT doc_id,
+  CASE WHEN GREATEST(h_de, h_en, h_es, h_fr) = 0 THEN 'und'
+       WHEN h_fr >= GREATEST(h_de, h_en, h_es) THEN 'fr'
+       WHEN h_es >= GREATEST(h_de, h_en) THEN 'es'
+       WHEN h_en >= h_de THEN 'en'
+       ELSE 'de' END AS lang_pred
+FROM hits
+"""
+
+
+def _fingerprint_oracle(window: int = 8, mod: int = 1_000_003) -> str:
+    return f"""
+WITH toks AS (
+  SELECT doc_id, list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS ws
+  FROM documents
+),
+expanded AS (
+  SELECT doc_id, gs.i AS i, ws[gs.i] AS w
+  FROM toks, LATERAL (SELECT unnest(generate_series(1, len(ws))) AS i) gs
+)
+SELECT doc_id,
+       CAST(SUM(
+         ((('0x' || substr(md5(w), 1, 8))::BIGINT % {mod})
+          * CAST(31 ** ((i - 1) % {window}) AS BIGINT)) % {mod}
+       ) % {mod} AS BIGINT) AS fingerprint
+FROM expanded GROUP BY doc_id
+"""

@@ -1,0 +1,203 @@
+"""Deduplication operators: exact, MinHash-LSH, SimHash, n-gram Jaccard.
+
+Scale design (the 100 TB story):
+  - exact:    one hash-aggregate on md5(text) — map-side partial agg, one
+              shuffle keyed by digest (uniform), no skew.
+  - minhash:  shingle → k portable hash functions → min per function (all
+              map-side via higher-order functions) → band buckets → self-join
+              per band. The join key (band_id, band_hash) is uniform by
+              construction; candidate pairs ≪ n². No cross join anywhere.
+  - simhash:  map-side 32-bit fingerprint; near-dup candidates join on
+              fingerprint bands (here: exact fingerprint match).
+  - n-gram Jaccard: inverted-index join on shingles (explode → join on
+              shingle → per-pair intersection counts) — the standard
+              scalable verification step after LSH banding.
+
+Hashes are md5-prefix based so a SQL oracle reproduces them bit-for-bit.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from metric_store_release_spark.pipeline.text import tokens
+
+
+def _word_shingles(text: Column, n: int) -> Column:
+    """Distinct word n-grams joined by single spaces."""
+    toks = tokens(text)
+    k = F.size(toks)
+    return F.array_distinct(
+        F.when(
+            k >= n,
+            F.transform(
+                F.sequence(F.lit(0), k - n),
+                lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)),
+            ),
+        ).otherwise(F.array(F.concat_ws(" ", toks))),
+    )
+
+
+def _h(seed: Column | int, s: Column) -> Column:
+    """Portable 32-bit hash: first 8 hex digits of md5(seed || ':' || s)."""
+    return F.conv(
+        F.substring(F.md5(F.concat(F.lit(str(seed) if isinstance(seed, int) else ""), F.lit(":"), s)), 1, 8),
+        16,
+        10,
+    ).cast("long")
+
+
+def _h_seeded(seed: int, s: Column) -> Column:
+    return F.conv(
+        F.substring(F.md5(F.concat(F.lit(f"{seed}:"), s)), 1, 8), 16, 10
+    ).cast("long")
+
+
+def exact_duplicates(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Groups of byte-identical documents (digest, count, member ids)."""
+    return (
+        df.select(F.md5(F.col(text_col)).alias("digest"), F.col(id_col))
+        .groupBy("digest")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min(id_col).alias("keep_id"),
+        )
+        .filter(F.col("n_docs") > 1)
+    )
+
+
+def minhash_signatures(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 16,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """MinHash signature per document — entirely map-side."""
+    sh = _word_shingles(F.col(text_col), shingle_n)
+
+    def min_hash(seed: int):
+        # NB: a one-arg lambda is required — pyspark passes the element index
+        # to two-arg transform lambdas
+        return F.array_min(F.transform(sh, lambda s: _h_seeded(seed, s)))
+
+    mins = [min_hash(i).alias(f"mh{i}") for i in range(num_hashes)]
+    return df.select(F.col(id_col), *mins)
+
+
+def minhash_lsh_candidates(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 16,
+    bands: int = 4,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """Candidate near-duplicate pairs via LSH banding (a < b, distinct)."""
+    rows_per_band = num_hashes // bands
+    sigs = minhash_signatures(df, text_col, id_col, num_hashes, shingle_n)
+    band_cols = []
+    for b in range(bands):
+        parts = [F.col(f"mh{b * rows_per_band + r}") for r in range(rows_per_band)]
+        band_cols.append(
+            F.md5(F.concat_ws("_", *[p.cast("string") for p in parts])).alias(f"band{b}")
+        )
+    banded = sigs.select(id_col, *band_cols)
+    stacked = banded.select(
+        F.col(id_col),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(F.lit(b).alias("band_id"), F.col(f"band{b}").alias("bh"))
+                    for b in range(bands)
+                ]
+            )
+        ).alias("e"),
+    ).select(id_col, F.col("e.band_id"), F.col("e.bh"))
+    a = stacked.alias("a")
+    b = stacked.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.bh") == F.col("b.bh"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b")
+        )
+        .distinct()
+    )
+    return pairs
+
+
+def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id", bits: int = 32) -> DataFrame:
+    """32-bit SimHash over word unigrams (map-side, no shuffle)."""
+    toks = F.array_distinct(tokens(F.col(text_col)))
+    hashes = F.transform(toks, lambda w: _h_seeded(0, w))
+
+    def bit_vote(b: int):
+        mask = F.lit(1 << b)
+        vote = F.aggregate(
+            hashes,
+            F.lit(0).cast("long"),
+            lambda acc, h: acc + F.when(h.bitwiseAND(mask) != 0, 1).otherwise(-1),
+        )
+        return F.when(vote > 0, F.lit(1 << b).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        )
+
+    bit_votes = [bit_vote(b) for b in range(bits)]
+    fingerprint = sum(bit_votes[1:], bit_votes[0])
+    return df.select(F.col(id_col), fingerprint.alias("simhash"))
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_n: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Exact Jaccard over word-shingle sets via an inverted-index join.
+
+    explode(shingles) → self-join on shingle → |A∩B| per pair → Jaccard with
+    per-doc set sizes. Never materializes n² pairs; the shingle join is the
+    LSH-verification pattern that scales (skew guard: drop ubiquitous
+    shingles appearing in > 1000 docs).
+    """
+    sh = df.select(
+        F.col(id_col), _word_shingles(F.col(text_col), shingle_n).alias("sh")
+    )
+    sizes = sh.select(id_col, F.size("sh").alias("set_size"))
+    inv = sh.select(F.col(id_col), F.explode("sh").alias("shingle"))
+    hot = inv.groupBy("shingle").count().filter(F.col("count") > 1000)
+    inv = inv.join(F.broadcast(hot.select("shingle")), "shingle", "left_anti")
+    a, b = inv.alias("a"), inv.alias("b")
+    inter = (
+        a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .groupBy(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"))
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    sa = sizes.select(F.col(id_col).alias("id_a"), F.col("set_size").alias("size_a"))
+    sb = sizes.select(F.col(id_col).alias("id_b"), F.col("set_size").alias("size_b"))
+    out = (
+        inter.join(F.broadcast(sa), "id_a")
+        .join(F.broadcast(sb), "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            F.round(
+                F.col("inter")
+                / (F.col("size_a") + F.col("size_b") - F.col("inter")),
+                6,
+            ).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+    return out

@@ -1,0 +1,163 @@
+"""Similarity search over embedding columns (array<float>).
+
+Brute-force cosine top-k is the exact baseline: a broadcast join of the
+(small) query set against the corpus — one pass over the corpus, no shuffle
+of the big side, ranked with a per-query window. The LSH-bucketed variant is
+the 100 TB path: random-hyperplane signatures bucket the corpus once
+(map-side), then only bucket-colliding candidates are scored.
+
+Dot products use F.zip_with + F.aggregate — JVM higher-order functions, no
+Python in the loop.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def _dot(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def _norm(a: Column) -> Column:
+    return F.sqrt(
+        F.aggregate(
+            F.transform(a, lambda x: x * x), F.lit(0.0), lambda acc, v: acc + v
+        )
+    )
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return _dot(a, b) / (_norm(a) * _norm(b))
+
+
+def brute_force_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """Exact cosine top-k: broadcast the query set, rank per query.
+
+    Ties broken by corpus id for determinism.
+    """
+    q = queries.select(
+        F.col(query_id_col), F.col(vec_col).alias("qvec")
+    )
+    c = corpus.select(F.col(id_col), F.col(vec_col).alias("cvec"))
+    scored = c.join(F.broadcast(q)).select(
+        query_id_col,
+        id_col,
+        F.round(
+            cosine(
+                F.col("qvec").cast("array<double>"), F.col("cvec").cast("array<double>")
+            ),
+            6,
+        ).alias("cos_sim"),
+    )
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.col("cos_sim").desc(), F.col(id_col).asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(query_id_col, id_col, "cos_sim", "rank")
+    )
+
+
+def hyperplane_lsh_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    planes: list[list[float]],
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """Approximate top-k: random-hyperplane signature bucketing.
+
+    `planes` is a fixed list of hyperplane normals (caller supplies a
+    deterministic set). Sign pattern of <v, plane_i> forms the bucket key;
+    only same-bucket candidates are scored. Recall grows with fewer planes /
+    multiple tables; this single-table variant is the building block.
+    """
+    def signature(vec: Column) -> Column:
+        bits = [
+            F.when(
+                _dot(vec, F.array(*[F.lit(float(x)) for x in p])) >= 0, F.lit(1)
+            ).otherwise(F.lit(0))
+            for p in planes
+        ]
+        return F.concat_ws("", *[b.cast("string") for b in bits])
+
+    c = corpus.select(
+        F.col(id_col),
+        F.col(vec_col).cast("array<double>").alias("cvec"),
+    ).withColumn("bucket", signature(F.col("cvec")))
+    q = queries.select(
+        F.col(query_id_col),
+        F.col(vec_col).cast("array<double>").alias("qvec"),
+    ).withColumn("bucket", signature(F.col("qvec")))
+    scored = c.join(F.broadcast(q), "bucket").select(
+        query_id_col,
+        id_col,
+        F.round(cosine(F.col("qvec"), F.col("cvec")), 6).alias("cos_sim"),
+    )
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.col("cos_sim").desc(), F.col(id_col).asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(query_id_col, id_col, "cos_sim", "rank")
+    )
+
+
+def embedding_cosine_dedup(
+    corpus: DataFrame,
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    planes: list[list[float]] | None = None,
+) -> DataFrame:
+    """Near-duplicate pairs by embedding cosine ≥ threshold.
+
+    With `planes`, pairs are restricted to LSH-bucket collisions (scale
+    path); without, all pairs are scored via a self-join on a trivial key —
+    only acceptable for small corpora (tests)."""
+    c = corpus.select(
+        F.col(id_col), F.col(vec_col).cast("array<double>").alias("v")
+    )
+    if planes:
+        def signature(vec: Column) -> Column:
+            bits = [
+                F.when(
+                    _dot(vec, F.array(*[F.lit(float(x)) for x in p])) >= 0, F.lit(1)
+                ).otherwise(F.lit(0))
+                for p in planes
+            ]
+            return F.concat_ws("", *[b.cast("string") for b in bits])
+
+        c = c.withColumn("bucket", signature(F.col("v")))
+        a, b = c.alias("a"), c.alias("b")
+        joined = a.join(
+            b,
+            (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+    else:
+        a, b = c.alias("a"), c.alias("b")
+        joined = a.crossJoin(b).filter(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+    return joined.select(
+        F.col(f"a.{id_col}").alias("id_a"),
+        F.col(f"b.{id_col}").alias("id_b"),
+        F.round(cosine(F.col("a.v"), F.col("b.v")), 6).alias("cos_sim"),
+    ).filter(F.col("cos_sim") >= threshold)

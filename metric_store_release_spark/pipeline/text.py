@@ -1,0 +1,108 @@
+"""Text analysis operators for large-scale training-data pipelines.
+
+All pure pyspark.sql.functions expressions (whole-stage codegen, no Python),
+designed to run over a 100 TB `documents` table: every operator is a
+map-side projection or a single hash aggregation — no shuffles beyond the
+final agg, no UDFs in the hot path.
+
+Deterministic and oracle-friendly: hashes are md5-based (portable to any SQL
+engine), tokenization is whitespace splitting.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+#: tiny multilingual stopword lists for the n-gram language heuristic
+_STOPWORDS = {
+    "en": ["the", "a", "and", "of", "to", "in", "is", "that", "for", "on"],
+    "de": ["der", "die", "das", "und", "ist", "nicht", "mit", "ein", "zu", "den"],
+    "fr": ["le", "la", "les", "et", "de", "un", "une", "est", "pour", "dans"],
+    "es": ["el", "la", "los", "de", "que", "y", "en", "un", "una", "es"],
+}
+
+
+def tokens(text: Column) -> Column:
+    """Whitespace tokenization; empty strings dropped."""
+    return F.filter(F.split(text, r"\s+"), lambda w: w != "")
+
+
+def token_count(text: Column) -> Column:
+    return F.size(tokens(text))
+
+
+def bpe_ish_token_count(text: Column) -> Column:
+    """Rough BPE-style subword count: words + punctuation clusters + digits
+    counted separately (a deterministic regex proxy for a real tokenizer)."""
+    pieces = F.filter(
+        F.split(text, r"(?=[^a-zA-Z0-9])|(?<=[^a-zA-Z0-9])"), lambda w: w.rlike(r"\S")
+    )
+    return F.size(pieces)
+
+
+def quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Length / punctuation / stopword-ratio quality features.
+
+    One projection — fuses into the scan at any scale.
+    """
+    text = F.col(text_col)
+    toks = tokens(text)
+    n_tok = F.size(toks)
+    n_chars = F.length(text)
+    en = F.array(*[F.lit(w) for w in _STOPWORDS["en"]])
+    stop_hits = F.size(F.filter(toks, lambda w: F.array_contains(en, F.lower(w))))
+    punct = F.length(F.regexp_replace(text, r"[a-zA-Z0-9\s]", ""))
+    mean_word_len = F.when(n_tok > 0, n_chars.cast("double") / n_tok).otherwise(0.0)
+    stop_ratio = F.when(n_tok > 0, stop_hits.cast("double") / n_tok).otherwise(0.0)
+    punct_ratio = F.when(n_chars > 0, punct.cast("double") / n_chars).otherwise(0.0)
+    quality = (
+        F.when((n_tok >= 10) & (n_tok <= 100000), 0.4).otherwise(0.0)
+        + F.when((mean_word_len >= 3) & (mean_word_len <= 12), 0.3).otherwise(0.0)
+        + stop_ratio * F.lit(2.0).cast("double")
+    )
+    return df.select(
+        "*",
+        n_tok.alias("n_tokens"),
+        F.round(mean_word_len, 6).alias("mean_word_len"),
+        F.round(stop_ratio, 6).alias("stopword_ratio"),
+        F.round(punct_ratio, 6).alias("punct_ratio"),
+        F.round(F.least(quality, F.lit(1.0)), 6).alias("quality_score"),
+    )
+
+
+def language_id(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Stopword-vote language heuristic: the language whose stopword list
+    hits the most tokens wins; ties and no-hits → 'und' (undetermined)."""
+    toks = tokens(F.lower(F.col(text_col)))
+    scores = []
+    for lang, words in sorted(_STOPWORDS.items()):
+        lst = F.array(*[F.lit(w) for w in words])
+        scores.append(
+            F.struct(
+                F.size(F.filter(toks, lambda w: F.array_contains(lst, w))).alias("hits"),
+                F.lit(lang).alias("lang"),
+            )
+        )
+    # array_max on struct → lexicographic (hits, lang): deterministic winner;
+    # ties resolve to the lexicographically-largest language, stated contract
+    best = F.array_max(F.array(*scores))
+    pred = F.when(best.getField("hits") > 0, best.getField("lang")).otherwise("und")
+    return df.withColumn("lang_pred", pred)
+
+
+def doc_fingerprint(text: Column, window: int = 8, mod: int = 1_000_003) -> Column:
+    """Rolling polynomial fingerprint over word hashes (winnowing-style
+    document signature): sum over positions of h(word)·31^(i mod window),
+    all mod `mod`. Portable: word hash = first 8 hex digits of md5."""
+    toks = tokens(text)
+    word_hash = lambda w: F.conv(F.substring(F.md5(w), 1, 8), 16, 10).cast("long")
+    weighted = F.transform(
+        toks,
+        lambda w, i: (word_hash(w) % mod)
+        * F.pow(F.lit(31.0), (i % window).cast("double")).cast("long")
+        % mod,
+    )
+    return F.aggregate(
+        weighted, F.lit(0).cast("long"), lambda acc, x: (acc + x) % mod
+    )

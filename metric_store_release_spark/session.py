@@ -33,6 +33,8 @@ def get_spark(
         # Arrow for the few Pandas-UDF paths (holt_winters, multimodal).
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
+        # driver testdata writes TIMESTAMP(NANOS) parquet; read as long ns
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         .config("spark.ui.enabled", "false")
     )
     for k, v in (extra_conf or {}).items():

@@ -16,12 +16,24 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 
+def ts_ms(df: DataFrame, col: str = "ts") -> F.Column:
+    """Timestamp column → epoch ms. The driver testdata is TIMESTAMP(NANOS)
+    parquet, which Spark reads as long nanoseconds under
+    spark.sql.legacy.parquet.nanosAsLong; handle both representations."""
+    from pyspark.sql.types import LongType
+
+    field = df.schema[col]
+    if isinstance(field.dataType, LongType):
+        return F.floor(F.col(col) / F.lit(1_000_000)).cast("long")
+    return F.unix_millis(F.col(col))
+
+
 def samples_from_events(
     spark: SparkSession, sf_dir: str, granularity: str = "by_type_user"
 ) -> DataFrame:
     ev = spark.read.parquet(f"{sf_dir}/events.parquet")
     base = ev.select(
-        F.unix_millis("ts").alias("ts"),
+        ts_ms(ev).alias("ts"),
         F.col("event_type").alias("name"),
         F.col("value").cast("double").alias("value"),
         F.col("user_id"),
