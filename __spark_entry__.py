@@ -851,8 +851,10 @@ WHERE list_dot_product(a.v, b.v)
 
 def _minhash_oracle(num_hashes: int = 8, bands: int = 4, shingle_n: int = 3) -> str:
     rows = num_hashes // bands
+    # hash i = (h1 + i*h2) mod 2^32, h1/h2 = md5 words (matches pipeline.dedup)
     mins = ",\n         ".join(
-        f"MIN(('0x' || substr(md5('{i}:' || sh), 1, 8))::BIGINT) AS mh{i}"
+        f"MIN((('0x' || substr(md5(sh), 1, 8))::BIGINT"
+        f" + {i} * ('0x' || substr(md5(sh), 9, 8))::BIGINT) % 4294967296) AS mh{i}"
         for i in range(num_hashes)
     )
     band_exprs = []

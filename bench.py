@@ -1,0 +1,79 @@
+"""Benchmark headline queries at $SPARK_GRAFT_SF_DIR (default sf0.1).
+
+Prints ONE JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
+"queries": {name: sec}, "sf": ...}.
+
+Query set: the heaviest representatives of each operator family — instant
+selector fan-out + agg, rate over 1d windows, histogram_quantile, topk,
+vector-vector join, subquery, TPC-H q1/q3, MinHash LSH, ANN top-k.
+Baseline envelope (BASELINE.md): a ≤20e6-sample query must fit the 10-60 s
+reference timeout at sf0.1 — each of these touches well under that cap.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = os.environ.get("SPARK_GRAFT_CPUS", "32")
+
+
+def main() -> None:
+    from metric_store_release_spark.session import get_spark
+
+    import __spark_entry__ as entry_mod
+
+    spark = get_spark(
+        app_name="bench", master=f"local[{CPUS}]", shuffle_partitions=int(CPUS)
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    qs = entry_mod.queries()
+    bench_names = [
+        "promql_sum_by_user",
+        "promql_rate",
+        "promql_topk",
+        "promql_binop_add",
+        "promql_histogram_quantile",
+        "promql_subquery",
+        "tpch_q1",
+        "tpch_q3",
+        "rollup_counter",
+        "dedup_minhash_lsh",
+        "embedding_topk",
+        "text_quality",
+    ]
+    # warm the JVM + parquet footers with one tiny action
+    spark.read.parquet(f"{SF_DIR}/region.parquet").count()
+
+    timings: dict[str, float] = {}
+    for name in bench_names:
+        fn = qs[name]
+        t0 = time.perf_counter()
+        df = fn(spark, SF_DIR)
+        n = df.count()
+        timings[name] = round(time.perf_counter() - t0, 3)
+        print(f"# {name}: {timings[name]}s ({n} rows)", file=sys.stderr)
+
+    sf = SF_DIR.rstrip("/").split("sf")[-1]
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_total",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf) if sf else None,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

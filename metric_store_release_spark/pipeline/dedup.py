@@ -67,6 +67,9 @@ def exact_duplicates(df: DataFrame, text_col: str = "text", id_col: str = "doc_i
     )
 
 
+_MH_MOD = 1 << 32
+
+
 def minhash_signatures(
     df: DataFrame,
     text_col: str = "text",
@@ -74,16 +77,28 @@ def minhash_signatures(
     num_hashes: int = 16,
     shingle_n: int = 3,
 ) -> DataFrame:
-    """MinHash signature per document — entirely map-side."""
-    sh = _word_shingles(F.col(text_col), shingle_n)
+    """MinHash signature per document.
 
-    def min_hash(seed: int):
-        # NB: a one-arg lambda is required — pyspark passes the element index
-        # to two-arg transform lambdas
-        return F.array_min(F.transform(sh, lambda s: _h_seeded(seed, s)))
-
-    mins = [min_hash(i).alias(f"mh{i}") for i in range(num_hashes)]
-    return df.select(F.col(id_col), *mins)
+    One md5 per shingle yields two 32-bit words (h1, h2); hash i =
+    (h1 + i·h2) mod 2³² (Kirsch-Mitzenmacher composition). Shingles are
+    EXPLODED and hashed as flat columns — higher-order-function lambdas run
+    interpreted in Spark, while the explode→groupBy(min) path stays in
+    whole-stage codegen with map-side partial aggregation, so the only
+    shuffle carries one pre-aggregated row per (partition, doc)."""
+    sh = df.select(
+        F.col(id_col), F.explode(_word_shingles(F.col(text_col), shingle_n)).alias("s")
+    )
+    digest = F.md5(F.col("s"))
+    hashed = sh.select(
+        id_col,
+        F.conv(F.substring(digest, 1, 8), 16, 10).cast("long").alias("h1"),
+        F.conv(F.substring(digest, 9, 8), 16, 10).cast("long").alias("h2"),
+    )
+    mins = [
+        F.min((F.col("h1") + F.lit(i) * F.col("h2")) % F.lit(_MH_MOD)).alias(f"mh{i}")
+        for i in range(num_hashes)
+    ]
+    return hashed.groupBy(id_col).agg(*mins)
 
 
 def minhash_lsh_candidates(
@@ -97,24 +112,27 @@ def minhash_lsh_candidates(
     """Candidate near-duplicate pairs via LSH banding (a < b, distinct)."""
     rows_per_band = num_hashes // bands
     sigs = minhash_signatures(df, text_col, id_col, num_hashes, shingle_n)
-    band_cols = []
-    for b in range(bands):
-        parts = [F.col(f"mh{b * rows_per_band + r}") for r in range(rows_per_band)]
-        band_cols.append(
-            F.md5(F.concat_ws("_", *[p.cast("string") for p in parts])).alias(f"band{b}")
+    band_structs = [
+        F.struct(
+            F.lit(b).alias("band_id"),
+            F.md5(
+                F.concat_ws(
+                    "_",
+                    *[
+                        F.col(f"mh{b * rows_per_band + r}").cast("string")
+                        for r in range(rows_per_band)
+                    ],
+                )
+            ).alias("bh"),
         )
-    banded = sigs.select(id_col, *band_cols)
-    stacked = banded.select(
-        F.col(id_col),
-        F.explode(
-            F.array(
-                *[
-                    F.struct(F.lit(b).alias("band_id"), F.col(f"band{b}").alias("bh"))
-                    for b in range(bands)
-                ]
-            )
-        ).alias("e"),
+        for b in range(bands)
+    ]
+    stacked = sigs.select(
+        F.col(id_col), F.explode(F.array(*band_structs)).alias("e")
     ).select(id_col, F.col("e.band_id"), F.col("e.bh"))
+    # self-join would recompute the signature lineage twice; persist the
+    # (tiny) band table — at warehouse scale this is a signatures table write
+    stacked = stacked.persist()
     a = stacked.alias("a")
     b = stacked.alias("b")
     pairs = (

@@ -36,6 +36,7 @@ def get_spark(
         # driver testdata writes TIMESTAMP(NANOS) parquet; read as long ns
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         .config("spark.ui.enabled", "false")
+        .config("spark.ui.showConsoleProgress", "false")
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
