@@ -1,0 +1,47 @@
+"""Samples storage: date-partitioned Parquet (the 24 h TSM shard analog).
+
+Reference: points bucket into 24 h shards keyed by day-truncated epoch-ns
+(influx_adapter.go:326-370); expiry drops whole shards past retention
+(store.go:158-214). Spark-native equivalent: `partitionBy(date)` parquet —
+time-range predicates prune partitions at plan time, and retention is a
+partition drop. `name` stays a top-level column so equality matchers push
+into row-group filters (the TSI-index analog).
+"""
+
+from __future__ import annotations
+
+import shutil
+from pathlib import Path
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+PARTITION_COL = "date"
+
+
+def write_samples(samples: DataFrame, path: str, mode: str = "append") -> None:
+    """samples (ts ms, name, value, labels[, stale]) → partitioned parquet."""
+    out = samples.withColumn(
+        PARTITION_COL, F.to_date(F.timestamp_millis(F.col("ts")))
+    )
+    out.write.partitionBy(PARTITION_COL).mode(mode).parquet(path)
+
+
+def read_samples(spark: SparkSession, path: str) -> DataFrame:
+    return spark.read.parquet(path).drop(PARTITION_COL)
+
+
+def expire_shards(path: str, cutoff_date: str) -> list[str]:
+    """Drop partitions older than cutoff (store.go:158-176 expiry walk).
+
+    Returns the dropped partition names. Local-filesystem implementation;
+    on a real warehouse this is an ALTER TABLE DROP PARTITION / Delta
+    VACUUM."""
+    root = Path(path)
+    dropped = []
+    for part in sorted(root.glob(f"{PARTITION_COL}=*")):
+        day = part.name.split("=", 1)[1]
+        if day < cutoff_date:
+            shutil.rmtree(part)
+            dropped.append(part.name)
+    return dropped

@@ -1,0 +1,187 @@
+"""Timer rollups: 10 s tumbling pre-aggregation of HTTP timer envelopes.
+
+Reference semantics (src/internal/nozzle/rollup/):
+  counter.go:31-70   — per interval, count of timers per (source_id, tags)
+                       → `http_total` counter points
+  histogram.go:36-130 — same interval, durations observed into fixed
+                       Prometheus buckets, grouped WITHOUT status_code →
+                       `http_duration_seconds_bucket` (cumulative, le label)
+                       + `_count` + `_sum` points
+  nozzle.go:240-251  — only gorouter HTTP timers, client peer rows ignored
+  app/nozzle.go:113-126 — interval 10 s; rollup tag allowlist
+
+Expressed as windowed groupBy aggregations — identical code path for batch
+DataFrames and Structured Streaming micro-batches (late envelopes land in
+the right window; the reference accepts any timestamp into the right 24 h
+shard and has no watermark — influx_adapter.go:63-86 — so none is imposed
+here either; callers may add `withWatermark` to bound streaming state).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+#: app/nozzle.go:115-126
+DEFAULT_ROLLUP_TAGS = (
+    "status_code",
+    "app_name",
+    "app_id",
+    "space_name",
+    "space_id",
+    "organization_name",
+    "organization_id",
+    "process_id",
+    "process_instance_id",
+    "process_type",
+    "instance_id",
+)
+
+#: Prometheus default buckets (histogram.go uses prometheus.DefBuckets)
+DEFAULT_BUCKETS = (0.005, 0.01, 0.025, 0.05, 0.1, 0.25, 0.5, 1.0, 2.5, 5.0, 10.0)
+
+ROLLUP_INTERVAL = "10 seconds"
+
+
+def _http_timers(envelopes: DataFrame) -> DataFrame:
+    """nozzle.go:240-251: name == 'http', server peer only."""
+    return envelopes.filter(
+        (F.col("type") == "timer")
+        & (F.col("name") == "http")
+        & (
+            F.coalesce(F.col("tags").getItem("peer_type"), F.lit("server"))
+            != F.lit("client")
+        )
+    )
+
+
+def _window(df: DataFrame, interval: str) -> DataFrame:
+    return df.withColumn("ts_t", F.timestamp_millis((F.col("ts") / 1_000_000).cast("long")))
+
+
+def _tag_cols(tags: tuple[str, ...]) -> list[Column]:
+    return [F.col("tags").getItem(t).alias(t) for t in tags]
+
+
+def _labels_from_tags(tags: tuple[str, ...], node_index: str | None) -> Column:
+    entries = []
+    for t in tags:
+        entries.append(
+            F.map_filter(
+                F.create_map(F.lit(t), F.col(t)), lambda _, v: v.isNotNull()
+            )
+        )
+    base = F.create_map(F.lit("source_id"), F.col("source_id"))
+    if node_index is not None:
+        base = F.map_concat(
+            base, F.create_map(F.lit("node_index"), F.lit(node_index))
+        )
+    return F.map_concat(base, *entries) if entries else base
+
+
+def rollup_counters(
+    envelopes: DataFrame,
+    interval: str = ROLLUP_INTERVAL,
+    tags: tuple[str, ...] = DEFAULT_ROLLUP_TAGS,
+    node_index: str | None = "0",
+) -> DataFrame:
+    """`http_total` counter points per window (counter.go:31-70).
+
+    Point ts = window END (the reference emits at interval close,
+    nozzle.go:253-286)."""
+    t = _window(_http_timers(envelopes), interval)
+    grouped = t.groupBy(
+        F.window("ts_t", interval).alias("w"), F.col("source_id"), *_tag_cols(tags)
+    ).agg(F.count(F.lit(1)).cast("double").alias("value"))
+    return grouped.select(
+        F.unix_millis(F.col("w.end")).alias("ts"),
+        F.lit("http_total").alias("name"),
+        "value",
+        _labels_from_tags(tags, node_index).alias("labels"),
+    )
+
+
+def rollup_histograms(
+    envelopes: DataFrame,
+    interval: str = ROLLUP_INTERVAL,
+    tags: tuple[str, ...] = DEFAULT_ROLLUP_TAGS,
+    buckets: tuple[float, ...] = DEFAULT_BUCKETS,
+    node_index: str | None = "0",
+) -> DataFrame:
+    """`http_duration_seconds` histogram points per window
+    (histogram.go:36-130): cumulative `_bucket` series per le, plus `_count`
+    and `_sum`. status_code is excluded from the grouping — HTTP status is
+    not a histogram dimension (histogram.go:84-90)."""
+    htags = tuple(t for t in tags if t != "status_code")
+    t = _window(_http_timers(envelopes), interval).withColumn(
+        "duration_s", (F.col("stop") - F.col("start")) / 1_000_000_000.0
+    )
+    aggs = [
+        F.sum(F.when(F.col("duration_s") <= b, 1).otherwise(0))
+        .cast("double")
+        .alias(f"le{i}")
+        for i, b in enumerate(buckets)
+    ]
+    grouped = t.groupBy(
+        F.window("ts_t", interval).alias("w"), F.col("source_id"), *_tag_cols(htags)
+    ).agg(
+        *aggs,
+        F.count(F.lit(1)).cast("double").alias("cnt"),
+        F.sum("duration_s").alias("total_s"),
+    )
+    labels = _labels_from_tags(htags, node_index)
+    bucket_entries = [
+        F.struct(F.lit(str(b)).alias("le"), F.col(f"le{i}").alias("v"))
+        for i, b in enumerate(buckets)
+    ] + [F.struct(F.lit("+Inf").alias("le"), F.col("cnt").alias("v"))]
+    buckets_df = grouped.select(
+        F.unix_millis(F.col("w.end")).alias("ts"),
+        labels.alias("base_labels"),
+        F.explode(F.array(*bucket_entries)).alias("b"),
+    ).select(
+        "ts",
+        F.lit("http_duration_seconds_bucket").alias("name"),
+        F.col("b.v").alias("value"),
+        F.map_concat(
+            F.col("base_labels"), F.create_map(F.lit("le"), F.col("b.le"))
+        ).alias("labels"),
+    )
+    count_df = grouped.select(
+        F.unix_millis(F.col("w.end")).alias("ts"),
+        F.lit("http_duration_seconds_count").alias("name"),
+        F.col("cnt").alias("value"),
+        labels.alias("labels"),
+    )
+    sum_df = grouped.select(
+        F.unix_millis(F.col("w.end")).alias("ts"),
+        F.lit("http_duration_seconds_sum").alias("name"),
+        F.col("total_s").alias("value"),
+        labels.alias("labels"),
+    )
+    return buckets_df.unionByName(count_df).unionByName(sum_df)
+
+
+def rollup_stream(
+    envelopes: DataFrame,
+    out_path: str,
+    checkpoint: str,
+    interval: str = ROLLUP_INTERVAL,
+):
+    """Structured Streaming wiring: envelope stream → rollups → parquet
+    append (the Delta-append analog of the TSM WriteToShard sink,
+    influx_adapter.go:63-86). Returns the started query.
+
+    Uses foreachBatch so both rollups share one pass per micro-batch."""
+
+    def emit(batch: DataFrame, batch_id: int) -> None:
+        from metric_store_release_spark.sources.storage import write_samples
+
+        pts = rollup_counters(batch).unionByName(rollup_histograms(batch))
+        write_samples(pts, out_path)
+
+    return (
+        envelopes.writeStream.foreachBatch(emit)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )

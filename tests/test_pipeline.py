@@ -1,0 +1,155 @@
+"""Data-pipeline operators: dedup, similarity, text analysis, multimodal."""
+
+from __future__ import annotations
+
+import pytest
+
+from pyspark.sql import functions as F
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog"),
+        (2, "the quick brown fox jumps over the lazy dog"),  # exact dup of 1
+        (3, "the quick brown fox jumps over the lazy cat"),  # near dup
+        (4, "completely different content about spark engines and data"),
+        (5, "der hund ist nicht mit der katze und dem vogel"),
+        (6, "le chat est dans la maison pour le diner et la nuit"),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_exact_duplicates(docs):
+    from metric_store_release_spark.pipeline.dedup import exact_duplicates
+
+    out = exact_duplicates(docs).collect()
+    assert len(out) == 1
+    assert out[0]["n_docs"] == 2
+    assert out[0]["keep_id"] == 1
+
+
+def test_minhash_lsh_finds_near_dups(docs):
+    from metric_store_release_spark.pipeline.dedup import minhash_lsh_candidates
+
+    pairs = {
+        (r["id_a"], r["id_b"])
+        for r in minhash_lsh_candidates(docs, num_hashes=8, bands=4).collect()
+    }
+    assert (1, 2) in pairs  # identical docs always collide
+    assert (1, 3) in pairs or (2, 3) in pairs  # near-dup should band-collide
+    assert (1, 4) not in pairs
+
+
+def test_simhash_close_for_near_dups(docs):
+    from metric_store_release_spark.pipeline.dedup import simhash
+
+    fp = {r["doc_id"]: r["simhash"] for r in simhash(docs, bits=32).collect()}
+    assert fp[1] == fp[2]
+    ham_13 = bin(fp[1] ^ fp[3]).count("1")
+    ham_14 = bin(fp[1] ^ fp[4]).count("1")
+    assert ham_13 < ham_14
+
+
+def test_ngram_jaccard(docs):
+    from metric_store_release_spark.pipeline.dedup import ngram_jaccard_pairs
+
+    out = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in ngram_jaccard_pairs(docs, shingle_n=3, threshold=0.3).collect()
+    }
+    assert out[(1, 2)] == 1.0
+    assert 0.4 < out[(1, 3)] < 1.0
+
+
+def test_quality_and_lang(docs):
+    from metric_store_release_spark.pipeline.text import language_id, quality_features
+
+    q = {r["doc_id"]: r for r in quality_features(docs).collect()}
+    assert q[1]["n_tokens"] == 9
+    assert q[1]["stopword_ratio"] == pytest.approx(2 / 9, abs=1e-6)
+    langs = {r["doc_id"]: r["lang_pred"] for r in language_id(docs).collect()}
+    assert langs[1] == "en"
+    assert langs[5] == "de"
+    assert langs[6] == "fr"
+
+
+def test_doc_fingerprint_deterministic(spark, docs):
+    from metric_store_release_spark.pipeline.text import doc_fingerprint
+
+    out1 = {
+        r["doc_id"]: r["fp"]
+        for r in docs.select("doc_id", doc_fingerprint(F.col("text")).alias("fp")).collect()
+    }
+    assert out1[1] == out1[2]
+    assert out1[1] != out1[4]
+    assert all(0 <= v < 1_000_003 for v in out1.values())
+
+
+def test_brute_force_topk(spark):
+    from metric_store_release_spark.pipeline.similarity import brute_force_topk
+
+    corpus_rows = [
+        (10, [1.0, 0.0, 0.0]),
+        (11, [0.9, 0.1, 0.0]),
+        (12, [0.0, 1.0, 0.0]),
+        (13, [0.0, 0.0, 1.0]),
+    ]
+    corpus = spark.createDataFrame(corpus_rows, "vec_id long, embedding array<float>")
+    queries = spark.createDataFrame(
+        [(0, [1.0, 0.0, 0.0])], "query_id long, embedding array<float>"
+    )
+    out = brute_force_topk(corpus, queries, k=2).collect()
+    assert [(r["vec_id"], r["rank"]) for r in out] == [(10, 1), (11, 2)]
+    assert out[0]["cos_sim"] == pytest.approx(1.0)
+
+
+def test_hyperplane_lsh_topk(spark):
+    from metric_store_release_spark.pipeline.similarity import hyperplane_lsh_topk
+
+    corpus_rows = [
+        (10, [1.0, 0.0]),
+        (11, [0.9, 0.1]),
+        (12, [-1.0, 0.0]),
+    ]
+    corpus = spark.createDataFrame(corpus_rows, "vec_id long, embedding array<float>")
+    queries = spark.createDataFrame(
+        [(0, [1.0, 0.05])], "query_id long, embedding array<float>"
+    )
+    planes = [[1.0, 0.0], [0.0, 1.0]]
+    out = hyperplane_lsh_topk(corpus, queries, planes, k=5).collect()
+    ids = {r["vec_id"] for r in out}
+    assert 10 in ids and 11 in ids
+    assert 12 not in ids  # opposite bucket pruned
+
+
+def test_multimodal_features(spark):
+    from metric_store_release_spark.pipeline.multimodal import (
+        extract_media_features,
+        fake_media_from_documents,
+        frame_sample_plan,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "abcd"), (2, "xyzw")], "doc_id long, text string"
+    )
+    media = fake_media_from_documents(docs)
+    out = {r["doc_id"]: r for r in extract_media_features(media).collect()}
+    assert out[1]["width"] == 8 and out[1]["height"] == 4
+    assert out[1]["n_bytes"] == 8  # '8x4:' + 4 chars
+    assert out[1]["mean_luma"] == pytest.approx(
+        sum(b"abcd") / 4
+    )
+    frames = frame_sample_plan(media, every_n=2).groupBy("doc_id").count().collect()
+    assert all(r["count"] == 4 for r in frames)
+
+
+def test_multimodal_unknown_codec_raises(spark):
+    from metric_store_release_spark.pipeline.multimodal import extract_media_features
+
+    media = spark.createDataFrame(
+        [(1, "image/png", bytearray(b"fakepng"))],
+        "doc_id long, media_type string, payload binary",
+    )
+    with pytest.raises(Exception, match="NotImplementedError|no codec"):
+        extract_media_features(media).collect()
