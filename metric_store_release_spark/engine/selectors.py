@@ -28,17 +28,25 @@ from metric_store_release_spark.datamodel import NAME_LABEL, sig
 from metric_store_release_spark.promql.ast import LabelMatcher, MatchOp, VectorSelector
 
 
-def matcher_condition(m: LabelMatcher) -> Column:
+def matcher_condition(m: LabelMatcher, promoted: set[str] = frozenset()) -> Column:
     """One label matcher → boolean Column over the samples schema.
 
     Absent labels match as "" (PromQL semantics); regexes are fully anchored
     RE2 (vendor model/labels regexp semantics —
     src/pkg/persistence/transform/filter_translator.go:25-47 shows the same
     anchoring on the reference's pushdown path).
+
+    `promoted`: labels that also exist as top-level columns (the analog of
+    the reference's indexed tags / promoted source_id). Matching on the
+    column instead of the map entry lets Catalyst push equality matchers
+    into the parquet scan.
     """
-    target = F.col("name") if m.name == NAME_LABEL else F.coalesce(
-        F.col("labels").getItem(m.name), F.lit("")
-    )
+    if m.name == NAME_LABEL:
+        target = F.col("name")
+    elif m.name in promoted:
+        target = F.coalesce(F.col(m.name).cast("string"), F.lit(""))
+    else:
+        target = F.coalesce(F.col("labels").getItem(m.name), F.lit(""))
     if m.op == MatchOp.EQ:
         return target == F.lit(m.value)
     if m.op == MatchOp.NEQ:
@@ -59,11 +67,12 @@ def base_scan(
     df = samples
     if "stale" not in df.columns:
         df = df.withColumn("stale", F.lit(False))
+    promoted = set(df.columns) - {"ts", "name", "value", "labels", "stale"}
     cond = (F.col("ts") >= F.lit(min_ts)) & (F.col("ts") <= F.lit(max_ts))
     if selector.name is not None:
         cond = cond & (F.col("name") == F.lit(selector.name))
     for m in selector.matchers:
-        cond = cond & matcher_condition(m)
+        cond = cond & matcher_condition(m, promoted)
     df = df.filter(cond)
     labeled = F.map_concat(
         F.map_filter(F.col("labels"), lambda k, _: k != F.lit(NAME_LABEL)),

@@ -40,13 +40,17 @@ def samples_from_events(
     )
     if granularity == "by_type":
         labels = F.expr("map('kind', 'event')")
-    elif granularity == "by_type_user":
-        labels = F.create_map(
-            F.lit("user"), (F.col("user_id") % 10).cast("string")
+        return base.select("ts", "name", "value", labels.alias("labels"))
+    if granularity == "by_type_user":
+        user = (F.col("user_id") % 10).cast("string")
+        labels = F.create_map(F.lit("user"), user)
+        # `user` is also PROMOTED to a top-level column so equality matchers
+        # evaluate on the column (and push down when physically stored) —
+        # the analog of the reference's indexed tags
+        return base.select(
+            "ts", "name", "value", labels.alias("labels"), user.alias("user")
         )
-    else:
-        raise ValueError(granularity)
-    return base.select("ts", "name", "value", labels.alias("labels"))
+    raise ValueError(granularity)
 
 
 def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
