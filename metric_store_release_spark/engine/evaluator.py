@@ -145,7 +145,13 @@ class Evaluator:
                 c.step_ms,
                 order_cols=order_cols,
             )
-            return RangeFrame(df, node.range_ms, node.selector.offset_ms, order_cols)
+            return RangeFrame(
+                df,
+                node.range_ms,
+                node.selector.offset_ms,
+                order_cols,
+                at_ms=node.selector.at_ms,
+            )
         if isinstance(node, SubqueryExpr):
             return self.eval_subquery_frame(node, order_cols)
         raise PromQLEvalError("expected a range vector argument")
@@ -232,7 +238,7 @@ class Evaluator:
                 F.col("ts") + F.lit(off),
                 F.col("ts") + F.lit(off + node.range_ms),
             )
-        return RangeFrame(exploded, node.range_ms, off, order_cols)
+        return RangeFrame(exploded, node.range_ms, off, order_cols, at_ms=node.at_ms)
 
     # ----------------------------------------------------------------- calls
     def eval_call(self, node: Call):

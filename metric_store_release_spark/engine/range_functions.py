@@ -83,10 +83,12 @@ def _extrapolated_rate(
 
     first_t = F.col("first.ts") + F.lit(frame.offset_ms)
     last_t = F.col("last.ts") + F.lit(frame.offset_ms)
-    # window geometry relative to the output step t (engine applies offset by
-    # shifting sample service times, so shift sample ts back here)
-    range_start = F.col("t") - F.lit(frame.range_ms)
-    range_end = F.col("t")
+    # window geometry relative to the evaluation reference: the output step
+    # t normally, or the pinned @ time (engine.go rangeStart/rangeEnd use
+    # enh.Ts, which @ fixes; offset shifts sample service times instead)
+    eval_ref = F.lit(frame.at_ms) if frame.at_ms is not None else F.col("t")
+    range_start = eval_ref - F.lit(frame.range_ms)
+    range_end = eval_ref
 
     result = F.col("last.value") - F.col("first.value")
     if is_counter:
@@ -129,7 +131,8 @@ def _instant_value(frame: RangeFrame, is_rate: bool) -> DataFrame:
         frame,
         F.max_by(F.struct("ts", "value", "prev_ts", "prev_value"), "ts").alias("last"),
     )
-    window_start = F.col("t") - F.lit(frame.offset_ms) - F.lit(frame.range_ms)
+    eval_ref = F.lit(frame.at_ms) if frame.at_ms is not None else F.col("t")
+    window_start = eval_ref - F.lit(frame.offset_ms) - F.lit(frame.range_ms)
     ok = (
         F.col("last.prev_ts").isNotNull()
         & (F.col("last.prev_ts") >= window_start)

@@ -58,3 +58,4 @@ class RangeFrame:
     range_ms: int
     offset_ms: int
     has_order_cols: bool = False
+    at_ms: int | None = None  # @-pinned evaluation time (window geometry)
