@@ -33,6 +33,10 @@ from metric_store_release_spark.promql import parse
 class EngineConfig:
     lookback_ms: int = DEFAULT_LOOKBACK_MS
     default_subquery_step_ms: int = 60_000
+    #: enable the reference's duplicate-series / many-to-many matching
+    #: errors (engine.go:2228-2246,2290-2309) as lazy runtime assertions —
+    #: off by default since the window count costs a pass over each binop side
+    check_matching: bool = False
 
 
 class PromQLEngine:
@@ -66,6 +70,7 @@ class PromQLEngine:
             default_subquery_step_ms=self.config.default_subquery_step_ms,
             query_start_ms=start_ms,
             query_end_ms=end_ms,
+            check_matching=self.config.check_matching,
         )
         res = Evaluator(ctx).eval(node)
         if isinstance(res, VectorResult):

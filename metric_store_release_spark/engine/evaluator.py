@@ -71,6 +71,7 @@ class EvalContext:
     default_subquery_step_ms: int = 60_000
     query_start_ms: int = 0  # for @ start()/end()
     query_end_ms: int = 0
+    check_matching: bool = False  # runtime duplicate/many-to-many assertions
 
     @property
     def n_steps(self) -> int:
@@ -665,7 +666,8 @@ class Evaluator:
             extra = r.join(
                 l.select("t", "msig").distinct(), ["t", "msig"], "left_anti"
             )
-            out = l.unionByName(extra)
+            cols = ["t", "labels", "sig", "value", "msig"]
+            out = l.select(*cols).unionByName(extra.select(*cols))
         return VectorResult(out.drop("msig"))
 
     def _vector_vector(self, node: BinaryExpr, lhs: VectorResult, rhs: VectorResult):
@@ -688,6 +690,36 @@ class Evaluator:
             F.col("labels").alias("rlabels"),
             F.col("value").alias("rv"),
         )
+        if self.ctx.check_matching:
+            # engine.go:2228-2246: the 'one' side must be unique per match
+            # group (both sides for one-to-one). Lazy runtime assertion.
+            wcnt = Window.partitionBy("t", "msig")
+            if card in (VectorMatchCard.ONE_TO_ONE, VectorMatchCard.MANY_TO_ONE):
+                r = r.withColumn("__rc", F.count(F.lit(1)).over(wcnt))
+                r = r.withColumn(
+                    "rv",
+                    F.when(
+                        F.col("__rc") > 1,
+                        F.assert_true(
+                            F.lit(False),
+                            F.lit("many-to-many matching not allowed: matching "
+                                  "labels must be unique on one side"),
+                        ).cast("double"),
+                    ).otherwise(F.col("rv")),
+                ).drop("__rc")
+            if card in (VectorMatchCard.ONE_TO_ONE, VectorMatchCard.ONE_TO_MANY):
+                l = l.withColumn("__lc", F.count(F.lit(1)).over(wcnt))
+                l = l.withColumn(
+                    "lv",
+                    F.when(
+                        F.col("__lc") > 1,
+                        F.assert_true(
+                            F.lit(False),
+                            F.lit("many-to-many matching not allowed: matching "
+                                  "labels must be unique on one side"),
+                        ).cast("double"),
+                    ).otherwise(F.col("lv")),
+                ).drop("__lc")
         joined = l.join(r, ["t", "msig"], "inner")
 
         lv, rv = F.col("lv"), F.col("rv")

@@ -313,3 +313,32 @@ def test_group_left_on_dummy_include(engine, nodes):
 def test_and_on_vector_literal(engine, samples):
     df = engine.query_instant(samples, "http_requests AND ON (dummy) vector(1)", 50 * MIN)
     assert df.count() == 8
+
+
+def test_or_with_mixed_schemas(engine, samples):
+    # lhs is an aggregate (no sample_ts column), rhs a raw selector
+    df = engine.query_instant(
+        samples,
+        'sum by (job) (http_requests{group="canary"}) or vector_matching_a',
+        50 * MIN,
+    )
+    assert df.count() == 4  # 2 jobs + 2 vector_matching_a series
+
+
+def test_many_to_many_detection(spark, samples):
+    from metric_store_release_spark import EngineConfig, PromQLEngine
+
+    strict = PromQLEngine(spark, EngineConfig(check_matching=True))
+    with pytest.raises(Exception, match="many-to-many"):
+        strict.query_instant(
+            samples,
+            'http_requests{group="canary"} + on(job) http_requests{group="production"}',
+            50 * MIN,
+        ).collect()
+    # unique matches still work in strict mode
+    out = strict.query_instant(
+        samples,
+        'http_requests{group="canary"} / ignoring(group) http_requests{group="production"}',
+        50 * MIN,
+    )
+    assert out.count() == 4
