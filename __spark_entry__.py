@@ -274,8 +274,65 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         'absent(nosuch_metric{user="9"})', round_value=False
     )
 
+    # --- additional aggregations (§2.4) -------------------------------------
+    q["promql_min_agg"] = _promql("min by (user) (view)", label_cols={"user": "usr"},
+                                  round_value=False)
+    q["promql_max_agg"] = _promql("max by (user) (view)", label_cols={"user": "usr"},
+                                  round_value=False)
+    q["promql_count_agg"] = _promql("count(click)", round_value=False)
+    q["promql_group_agg"] = _promql("group by (user) (click)",
+                                    label_cols={"user": "usr"}, round_value=False)
+    q["promql_bottomk"] = _promql("bottomk(2, sum by (user) (purchase))",
+                                  label_cols={"user": "usr"})
+
+    # --- additional range functions (§2.5) ----------------------------------
+    q["promql_avg_over_time"] = _promql('avg_over_time(click{user="6"}[1d])')
+    q["promql_min_over_time"] = _promql('min_over_time(click{user="6"}[1d])',
+                                        round_value=False)
+    q["promql_max_over_time"] = _promql('max_over_time(click{user="6"}[1d])',
+                                        round_value=False)
+    q["promql_last_over_time"] = _promql('last_over_time(click{user="6"}[1d])',
+                                         round_value=False)
+    q["promql_present_over_time"] = _promql(
+        'present_over_time(click{user="6"}[1d])', round_value=False
+    )
+    q["promql_stddev_over_time"] = _promql('stddev_over_time(click{user="6"}[1d])')
+    q["promql_quantile_over_time"] = _promql(
+        'quantile_over_time(0.9, click{user="6"}[1d])'
+    )
+    q["promql_idelta"] = _promql('idelta(click{user="3"}[1d])')
+
+    # --- more binops (§2.3) --------------------------------------------------
+    q["promql_binop_mod"] = _promql('click{user="3"} % 7')
+    q["promql_binop_pow"] = _promql('signup{user="8"} ^ 2')
+    q["promql_atan2"] = _promql("click atan2 on(user) purchase",
+                                label_cols={"user": "usr"})
+    q["promql_group_left_ratio"] = _promql(
+        'click / on(user) group_left sum by (user) ({__name__=~"click|purchase"})',
+        label_cols={"user": "usr"},
+    )
+
+    # --- more functions (§2.6) ----------------------------------------------
+    q["promql_label_join"] = _promql(
+        'label_join(purchase{user=~"3|4"}, "k", "-", "user", "user")',
+        label_cols={"k": "k"},
+        round_value=False,
+    )
+    q["promql_absent_over_time"] = _promql(
+        'absent_over_time(nosuch{job="j"}[1d])', round_value=False
+    )
+    q["promql_day_of_week"] = _promql(
+        'day_of_week(timestamp(signup{user="1"}))', round_value=False
+    )
+    q["promql_sqrt_abs"] = _promql('sqrt(abs(view{user="2"} - 10))')
+    q["promql_vector_time"] = _promql("vector(time())", round_value=False)
+    q["promql_scalar_of"] = _promql("scalar(sum(purchase)) * 2")
+
     # --- subqueries (§2.5) --------------------------------------------------
     q["promql_subquery"] = _promql("avg_over_time(sum(click)[1d:6h])")
+    q["promql_subquery_rate"] = _promql(
+        'max_over_time(rate(click{user="3"}[1d])[1d:6h])'
+    )
 
     # --- histogram (§2.6 histogram_quantile) -------------------------------
     q["promql_histogram_quantile"] = _hist_quantile_query
@@ -844,6 +901,134 @@ WHERE list_dot_product(a.v, b.v)
     o["text_lang_id"] = _lang_id_oracle()
 
     o["doc_fingerprint"] = _fingerprint_oracle()
+
+    o["promql_min_agg"] = f"""
+WITH {_SAMPLES_CTE}, {_inst_cte("p.name = 'view'")}
+SELECT t, usr, MIN(value) AS value FROM inst GROUP BY t, usr
+"""
+    o["promql_max_agg"] = f"""
+WITH {_SAMPLES_CTE}, {_inst_cte("p.name = 'view'")}
+SELECT t, usr, MAX(value) AS value FROM inst GROUP BY t, usr
+"""
+    o["promql_count_agg"] = f"""
+WITH {_SAMPLES_CTE}, {_inst_cte("p.name = 'click'")}
+SELECT t, CAST(COUNT(*) AS DOUBLE) AS value FROM inst GROUP BY t
+"""
+    o["promql_group_agg"] = f"""
+WITH {_SAMPLES_CTE}, {_inst_cte("p.name = 'click'")}
+SELECT DISTINCT t, usr, 1.0 AS value FROM inst
+"""
+    o["promql_bottomk"] = f"""
+WITH {_SAMPLES_CTE}, {_inst_cte("p.name = 'purchase'")},
+sums AS (SELECT t, usr, SUM(value) AS sv FROM inst GROUP BY t, usr)
+SELECT t, usr, value FROM (
+  SELECT t, usr, ROUND(sv, 6) AS value,
+         row_number() OVER (PARTITION BY t ORDER BY sv ASC) AS rk
+  FROM sums
+) WHERE rk <= 2
+"""
+
+    def _ot(agg: str, rounded: bool = True) -> str:
+        val = f"ROUND({agg}, 6)" if rounded else agg
+        return f"""
+WITH {_SAMPLES_CTE}
+SELECT s.t, {val} AS value
+FROM steps s JOIN samples p ON p.ts >= s.t - {RANGE} AND p.ts <= s.t
+WHERE p.name = 'click' AND p.usr = '6'
+GROUP BY s.t
+"""
+
+    o["promql_avg_over_time"] = _ot("AVG(p.value)")
+    o["promql_min_over_time"] = _ot("MIN(p.value)", rounded=False)
+    o["promql_max_over_time"] = _ot("MAX(p.value)", rounded=False)
+    o["promql_last_over_time"] = _ot("arg_max(p.value, p.ts)", rounded=False)
+    o["promql_present_over_time"] = _ot("1.0", rounded=False)
+    o["promql_stddev_over_time"] = _ot("COALESCE(stddev_pop(p.value), 0.0)")
+    o["promql_quantile_over_time"] = _ot(
+        "CAST(quantile_cont(p.value, 0.9) AS DOUBLE)"
+    )
+
+    o["promql_idelta"] = f"""
+WITH {_SAMPLES_CTE}, {_flagged_cte(rate_where)}
+SELECT t, ROUND(lv - pv, 6) AS value
+FROM (
+  SELECT t, max(ts) AS lts,
+         arg_max(value, ts) AS lv,
+         arg_max(prev_value, ts) AS pv,
+         arg_max(prev_ts, ts) AS pts
+  FROM win GROUP BY t
+)
+WHERE pts IS NOT NULL AND pts >= t - {RANGE} AND lts <> pts
+"""
+
+    o["promql_binop_mod"] = f"""
+WITH {_SAMPLES_CTE}, {_inst_cte("p.name = 'click' AND p.usr = '3'")}
+SELECT t, ROUND(value % 7, 6) AS value FROM inst
+"""
+    o["promql_binop_pow"] = f"""
+WITH {_SAMPLES_CTE}, {_inst_cte("p.name = 'signup' AND p.usr = '8'")}
+SELECT t, ROUND(POW(value, 2), 6) AS value FROM inst
+"""
+    o["promql_atan2"] = f"""
+WITH {_SAMPLES_CTE}, {_inst_cte("p.name IN ('click', 'purchase')")}
+SELECT a.t, a.usr, ROUND(ATAN2(a.value, b.value), 6) AS value
+FROM inst a JOIN inst b ON a.t = b.t AND a.usr = b.usr
+WHERE a.name = 'click' AND b.name = 'purchase'
+"""
+    o["promql_group_left_ratio"] = f"""
+WITH {_SAMPLES_CTE}, {_inst_cte("p.name IN ('click', 'purchase')")},
+tot AS (SELECT t, usr, SUM(value) AS sv FROM inst GROUP BY t, usr)
+SELECT a.t, a.usr, ROUND(a.value / tot.sv, 6) AS value
+FROM inst a JOIN tot ON a.t = tot.t AND a.usr = tot.usr
+WHERE a.name = 'click'
+"""
+
+    o["promql_label_join"] = f"""
+WITH {_SAMPLES_CTE}, {_inst_cte("p.name = 'purchase' AND p.usr IN ('3','4')")}
+SELECT t, usr || '-' || usr AS k, value FROM inst
+"""
+    o["promql_absent_over_time"] = """
+WITH steps AS (SELECT unnest(generate_series({start}, {end}, {step})) AS t)
+SELECT t, 1.0 AS value FROM steps
+""".format(start=START, end=END, step=STEP)
+    o["promql_day_of_week"] = f"""
+WITH {_SAMPLES_CTE}, {_inst_cte("p.name = 'signup' AND p.usr = '1'")}
+SELECT t, CAST(dayofweek(to_timestamp(ts / 1000)) AS DOUBLE) AS value FROM inst
+"""
+    o["promql_sqrt_abs"] = f"""
+WITH {_SAMPLES_CTE}, {_inst_cte("p.name = 'view' AND p.usr = '2'")}
+SELECT t, ROUND(SQRT(ABS(value - 10)), 6) AS value FROM inst
+"""
+    o["promql_vector_time"] = """
+WITH steps AS (SELECT unnest(generate_series({start}, {end}, {step})) AS t)
+SELECT t, t / 1000.0 AS value FROM steps
+""".format(start=START, end=END, step=STEP)
+    o["promql_scalar_of"] = f"""
+WITH {_SAMPLES_CTE}, {_inst_cte("p.name = 'purchase'")}
+SELECT t, ROUND(SUM(value) * 2, 6) AS value FROM inst GROUP BY t
+"""
+
+    o["promql_subquery_rate"] = (
+        f"WITH {_SAMPLES_CTE}, "
+        f"steps2 AS (SELECT unnest(generate_series({START - RANGE}, {END}, {STEP})) AS t2), "
+        + _flagged_cte(rate_where).replace(
+            "win AS (\n  SELECT s.t, f.*\n  FROM steps s",
+            "win AS (\n  SELECT s.t2 AS t, f.*\n  FROM steps2 s",
+        ).replace("ON f.ts >= s.t - ", "ON f.ts >= s.t2 - ").replace(
+            "AND f.ts <= s.t\n", "AND f.ts <= s.t2\n"
+        )
+        + ", "
+        + _EXTRAP_AGG
+        + ", rates AS ("
+        + _extrap_value(counter=True, per_second=True).replace("ROUND(", "(").replace(
+            ", 6) AS value", ") AS value"
+        )
+        + f""")
+SELECT s.t, ROUND(MAX(r.value), 6) AS value
+FROM steps s JOIN rates r ON r.t >= s.t - {RANGE} AND r.t <= s.t
+GROUP BY s.t
+"""
+    )
 
     # multimodal_features: mapInPandas decode stub — no SQL equivalent
     return o
