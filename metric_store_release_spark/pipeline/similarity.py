@@ -161,3 +161,80 @@ def embedding_cosine_dedup(
         F.col(f"b.{id_col}").alias("id_b"),
         F.round(cosine(F.col("a.v"), F.col("b.v")), 6).alias("cos_sim"),
     ).filter(F.col("cos_sim") >= threshold)
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    n_lists: int = 16,
+    n_probe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    seed: int = 42,
+) -> DataFrame:
+    """IVF (inverted-file) approximate top-k: coarse k-means quantizer.
+
+    Train KMeans centroids on (a sample of) the corpus, assign every corpus
+    vector to its nearest centroid (one map-side pass + tiny broadcast),
+    then score each query only against its `n_probe` nearest centroid lists.
+    The 100 TB path: the corpus is bucketed ONCE (clustered write), queries
+    touch n_probe/n_lists of the data.
+    """
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+    from pyspark.sql.window import Window as W
+
+    c = corpus.select(
+        F.col(id_col), F.col(vec_col).cast("array<double>").alias("cvec")
+    )
+    train = c.select(array_to_vector("cvec").alias("features"))
+    km = KMeans(k=n_lists, seed=seed, maxIter=20).fit(train)
+    centroids = [list(map(float, ctr)) for ctr in km.clusterCenters()]
+
+    def nearest_lists(vec: Column, n: int) -> Column:
+        dists = F.array(
+            *[
+                F.struct(
+                    _dot(
+                        F.zip_with(
+                            vec,
+                            F.array(*[F.lit(x) for x in ctr]),
+                            lambda a, b: (a - b) * (a - b),
+                        ),
+                        F.array_repeat(F.lit(1.0), len(ctr)),
+                    ).alias("d2"),
+                    F.lit(i).alias("list_id"),
+                )
+                for i, ctr in enumerate(centroids)
+            ]
+        )
+        return F.slice(F.array_sort(dists), 1, n)
+
+    assigned = c.withColumn(
+        "list_id", nearest_lists(F.col("cvec"), 1)[0].getField("list_id")
+    )
+    q = queries.select(
+        F.col(query_id_col), F.col(vec_col).cast("array<double>").alias("qvec")
+    ).withColumn(
+        "probe",
+        F.explode(
+            F.transform(
+                nearest_lists(F.col("qvec"), n_probe), lambda s: s.getField("list_id")
+            )
+        ),
+    )
+    scored = assigned.join(
+        F.broadcast(q), assigned.list_id == q.probe
+    ).select(
+        query_id_col,
+        id_col,
+        F.round(cosine(F.col("qvec"), F.col("cvec")), 6).alias("cos_sim"),
+    )
+    w = W.partitionBy(query_id_col).orderBy(F.col("cos_sim").desc(), F.col(id_col).asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(query_id_col, id_col, "cos_sim", "rank")
+    )

@@ -45,3 +45,24 @@ def expire_shards(path: str, cutoff_date: str) -> list[str]:
             shutil.rmtree(part)
             dropped.append(part.name)
     return dropped
+
+
+def compact_shards(
+    spark: SparkSession, path: str, target_files_per_shard: int = 1
+) -> int:
+    """Rewrite each date partition to few large files — the Delta OPTIMIZE /
+    TSM full-compaction analog (store.go:120-125 scheduled compaction).
+    Returns the number of compacted partitions."""
+    root = Path(path)
+    n = 0
+    for part in sorted(root.glob(f"{PARTITION_COL}=*")):
+        files = list(part.glob("*.parquet"))
+        if len(files) <= target_files_per_shard:
+            continue
+        df = spark.read.parquet(str(part))
+        tmp = str(part) + ".compact"
+        df.coalesce(target_files_per_shard).write.mode("overwrite").parquet(tmp)
+        shutil.rmtree(part)
+        Path(tmp).rename(part)
+        n += 1
+    return n

@@ -153,3 +153,20 @@ def test_multimodal_unknown_codec_raises(spark):
     )
     with pytest.raises(Exception, match="NotImplementedError|no codec"):
         extract_media_features(media).collect()
+
+
+def test_ivf_topk_matches_brute_force_for_easy_queries(spark):
+    from metric_store_release_spark.pipeline.similarity import brute_force_topk, ivf_topk
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    queries = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    corpus = emb.filter(F.col("vec_id") >= 3)
+    exact = brute_force_topk(corpus, queries, k=5)
+    approx = ivf_topk(corpus, queries, k=5, n_lists=4, n_probe=2)
+    # recall@5 of the IVF probe against exact top-5
+    e = {(r["query_id"], r["vec_id"]) for r in exact.collect()}
+    a = {(r["query_id"], r["vec_id"]) for r in approx.collect()}
+    recall = len(e & a) / len(e)
+    assert recall >= 0.5, recall

@@ -135,3 +135,28 @@ def test_storage_roundtrip_and_retention(spark, engine):
         assert read_samples(spark, tmp).count() == 1
         out = engine.query_instant(read_samples(spark, tmp), "m", 5 * day + 1000)
         assert [r["value"] for r in out.collect()] == [3.0]
+
+
+def test_compact_shards(spark):
+    import tempfile
+
+    from metric_store_release_spark.sources.storage import (
+        compact_shards,
+        read_samples,
+        write_samples,
+    )
+
+    day = 86_400_000
+    df = spark.createDataFrame(
+        [(i * 1000, "m", float(i), {"a": "x"}) for i in range(100)],
+        "ts long, name string, value double, labels map<string,string>",
+    ).repartition(8)
+    with tempfile.TemporaryDirectory() as tmp:
+        write_samples(df, tmp)
+        n = compact_shards(spark, tmp)
+        assert n == 1
+        from pathlib import Path
+
+        files = list(Path(tmp).glob("date=*/*.parquet"))
+        assert len(files) == 1
+        assert read_samples(spark, tmp).count() == 100
