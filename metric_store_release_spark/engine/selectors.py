@@ -67,8 +67,17 @@ def base_scan(
     df = samples
     if "stale" not in df.columns:
         df = df.withColumn("stale", F.lit(False))
-    promoted = set(df.columns) - {"ts", "name", "value", "labels", "stale"}
+    promoted = set(df.columns) - {"ts", "name", "value", "labels", "stale", "date"}
     cond = (F.col("ts") >= F.lit(min_ts)) & (F.col("ts") <= F.lit(max_ts))
+    if "date" in df.columns:
+        # date-partitioned store (24 h shard analog): derive the partition
+        # predicate from the time bounds so Catalyst prunes whole shards
+        # (influx_adapter.go:372-389 forTimestampRange equivalent)
+        import datetime as _dt
+
+        lo = _dt.datetime.utcfromtimestamp(min_ts / 1000).date()
+        hi = _dt.datetime.utcfromtimestamp(max_ts / 1000).date()
+        cond = cond & F.col("date").between(F.lit(str(lo)), F.lit(str(hi)))
     if selector.name is not None:
         cond = cond & (F.col("name") == F.lit(selector.name))
     for m in selector.matchers:

@@ -28,7 +28,10 @@ def write_samples(samples: DataFrame, path: str, mode: str = "append") -> None:
 
 
 def read_samples(spark: SparkSession, path: str) -> DataFrame:
-    return spark.read.parquet(path).drop(PARTITION_COL)
+    """Keeps the `date` partition column: the engine derives a partition
+    predicate from each query's time bounds so whole shards prune at plan
+    time (the reference's forTimestampRange shard walk)."""
+    return spark.read.parquet(path)
 
 
 def expire_shards(path: str, cutoff_date: str) -> list[str]:

@@ -160,3 +160,24 @@ def test_compact_shards(spark):
         files = list(Path(tmp).glob("date=*/*.parquet"))
         assert len(files) == 1
         assert read_samples(spark, tmp).count() == 100
+
+
+def test_engine_prunes_date_partitions(spark, engine):
+    import tempfile
+
+    from metric_store_release_spark.sources.storage import read_samples, write_samples
+
+    day = 86_400_000
+    rows = [(d * day + 3600_000, "m", float(d), {"a": "x"}) for d in range(10)]
+    df = spark.createDataFrame(
+        rows, "ts long, name string, value double, labels map<string,string>"
+    )
+    with tempfile.TemporaryDirectory() as tmp:
+        write_samples(df, tmp)
+        stored = read_samples(spark, tmp)
+        out = engine.query_instant(stored, "m", 5 * day + 3600_000)
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        # partition predicate derived from the query time bounds
+        assert "PartitionFilters" in plan
+        assert "date" in plan.split("PartitionFilters")[1][:400]
+        assert [r["value"] for r in out.collect()] == [5.0]
