@@ -37,6 +37,13 @@ class EngineConfig:
     #: errors (engine.go:2228-2246,2290-2309) as lazy runtime assertions —
     #: off by default since the window count costs a pass over each binop side
     check_matching: bool = False
+    #: tumbling-partial (two-level) threshold for sliding range functions;
+    #: 0 disables (default). Measured: Spark's map-side partial aggregation
+    #: already compresses the window fan-out before the shuffle, so the
+    #: explicit two-level plan only helps when partial aggregation cannot —
+    #: e.g. extreme range/step with wide value structs; keep it available as
+    #: an explicit strategy rather than a default.
+    bucketed_range_threshold: int = 0
 
 
 class PromQLEngine:
@@ -71,6 +78,7 @@ class PromQLEngine:
             query_start_ms=start_ms,
             query_end_ms=end_ms,
             check_matching=self.config.check_matching,
+            bucketed_range_threshold=self.config.bucketed_range_threshold,
         )
         res = Evaluator(ctx).eval(node)
         if isinstance(res, VectorResult):

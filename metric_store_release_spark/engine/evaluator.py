@@ -28,6 +28,7 @@ from metric_store_release_spark.datamodel import (
 from metric_store_release_spark.engine import selectors
 from metric_store_release_spark.engine.histogram import histogram_quantile
 from metric_store_release_spark.engine.range_functions import (
+    BUCKETED_FUNCS,
     NEEDS_ORDER_COLS,
     RANGE_FUNCS,
     apply_range_func,
@@ -72,6 +73,10 @@ class EvalContext:
     query_start_ms: int = 0  # for @ start()/end()
     query_end_ms: int = 0
     check_matching: bool = False  # runtime duplicate/many-to-many assertions
+    #: use tumbling-partial (two-level) evaluation for combinable range
+    #: functions when range/step >= this ratio (0 = disabled, the default:
+    #: map-side combine already compresses the direct fan-out pre-shuffle)
+    bucketed_range_threshold: int = 0
 
     @property
     def n_steps(self) -> int:
@@ -130,13 +135,33 @@ class Evaluator:
         )
         return VectorResult(df)
 
-    def build_range_frame(self, node: ast.Node, order_cols: bool) -> RangeFrame:
+    def build_range_frame(
+        self, node: ast.Node, order_cols: bool, func: str | None = None
+    ) -> RangeFrame:
         """Materialize a range vector (matrix selector or subquery)."""
         c = self.ctx
         if isinstance(node, ParenExpr):
-            return self.build_range_frame(node.expr, order_cols)
+            return self.build_range_frame(node.expr, order_cols, func)
         if isinstance(node, MatrixSelector):
             self._resolve_at(node.selector)
+            if self._use_bucketed(node, func):
+                df = selectors.bucketed_range_frame(
+                    c.samples,
+                    node.selector,
+                    node.range_ms,
+                    c.start_ms,
+                    c.end_ms,
+                    c.step_ms,
+                    order_cols=order_cols,
+                )
+                return RangeFrame(
+                    df,
+                    node.range_ms,
+                    node.selector.offset_ms,
+                    order_cols,
+                    at_ms=None,
+                    bucketed=True,
+                )
             df = selectors.range_frame(
                 c.samples,
                 node.selector,
@@ -156,6 +181,16 @@ class Evaluator:
         if isinstance(node, SubqueryExpr):
             return self.eval_subquery_frame(node, order_cols)
         raise PromQLEvalError("expected a range vector argument")
+
+    def _use_bucketed(self, node: MatrixSelector, func: str | None) -> bool:
+        thr = self.ctx.bucketed_range_threshold
+        return (
+            thr > 0
+            and func in BUCKETED_FUNCS
+            and node.selector.at_ms is None
+            and node.range_ms % self.ctx.step_ms == 0
+            and node.range_ms // self.ctx.step_ms >= thr
+        )
 
     def eval_subquery_frame(self, node: SubqueryExpr, order_cols: bool) -> RangeFrame:
         """engine.go:1730-1768 — inner grid aligned to absolute multiples of
@@ -375,7 +410,7 @@ class Evaluator:
         else:
             params = []
             range_arg = node.args[0]
-        frame = self.build_range_frame(range_arg, name in NEEDS_ORDER_COLS)
+        frame = self.build_range_frame(range_arg, name in NEEDS_ORDER_COLS, func=name)
         return VectorResult(apply_range_func(name, frame, params))
 
     def _eval_absent(self, arg: ast.Node) -> VectorResult:

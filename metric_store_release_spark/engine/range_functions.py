@@ -34,11 +34,14 @@ def _grouped(frame: RangeFrame, *aggs: Column, keep_name: bool = False) -> DataF
     return out if keep_name else _strip_name(out)
 
 
-def _simple(agg_fn, keep_name: bool = False):
-    """agg_fn: () -> Column — lazily built (Columns need an active session)."""
+def _simple(agg_fn, bucketed_fn=None, keep_name: bool = False):
+    """agg_fn: () -> Column — lazily built (Columns need an active session).
+    bucketed_fn: combine expression over tumbling partials (see
+    selectors.bucketed_range_frame) for the two-level sliding-window path."""
 
     def handler(frame: RangeFrame, params: list[float]) -> DataFrame:
-        return _grouped(frame, agg_fn().alias("value"), keep_name=keep_name).select(
+        fn = bucketed_fn if (frame.bucketed and bucketed_fn is not None) else agg_fn
+        return _grouped(frame, fn().alias("value"), keep_name=keep_name).select(
             "t", "labels", "sig", "value"
         )
 
@@ -70,16 +73,32 @@ def _extrapolated_rate(
     extrapolated zero crossing.
     """
     rng_s = frame.range_ms / 1000.0
-    drop_col = F.col("drop") if is_counter else F.lit(0.0)
-    grouped = _grouped(
-        frame,
-        F.min_by(F.struct(F.col("ts"), F.col("value"), drop_col.alias("drop")), "ts").alias(
-            "first"
-        ),
-        F.max_by(F.struct("ts", "value"), "ts").alias("last"),
-        F.count(F.lit(1)).alias("cnt"),
-        F.sum(drop_col).alias("dropsum"),
-    ).filter(F.col("cnt") >= 2)
+    if frame.bucketed:
+        grouped = _grouped(
+            frame,
+            F.min_by(
+                F.struct(
+                    F.col("p_first.ts").alias("ts"),
+                    F.col("p_first.value").alias("value"),
+                    F.col("p_first.drop").alias("drop"),
+                ),
+                F.col("p_first.ts"),
+            ).alias("first"),
+            F.max_by(F.col("p_last"), F.col("p_last.ts")).alias("last"),
+            F.sum("p_cnt").alias("cnt"),
+            F.sum("p_dropsum").alias("dropsum"),
+        ).filter(F.col("cnt") >= 2)
+    else:
+        drop_col = F.col("drop") if is_counter else F.lit(0.0)
+        grouped = _grouped(
+            frame,
+            F.min_by(
+                F.struct(F.col("ts"), F.col("value"), drop_col.alias("drop")), "ts"
+            ).alias("first"),
+            F.max_by(F.struct("ts", "value"), "ts").alias("last"),
+            F.count(F.lit(1)).alias("cnt"),
+            F.sum(drop_col).alias("dropsum"),
+        ).filter(F.col("cnt") >= 2)
 
     first_t = F.col("first.ts") + F.lit(frame.offset_ms)
     last_t = F.col("last.ts") + F.lit(frame.offset_ms)
@@ -205,11 +224,21 @@ def _resets(frame: RangeFrame, params: list[float]) -> DataFrame:
 
 
 def _sum_minus_first(col: str, frame: RangeFrame) -> DataFrame:
-    grouped = _grouped(
-        frame,
-        F.sum(col).alias("total"),
-        F.min_by(F.col(col), "ts").alias("first_contrib"),
-    )
+    if frame.bucketed:
+        pcol = {"change": "p_chgsum", "reset": "p_rstsum"}[col]
+        grouped = _grouped(
+            frame,
+            F.sum(pcol).alias("total"),
+            F.min_by(F.col(f"p_first.{col}"), F.col("p_first.ts")).alias(
+                "first_contrib"
+            ),
+        )
+    else:
+        grouped = _grouped(
+            frame,
+            F.sum(col).alias("total"),
+            F.min_by(F.col(col), "ts").alias("first_contrib"),
+        )
     return grouped.select(
         "t",
         "labels",
@@ -265,10 +294,20 @@ def _holt_winters(frame: RangeFrame, params: list[float]) -> DataFrame:
 
 def _ts_seconds(frame: RangeFrame, params: list[float]) -> DataFrame:
     # last_over_time keeps the metric name (it returns the sample itself)
-    grouped = _grouped(
-        frame, F.max_by(F.struct("ts", "value"), "ts").alias("last"), keep_name=True
+    last = (
+        F.max_by(F.col("p_last"), F.col("p_last.ts"))
+        if frame.bucketed
+        else F.max_by(F.struct("ts", "value"), "ts")
     )
+    grouped = _grouped(frame, last.alias("last"), keep_name=True)
     return grouped.select("t", "labels", "sig", F.col("last.value").alias("value"))
+
+
+def _b_var_pop() -> Column:
+    n = F.sum("p_cnt").cast("double")
+    s_ = F.sum("p_sum")
+    ss = F.sum("p_sumsq")
+    return F.greatest(ss / n - (s_ / n) * (s_ / n), F.lit(0.0))
 
 
 RANGE_FUNCS = {
@@ -277,15 +316,29 @@ RANGE_FUNCS = {
     "delta": lambda f, p: _extrapolated_rate(f, False, False),
     "irate": lambda f, p: _instant_value(f, True),
     "idelta": lambda f, p: _instant_value(f, False),
-    "sum_over_time": _simple(lambda: F.sum("value")),
-    "avg_over_time": _simple(lambda: F.avg("value")),
-    "min_over_time": _simple(_nan_aware_min),
-    "max_over_time": _simple(_nan_aware_max),
-    "count_over_time": _simple(lambda: F.count(F.lit(1)).cast("double")),
+    "sum_over_time": _simple(lambda: F.sum("value"), lambda: F.sum("p_sum")),
+    "avg_over_time": _simple(
+        lambda: F.avg("value"), lambda: F.sum("p_sum") / F.sum("p_cnt")
+    ),
+    "min_over_time": _simple(
+        _nan_aware_min, lambda: F.coalesce(F.min("p_min"), F.lit(float("nan")))
+    ),
+    "max_over_time": _simple(
+        _nan_aware_max, lambda: F.coalesce(F.max("p_max"), F.lit(float("nan")))
+    ),
+    "count_over_time": _simple(
+        lambda: F.count(F.lit(1)).cast("double"),
+        lambda: F.sum("p_cnt").cast("double"),
+    ),
     "last_over_time": _ts_seconds,
-    "present_over_time": _simple(lambda: F.lit(1.0)),
-    "stddev_over_time": _simple(lambda: F.coalesce(F.stddev_pop("value"), F.lit(0.0))),
-    "stdvar_over_time": _simple(lambda: F.coalesce(F.var_pop("value"), F.lit(0.0))),
+    "present_over_time": _simple(lambda: F.lit(1.0), lambda: F.lit(1.0)),
+    "stddev_over_time": _simple(
+        lambda: F.coalesce(F.stddev_pop("value"), F.lit(0.0)),
+        lambda: F.sqrt(_b_var_pop()),
+    ),
+    "stdvar_over_time": _simple(
+        lambda: F.coalesce(F.var_pop("value"), F.lit(0.0)), _b_var_pop
+    ),
     "quantile_over_time": _quantile_over_time,
     "deriv": _deriv,
     "predict_linear": _predict_linear,
@@ -296,6 +349,25 @@ RANGE_FUNCS = {
 
 #: functions whose math needs the per-series lag columns
 NEEDS_ORDER_COLS = {"rate", "increase", "irate", "idelta", "changes", "resets"}
+
+#: functions whose aggregation decomposes into tumbling partials (two-level
+#: sliding-window path — selectors.bucketed_range_frame)
+BUCKETED_FUNCS = {
+    "rate",
+    "increase",
+    "delta",
+    "sum_over_time",
+    "avg_over_time",
+    "min_over_time",
+    "max_over_time",
+    "count_over_time",
+    "last_over_time",
+    "present_over_time",
+    "stddev_over_time",
+    "stdvar_over_time",
+    "changes",
+    "resets",
+}
 
 
 def apply_range_func(name: str, frame: RangeFrame, params: list[float]) -> DataFrame:

@@ -59,3 +59,4 @@ class RangeFrame:
     offset_ms: int
     has_order_cols: bool = False
     at_ms: int | None = None  # @-pinned evaluation time (window geometry)
+    bucketed: bool = False  # df holds tumbling partials, not raw samples

@@ -288,3 +288,80 @@ def _with_order_cols(base: DataFrame) -> DataFrame:
             F.when(F.col("value") < F.col("prev_value"), F.lit(1)).otherwise(F.lit(0)),
         )
     )
+
+
+def bucketed_range_frame(
+    samples: DataFrame,
+    selector: VectorSelector,
+    range_ms: int,
+    start_ms: int,
+    end_ms: int,
+    step_ms: int,
+    order_cols: bool = False,
+) -> DataFrame:
+    """Two-level sliding-window evaluation (tumbling partials).
+
+    When range ≫ step, the direct fan-out duplicates every sample
+    range/step times. Instead, samples are first PARTIALLY AGGREGATED per
+    (series, service-window-set): every sample with offset-shifted position
+    x serves exactly windows k ∈ [⌈x/step⌉, ⌊(x+range)/step⌋], and that
+    interval is identical for all samples sharing (⌈x/step⌉, ⌊(x+range)/step⌋)
+    — so grouping by it is safe. One partial row per series-bucket then
+    fans out instead of every sample: the shuffle shrinks by the
+    samples-per-bucket factor (e.g. 10 s scrapes, 1 h window, 1 m step →
+    60× fewer shuffled rows).
+
+    Emits per (t, sig): labels plus combinable partials
+      p_cnt p_sum p_sumsq p_min p_max (NaN-aware, nullable)
+      p_first struct(ts,value,drop,change,reset)  p_last struct(ts,value)
+      p_dropsum p_chgsum p_rstsum
+    Final combination happens in range_functions (bucketed variants).
+    Exact for all combinable functions — same samples, same math, only the
+    aggregation tree is two-level.
+    """
+    off = selector.offset_ms
+    min_ts = start_ms - off - range_ms
+    max_ts = end_ms - off
+    base = base_scan(samples, selector, min_ts, max_ts)
+    base = base.filter(~F.coalesce(F.col("stale"), F.lit(False)))
+    base = _with_order_cols(base) if order_cols else base.withColumn(
+        "drop", F.lit(0.0)
+    ).withColumn("change", F.lit(0)).withColumn("reset", F.lit(0))
+
+    x = (F.col("ts") + F.lit(off) - F.lit(start_ms)).cast("double")
+    kmin = F.ceil(x / F.lit(step_ms)).cast("long")
+    kmax = F.floor((x + F.lit(range_ms)) / F.lit(step_ms)).cast("long")
+    n_steps = (end_ms - start_ms) // step_ms
+
+    nn = F.when(~F.isnan("value"), F.col("value"))
+    partial = (
+        base.withColumn("__kmin", kmin)
+        .withColumn("__kmax", kmax)
+        .groupBy("sig", "__kmin", "__kmax")
+        .agg(
+            F.any_value("labels").alias("labels"),
+            F.count(F.lit(1)).alias("p_cnt"),
+            F.sum("value").alias("p_sum"),
+            F.sum(F.col("value") * F.col("value")).alias("p_sumsq"),
+            F.min(nn).alias("p_min"),
+            F.max(nn).alias("p_max"),
+            F.min_by(
+                F.struct("ts", "value", "drop", "change", "reset"), "ts"
+            ).alias("p_first"),
+            F.max_by(F.struct("ts", "value"), "ts").alias("p_last"),
+            F.sum("drop").alias("p_dropsum"),
+            F.sum("change").alias("p_chgsum"),
+            F.sum("reset").alias("p_rstsum"),
+            F.max(F.isnan("value").cast("int")).alias("p_has_nan"),
+        )
+    )
+    lo = F.greatest(F.lit(0), F.col("__kmin"))
+    hi = F.least(F.lit(n_steps), F.col("__kmax"))
+    return (
+        partial.withColumn("__lo", lo)
+        .withColumn("__hi", hi)
+        .filter(F.col("__lo") <= F.col("__hi"))
+        .withColumn("__k", F.explode(F.sequence(F.col("__lo"), F.col("__hi"))))
+        .withColumn("t", (F.lit(start_ms) + F.col("__k") * F.lit(step_ms)).cast("long"))
+        .drop("__kmin", "__kmax", "__lo", "__hi", "__k")
+    )
