@@ -355,6 +355,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["text_lang_id"] = _lang_id
     q["doc_fingerprint"] = _doc_fingerprint
     q["multimodal_features"] = _multimodal_features  # rows-only (mapInPandas)
+    q["embedding_ivf_topk"] = _embedding_ivf_topk  # rows-only (KMeans training)
     return q
 
 
@@ -545,6 +546,18 @@ def _doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _docs(spark, sf_dir)
     return docs.select(
         "doc_id", doc_fingerprint(F.col("text")).alias("fingerprint")
+    )
+
+
+def _embedding_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from metric_store_release_spark.pipeline.similarity import ivf_topk
+
+    emb = _emb(spark, sf_dir)
+    queries_df = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding")
+    )
+    return ivf_topk(
+        emb.filter(F.col("vec_id") >= 5), queries_df, k=10, n_lists=8, n_probe=3
     )
 
 
