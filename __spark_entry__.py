@@ -33,6 +33,15 @@ _ENTRY_SF_DIR = "/root/testdata/sf0.001"
 
 
 # --------------------------------------------------------------------- helpers
+def _prepare(spark: SparkSession) -> SparkSession:
+    """Defensive session conf: the driver may hand us a vanilla session.
+    events.parquet is TIMESTAMP(NANOS) (needs nanosAsLong) and PromQL date
+    math assumes UTC. Both confs are runtime-settable."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    return spark
+
+
 def _engine(spark: SparkSession, lookback_ms: int = LOOKBACK):
     from metric_store_release_spark import EngineConfig, PromQLEngine
 
@@ -42,15 +51,15 @@ def _engine(spark: SparkSession, lookback_ms: int = LOOKBACK):
 def _samples(spark: SparkSession, sf_dir: str) -> DataFrame:
     from metric_store_release_spark.sources.events_adapter import samples_from_events
 
-    return samples_from_events(spark, sf_dir, "by_type_user")
+    return samples_from_events(_prepare(spark), sf_dir, "by_type_user")
 
 
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return _prepare(spark).read.parquet(f"{sf_dir}/documents.parquet")
 
 
 def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return _prepare(spark).read.parquet(f"{sf_dir}/embeddings.parquet")
 
 
 def _promql(
@@ -172,6 +181,7 @@ FROM geom
 # ---------------------------------------------------------------- entrypoints
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: per-user click throughput (rate + agg) at sf0.001."""
+    spark = _prepare(spark)
     eng = _engine(spark, lookback_ms=4 * 3_600_000)
     samples = _samples(spark, _ENTRY_SF_DIR)
     out = eng.query_range(
@@ -365,7 +375,7 @@ def _hist_quantile_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     then histogram_quantile(0.9, ...) through the engine."""
     from metric_store_release_spark.sources.events_adapter import ts_ms
 
-    raw = spark.read.parquet(f"{sf_dir}/events.parquet")
+    raw = _prepare(spark).read.parquet(f"{sf_dir}/events.parquet")
     ev = raw.select(ts_ms(raw).alias("ts"), "value").filter(
         F.col("ts").between(START - RANGE, END)
     )
@@ -418,7 +428,7 @@ def _hist_quantile_query(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _tpch_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
-    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    li = _prepare(spark).read.parquet(f"{sf_dir}/lineitem.parquet")
     return (
         li.filter(F.col("l_shipdate") <= F.lit("1998-09-02"))
         .groupBy("l_returnflag", "l_linestatus")
@@ -445,6 +455,7 @@ def _tpch_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _tpch_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    spark = _prepare(spark)
     cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
     orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
     li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
@@ -470,7 +481,7 @@ def _rollup_counter(spark: SparkSession, sf_dir: str) -> DataFrame:
     10-minute counts per source tag."""
     from metric_store_release_spark.sources.events_adapter import ts_ms
 
-    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    ev = _prepare(spark).read.parquet(f"{sf_dir}/events.parquet")
     ev = ev.withColumn("ts_t", F.timestamp_millis(ts_ms(ev)))
     return (
         ev.groupBy(F.window("ts_t", "10 minutes").alias("w"), F.col("event_type"))
