@@ -86,6 +86,10 @@ class EvalContext:
 class Evaluator:
     def __init__(self, ctx: EvalContext):
         self.ctx = ctx
+        # memoize selector DataFrames: repeated subexpressions (e.g. the two
+        # sides of a / sum(a) ratio) share one plan subtree, letting Spark's
+        # ReuseExchange serve both from a single shuffle
+        self._selector_cache: dict = {}
 
     # ------------------------------------------------------------------ util
     def steps_df(self) -> DataFrame:
@@ -130,10 +134,12 @@ class Evaluator:
     def eval_selector(self, node: VectorSelector) -> VectorResult:
         self._resolve_at(node)
         c = self.ctx
-        df = selectors.instant_vector(
-            c.samples, node, c.start_ms, c.end_ms, c.step_ms, c.lookback_ms
-        )
-        return VectorResult(df)
+        key = (node.name, tuple(node.matchers), node.offset_ms, node.at_ms)
+        if key not in self._selector_cache:
+            self._selector_cache[key] = selectors.instant_vector(
+                c.samples, node, c.start_ms, c.end_ms, c.step_ms, c.lookback_ms
+            )
+        return VectorResult(self._selector_cache[key])
 
     def build_range_frame(
         self, node: ast.Node, order_cols: bool, func: str | None = None

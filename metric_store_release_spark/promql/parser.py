@@ -66,6 +66,10 @@ class _Parser:
         self.i += 1
         return t
 
+    @staticmethod
+    def _describe(t: Token) -> str:
+        return "end of input" if t.kind == "EOF" else repr(t.text)
+
     def at_op(self, *texts: str) -> bool:
         t = self.peek()
         return (t.kind == "OP" or t.kind == "IDENT") and t.text in texts
@@ -78,13 +82,17 @@ class _Parser:
     def expect_op(self, text: str) -> Token:
         t = self.next()
         if t.text != text:
-            raise PromQLSyntaxError(f"expected {text!r}, got {t.text!r} at {t.pos}")
+            raise PromQLSyntaxError(
+                f"expected {text!r}, got {self._describe(t)} at {t.pos}"
+            )
         return t
 
     def expect_kind(self, kind: str) -> Token:
         t = self.next()
         if t.kind != kind:
-            raise PromQLSyntaxError(f"expected {kind}, got {t.kind} {t.text!r} at {t.pos}")
+            raise PromQLSyntaxError(
+                f"expected {kind}, got {self._describe(t)} at {t.pos}"
+            )
         return t
 
     # ---- expressions ---------------------------------------------------
@@ -241,7 +249,7 @@ class _Parser:
                 return self.parse_call()
             self.next()
             return self.parse_vector_selector(t.text)
-        raise PromQLSyntaxError(f"unexpected token {t.text!r} at {t.pos}")
+        raise PromQLSyntaxError(f"unexpected {self._describe(t)} at {t.pos}")
 
     def parse_vector_selector(self, name: str | None) -> VectorSelector:
         matchers: list[LabelMatcher] = []
