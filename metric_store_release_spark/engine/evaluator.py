@@ -547,10 +547,11 @@ class Evaluator:
 
         op = node.op
         if op in ("topk", "bottomk"):
-            k = int(self._const_scalar(node.param, "k"))
-            if k < 1:
-                return VectorResult(df.filter(F.lit(False)).select(
-                    "t", "labels", "sig", "value"))
+            # k may be any scalar expression, e.g. topk(scalar(foo), v)
+            # (aggregators.test:321); constant k stays a literal
+            kres = self.eval(node.param)
+            if not isinstance(kres, ScalarResult):
+                raise PromQLEvalError(f"{op} k must be a scalar")
             # per (step, group) ranked window — keeps ORIGINAL series labels
             # (engine.go:2740-2776); NaN ranks last like the reference heap
             order = [F.isnan("value").asc()]
@@ -558,12 +559,20 @@ class Evaluator:
                 F.col("value").desc() if op == "topk" else F.col("value").asc()
             )
             w = Window.partitionBy("t", "gsig").orderBy(*order)
-            out = (
-                df.withColumn("__rn", F.row_number().over(w))
-                .filter(F.col("__rn") <= k)
-                .select("t", "labels", "sig", "value")
-            )
-            return VectorResult(out)
+            ranked = df.withColumn("__rn", F.row_number().over(w))
+            if kres.is_const:
+                k = int(kres.const)
+                if k < 1:
+                    return VectorResult(
+                        df.filter(F.lit(False)).select("t", "labels", "sig", "value")
+                    )
+                out = ranked.filter(F.col("__rn") <= k)
+            else:
+                kdf = kres.df.select(
+                    "t", F.col("value").cast("long").alias("__k")
+                )
+                out = ranked.join(kdf, "t").filter(F.col("__rn") <= F.col("__k"))
+            return VectorResult(out.select("t", "labels", "sig", "value"))
 
         if op == "count_values":
             lbl = self._const_string(node.param)

@@ -137,3 +137,59 @@ def test_range_query_aggregation(engine, samples):
         (15 * MIN,): 1080.0,
         (20 * MIN,): 1440.0,
     }
+
+
+def test_nan_aggregation_semantics(engine, spark):
+    # aggregators.test:226-247 — NaN skipped unless all values are NaN
+    df = corpus.load(
+        spark,
+        5 * MIN,
+        [
+            'http_requests{job="api-server", instance="0", group="production"} 1',
+            'http_requests{job="api-server", instance="1", group="production"} 2',
+            'http_requests{job="api-server", instance="0", group="canary"} NaN',
+            'http_requests{job="api-server", instance="1", group="canary"} 3',
+            'http_requests{job="api-server", instance="2", group="canary"} 4',
+        ],
+    )
+    assert rows_to_dict(engine.query_instant(df, "max(http_requests)", 0), []) == {
+        (0,): 4.0
+    }
+    assert rows_to_dict(engine.query_instant(df, "min(http_requests)", 0), []) == {
+        (0,): 1.0
+    }
+    got = rows_to_dict(
+        engine.query_instant(df, "max by (group) (http_requests)", 0), ["group"]
+    )
+    assert got == {(0, "canary"): 4.0, (0, "production"): 2.0}
+
+
+def test_topk_nan_sorted_last_and_scalar_k(engine, spark):
+    import math
+
+    df = corpus.load(
+        spark,
+        5 * MIN,
+        [
+            'http_requests{job="api-server", instance="0", group="production"} 0+10x10',
+            'http_requests{job="api-server", instance="1", group="production"} 0+20x10',
+            'http_requests{job="api-server", instance="2", group="production"} NaN NaN NaN NaN NaN NaN NaN NaN NaN NaN NaN',
+            "foo 3+0x10",
+        ],
+    )
+    out = engine.query_instant(
+        df, 'topk(3, http_requests{job="api-server",group="production"})', 50 * MIN
+    ).collect()
+    vals = sorted(
+        (r["labels"]["instance"], r["value"]) for r in out
+    )
+    assert vals[0] == ("0", 100.0) and vals[1] == ("1", 200.0)
+    assert vals[2][0] == "2" and math.isnan(vals[2][1])
+    # huge k → min(k, n) results
+    out = engine.query_instant(
+        df, 'bottomk(9999999999, http_requests{instance="0"})', 50 * MIN
+    )
+    assert out.count() == 1
+    # k from a scalar expression (aggregators.test:321 bug #5276)
+    out = engine.query_instant(df, "topk(scalar(foo), http_requests)", 50 * MIN)
+    assert out.count() == 3
