@@ -481,16 +481,20 @@ def _rollup_counter(spark: SparkSession, sf_dir: str) -> DataFrame:
     10-minute counts per source tag."""
     from metric_store_release_spark.sources.events_adapter import ts_ms
 
+    from pyspark.sql.window import Window
+
     ev = _prepare(spark).read.parquet(f"{sf_dir}/events.parquet")
     ev = ev.withColumn("ts_t", F.timestamp_millis(ts_ms(ev)))
-    return (
-        ev.groupBy(F.window("ts_t", "10 minutes").alias("w"), F.col("event_type"))
-        .agg(F.count(F.lit(1)).alias("total"))
-        .select(
-            F.unix_millis(F.col("w.start")).alias("window_start"),
-            F.col("event_type"),
-            F.col("total"),
-        )
+    grouped = ev.groupBy(
+        F.window("ts_t", "10 minutes").alias("w"), F.col("event_type")
+    ).agg(F.count(F.lit(1)).alias("win_total"))
+    # cumulative running total per group — counter.go semantics (the counters
+    # map persists across intervals)
+    cum = Window.partitionBy("event_type").orderBy(F.col("w.start"))
+    return grouped.select(
+        F.unix_millis(F.col("w.start")).alias("window_start"),
+        F.col("event_type"),
+        F.sum("win_total").over(cum).alias("total"),
     )
 
 
@@ -874,9 +878,15 @@ GROUP BY o_orderkey, o_orderdate, o_orderpriority
 """
 
     o["rollup_counter"] = """
-SELECT (epoch_ms(ts) // 600000) * 600000 AS window_start,
-       event_type, COUNT(*) AS total
-FROM events GROUP BY 1, 2
+WITH wins AS (
+  SELECT (epoch_ms(ts) // 600000) * 600000 AS window_start,
+         event_type, COUNT(*) AS win_total
+  FROM events GROUP BY 1, 2
+)
+SELECT window_start, event_type,
+       SUM(win_total) OVER (PARTITION BY event_type
+                            ORDER BY window_start) AS total
+FROM wins
 """
 
     o["dedup_exact"] = """

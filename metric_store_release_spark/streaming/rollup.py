@@ -85,18 +85,28 @@ def rollup_counters(
     tags: tuple[str, ...] = DEFAULT_ROLLUP_TAGS,
     node_index: str | None = "0",
 ) -> DataFrame:
-    """`http_total` counter points per window (counter.go:31-70).
+    """`http_total` CUMULATIVE counter points, one per active window.
 
-    Point ts = window END (the reference emits at interval close,
-    nozzle.go:253-286)."""
+    counter.go:31-70: the counters map persists across intervals (only the
+    active-key set resets), so each emission carries the running total — a
+    true Prometheus counter, rate()-able downstream. Point ts = window END
+    (emitted at interval close, nozzle.go:253-286). In Structured Streaming
+    the running sum restarts per micro-batch — a counter reset, which
+    PromQL rate()/increase() absorb by design.
+    """
+    from pyspark.sql.window import Window
+
     t = _window(_http_timers(envelopes), interval)
     grouped = t.groupBy(
         F.window("ts_t", interval).alias("w"), F.col("source_id"), *_tag_cols(tags)
-    ).agg(F.count(F.lit(1)).cast("double").alias("value"))
+    ).agg(F.count(F.lit(1)).cast("double").alias("win_count"))
+    cum = Window.partitionBy("source_id", *[F.col(t_) for t_ in tags]).orderBy(
+        F.col("w.start")
+    )
     return grouped.select(
         F.unix_millis(F.col("w.end")).alias("ts"),
         F.lit("http_total").alias("name"),
-        "value",
+        F.sum("win_count").over(cum).alias("value"),
         _labels_from_tags(tags, node_index).alias("labels"),
     )
 
@@ -119,15 +129,29 @@ def rollup_histograms(
     aggs = [
         F.sum(F.when(F.col("duration_s") <= b, 1).otherwise(0))
         .cast("double")
-        .alias(f"le{i}")
+        .alias(f"w_le{i}")
         for i, b in enumerate(buckets)
     ]
     grouped = t.groupBy(
         F.window("ts_t", interval).alias("w"), F.col("source_id"), *_tag_cols(htags)
     ).agg(
         *aggs,
-        F.count(F.lit(1)).cast("double").alias("cnt"),
-        F.sum("duration_s").alias("total_s"),
+        F.count(F.lit(1)).cast("double").alias("w_cnt"),
+        F.sum("duration_s").alias("w_total_s"),
+    )
+    # histogram.go:36-130: prometheus.Histogram instances persist across
+    # intervals — emissions are running totals (cumulative over time AND
+    # over le, like any Prometheus histogram)
+    from pyspark.sql.window import Window
+
+    cum = Window.partitionBy("source_id", *[F.col(t_) for t_ in htags]).orderBy(
+        F.col("w.start")
+    )
+    grouped = grouped.select(
+        "*",
+        *[F.sum(f"w_le{i}").over(cum).alias(f"le{i}") for i in range(len(buckets))],
+        F.sum("w_cnt").over(cum).alias("cnt"),
+        F.sum("w_total_s").over(cum).alias("total_s"),
     )
     labels = _labels_from_tags(htags, node_index)
     bucket_entries = [

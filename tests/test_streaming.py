@@ -90,10 +90,11 @@ def test_rollup_counter(spark, timer_envelopes):
         (r["ts"], r["labels"]["app_id"], r["labels"]["status_code"]): r["value"]
         for r in out
     }
+    # cumulative across windows (counter.go keeps running totals)
     assert got == {
         (10_000, "A", "200"): 3.0,
         (10_000, "B", "500"): 1.0,
-        (20_000, "A", "200"): 1.0,
+        (20_000, "A", "200"): 4.0,
     }
     names = {r["name"] for r in out}
     assert names == {"http_total"}
@@ -111,12 +112,12 @@ def test_rollup_histogram(spark, timer_envelopes):
         (r["ts"], r["labels"]["app_id"]): r["value"]
         for r in by_name["http_duration_seconds_count"]
     }
-    assert counts == {(10_000, "A"): 3.0, (10_000, "B"): 1.0, (20_000, "A"): 1.0}
+    assert counts == {(10_000, "A"): 3.0, (10_000, "B"): 1.0, (20_000, "A"): 4.0}
     sums = {
         (r["ts"], r["labels"]["app_id"]): round(r["value"], 6)
         for r in by_name["http_duration_seconds_sum"]
     }
-    assert sums == {(10_000, "A"): 0.333, (10_000, "B"): 2.0, (20_000, "A"): 0.05}
+    assert sums == {(10_000, "A"): 0.333, (10_000, "B"): 2.0, (20_000, "A"): 0.383}
     # cumulative buckets for window-1 app A: durations 3ms, 30ms, 300ms
     a1 = {
         r["labels"]["le"]: r["value"]
@@ -204,5 +205,5 @@ def test_rollup_streaming_availablenow(spark, timer_envelopes):
         assert {(r["ts"], r["labels"]["app_id"]): r["value"] for r in counters} == {
             (10_000, "A"): 3.0,
             (10_000, "B"): 1.0,
-            (20_000, "A"): 1.0,
+            (20_000, "A"): 4.0,
         }
