@@ -478,11 +478,22 @@ class Evaluator:
         )
 
     def _eval_label_replace(self, node: Call) -> VectorResult:
+        import re as _re
+
         vec = self._vector_arg(node.args[0])
         dst = self._const_string(node.args[1])
         repl = self._const_string(node.args[2])
         src = self._const_string(node.args[3])
         regex = self._const_string(node.args[4])
+        # functions.go:1215-1245: invalid regex / destination name are errors
+        try:
+            _re.compile(regex)
+        except _re.error as e:
+            raise PromQLEvalError(f"invalid regular expression in label_replace(): {e}")
+        if not _re.fullmatch(r"[a-zA-Z_][a-zA-Z0-9_]*", dst):
+            raise PromQLEvalError(
+                f"invalid destination label name in label_replace(): {dst!r}"
+            )
         anchored = f"^(?:{regex})$"
         src_val = F.coalesce(F.col("labels").getItem(src), F.lit(""))
         matched = src_val.rlike(anchored)
@@ -502,9 +513,15 @@ class Evaluator:
         return VectorResult(out)
 
     def _eval_label_join(self, node: Call) -> VectorResult:
+        import re as _re
+
         vec = self._vector_arg(node.args[0])
         dst = self._const_string(node.args[1])
         sep = self._const_string(node.args[2])
+        if not _re.fullmatch(r"[a-zA-Z_][a-zA-Z0-9_]*", dst):
+            raise PromQLEvalError(
+                f"invalid destination label name in label_join(): {dst!r}"
+            )
         srcs = [self._const_string(a) for a in node.args[3:]]
         joined = F.concat_ws(
             sep, *[F.coalesce(F.col("labels").getItem(s), F.lit("")) for s in srcs]

@@ -277,3 +277,30 @@ def test_quantile_over_time_edges(engine, spark):
         engine.query_instant(df, "quantile_over_time(2, data[20m])", 20 * MIN), []
     )
     assert got[(20 * MIN,)] == math.inf
+
+
+def test_label_replace_empty_value_drops_label(engine, spark):
+    # functions.test:288-291
+    df = corpus.load(
+        spark, 5 * MIN,
+        ['testmetric{src="s10",dst="orig"} 0', 'testmetric{src="s20",dst="orig"} 1'],
+    )
+    out = engine.query_instant(
+        df, 'label_replace(testmetric, "dst", "", "dst", ".*")', 0
+    ).collect()
+    assert all("dst" not in r["labels"] for r in out)
+    assert {r["labels"]["src"] for r in out} == {"s10", "s20"}
+
+
+def test_label_replace_errors(engine, spark):
+    from metric_store_release_spark.engine.evaluator import PromQLEvalError
+
+    df = corpus.load(spark, 5 * MIN, ['testmetric{src="x"} 0'])
+    with pytest.raises(PromQLEvalError, match="regular expression"):
+        engine.query_instant(
+            df, 'label_replace(testmetric, "dst", "value-$1", "src", "(.*")', 0
+        )
+    with pytest.raises(PromQLEvalError, match="destination label"):
+        engine.query_instant(
+            df, 'label_replace(testmetric, "invalid-label-name", "", "src", "(.*)")', 0
+        )
