@@ -83,3 +83,25 @@ def test_sig_collision_free(spark):
     )
     sigs = df.select(sig(F.col("labels")).alias("s")).distinct()
     assert sigs.count() == 3
+
+
+def test_parse_point_lines(spark, engine):
+    from metric_store_release_spark.sources.ingest import parse_point_lines
+
+    lines = spark.createDataFrame(
+        [
+            ('{"ts": 1000, "name": "cpu", "value": 1.5, "labels": {"host": "a"}}',),
+            ('{"ts": 2000, "name": "2bad name", "value": 2.0, "labels": {}}',),
+            ('{"ts": 3000, "name": "inf_metric", "value": Infinity}',),  # rejected
+            ("not json at all",),
+            ('{"ts": null, "name": "x", "value": 1.0}',),  # rejected: no ts
+        ],
+        "value string",
+    )
+    pts = parse_point_lines(lines).collect()
+    by_name = {r["name"]: r for r in pts}
+    assert set(by_name) == {"cpu", "_2bad_name"}
+    assert by_name["cpu"]["labels"] == {"host": "a"}
+    # parsed points queryable
+    out = engine.query_instant(parse_point_lines(lines), "cpu", 1000).collect()
+    assert [r["value"] for r in out] == [1.5]
