@@ -342,3 +342,52 @@ def test_many_to_many_detection(spark, samples):
         50 * MIN,
     )
     assert out.count() == 4
+
+
+def test_on_empty_and_ignoring_empty(engine, spark):
+    # operators.test:429-443
+    df = corpus.load(
+        spark, 5 * MIN,
+        ['random{foo="bar"} 2', 'metricA{baz="meh"} 3', 'metricB{baz="meh"} 4'],
+    )
+    got = rows_to_dict(engine.query_instant(df, "random + on() metricA", 5 * MIN), [])
+    assert got == {(5 * MIN,): 5.0}
+    got = rows_to_dict(
+        engine.query_instant(df, "metricA + ignoring() metricB", 5 * MIN), ["baz"]
+    )
+    assert got == {(5 * MIN, "meh"): 7.0}
+    got = rows_to_dict(engine.query_instant(df, "metricA + metricB", 5 * MIN), ["baz"])
+    assert got == {(5 * MIN, "meh"): 7.0}
+
+
+def test_comparison_bool_vs_filter_vector(engine, spark):
+    # operators.test:455-468
+    df = corpus.load(
+        spark, 5 * MIN,
+        ['test_total{instance="localhost"} 50', 'test_smaller{instance="localhost"} 10'],
+    )
+    got = rows_to_dict(
+        engine.query_instant(df, "test_total > bool test_smaller", 5 * MIN), []
+    )
+    assert got == {(5 * MIN,): 1.0}
+    out = engine.query_instant(df, "test_total > test_smaller", 5 * MIN).collect()
+    assert len(out) == 1 and out[0]["value"] == 50.0
+    assert out[0]["labels"].get("__name__") == "test_total"
+    got = rows_to_dict(
+        engine.query_instant(df, "test_total < bool test_smaller", 5 * MIN), []
+    )
+    assert got == {(5 * MIN,): 0.0}
+    assert engine.query_instant(df, "test_total < test_smaller", 5 * MIN).count() == 0
+
+
+def test_atan2_vector_and_nan(engine, spark):
+    # operators.test:472-489
+    df = corpus.load(spark, 5 * MIN, ["trigy 10", "trigx 20", "trigNaN NaN"])
+    got = rows_to_dict(engine.query_instant(df, "trigy atan2 trigx", 5 * MIN), [])
+    assert got[(5 * MIN,)] == pytest.approx(0.4636476090008061)
+    got = rows_to_dict(engine.query_instant(df, "trigy atan2 trigNaN", 5 * MIN), [])
+    assert math.isnan(got[(5 * MIN,)])
+    got = rows_to_dict(engine.query_instant(df, "10 atan2 20", 5 * MIN), [])
+    assert got[(5 * MIN,)] == pytest.approx(0.4636476090008061)
+    got = rows_to_dict(engine.query_instant(df, "10 atan2 NaN", 5 * MIN), [])
+    assert math.isnan(got[(5 * MIN,)])
