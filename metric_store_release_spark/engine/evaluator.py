@@ -917,14 +917,48 @@ class Evaluator:
 
 def _format_float(value: Column) -> Column:
     """Go strconv.FormatFloat(v, 'f', -1, 64)-style rendering for
-    count_values label values: integral floats print without a decimal."""
-    as_long = value.cast("long")
+    count_values label values: integral floats print without a decimal, and
+    NOTHING prints in scientific notation.
+
+    Java's double→string (what a plain cast gives) switches to "d.fffE±x"
+    outside [1e-3, 1e7); Go's 'f' format never does. Expand the scientific
+    form to positional decimal with pure string ops — the digits are
+    unchanged, so the shortest-round-trip property is preserved.
+    """
+    as_long = value.try_cast("long")  # overflows (|v| > 2^63) → null
+    s = value.cast("string")
+    sign = F.when(s.startswith("-"), F.lit("-")).otherwise(F.lit(""))
+    body = F.regexp_replace(s, "^-", "")
+    mant = F.split_part(body, F.lit("E"), F.lit(1))
+    exp = F.split_part(body, F.lit("E"), F.lit(2)).cast("int")
+    ipart = F.split_part(mant, F.lit("."), F.lit(1))  # single digit (Java norm)
+    frac0 = F.split_part(mant, F.lit("."), F.lit(2))
+    frac = F.when(frac0 == F.lit("0"), F.lit("")).otherwise(frac0)
+    digits = F.concat(ipart, frac)
+    flen = F.length(frac)
+
+    def zeros(n: Column) -> Column:
+        return F.repeat(F.lit("0"), n)
+
+    expanded = (
+        F.when(exp < 0, F.concat(F.lit("0."), zeros(-exp - F.lit(1)), digits))
+        .when(exp >= flen, F.concat(digits, zeros(exp - flen)))
+        .otherwise(
+            F.concat(
+                F.substr(digits, F.lit(1), exp + F.lit(1)),
+                F.lit("."),
+                F.substr(digits, exp + F.lit(2)),
+            )
+        )
+    )
     return (
         F.when(F.isnan(value), F.lit("NaN"))
         .when(value == F.lit(float("inf")), F.lit("+Inf"))
         .when(value == F.lit(float("-inf")), F.lit("-Inf"))
+        .when(s == F.lit("-0.0"), F.lit("-0"))
         .when(value.cast("double") == as_long.cast("double"), as_long.cast("string"))
-        .otherwise(value.cast("string"))
+        .when(s.contains("E"), F.concat(sign, expanded))
+        .otherwise(s)
     )
 
 
@@ -985,12 +1019,27 @@ def _py_binop(op: str, l: float, r: float, return_bool: bool) -> float:
         if r == 0:
             if l == 0 or _m.isnan(l):
                 return float("nan")
-            return float("inf") if l > 0 else float("-inf")
+            # IEEE: the zero divisor's SIGN matters — x / -0 = -Inf for x > 0
+            sign = _m.copysign(1.0, r) * (1.0 if l > 0 else -1.0)
+            return _m.copysign(float("inf"), sign)
         return l / r
     if op == "%":
         return _m.fmod(l, r) if r != 0 else float("nan")
     if op == "^":
-        return _m.pow(l, r)
+        # Go math.Pow never raises: (-1)^0.5 = NaN, 0^-1 = +Inf, (-0)^-1 = -Inf
+        def _odd_int(x: float) -> bool:
+            return x == int(x) and int(x) % 2 != 0
+
+        try:
+            return _m.pow(l, r)
+        except ValueError:
+            if l == 0:  # zero base, negative exponent → ±Inf
+                neg = _m.copysign(1.0, l) < 0 and _odd_int(r)
+                return float("-inf") if neg else float("inf")
+            return float("nan")  # negative base, non-integral exponent
+        except OverflowError:  # finite inputs, |result| > max double
+            neg = l < 0 and _odd_int(r)
+            return float("-inf") if neg else float("inf")
     if op == "atan2":
         return _m.atan2(l, r)
     raise PromQLEvalError(f"bad scalar op {op}")

@@ -132,12 +132,17 @@ def arith_op(lhs: Column, rhs: Column, op: str) -> Column:
         return lhs * rhs
     if op == "/":
         # Go: x/0 = ±Inf, 0/0 = NaN. Spark double division by zero → NULL,
-        # so emulate IEEE explicitly.
+        # so emulate IEEE explicitly. The divisor's zero may be NEGATIVE
+        # (-0.0): Spark's `rhs == 0.0` is true for both zeros, so recover the
+        # sign via the string cast ("-0.0" vs "0.0") — x / -0 must be -Inf
+        # for positive x per IEEE-754 / Go.
+        neg_zero = rhs.cast("string").startswith("-")
+        inf = F.when(
+            (lhs > 0) != neg_zero, F.lit(float("inf"))
+        ).otherwise(F.lit(float("-inf")))
         return F.when(
             rhs == 0.0,
-            F.when(F.isnan(lhs) | (lhs == 0.0), F.lit(float("nan"))).otherwise(
-                F.when(lhs > 0, F.lit(float("inf"))).otherwise(F.lit(float("-inf")))
-            ),
+            F.when(F.isnan(lhs) | (lhs == 0.0), F.lit(float("nan"))).otherwise(inf),
         ).otherwise(lhs / rhs)
     if op == "%":
         # Go math.Mod — result keeps the dividend's sign; x%0 = NaN

@@ -150,7 +150,11 @@ class _Parser:
     def parse_unary(self) -> ast.Node:
         if self.at_op("+", "-"):
             op = self.next().text
-            expr = self.parse_unary()
+            # Reference grammar binds unary at multiplicative precedence
+            # (generated_parser.y: `unary_op expr %prec MUL`), LOOSER than ^:
+            # parse the operand at the ^ level so -2^2 == -(2^2) == -4,
+            # while -a*b still groups as (-a)*b.
+            expr = self.parse_expr(len(_PRECEDENCE) - 1)
             # constant-fold the common "-5" case like the reference parser
             if isinstance(expr, NumberLiteral):
                 return NumberLiteral(-expr.value if op == "-" else expr.value)

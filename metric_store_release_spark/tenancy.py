@@ -60,7 +60,34 @@ def inject_source_id(promql: str, source_id: str) -> str:
             n.matchers = [m for m in n.matchers if m.name != SOURCE_ID_LABEL] + [
                 LabelMatcher(SOURCE_ID_LABEL, MatchOp.EQ, source_id)
             ]
-    return _format(node)
+    out = _format(node)
+    # Defense in depth: re-parse the rewritten query and verify every
+    # selector carries exactly the injected source_id equality. Catches any
+    # formatter/escaping bug before the query string leaves this function.
+    for n in ast.walk(parse(out)):
+        if isinstance(n, VectorSelector):
+            sids = [
+                m.value
+                for m in n.matchers
+                if m.name == SOURCE_ID_LABEL and m.op == MatchOp.EQ
+            ]
+            if sids != [source_id]:
+                raise AuthorizationError(
+                    "source_id injection failed to round-trip; refusing query"
+                )
+    return out
+
+
+def _escape(value: str) -> str:
+    """Escape a label-matcher value for embedding in double quotes.
+
+    Without this, a matcher value like ``x", source_id="victim`` would smuggle
+    extra matchers (or close the selector early) when the AST is re-formatted
+    — a tenant-isolation break in the rewrite path.
+    """
+    return (
+        value.replace("\\", "\\\\").replace('"', '\\"').replace("\n", "\\n")
+    )
 
 
 def _format(node: ast.Node) -> str:
@@ -71,7 +98,7 @@ def _format(node: ast.Node) -> str:
         return '"' + node.value.replace("\\", "\\\\").replace('"', '\\"') + '"'
     if isinstance(node, VectorSelector):
         matchers = ", ".join(
-            f'{m.name}{m.op.value}"{m.value}"' for m in node.matchers
+            f'{m.name}{m.op.value}"{_escape(m.value)}"' for m in node.matchers
         )
         out = (node.name or "") + ("{" + matchers + "}" if matchers else "")
         if node.offset_ms:

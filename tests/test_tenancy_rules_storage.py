@@ -59,6 +59,41 @@ def test_inject_source_id_roundtrip(spark, engine):
     assert out[0]["value"] == pytest.approx(10 / 60)
 
 
+def test_inject_source_id_escapes_malicious_values():
+    """A matcher value crafted to close the quoted string / smuggle a second
+    selector must round-trip as a literal value, not as extra matchers."""
+    from metric_store_release_spark.promql import ast, parse
+    from metric_store_release_spark.promql.ast import MatchOp, VectorSelector
+
+    for evil in (
+        'x", source_id="victim',
+        'y"} or m{l="z',
+        "back\\slash",
+        'quote"quote',
+    ):
+        q_ast = parse("m")
+        sel = next(
+            n for n in ast.walk(q_ast) if isinstance(n, VectorSelector)
+        )
+        sel.matchers = [ast.LabelMatcher("l", MatchOp.EQ, evil)]
+        from metric_store_release_spark.tenancy import _format
+
+        rewritten = inject_source_id(_format(q_ast), "tenant-1")
+        # re-parse: every selector carries ONLY tenant-1 as source_id, and
+        # the evil value survives verbatim as the value of label l
+        reparsed = parse(rewritten)
+        sels = [n for n in ast.walk(reparsed) if isinstance(n, VectorSelector)]
+        assert len(sels) == 1
+        sids = [
+            m.value
+            for m in sels[0].matchers
+            if m.name == "source_id" and m.op == MatchOp.EQ
+        ]
+        assert sids == ["tenant-1"]
+        lvals = [m.value for m in sels[0].matchers if m.name == "l"]
+        assert lvals == [evil]
+
+
 # --------------------------------------------------------------------- rules
 def test_recording_rule_writeback(spark, engine):
     from metric_store_release_spark.rules import (

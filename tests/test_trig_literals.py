@@ -75,6 +75,12 @@ def test_pi_and_atan2(engine, trig):
         ("-Inf", -math.inf),
         ("0x8f", 143.0),
         ("-(1)", -1.0),
+        # unary binds at multiplicative precedence, looser than ^
+        # (generated_parser.y: unary_op expr %prec MUL)
+        ("-2^2", -4.0),
+        ("-2^-2", -0.25),
+        ("2^-2", 0.25),
+        ("-1^2 + 2", 1.0),
     ],
 )
 def test_number_literals(engine, trig, expr, want):
