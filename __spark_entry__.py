@@ -242,6 +242,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["promql_resets"] = _promql('resets(click{user="4"}[1d])', round_value=False)
     q["promql_deriv"] = _promql('deriv(click{user="3"}[1d])')
     q["promql_predict_linear"] = _promql('predict_linear(click{user="3"}[1d], 3600)')
+    q["promql_holt_winters"] = _promql(
+        'holt_winters(click{user="3"}[1d], 0.3, 0.3)'
+    )
 
     # --- binary ops & set ops (§2.3) ---------------------------------------
     q["promql_binop_add"] = _promql(
@@ -729,6 +732,38 @@ SELECT t,
          (AVG(value) - regr_slope(value, ts / 1000.0) * AVG(ts / 1000.0))
          + regr_slope(value, ts / 1000.0) * (t / 1000.0 + 3600), 6) AS value
 FROM win GROUP BY t HAVING COUNT(*) >= 2
+"""
+
+    # Double exponential smoothing (functions.go:302-348): recursive CTE
+    # walks the per-window sample sequence in ts order — identical recurrence
+    # to the engine's F.aggregate fold (b seeded from the first difference,
+    # no trend update on i==1).
+    o["promql_holt_winters"] = f"""
+WITH RECURSIVE {_SAMPLES_CTE},
+ordered AS (
+  SELECT s.t, p.value,
+         row_number() OVER (PARTITION BY s.t ORDER BY p.ts) AS idx
+  FROM steps s JOIN samples p ON p.ts >= s.t - {RANGE} AND p.ts <= s.t
+  WHERE p.name = 'click' AND p.usr = '3'
+),
+rec AS (
+  SELECT t, 1 AS i, CAST(0.0 AS DOUBLE) AS s0, CAST(value AS DOUBLE) AS s1,
+         CAST(0.0 AS DOUBLE) AS b
+  FROM ordered WHERE idx = 1
+  UNION ALL
+  SELECT r.t, r.i + 1,
+         r.s1,
+         CAST(0.3 AS DOUBLE)*o.value
+           + CAST(0.7 AS DOUBLE)*(r.s1 + CASE WHEN r.i = 1 THEN o.value - r.s1
+                ELSE CAST(0.3 AS DOUBLE)*(r.s1 - r.s0) + CAST(0.7 AS DOUBLE)*r.b END),
+         CASE WHEN r.i = 1 THEN o.value - r.s1
+              ELSE CAST(0.3 AS DOUBLE)*(r.s1 - r.s0) + CAST(0.7 AS DOUBLE)*r.b END
+  FROM rec r JOIN ordered o ON o.t = r.t AND o.idx = r.i + 1
+)
+SELECT r.t, ROUND(r.s1, 6) AS value
+FROM rec r JOIN (SELECT t, MAX(idx) AS n FROM ordered GROUP BY t) m
+  ON m.t = r.t AND r.i = m.n
+WHERE m.n >= 2
 """
 
     o["promql_binop_add"] = f"""

@@ -263,33 +263,54 @@ def _quantile_over_time(frame: RangeFrame, params: list[float]) -> DataFrame:
 
 
 def _holt_winters(frame: RangeFrame, params: list[float]) -> DataFrame:
-    """functions.go:302-348 double exponential smoothing — genuinely
-    sequential, so the per-window sorted value array feeds a tight Python
-    comprehension via aggregate over collected arrays (small windows; the
-    collect is bounded by samples-per-window)."""
+    """functions.go:302-348 double exponential smoothing.
+
+    Genuinely sequential, but the recurrence folds cleanly with
+    ``F.aggregate`` over the sorted per-window value array — an interpreted
+    JVM higher-order function, no Python serialization. Windows are bounded
+    (samples-per-window), so the interpreted fold is cheap.
+
+    State ``(s0, s1, b, i)``; folding vals[2..n] (1-indexed):
+        b' = i==1 ? v - s1 : tf·(s1−s0) + (1−tf)·b
+        s1' = sf·v + (1−sf)·(s1 + b'),  s0' = s1,  i' = i+1
+    which is exactly the Go loop with its i==1 no-trend-update special case
+    (b is seeded from the first difference).
+    """
     sf_, tf_ = params
     grouped = _grouped(
         frame,
         F.array_sort(F.collect_list(F.struct("ts", "value"))).alias("pts"),
     ).filter(F.size("pts") >= 2)
 
-    from pyspark.sql.types import DoubleType
+    sf_c, tf_c = F.lit(float(sf_)), F.lit(float(tf_))
+    vals = F.transform(F.col("pts"), lambda p: p.getField("value"))
+    init = F.struct(
+        F.lit(0.0).alias("s0"),
+        F.element_at(vals, 1).alias("s1"),
+        F.lit(0.0).alias("b"),
+        F.lit(1).alias("i"),
+    )
 
-    @F.udf(DoubleType())
-    def hw(pts):
-        vals = [p.value for p in pts]
-        s1 = vals[0]
-        b = vals[1] - vals[0]
-        s0 = 0.0
-        for i in range(1, len(vals)):
-            x = sf_ * vals[i]
-            if i - 1 != 0:
-                b = tf_ * (s1 - s0) + (1 - tf_) * b
-            y = (1 - sf_) * (s1 + b)
-            s0, s1 = s1, x + y
-        return float(s1)
+    def step(acc: Column, v: Column) -> Column:
+        nb = F.when(acc.getField("i") == 1, v - acc.getField("s1")).otherwise(
+            tf_c * (acc.getField("s1") - acc.getField("s0"))
+            + (F.lit(1.0) - tf_c) * acc.getField("b")
+        )
+        s1 = sf_c * v + (F.lit(1.0) - sf_c) * (acc.getField("s1") + nb)
+        return F.struct(
+            acc.getField("s1").alias("s0"),
+            s1.alias("s1"),
+            nb.alias("b"),
+            (acc.getField("i") + F.lit(1)).alias("i"),
+        )
 
-    return grouped.select("t", "labels", "sig", hw("pts").alias("value"))
+    value = F.aggregate(
+        F.slice(vals, 2, F.size(vals) - 1),
+        init,
+        step,
+        lambda acc: acc.getField("s1"),
+    )
+    return grouped.select("t", "labels", "sig", value.alias("value"))
 
 
 def _ts_seconds(frame: RangeFrame, params: list[float]) -> DataFrame:
