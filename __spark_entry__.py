@@ -62,6 +62,39 @@ def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _prepare(spark).read.parquet(f"{sf_dir}/embeddings.parquet")
 
 
+# The driver fixtures contain no duplicate docs/embeddings at small sf, which
+# made the dedup oracles vacuous (0-row hash match). Plant deterministic
+# duplicates INSIDE the query (union with an id-shifted copy of every 25th
+# row) so the answer is non-empty at every sf; the oracle SQL plants the
+# exact same rows.
+_PLANT_EVERY = 25
+_PLANT_OFFSET = 1_000_000
+_EMB_DIM = 64
+
+
+def _docs_planted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    copies = docs.filter(F.col("doc_id") % _PLANT_EVERY == 0).withColumn(
+        "doc_id", F.col("doc_id") + F.lit(_PLANT_OFFSET)
+    )
+    return docs.unionByName(copies)
+
+
+def _emb_planted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _emb(spark, sf_dir).select("vec_id", "embedding")
+    copies = emb.filter(F.col("vec_id") % _PLANT_EVERY == 0).withColumn(
+        "vec_id", F.col("vec_id") + F.lit(_PLANT_OFFSET)
+    )
+    return emb.unionByName(copies)
+
+
+def _dedup_planes() -> list[list[float]]:
+    """Fixed LSH hyperplanes shared by the Spark query and its SQL oracle."""
+    from metric_store_release_spark.pipeline.similarity import deterministic_planes
+
+    return deterministic_planes(_EMB_DIM, 8, seed=7)
+
+
 def _promql(
     q: str,
     label_cols: dict[str, str] | None = None,
@@ -368,7 +401,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["text_lang_id"] = _lang_id
     q["doc_fingerprint"] = _doc_fingerprint
     q["multimodal_features"] = _multimodal_features  # rows-only (mapInPandas)
-    q["embedding_ivf_topk"] = _embedding_ivf_topk  # rows-only (KMeans training)
+    q["embedding_ivf_topk"] = _embedding_ivf_topk
     return q
 
 
@@ -504,7 +537,7 @@ def _rollup_counter(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     from metric_store_release_spark.pipeline.dedup import exact_duplicates
 
-    return exact_duplicates(_docs(spark, sf_dir))
+    return exact_duplicates(_docs_planted(spark, sf_dir))
 
 
 def _dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -540,7 +573,11 @@ def _embedding_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _embedding_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from metric_store_release_spark.pipeline.similarity import embedding_cosine_dedup
 
-    return embedding_cosine_dedup(_emb(spark, sf_dir), threshold=0.9)
+    # LSH-bucketed path (no all-pairs cross join): fixed deterministic
+    # hyperplanes so the DuckDB oracle reproduces the bucketing exactly.
+    return embedding_cosine_dedup(
+        _emb_planted(spark, sf_dir), threshold=0.9, planes=_dedup_planes()
+    )
 
 
 def _text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -571,11 +608,28 @@ def _embedding_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from metric_store_release_spark.pipeline.similarity import ivf_topk
 
     emb = _emb(spark, sf_dir)
+    # Fixed centroids = the embeddings of vec_id 5..12 (deterministic, and
+    # reproducible by the SQL oracle from the same table) instead of trained
+    # KMeans centers, which are engine-specific.
+    centroids = [
+        [float(x) for x in r.embedding]
+        for r in (
+            emb.filter((F.col("vec_id") >= 5) & (F.col("vec_id") <= 12))
+            .orderBy("vec_id")
+            .select("embedding")
+            .collect()
+        )
+    ]
     queries_df = emb.filter(F.col("vec_id") < 5).select(
         F.col("vec_id").alias("query_id"), F.col("embedding")
     )
     return ivf_topk(
-        emb.filter(F.col("vec_id") >= 5), queries_df, k=10, n_lists=8, n_probe=3
+        emb.filter(F.col("vec_id") >= 5),
+        queries_df,
+        k=10,
+        n_lists=8,
+        n_probe=3,
+        centroids=centroids,
     )
 
 
@@ -924,9 +978,15 @@ SELECT window_start, event_type,
 FROM wins
 """
 
-    o["dedup_exact"] = """
+    o["dedup_exact"] = f"""
+WITH aug AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + {_PLANT_OFFSET}, text FROM documents
+  WHERE doc_id % {_PLANT_EVERY} = 0
+)
 SELECT md5(text) AS digest, COUNT(*) AS n_docs, MIN(doc_id) AS keep_id
-FROM documents GROUP BY 1 HAVING COUNT(*) > 1
+FROM aug GROUP BY 1 HAVING COUNT(*) > 1
 """
 
     o["dedup_minhash_lsh"] = _minhash_oracle()
@@ -953,17 +1013,9 @@ SELECT query_id, vec_id, cos_sim, rank FROM (
 ) WHERE rank <= 10
 """
 
-    o["embedding_dedup"] = """
-WITH c AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
-SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-       ROUND(list_dot_product(a.v, b.v)
-             / (sqrt(list_dot_product(a.v, a.v))
-                * sqrt(list_dot_product(b.v, b.v))), 6) AS cos_sim
-FROM c a JOIN c b ON a.vec_id < b.vec_id
-WHERE list_dot_product(a.v, b.v)
-      / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v)))
-      >= 0.9 - 5e-7
-"""
+    o["embedding_dedup"] = _embedding_dedup_oracle()
+
+    o["embedding_ivf_topk"] = _ivf_oracle()
 
     o["text_quality"] = _text_quality_oracle()
 
@@ -1101,6 +1153,85 @@ GROUP BY s.t
 
     # multimodal_features: mapInPandas decode stub — no SQL equivalent
     return o
+
+
+def _embedding_dedup_oracle(threshold: float = 0.9) -> str:
+    """Same LSH bucketing as the Spark query: sign pattern of <v, plane_i>
+    over the shared deterministic hyperplanes, pairs restricted to bucket
+    collisions, cosine ≥ threshold (filter matches the 6-dp rounding)."""
+
+    def arr(p: list[float]) -> str:
+        return "[" + ", ".join(repr(x) for x in p) + "]"
+
+    bits = "\n      || ".join(
+        f"(CASE WHEN list_dot_product(v, {arr(p)}) >= 0 THEN '1' ELSE '0' END)"
+        for p in _dedup_planes()
+    )
+    return f"""
+WITH aug AS (
+  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+  UNION ALL
+  SELECT vec_id + {_PLANT_OFFSET}, embedding::DOUBLE[] FROM embeddings
+  WHERE vec_id % {_PLANT_EVERY} = 0
+),
+sig AS (
+  SELECT vec_id, v,
+      {bits} AS bucket
+  FROM aug
+)
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       ROUND(list_dot_product(a.v, b.v)
+             / (sqrt(list_dot_product(a.v, a.v))
+                * sqrt(list_dot_product(b.v, b.v))), 6) AS cos_sim
+FROM sig a JOIN sig b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+WHERE list_dot_product(a.v, b.v)
+      / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v)))
+      >= {threshold} - 5e-7
+"""
+
+
+def _ivf_oracle(dim: int = _EMB_DIM, n_probe: int = 3, k: int = 10) -> str:
+    """IVF assignment with the fixed centroids (= embeddings of vec_id 5..12),
+    L2² computed with the same elementwise (a-b)² fold as the Spark plan."""
+    d2 = (
+        "list_sum(list_transform(generate_series(1, {dim}), "
+        "i -> ({{v}}[i] - ctr.ctv[i]) * ({{v}}[i] - ctr.ctv[i])))"
+    ).format(dim=dim)
+    return f"""
+WITH c AS (SELECT vec_id, embedding::DOUBLE[] AS cv FROM embeddings WHERE vec_id >= 5),
+ctr AS (SELECT vec_id - 5 AS list_id, embedding::DOUBLE[] AS ctv
+        FROM embeddings WHERE vec_id BETWEEN 5 AND 12),
+assign AS (
+  SELECT vec_id, cv, list_id FROM (
+    SELECT c.vec_id, c.cv, ctr.list_id,
+           row_number() OVER (PARTITION BY c.vec_id
+                              ORDER BY {d2.format(v="c.cv")}, ctr.list_id) AS rn
+    FROM c CROSS JOIN ctr
+  ) WHERE rn = 1
+),
+q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+      FROM embeddings WHERE vec_id < 5),
+probe AS (
+  SELECT query_id, qv, list_id FROM (
+    SELECT q.query_id, q.qv, ctr.list_id,
+           row_number() OVER (PARTITION BY q.query_id
+                              ORDER BY {d2.format(v="q.qv")}, ctr.list_id) AS rn
+    FROM q CROSS JOIN ctr
+  ) WHERE rn <= {n_probe}
+),
+scored AS (
+  SELECT p.query_id, a.vec_id,
+         ROUND(list_dot_product(p.qv, a.cv)
+               / (sqrt(list_dot_product(p.qv, p.qv))
+                  * sqrt(list_dot_product(a.cv, a.cv))), 6) AS cos_sim
+  FROM probe p JOIN assign a ON a.list_id = p.list_id
+)
+SELECT query_id, vec_id, cos_sim, rank FROM (
+  SELECT *, CAST(row_number() OVER (PARTITION BY query_id
+                ORDER BY cos_sim DESC, vec_id ASC) AS INT) AS rank
+  FROM scored
+) WHERE rank <= {k}
+"""
 
 
 def _minhash_oracle(num_hashes: int = 8, bands: int = 4, shingle_n: int = 3) -> str:

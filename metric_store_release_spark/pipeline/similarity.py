@@ -17,6 +17,29 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 
+#: embedding_cosine_dedup(planes=None) refuses corpora larger than this —
+#: the all-pairs self-join is O(n²) and exists only for tiny test inputs.
+ALL_PAIRS_MAX_ROWS = 10_000
+
+
+def deterministic_planes(dim: int, n_planes: int, seed: int = 1) -> list[list[float]]:
+    """Fixed pseudo-random hyperplane normals in [-1, 1).
+
+    A plain 64-bit LCG (Knuth constants) so the exact same float values can
+    be reproduced anywhere — including embedded as literals in oracle SQL —
+    with no RNG-library dependence.
+    """
+    state = seed & 0xFFFFFFFFFFFFFFFF
+    planes: list[list[float]] = []
+    for _ in range(n_planes):
+        p: list[float] = []
+        for _ in range(dim):
+            state = (state * 6364136223846793005 + 1442695040888963407) & 0xFFFFFFFFFFFFFFFF
+            p.append((state >> 11) / float(1 << 53) * 2.0 - 1.0)
+        planes.append(p)
+    return planes
+
+
 def _dot(a: Column, b: Column) -> Column:
     return F.aggregate(
         F.zip_with(a, b, lambda x, y: x * y),
@@ -132,10 +155,20 @@ def embedding_cosine_dedup(
 
     With `planes`, pairs are restricted to LSH-bucket collisions (scale
     path); without, all pairs are scored via a self-join on a trivial key —
-    only acceptable for small corpora (tests)."""
+    only acceptable for small corpora (tests), so the all-pairs path refuses
+    inputs over ALL_PAIRS_MAX_ROWS rather than silently planning an O(n²)
+    cross join."""
     c = corpus.select(
         F.col(id_col), F.col(vec_col).cast("array<double>").alias("v")
     )
+    if not planes:
+        n = c.limit(ALL_PAIRS_MAX_ROWS + 1).count()
+        if n > ALL_PAIRS_MAX_ROWS:
+            raise ValueError(
+                f"embedding_cosine_dedup without planes is all-pairs O(n²); "
+                f"corpus exceeds {ALL_PAIRS_MAX_ROWS} rows — pass an LSH "
+                f"plane set (e.g. deterministic_planes(dim, 8))"
+            )
     if planes:
         def signature(vec: Column) -> Column:
             bits = [
@@ -173,25 +206,33 @@ def ivf_topk(
     vec_col: str = "embedding",
     query_id_col: str = "query_id",
     seed: int = 42,
+    centroids: list[list[float]] | None = None,
 ) -> DataFrame:
-    """IVF (inverted-file) approximate top-k: coarse k-means quantizer.
+    """IVF (inverted-file) approximate top-k: coarse quantizer + probe.
 
-    Train KMeans centroids on (a sample of) the corpus, assign every corpus
-    vector to its nearest centroid (one map-side pass + tiny broadcast),
-    then score each query only against its `n_probe` nearest centroid lists.
-    The 100 TB path: the corpus is bucketed ONCE (clustered write), queries
-    touch n_probe/n_lists of the data.
+    With `centroids` given (a fixed list of n_lists vectors), assignment is
+    fully deterministic and reproducible by an external oracle. Otherwise
+    KMeans centroids are trained on the corpus (seeded, but iteration order
+    makes results engine-specific). Either way: assign every corpus vector
+    to its nearest centroid (one map-side pass + tiny broadcast), then score
+    each query only against its `n_probe` nearest centroid lists. The 100 TB
+    path: the corpus is bucketed ONCE (clustered write), queries touch
+    n_probe/n_lists of the data.
     """
-    from pyspark.ml.clustering import KMeans
-    from pyspark.ml.functions import array_to_vector
     from pyspark.sql.window import Window as W
 
     c = corpus.select(
         F.col(id_col), F.col(vec_col).cast("array<double>").alias("cvec")
     )
-    train = c.select(array_to_vector("cvec").alias("features"))
-    km = KMeans(k=n_lists, seed=seed, maxIter=20).fit(train)
-    centroids = [list(map(float, ctr)) for ctr in km.clusterCenters()]
+    if centroids is None:
+        from pyspark.ml.clustering import KMeans
+        from pyspark.ml.functions import array_to_vector
+
+        train = c.select(array_to_vector("cvec").alias("features"))
+        km = KMeans(k=n_lists, seed=seed, maxIter=20).fit(train)
+        centroids = [list(map(float, ctr)) for ctr in km.clusterCenters()]
+    elif len(centroids) != n_lists:
+        raise ValueError(f"expected {n_lists} centroids, got {len(centroids)}")
 
     def nearest_lists(vec: Column, n: int) -> Column:
         dists = F.array(

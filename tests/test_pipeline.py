@@ -155,6 +155,71 @@ def test_multimodal_unknown_codec_raises(spark):
         extract_media_features(media).collect()
 
 
+def test_embedding_dedup_all_pairs_guard(spark, monkeypatch):
+    from metric_store_release_spark.pipeline import similarity
+
+    emb = spark.createDataFrame(
+        [(i, [float(i), 1.0]) for i in range(5)],
+        "vec_id long, embedding array<float>",
+    )
+    # small corpora still take the all-pairs path
+    similarity.embedding_cosine_dedup(emb, threshold=0.99).collect()
+    # over the cap without planes → refuse rather than plan O(n²)
+    monkeypatch.setattr(similarity, "ALL_PAIRS_MAX_ROWS", 3)
+    with pytest.raises(ValueError, match="all-pairs"):
+        similarity.embedding_cosine_dedup(emb, threshold=0.99)
+
+
+def test_embedding_dedup_lsh_finds_planted_copies(spark):
+    from metric_store_release_spark.pipeline.similarity import (
+        deterministic_planes,
+        embedding_cosine_dedup,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    copies = emb.filter(F.col("vec_id") % 10 == 0).withColumn(
+        "vec_id", F.col("vec_id") + F.lit(100_000)
+    )
+    planted = emb.unionByName(copies)
+    planes = deterministic_planes(64, 8, seed=7)
+    out = embedding_cosine_dedup(planted, threshold=0.95, planes=planes).collect()
+    pairs = {(r["id_a"], r["id_b"]) for r in out}
+    originals = {r["vec_id"] for r in emb.filter(F.col("vec_id") % 10 == 0).collect()}
+    # every planted exact copy shares its original's bucket → all found
+    assert {(v, v + 100_000) for v in originals} <= pairs
+    assert all(r["cos_sim"] >= 0.95 for r in out)
+
+
+def test_deterministic_planes_stable():
+    from metric_store_release_spark.pipeline.similarity import deterministic_planes
+
+    a = deterministic_planes(8, 3, seed=7)
+    b = deterministic_planes(8, 3, seed=7)
+    assert a == b
+    assert len(a) == 3 and all(len(p) == 8 for p in a)
+    assert all(-1.0 <= x < 1.0 for p in a for x in p)
+    assert deterministic_planes(8, 3, seed=8) != a
+
+
+def test_ivf_topk_fixed_centroids_deterministic(spark):
+    from metric_store_release_spark.pipeline.similarity import ivf_topk
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    queries = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    corpus = emb.filter(F.col("vec_id") >= 3)
+    centroids = [
+        [float(x) for x in r.embedding]
+        for r in corpus.filter(F.col("vec_id") <= 6).orderBy("vec_id").collect()
+    ]
+    a = ivf_topk(corpus, queries, k=5, n_lists=4, n_probe=2, centroids=centroids)
+    b = ivf_topk(corpus, queries, k=5, n_lists=4, n_probe=2, centroids=centroids)
+    assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
+    with pytest.raises(ValueError, match="expected 4 centroids"):
+        ivf_topk(corpus, queries, n_lists=4, centroids=centroids[:2])
+
+
 def test_ivf_topk_matches_brute_force_for_easy_queries(spark):
     from metric_store_release_spark.pipeline.similarity import brute_force_topk, ivf_topk
 
