@@ -12,6 +12,10 @@ Reference (semantics only, not code): /root/reference
 """
 
 from metric_store_release_spark.engine.engine import PromQLEngine, EngineConfig
+from metric_store_release_spark.engine.admission import (
+    QueryLimitError,
+    QueryTimeoutError,
+)
 
-__all__ = ["PromQLEngine", "EngineConfig"]
+__all__ = ["PromQLEngine", "EngineConfig", "QueryLimitError", "QueryTimeoutError"]
 __version__ = "0.1.0"

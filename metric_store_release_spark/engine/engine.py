@@ -3,16 +3,21 @@
 Mirrors the reference's entry points (vendor promql/engine.go NewInstantQuery
 :435 / NewRangeQuery :456, exposed over the Prometheus v1 HTTP API in
 src/internal/api/prom_api.go): an instant query is a range query with a
-single step. Admission limits (timeout, max-samples) are the caller's
-concern here — Spark's own resource management replaces the reference's
-ActiveQueryTracker gate (metric_store.go:295-303).
+single step. The reference's admission envelope (metric_store.go:295-303:
+MaxSamples 20e6, 10 s query timeout, 20-query ActiveQueryTracker gate) is
+enforced here too: max-samples as a pre-plan scan-fan-out estimate, timeout
+and concurrency at execution time via `execute()` (plans are lazy, so the
+wall clock starts when the caller runs the action).
 """
 
 from __future__ import annotations
 
+import threading
+import time
+import uuid
 from dataclasses import dataclass
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, Row, SparkSession
 from pyspark.sql import functions as F
 
 from metric_store_release_spark.datamodel import DEFAULT_LOOKBACK_MS, NAME_LABEL
@@ -33,10 +38,20 @@ from metric_store_release_spark.promql import parse
 class EngineConfig:
     lookback_ms: int = DEFAULT_LOOKBACK_MS
     default_subquery_step_ms: int = 60_000
-    #: enable the reference's duplicate-series / many-to-many matching
-    #: errors (engine.go:2228-2246,2290-2309) as lazy runtime assertions —
-    #: off by default since the window count costs a pass over each binop side
-    check_matching: bool = False
+    #: the reference's duplicate-series / many-to-many matching errors
+    #: (engine.go:2228-2246,2290-2309) as lazy runtime assertions — ON by
+    #: default to match the reference, which rejects on() collisions
+    #: unconditionally; the window count over each binop side is a per-group
+    #: pass that AQE keeps cheap (measured < 10% on the binop benches)
+    check_matching: bool = True
+    #: reference admission envelope (metric_store.go:296,300,109):
+    #: max step-grid sample fan-out per query, enforced INSIDE the plan as a
+    #: lazy assertion (None disables; execute() maps the failure to
+    #: QueryLimitError), wall-clock timeout applied by execute(), and the
+    #: concurrent-query gate size
+    max_samples: int | None = 20_000_000
+    timeout_ms: int | None = 10_000
+    max_concurrent_queries: int = 20
     #: tumbling-partial (two-level) threshold for sliding range functions;
     #: 0 disables (default). Measured: Spark's map-side partial aggregation
     #: already compresses the window fan-out before the shuffle, so the
@@ -50,6 +65,9 @@ class PromQLEngine:
     def __init__(self, spark: SparkSession, config: EngineConfig | None = None):
         self.spark = spark
         self.config = config or EngineConfig()
+        self._query_gate = threading.BoundedSemaphore(
+            self.config.max_concurrent_queries
+        )
 
     def query_range(
         self,
@@ -81,8 +99,34 @@ class PromQLEngine:
             bucketed_range_threshold=self.config.bucketed_range_threshold,
         )
         res = Evaluator(ctx).eval(node)
+
+        def _admit(out: DataFrame, order_by: list | None = None) -> DataFrame:
+            if self.config.max_samples is None:
+                return out
+            from metric_store_release_spark.engine.admission import (
+                attach_sample_guard,
+                static_sample_bound,
+            )
+
+            # metadata-cheap upper bound first: when it proves the query is
+            # under the cap, the plan stays untouched (zero overhead); only
+            # inconclusive queries carry the exact in-plan guard
+            bound = static_sample_bound(
+                samples, node, start_ms, end_ms, step_ms,
+                self.config.lookback_ms,
+            )
+            if bound is not None and bound <= self.config.max_samples:
+                return out
+            out = attach_sample_guard(
+                out, samples, node, start_ms, end_ms, step_ms,
+                self.config.lookback_ms, self.config.max_samples,
+            )
+            # the guard join voids any sort()/sort_desc() ordering guarantee
+            # — re-assert presentation order on top of it
+            return out.orderBy(*order_by) if order_by else out
+
         if isinstance(res, VectorResult):
-            return res.df.select("t", "labels", "value")
+            return _admit(res.df.select("t", "labels", "value"), res.order_by)
         if isinstance(res, ScalarResult):
             if res.is_const:
                 return Evaluator(ctx).steps_df().select(
@@ -90,11 +134,11 @@ class PromQLEngine:
                     F.expr("cast(map() as map<string,string>)").alias("labels"),
                     F.lit(float(res.const)).alias("value"),
                 )
-            return res.df.select(
+            return _admit(res.df.select(
                 "t",
                 F.expr("cast(map() as map<string,string>)").alias("labels"),
                 "value",
-            )
+            ))
         if isinstance(res, StringResult):
             raise PromQLEvalError("string results are not materializable")
         raise PromQLEvalError("unexpected result type")
@@ -103,6 +147,62 @@ class PromQLEngine:
         self, samples: DataFrame, promql: str, time_ms: int
     ) -> DataFrame:
         return self.query_range(samples, promql, time_ms, time_ms, 1)
+
+    def execute(
+        self, df: DataFrame, timeout_ms: int | None = None
+    ) -> list[Row]:
+        """Run a query plan under the reference's execution envelope.
+
+        Non-blocking concurrent-query gate (ActiveQueryTracker analog) +
+        wall-clock timeout enforced by cancelling the query's Spark job
+        group (metric_store.go:109 QueryTimeout, :295-303 tracker)."""
+        from metric_store_release_spark.engine.admission import (
+            QueryLimitError,
+            QueryTimeoutError,
+        )
+
+        timeout = self.config.timeout_ms if timeout_ms is None else timeout_ms
+        if not self._query_gate.acquire(blocking=False):
+            raise QueryLimitError(
+                f"too many concurrent queries "
+                f"(max {self.config.max_concurrent_queries})"
+            )
+        sc = self.spark.sparkContext
+        group = f"promql-{uuid.uuid4().hex[:12]}"
+        timed_out = threading.Event()
+        timer: threading.Timer | None = None
+        try:
+            sc.setJobGroup(group, "promql query", interruptOnCancel=True)
+            if timeout is not None:
+                def _cancel() -> None:
+                    timed_out.set()
+                    sc.cancelJobGroup(group)
+
+                timer = threading.Timer(timeout / 1000.0, _cancel)
+                timer.daemon = True
+                timer.start()
+            t0 = time.monotonic()
+            try:
+                return df.collect()
+            except Exception as e:
+                if timed_out.is_set():
+                    raise QueryTimeoutError(
+                        f"query cancelled after "
+                        f"{(time.monotonic() - t0) * 1000:.0f} ms "
+                        f"(timeout {timeout} ms)"
+                    ) from e
+                from metric_store_release_spark.engine.admission import (
+                    GUARD_MESSAGE,
+                )
+
+                if GUARD_MESSAGE in str(e):
+                    raise QueryLimitError(str(e)) from e
+                raise
+        finally:
+            if timer is not None:
+                timer.cancel()
+            sc.setLocalProperty("spark.jobGroup.id", None)
+            self._query_gate.release()
 
 
 def explode_labels(df: DataFrame, keys: list[str], keep_name: bool = False) -> DataFrame:

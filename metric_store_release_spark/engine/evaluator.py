@@ -72,7 +72,7 @@ class EvalContext:
     default_subquery_step_ms: int = 60_000
     query_start_ms: int = 0  # for @ start()/end()
     query_end_ms: int = 0
-    check_matching: bool = False  # runtime duplicate/many-to-many assertions
+    check_matching: bool = True  # runtime duplicate/many-to-many assertions
     #: use tumbling-partial (two-level) evaluation for combinable range
     #: functions when range/step >= this ratio (0 = disabled, the default:
     #: map-side combine already compresses the direct fan-out pre-shuffle)
@@ -332,10 +332,10 @@ class Evaluator:
             return VectorResult(out)
         if name in ("sort", "sort_desc"):
             vec = self._vector_arg(node.args[0])
-            df = vec.df.orderBy(
+            order = [
                 F.col("value").asc() if name == "sort" else F.col("value").desc()
-            )
-            return VectorResult(df)
+            ]
+            return VectorResult(vec.df.orderBy(*order), order_by=order)
         if name == "absent":
             return self._eval_absent(node.args[0])
         if name == "absent_over_time":

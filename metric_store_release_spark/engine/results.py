@@ -48,6 +48,10 @@ class StringResult:
 @dataclass
 class VectorResult:
     df: DataFrame  # t, labels, sig, value [, sample_ts]
+    #: presentation ordering from a top-level sort()/sort_desc() — carried
+    #: separately so the engine can re-assert it after plan additions (e.g.
+    #: the admission guard join) that void SQL ordering guarantees
+    order_by: list | None = None
 
 
 @dataclass

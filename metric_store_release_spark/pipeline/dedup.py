@@ -108,8 +108,20 @@ def minhash_lsh_candidates(
     num_hashes: int = 16,
     bands: int = 4,
     shingle_n: int = 3,
+    bucket_cap: int = 1000,
 ) -> DataFrame:
-    """Candidate near-duplicate pairs via LSH banding (a < b, distinct)."""
+    """Candidate near-duplicate pairs via LSH banding (a < b, distinct).
+
+    Skew guard: a cluster of k documents sharing a band signature (e.g. k
+    byte-identical copies) would emit k² pairs from one bucket. Buckets
+    larger than ``bucket_cap`` instead emit STAR pairs — hub (min id) ↔
+    every other member, O(k) — which preserves the connectivity a
+    transitive-closure dedup needs; members of such a bucket agree on a full
+    band of minhashes, so they are (near-)exact duplicates and pairwise
+    verification adds nothing. The bucket-size window runs on the same
+    (band_id, bh) key the self-join shuffles on, so it adds no extra
+    exchange.
+    """
     rows_per_band = num_hashes // bands
     sigs = minhash_signatures(df, text_col, id_col, num_hashes, shingle_n)
     band_structs = [
@@ -133,21 +145,34 @@ def minhash_lsh_candidates(
     # self-join would recompute the signature lineage twice; persist the
     # (tiny) band table — at warehouse scale this is a signatures table write
     stacked = stacked.persist()
-    a = stacked.alias("a")
-    b = stacked.alias("b")
-    pairs = (
-        a.join(
-            b,
-            (F.col("a.band_id") == F.col("b.band_id"))
-            & (F.col("a.bh") == F.col("b.bh"))
-            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
-        )
-        .select(
-            F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b")
-        )
-        .distinct()
+    # oversized buckets: a map-side-combined count (shuffles one partial row
+    # per partition per bucket, not every member), then broadcast — there
+    # are, by construction, very few buckets over the cap
+    big = (
+        stacked.groupBy("band_id", "bh")
+        .agg(F.count(F.lit(1)).alias("bk_n"), F.min(id_col).alias("hub"))
+        .filter(F.col("bk_n") > bucket_cap)
     )
-    return pairs
+    # one left join against the (broadcast) big-bucket table serves both
+    # branches; the identical broadcast subtree dedups to a ReusedExchange
+    ann = stacked.join(F.broadcast(big), ["band_id", "bh"], "left")
+    small = ann.filter(F.col("bk_n").isNull()).select(id_col, "band_id", "bh")
+    a = small.alias("a")
+    b = small.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.band_id") == F.col("b.band_id"))
+        & (F.col("a.bh") == F.col("b.bh"))
+        & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+    ).select(
+        F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b")
+    )
+    star = (
+        ann.filter(F.col("bk_n").isNotNull() & (F.col(id_col) != F.col("hub")))
+        # hub is the bucket min, so id_a < id_b holds by construction
+        .select(F.col("hub").alias("id_a"), F.col(id_col).alias("id_b"))
+    )
+    return pairs.unionByName(star).distinct()
 
 
 def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id", bits: int = 32) -> DataFrame:

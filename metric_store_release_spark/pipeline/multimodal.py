@@ -50,12 +50,94 @@ FEATURES_SCHEMA = StructType(
 )
 
 
-def _decode_stub(media_type: str, payload: bytes) -> tuple[int | None, int | None, float | None]:
-    """Codec stub. Real deployments plug a decoder here (PIL/ffmpeg).
+#: ITU-R BT.601 luma weights (R, G, B)
+_LUMA = (0.299, 0.587, 0.114)
 
-    "fake/raw" payloads are b"WxH:" + pixel bytes — decoded deterministically
-    so tests exercise the full path.
+
+def _ppm_header(payload: bytes) -> tuple[bytes, int, int, int, int]:
+    """Parse a netpbm header: magic, width, height, maxval, data offset.
+
+    Handles arbitrary whitespace and '#' comments per the spec."""
+    magic = payload[:2]
+    pos = 2
+    fields: list[int] = []
+    while len(fields) < 3:
+        while pos < len(payload) and payload[pos : pos + 1].isspace():
+            pos += 1
+        if payload[pos : pos + 1] == b"#":
+            while pos < len(payload) and payload[pos] != 0x0A:
+                pos += 1
+            continue
+        start = pos
+        while pos < len(payload) and not payload[pos : pos + 1].isspace():
+            pos += 1
+        fields.append(int(payload[start:pos]))
+    pos += 1  # single whitespace after maxval, then raster data
+    return magic, fields[0], fields[1], fields[2], pos
+
+
+def _decode_ppm(payload: bytes) -> tuple[int, int, float]:
+    """Binary netpbm: P6 (RGB) and P5 (grayscale), 8-bit maxval."""
+    magic, w, h, maxval, pos = _ppm_header(payload)
+    if magic not in (b"P6", b"P5"):
+        raise ValueError(f"unsupported netpbm magic {magic!r}")
+    if maxval > 255:
+        raise ValueError("16-bit netpbm not supported")
+    channels = 3 if magic == b"P6" else 1
+    pixels = payload[pos : pos + w * h * channels]
+    if len(pixels) < w * h * channels:
+        raise ValueError("truncated netpbm raster")
+    if channels == 1:
+        mean = sum(pixels) / (w * h)
+    else:
+        mean = (
+            sum(
+                _LUMA[0] * pixels[i] + _LUMA[1] * pixels[i + 1] + _LUMA[2] * pixels[i + 2]
+                for i in range(0, len(pixels), 3)
+            )
+            / (w * h)
+        )
+    return w, h, float(mean)
+
+
+def _decode_bmp(payload: bytes) -> tuple[int, int, float]:
+    """Uncompressed 24-bit BI_RGB Windows BMP (BGR rows, 4-byte padded,
+    bottom-up)."""
+    import struct
+
+    if payload[:2] != b"BM":
+        raise ValueError("not a BMP payload")
+    data_offset = struct.unpack_from("<I", payload, 10)[0]
+    w, h_raw = struct.unpack_from("<ii", payload, 18)
+    bpp = struct.unpack_from("<H", payload, 28)[0]
+    compression = struct.unpack_from("<I", payload, 30)[0]
+    if bpp != 24 or compression != 0:
+        raise ValueError(f"only 24-bit BI_RGB supported (bpp={bpp})")
+    h = abs(h_raw)
+    row_bytes = (w * 3 + 3) & ~3
+    total = 0.0
+    for row in range(h):
+        base = data_offset + row * row_bytes
+        for x in range(w):
+            b_, g, r = payload[base + 3 * x : base + 3 * x + 3]
+            total += _LUMA[0] * r + _LUMA[1] * g + _LUMA[2] * b_
+    return w, h, total / (w * h)
+
+
+def _decode_stub(media_type: str, payload: bytes) -> tuple[int | None, int | None, float | None]:
+    """Per-payload codec dispatch.
+
+    Pure-Python decoders for netpbm (image/x-portable-pixmap P6,
+    image/x-portable-graymap P5) and 24-bit BMP — real formats, no external
+    libs. "fake/raw" payloads are b"WxH:" + pixel bytes, a deterministic
+    fake kept for plumbing tests. Everything else (JPEG/PNG/audio/video
+    needs PIL/ffmpeg, absent in this container) raises NotImplementedError —
+    real deployments plug their codec in here.
     """
+    if media_type in ("image/x-portable-pixmap", "image/x-portable-graymap"):
+        return _decode_ppm(payload)
+    if media_type == "image/bmp":
+        return _decode_bmp(payload)
     if media_type == "fake/raw":
         header, _, pixels = payload.partition(b":")
         w_s, _, h_s = header.partition(b"x")
@@ -97,6 +179,21 @@ def fake_media_from_documents(documents: DataFrame) -> DataFrame:
         F.lit("fake/raw").alias("media_type"),
         F.concat(
             F.lit("8x4:"), F.substring(F.col("text"), 1, 32)
+        ).cast("binary").alias("payload"),
+    )
+
+
+def ppm_media_from_documents(documents: DataFrame) -> DataFrame:
+    """Deterministic P6 netpbm corpus derived from `documents`.
+
+    The 4×2 RGB raster is the first 24 hex characters of md5(text) as ASCII
+    bytes — real image payloads whose decoded features a SQL oracle can
+    reproduce exactly (hex chars are single-byte, so character == byte)."""
+    return documents.select(
+        F.col("doc_id"),
+        F.lit("image/x-portable-pixmap").alias("media_type"),
+        F.concat(
+            F.lit("P6\n4 2\n255\n"), F.substring(F.md5(F.col("text")), 1, 24)
         ).cast("binary").alias("payload"),
     )
 

@@ -11,6 +11,7 @@ into row-group filters (the TSI-index analog).
 from __future__ import annotations
 
 import shutil
+from collections.abc import Callable
 from pathlib import Path
 
 from pyspark.sql import DataFrame, SparkSession
@@ -47,6 +48,70 @@ def expire_shards(path: str, cutoff_date: str) -> list[str]:
         if day < cutoff_date:
             shutil.rmtree(part)
             dropped.append(part.name)
+    return dropped
+
+
+def _shard_bytes(part: Path) -> int:
+    return sum(f.stat().st_size for f in part.rglob("*") if f.is_file())
+
+
+def prune_oldest_shards(
+    path: str,
+    max_total_bytes: int | None = None,
+    disk_free_pct: "Callable[[], float] | None" = None,
+    disk_free_target_pct: float | None = None,
+) -> list[str]:
+    """Disk-low retention: drop OLDEST shards first, regardless of age.
+
+    Mirrors store.go:185-214 — when the disk-free reporter falls below
+    DiskFreePercentTarget, deleteOldest() removes one oldest shard per check
+    until the target is met. Two modes (either or both):
+
+      - ``max_total_bytes``: drop oldest partitions until the store's total
+        on-disk size fits the byte budget (a deterministic analog of the
+        percent target, testable without statvfs).
+      - ``disk_free_pct`` + ``disk_free_target_pct``: re-invoke the reporter
+        after each drop, exactly the reference's loop shape.
+
+    Never drops the newest remaining shard. Returns dropped partition names.
+    """
+    root = Path(path)
+    parts = sorted(root.glob(f"{PARTITION_COL}=*"))  # name order == day order
+    dropped: list[str] = []
+    while len(parts) > 1:
+        over_budget = (
+            max_total_bytes is not None
+            and sum(_shard_bytes(p) for p in parts) > max_total_bytes
+        )
+        disk_low = (
+            disk_free_pct is not None
+            and disk_free_target_pct is not None
+            and disk_free_pct() < disk_free_target_pct
+        )
+        if not (over_budget or disk_low):
+            break
+        oldest = parts.pop(0)
+        shutil.rmtree(oldest)
+        dropped.append(oldest.name)
+    return dropped
+
+
+def retention_sweep(
+    path: str,
+    cutoff_date: str | None = None,
+    max_total_bytes: int | None = None,
+    disk_free_pct: "Callable[[], float] | None" = None,
+    disk_free_target_pct: float | None = None,
+) -> list[str]:
+    """One periodic-expiry tick (store.go:178-198 deleteExpiredData): age
+    cutoff first, then disk-low/oldest-first pruning. Returns all dropped
+    partition names."""
+    dropped: list[str] = []
+    if cutoff_date is not None:
+        dropped += expire_shards(path, cutoff_date)
+    dropped += prune_oldest_shards(
+        path, max_total_bytes, disk_free_pct, disk_free_target_pct
+    )
     return dropped
 
 

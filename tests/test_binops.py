@@ -325,23 +325,56 @@ def test_or_with_mixed_schemas(engine, samples):
     assert df.count() == 4  # 2 jobs + 2 vector_matching_a series
 
 
-def test_many_to_many_detection(spark, samples):
+def test_many_to_many_detection_default_on(spark, samples, engine):
     from metric_store_release_spark import EngineConfig, PromQLEngine
 
-    strict = PromQLEngine(spark, EngineConfig(check_matching=True))
+    # engine.go:2228-2246: the reference rejects on() collisions
+    # unconditionally, so the DEFAULT engine must raise
     with pytest.raises(Exception, match="many-to-many"):
-        strict.query_instant(
+        engine.query_instant(
             samples,
             'http_requests{group="canary"} + on(job) http_requests{group="production"}',
             50 * MIN,
         ).collect()
-    # unique matches still work in strict mode
-    out = strict.query_instant(
+    # unique matches still work
+    out = engine.query_instant(
         samples,
         'http_requests{group="canary"} / ignoring(group) http_requests{group="production"}',
         50 * MIN,
     )
     assert out.count() == 4
+    # explicit opt-out restores the permissive join
+    loose = PromQLEngine(spark, EngineConfig(check_matching=False))
+    n = loose.query_instant(
+        samples,
+        'http_requests{group="canary"} + on(job) http_requests{group="production"}',
+        50 * MIN,
+    ).count()
+    assert n > 0
+
+
+def test_many_to_many_eval_fail_corpus(engine, spark):
+    # operators.test "many-to-many matching not allowed" eval_fail cases
+    df = corpus.load(
+        spark, 5 * MIN,
+        [
+            'node_cpu{instance="a", mode="user"} 1',
+            'node_cpu{instance="a", mode="system"} 1',
+            'node_cpu{instance="b", mode="user"} 2',
+            'node_fs{instance="a", filesystem="x"} 10',
+            'node_fs{instance="a", filesystem="y"} 20',
+        ],
+    )
+    # group_left with duplicates on the "one" (rhs) side
+    with pytest.raises(Exception, match="many-to-many"):
+        engine.query_instant(
+            df, "node_cpu / on(instance) group_left() node_fs", 5 * MIN
+        ).collect()
+    # one-to-one with duplicates on both sides
+    with pytest.raises(Exception, match="many-to-many"):
+        engine.query_instant(
+            df, "node_cpu + on(instance) node_fs", 5 * MIN
+        ).collect()
 
 
 def test_on_empty_and_ignoring_empty(engine, spark):

@@ -41,6 +41,32 @@ def test_minhash_lsh_finds_near_dups(docs):
     assert (1, 4) not in pairs
 
 
+def test_minhash_bucket_cap_star_pairs(spark):
+    from metric_store_release_spark.pipeline.dedup import minhash_lsh_candidates
+
+    # a cluster of k identical docs: every band bucket holds all k members,
+    # which would be k² pairs without the cap; with it, each bucket emits
+    # k-1 star pairs around the min id — O(k), connectivity preserved
+    k = 200
+    rows = [(i, "same exact text repeated in every document body") for i in range(k)]
+    rows += [(1000, "an unrelated document about entirely different things")]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    pairs = {
+        (r["id_a"], r["id_b"])
+        for r in minhash_lsh_candidates(
+            docs, num_hashes=8, bands=4, bucket_cap=50
+        ).collect()
+    }
+    assert pairs == {(0, i) for i in range(1, k)}
+    # under the cap the same cluster yields all-pairs candidates
+    small = spark.createDataFrame(rows[:4], "doc_id long, text string")
+    all_pairs = {
+        (r["id_a"], r["id_b"])
+        for r in minhash_lsh_candidates(small, num_hashes=8, bands=4).collect()
+    }
+    assert all_pairs == {(a, b) for a in range(4) for b in range(a + 1, 4)}
+
+
 def test_simhash_close_for_near_dups(docs):
     from metric_store_release_spark.pipeline.dedup import simhash
 
@@ -142,6 +168,55 @@ def test_multimodal_features(spark):
     )
     frames = frame_sample_plan(media, every_n=2).groupBy("doc_id").count().collect()
     assert all(r["count"] == 4 for r in frames)
+
+
+def test_netpbm_and_bmp_decoders():
+    import struct
+
+    from metric_store_release_spark.pipeline.multimodal import _decode_stub
+
+    # P6 2x1: one red pixel, one white pixel (comment + odd whitespace)
+    p6 = b"P6\n# a comment\n2 1\n255\n" + bytes([255, 0, 0, 255, 255, 255])
+    w, h, luma = _decode_stub("image/x-portable-pixmap", p6)
+    assert (w, h) == (2, 1)
+    assert luma == pytest.approx((0.299 * 255 + 255) / 2)
+    # P5 grayscale 2x2
+    p5 = b"P5\n2 2\n255\n" + bytes([0, 100, 200, 100])
+    assert _decode_stub("image/x-portable-graymap", p5) == (2, 2, 100.0)
+    # 24-bit BMP 2x1 (BGR order, row padded to 4 bytes, bottom-up)
+    row = bytes([0, 0, 255, 255, 255, 255]) + b"\x00\x00"  # red, white + pad
+    header = (
+        b"BM" + struct.pack("<IHHI", 54 + len(row), 0, 0, 54)
+        + struct.pack("<IiiHHIIiiII", 40, 2, 1, 1, 24, 0, len(row), 0, 0, 0, 0)
+    )
+    w, h, luma = _decode_stub("image/bmp", header + row)
+    assert (w, h) == (2, 1)
+    assert luma == pytest.approx((0.299 * 255 + 255) / 2)
+
+
+def test_ppm_media_matches_python_decode(spark):
+    import hashlib
+
+    from metric_store_release_spark.pipeline.multimodal import (
+        extract_media_features,
+        ppm_media_from_documents,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "hello world"), (2, "entirely different text")],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in
+           extract_media_features(ppm_media_from_documents(docs)).collect()}
+    for doc_id, text in [(1, "hello world"), (2, "entirely different text")]:
+        hexs = hashlib.md5(text.encode()).hexdigest()[:24].encode()
+        want = sum(
+            0.299 * hexs[i] + 0.587 * hexs[i + 1] + 0.114 * hexs[i + 2]
+            for i in range(0, 24, 3)
+        ) / 8
+        r = out[doc_id]
+        assert (r["width"], r["height"], r["n_bytes"]) == (4, 2, 35)
+        assert r["mean_luma"] == pytest.approx(want)
 
 
 def test_multimodal_unknown_codec_raises(spark):

@@ -172,6 +172,71 @@ def test_storage_roundtrip_and_retention(spark, engine):
         assert [r["value"] for r in out.collect()] == [3.0]
 
 
+def test_prune_oldest_shards_byte_budget(spark):
+    from metric_store_release_spark.sources.storage import (
+        _shard_bytes,
+        prune_oldest_shards,
+        read_samples,
+        write_samples,
+    )
+    from pathlib import Path
+
+    day = 86_400_000
+    rows = [
+        (d * day + i, "m", float(i), {"a": "x"})
+        for d in range(5)
+        for i in range(50)
+    ]
+    df = spark.createDataFrame(
+        rows, "ts long, name string, value double, labels map<string,string>"
+    )
+    with tempfile.TemporaryDirectory() as tmp:
+        write_samples(df, tmp)
+        parts = sorted(Path(tmp).glob("date=*"))
+        assert len(parts) == 5
+        # budget that fits exactly the newest two shards
+        budget = sum(_shard_bytes(p) for p in parts[-2:])
+        dropped = prune_oldest_shards(tmp, max_total_bytes=budget)
+        # oldest-first until under budget (store.go deleteOldest loop)
+        assert dropped == ["date=1970-01-01", "date=1970-01-02", "date=1970-01-03"]
+        assert read_samples(spark, tmp).count() == 100
+        # under budget now: another sweep is a no-op
+        assert prune_oldest_shards(tmp, max_total_bytes=budget) == []
+
+
+def test_prune_oldest_disk_free_reporter(spark):
+    from metric_store_release_spark.sources.storage import (
+        prune_oldest_shards,
+        retention_sweep,
+        write_samples,
+    )
+    from pathlib import Path
+
+    day = 86_400_000
+    df = spark.createDataFrame(
+        [(d * day, "m", 1.0, {"a": "x"}) for d in range(4)],
+        "ts long, name string, value double, labels map<string,string>",
+    )
+    with tempfile.TemporaryDirectory() as tmp:
+        write_samples(df, tmp)
+        # reporter below target for two checks, then recovered —
+        # one oldest shard dropped per check (store.go:185-198)
+        free = iter([5.0, 10.0, 30.0])
+        dropped = prune_oldest_shards(
+            tmp, disk_free_pct=lambda: next(free), disk_free_target_pct=20.0
+        )
+        assert dropped == ["date=1970-01-01", "date=1970-01-02"]
+        # never drops the last remaining shard even if still low
+        dropped = prune_oldest_shards(
+            tmp, disk_free_pct=lambda: 1.0, disk_free_target_pct=20.0
+        )
+        assert dropped == ["date=1970-01-03"]
+        assert [p.name for p in Path(tmp).glob("date=*")] == ["date=1970-01-04"]
+        assert retention_sweep(
+            tmp, disk_free_pct=lambda: 1.0, disk_free_target_pct=20.0
+        ) == []
+
+
 def test_compact_shards(spark):
     import tempfile
 
