@@ -118,3 +118,68 @@ def counters_to_points(envelopes: DataFrame) -> DataFrame:
 def envelopes_to_points(envelopes: DataFrame) -> DataFrame:
     """Gauges + counters (timers go through the rollup pipeline instead)."""
     return gauges_to_points(envelopes).unionByName(counters_to_points(envelopes))
+
+
+class NozzleMetrics:
+    """Driver-side drop accounting (NozzleDroppedEnvelopesTotal analog)."""
+
+    def __init__(self) -> None:
+        self.dropped_envelopes_total = 0
+        self.ingressed_envelopes_total = 0
+
+
+def load_shed(
+    batch: DataFrame, max_rows: int, metrics: NozzleMetrics | None = None
+) -> DataFrame:
+    """Per-micro-batch load shed: keep the NEWEST `max_rows` envelopes,
+    drop (and count) the rest — the OneToOne diode's overwrite-oldest
+    behavior (nozzle.go:93-101). The cap is a per-batch memory bound; the
+    newest-first ordering matches a ring buffer overwritten by arrivals."""
+    total = batch.count()
+    if total <= max_rows:
+        if metrics is not None:
+            metrics.ingressed_envelopes_total += total
+        return batch
+    kept = batch.orderBy(F.col("ts").desc()).limit(max_rows)
+    if metrics is not None:
+        metrics.dropped_envelopes_total += total - max_rows
+        metrics.ingressed_envelopes_total += max_rows
+    return kept
+
+
+def nozzle_stream(
+    spark,
+    envelope_dir: str,
+    out_path: str,
+    checkpoint: str,
+    max_files_per_trigger: int = 8,
+    shed_above_rows: int | None = None,
+    metrics: NozzleMetrics | None = None,
+):
+    """File-source envelope stream → points → shard store, with enforced
+    backpressure: `maxFilesPerTrigger` bounds how much each micro-batch
+    admits (the maxOffsetsPerTrigger analog for the file source), and
+    `shed_above_rows` drops the oldest envelopes beyond the cap inside
+    each batch, counting drops (the nozzle's diode alert). Returns the
+    started StreamingQuery."""
+    envelopes = (
+        spark.readStream.schema(ENVELOPE_SCHEMA)
+        .option("maxFilesPerTrigger", str(max_files_per_trigger))
+        .parquet(envelope_dir)
+    )
+
+    def emit(batch: DataFrame, batch_id: int) -> None:
+        from metric_store_release_spark.sources.storage import write_samples
+
+        if shed_above_rows is not None:
+            batch = load_shed(batch, shed_above_rows, metrics)
+        elif metrics is not None:
+            metrics.ingressed_envelopes_total += batch.count()
+        write_samples(envelopes_to_points(batch), out_path)
+
+    return (
+        envelopes.writeStream.foreachBatch(emit)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -185,6 +185,109 @@ def rollup_histograms(
     return buckets_df.unionByName(count_df).unionByName(sum_df)
 
 
+def stateful_rollup_counters(
+    envelopes: DataFrame,
+    interval_ms: int = 10_000,
+    tags: tuple[str, ...] = DEFAULT_ROLLUP_TAGS,
+    node_index: str | None = "0",
+) -> DataFrame:
+    """`http_total` with running totals that survive micro-batch boundaries.
+
+    The plain `rollup_counters` window-sum restarts per micro-batch (a
+    counter reset, which rate() absorbs). This is the exact analog of
+    counter.go:31-70's persistent counters map: per-key state holds the
+    running total across ALL batches via applyInPandasWithState, so
+    emissions are monotone cumulative no matter how ingestion is chunked.
+    State is one long per (source_id, tags) series — bounded by series
+    cardinality, the same bound the reference's map has. Late envelopes
+    re-emit their interval with the corrected running total (last write
+    wins in the shard store, like the reference's overwrite-on-same-ts).
+
+    Works on a streaming DataFrame; on a batch DataFrame use
+    `rollup_counters` (identical output when all data is one batch).
+    """
+    import pandas as pd
+
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+    from pyspark.sql.types import (
+        DoubleType,
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    t = _http_timers(envelopes).select(
+        (F.col("ts") / 1_000_000).cast("long").alias("ts_ms"),
+        F.col("source_id"),
+        *_tag_cols(tags),
+    )
+    out_schema = StructType(
+        [
+            StructField("ts", LongType()),
+            StructField("value", DoubleType()),
+            StructField("source_id", StringType()),
+        ]
+        + [StructField(tag, StringType()) for tag in tags]
+    )
+    state_schema = StructType([StructField("total", LongType())])
+
+    def update(key, pdfs, state: GroupState):
+        total = state.get[0] if state.exists else 0
+        counts: dict[int, int] = {}
+        for pdf in pdfs:
+            ends = (pdf["ts_ms"] // interval_ms + 1) * interval_ms
+            for w, c in ends.value_counts().items():
+                counts[int(w)] = counts.get(int(w), 0) + int(c)
+        rows = []
+        for w in sorted(counts):
+            total += counts[w]
+            rows.append((w, float(total)) + tuple(key))
+        state.update((total,))
+        yield pd.DataFrame(rows, columns=[f.name for f in out_schema.fields])
+
+    rolled = t.groupBy("source_id", *[F.col(tag) for tag in tags]).applyInPandasWithState(
+        update,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    return rolled.select(
+        "ts",
+        F.lit("http_total").alias("name"),
+        "value",
+        _labels_from_tags(tags, node_index).alias("labels"),
+    )
+
+
+def stateful_rollup_stream(
+    envelopes: DataFrame,
+    out_path: str,
+    checkpoint: str,
+    interval_ms: int = 10_000,
+):
+    """Streaming wiring for the stateful counter rollup: points append to
+    the shard store; state lives in the checkpoint (HDFSBackedStateStore),
+    so a restart resumes running totals — the durability the reference
+    gets from persisting... nothing (it loses totals on restart; the
+    checkpointed version is strictly stronger)."""
+
+    def emit(batch: DataFrame, batch_id: int) -> None:
+        from metric_store_release_spark.sources.storage import write_samples
+
+        write_samples(batch, out_path)
+
+    return (
+        stateful_rollup_counters(envelopes, interval_ms)
+        .writeStream.foreachBatch(emit)
+        .option("checkpointLocation", checkpoint)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
 def rollup_stream(
     envelopes: DataFrame,
     out_path: str,

@@ -184,6 +184,140 @@ def test_gauge_and_counter_conversion(spark):
     assert by_name["_2bad_name"]["value"] == 42.0
 
 
+def test_nozzle_stream_backpressure_and_shed(spark):
+    """maxFilesPerTrigger bounds each micro-batch; load_shed drops the
+    oldest envelopes over the cap and counts them (diode analog)."""
+    import os
+
+    from metric_store_release_spark.streaming.nozzle import (
+        NozzleMetrics,
+        nozzle_stream,
+    )
+
+    with tempfile.TemporaryDirectory() as tmp:
+        src = os.path.join(tmp, "src")
+        out = os.path.join(tmp, "out")
+        ckpt = os.path.join(tmp, "ckpt")
+        # 3 files × 4 counter envelopes
+        for f in range(3):
+            rows = [
+                env_row(100 * f + i, "counter", name="c", total=float(i))
+                for i in range(4)
+            ]
+            spark.createDataFrame(rows, ENVELOPE_SCHEMA).coalesce(1).write.mode(
+                "append"
+            ).parquet(src)
+        metrics = NozzleMetrics()
+        q = nozzle_stream(
+            spark, src, out, ckpt,
+            max_files_per_trigger=1, shed_above_rows=3, metrics=metrics,
+        )
+        q.awaitTermination(120)
+        # each 4-row batch shed 1 (the oldest), 3 batches total
+        assert metrics.dropped_envelopes_total == 3
+        assert metrics.ingressed_envelopes_total == 9
+        from metric_store_release_spark.sources.storage import read_samples
+
+        got = read_samples(spark, out)
+        assert got.count() == 9
+        # the shed envelope is the OLDEST of each batch (ts_s = 100f)
+        kept_ts_ms = {r["ts"] for r in got.select("ts").collect()}
+        for f in range(3):
+            assert 100 * f * 1000 not in kept_ts_ms
+
+
+def test_load_shed_under_cap_is_noop(spark):
+    from metric_store_release_spark.streaming.nozzle import (
+        NozzleMetrics,
+        load_shed,
+    )
+
+    df = spark.createDataFrame(
+        [env_row(i, "counter", name="c", total=1.0) for i in range(5)],
+        ENVELOPE_SCHEMA,
+    )
+    m = NozzleMetrics()
+    out = load_shed(df, 10, m)
+    assert out.count() == 5
+    assert m.dropped_envelopes_total == 0 and m.ingressed_envelopes_total == 5
+
+
+def test_stateful_rollup_accumulates_across_batches(spark):
+    """applyInPandasWithState keeps the running total across micro-batches
+    (counter.go's persistent counters map) — no reset at batch boundaries."""
+    import os
+    import time as _time
+
+    from metric_store_release_spark.streaming.nozzle import ENVELOPE_SCHEMA
+    from metric_store_release_spark.streaming.rollup import (
+        stateful_rollup_stream,
+    )
+
+    with tempfile.TemporaryDirectory() as tmp:
+        src = os.path.join(tmp, "src")
+        out = os.path.join(tmp, "out")
+        ckpt = os.path.join(tmp, "ckpt")
+        mk = lambda ts_s: env_row(
+            ts_s, "timer", name="http", start=0, stop=5_000_000,
+            tags={"status_code": "200", "app_id": "A"},
+        )
+        # window [0,10s): 3 timers — first file/batch
+        spark.createDataFrame([mk(1), mk(2), mk(3)], ENVELOPE_SCHEMA).coalesce(
+            1
+        ).write.mode("append").parquet(src)
+        _time.sleep(1.1)  # file-source ordering is by mod time
+        # window [10,20s): 1 timer — second file/batch
+        spark.createDataFrame([mk(11)], ENVELOPE_SCHEMA).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+        envelopes = (
+            spark.readStream.schema(ENVELOPE_SCHEMA)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(src)
+        )
+        q = stateful_rollup_stream(envelopes, out, ckpt)
+        q.awaitTermination(120)
+        from metric_store_release_spark.sources.storage import read_samples
+
+        got = read_samples(spark, out).filter(F.col("name") == "http_total")
+        vals = {r["ts"]: r["value"] for r in got.collect()}
+        # second batch's emission continues from 3 — NOT a reset to 1
+        assert vals == {10_000: 3.0, 20_000: 4.0}
+        labels = got.first()["labels"]
+        assert labels["app_id"] == "A" and labels["source_id"] == "gorouter"
+
+
+def test_stateful_rollup_matches_batch_rollup_single_batch(spark, timer_envelopes):
+    """On one batch the stateful op emits exactly rollup_counters' output."""
+    import os
+
+    from metric_store_release_spark.streaming.nozzle import ENVELOPE_SCHEMA
+    from metric_store_release_spark.streaming.rollup import (
+        rollup_counters,
+        stateful_rollup_stream,
+    )
+
+    with tempfile.TemporaryDirectory() as tmp:
+        src = os.path.join(tmp, "src")
+        out = os.path.join(tmp, "out")
+        ckpt = os.path.join(tmp, "ckpt")
+        timer_envelopes.write.parquet(src)
+        envelopes = spark.readStream.schema(ENVELOPE_SCHEMA).parquet(src)
+        q = stateful_rollup_stream(envelopes, out, ckpt)
+        q.awaitTermination(120)
+        from metric_store_release_spark.sources.storage import read_samples
+
+        def keyed(df):
+            return {
+                (r["ts"], tuple(sorted(r["labels"].items()))): r["value"]
+                for r in df.collect()
+            }
+
+        got = keyed(read_samples(spark, out))
+        want = keyed(rollup_counters(timer_envelopes))
+        assert got == want
+
+
 def test_rollup_streaming_availablenow(spark, timer_envelopes):
     """The same rollup code runs under Structured Streaming."""
     import os
