@@ -113,12 +113,16 @@ def evaluate_group(
     eng = engine or PromQLEngine(spark, EngineConfig())
     recorded = None
     alerts: dict[str, tuple[list, list]] = {}
+    if alert_states is None:
+        alert_states = {}
     for rule in group.rules:
         if isinstance(rule, RecordingRule):
             pts = evaluate_recording(eng, samples, rule, ts_ms)
             recorded = pts if recorded is None else recorded.unionByName(pts)
         else:
-            st = (alert_states or {}).setdefault(rule.alert, AlertState())
+            # NOTE: must mutate the CALLER's dict — `for`-state only works
+            # if pending_since survives across evaluation ticks
+            st = alert_states.setdefault(rule.alert, AlertState())
             alerts[rule.alert] = evaluate_alert(eng, samples, rule, ts_ms, st)
     if recorded is not None and store_path is not None:
         from metric_store_release_spark.sources.storage import write_samples
