@@ -326,9 +326,14 @@ class Evaluator:
             src = (
                 F.col("sample_ts") if "sample_ts" in df.columns else F.col("t")
             )
+            # the output is a COMPUTED vector: its samples exist at eval
+            # time, so sample_ts must not leak (timestamp(timestamp(v @ 10))
+            # is the eval step, not 10 — at_modifier.test)
             out = self._drop_name(
                 df.withColumn("value", src.cast("double") / 1000.0)
             )
+            if "sample_ts" in df.columns:
+                out = out.drop("sample_ts")
             return VectorResult(out)
         if name in ("sort", "sort_desc"):
             vec = self._vector_arg(node.args[0])
@@ -589,7 +594,11 @@ class Evaluator:
                     "t", F.col("value").cast("long").alias("__k")
                 )
                 out = ranked.join(kdf, "t").filter(F.col("__rn") <= F.col("__k"))
-            return VectorResult(out.select("t", "labels", "sig", "value"))
+            out = out.select("t", "labels", "sig", "value")
+            # the reference's heap pops in value order — the result vector
+            # is SORTED (desc for topk, asc for bottomk, NaN last;
+            # aggregators.test eval_ordered)
+            return VectorResult(out.orderBy(*order), order_by=order)
 
         if op == "count_values":
             lbl = self._const_string(node.param)
@@ -611,9 +620,38 @@ class Evaluator:
             )
             return VectorResult(out)
 
+        if op == "avg":
+            # reference avg is an incremental mean (no intermediate-sum
+            # overflow: aggregators.test 'big'/'bigzero'). Spark analog: a
+            # second sum pre-scaled by 2^-64 (exact — exponent shift only)
+            # decides the answer when the plain sum overflows to ±Inf.
+            two64 = 2.0**64
+            inf = float("inf")
+            plain = F.col("__s") / F.col("__n")
+            scaled = F.col("__ss") / F.col("__n") * F.lit(two64)
+            value = F.when(
+                F.isnan(F.col("__s")) | (F.abs(F.col("__s")) != F.lit(inf)),
+                plain,
+            ).otherwise(
+                F.when(F.abs(F.col("__ss")) != F.lit(inf), scaled).otherwise(plain)
+            )
+            out = (
+                df.groupBy("t", "gsig")
+                .agg(
+                    F.any_value("glabels").alias("labels"),
+                    F.sum("value").alias("__s"),
+                    F.sum(F.col("value") * F.lit(2.0**-64)).alias("__ss"),
+                    F.count(F.lit(1)).cast("double").alias("__n"),
+                )
+                .select(
+                    "t", "labels", F.col("gsig").alias("sig"),
+                    value.alias("value"),
+                )
+            )
+            return VectorResult(out)
+
         agg = {
             "sum": F.sum("value"),
-            "avg": F.avg("value"),
             "count": F.count(F.lit(1)).cast("double"),
             "group": F.lit(1.0),
             "stddev": F.stddev_pop("value"),
@@ -628,15 +666,57 @@ class Evaluator:
             ),
         }.get(op)
         if op == "quantile":
-            q = self._const_scalar(node.param, "quantile φ")
-            if math.isnan(q):
-                agg = F.lit(float("nan"))
-            elif q < 0:
-                agg = F.lit(float("-inf"))
-            elif q > 1:
-                agg = F.lit(float("inf"))
+            qres = self.eval(node.param)
+            if not isinstance(qres, ScalarResult):
+                raise PromQLEvalError("quantile φ must be a scalar")
+            if qres.is_const:
+                q = float(qres.const)
+                if math.isnan(q):
+                    agg = F.lit(float("nan"))
+                elif q < 0:
+                    agg = F.lit(float("-inf"))
+                elif q > 1:
+                    agg = F.lit(float("inf"))
+                else:
+                    agg = F.expr(f"percentile(value, {q!r})")
             else:
-                agg = F.expr(f"percentile(value, {q!r})")
+                # per-step φ (e.g. quantile(scalar(foo), v)): join the
+                # scalar by step and interpolate over the sorted group —
+                # Spark's percentile() needs a foldable fraction, so the
+                # rank interpolation (quantile.go:50-75) is spelled out
+                df = df.join(
+                    qres.df.select("t", F.col("value").alias("__q")), "t"
+                )
+                vals = F.array_sort(
+                    F.collect_list(F.col("value").cast("double"))
+                )
+                q = F.first("__q")
+                n = F.size(vals)
+                rank = q * (n.cast("double") - 1)
+                lo = F.floor(rank).cast("int")
+                hi = F.least(lo + 1, n - 1)
+                frac = rank - lo.cast("double")
+                interp = (
+                    F.element_at(vals, lo + 1) * (F.lit(1.0) - frac)
+                    + F.element_at(vals, hi + 1) * frac
+                )
+                agg_expr = (
+                    F.when(F.isnan(q), F.lit(float("nan")))
+                    .when(q < 0, F.lit(float("-inf")))
+                    .when(q > 1, F.lit(float("inf")))
+                    .otherwise(interp)
+                )
+                out = (
+                    df.groupBy("t", "gsig")
+                    .agg(
+                        F.any_value("glabels").alias("labels"),
+                        agg_expr.alias("value"),
+                    )
+                    .select(
+                        "t", "labels", F.col("gsig").alias("sig"), "value"
+                    )
+                )
+                return VectorResult(out)
         if agg is None:
             raise PromQLEvalError(f"unsupported aggregation {op!r}")
         out = (
@@ -909,10 +989,32 @@ class Evaluator:
             F.col("value").alias("value"),
         )
 
-    @staticmethod
-    def _drop_name(df: DataFrame) -> DataFrame:
+    def _drop_name(self, df: DataFrame, check: bool | None = None) -> DataFrame:
+        """Drop __name__ from series identity (function/operator output).
+
+        When duplicate detection is on, assert no two series collapse onto
+        the same labelset (engine.go's "vector cannot contain metrics with
+        the same labelset", raised for e.g. ceil({__name__=~'a|b'}) —
+        collision.test). Lazy window-count assertion like the binop
+        matching check; the window keys match the downstream (t, sig)
+        partitioning so it adds no extra exchange in grouped plans."""
         labels = F.map_filter(F.col("labels"), lambda k, _: k != F.lit(NAME_LABEL))
-        return df.withColumn("labels", labels).withColumn("sig", sig(F.col("labels")))
+        out = df.withColumn("labels", labels).withColumn("sig", sig(F.col("labels")))
+        do_check = self.ctx.check_matching if check is None else check
+        if do_check and "value" in out.columns and "t" in out.columns:
+            w = Window.partitionBy("t", "sig")
+            out = out.withColumn(
+                "value",
+                F.when(
+                    F.count(F.lit(1)).over(w) > 1,
+                    F.assert_true(
+                        F.lit(False),
+                        F.lit("vector cannot contain metrics with the "
+                              "same labelset"),
+                    ).cast("double"),
+                ).otherwise(F.col("value")),
+            )
+        return out
 
 
 def _format_float(value: Column) -> Column:

@@ -45,7 +45,11 @@ _AGG_KEYWORDS = {
 
 _DURATION_RE = re.compile(r"(?:[0-9]+(?:ms|s|m|h|d|w|y))+")
 _NUMBER_RE = re.compile(
-    r"0[xX][0-9a-fA-F]+|[0-9]*\.?[0-9]+(?:[eE][+-]?[0-9]+)?|\.[0-9]+"
+    # one branch for all decimal forms (incl. Go's trailing-dot '2.', '2.e3')
+    # — alternation is first-match, not longest-match, so '2.' must not be
+    # split across branches
+    r"0[xX][0-9a-fA-F]+"
+    r"|(?:[0-9]+\.?[0-9]*|\.[0-9]+)(?:[eE][+-]?[0-9]+)?"
 )
 _IDENT_RE = re.compile(r"[a-zA-Z_:][a-zA-Z0-9_:]*")
 _LABEL_IDENT_RE = re.compile(r"[a-zA-Z_][a-zA-Z0-9_]*")

@@ -27,6 +27,8 @@ _SERIES_RE = re.compile(
 _LABEL_RE = re.compile(r'\s*([a-zA-Z_][a-zA-Z0-9_]*)\s*=\s*"([^"]*)"\s*,?')
 _EXPAND_RE = re.compile(r"^(-?[0-9.e+Ee-]+)\+(-?[0-9.e+Ee-]+)x([0-9]+)$")
 _SUB_RE = re.compile(r"^(-?[0-9.e+Ee-]+)-(-?[0-9.e+Ee-]+)x([0-9]+)$")
+_REPEAT_RE = re.compile(r"^(-?[0-9.eE+-]*[0-9.]|[+-]?[iI]nf|[nN]a[nN])x([0-9]+)$")
+_BLANK_REPEAT_RE = re.compile(r"^_x([0-9]+)$")
 
 
 def parse_series(line: str) -> tuple[str, dict[str, str], list[tuple[int, float | None, bool]]]:
@@ -48,16 +50,40 @@ def parse_series(line: str) -> tuple[str, dict[str, str], list[tuple[int, float 
                 out.append((i, a + j * b, False))
                 i += 1
             continue
+        rm = _REPEAT_RE.match(tok)
+        if rm:  # 'vxN' = v repeated N+1 times ('0x10' is this, NOT hex)
+            v, n = _number(rm.group(1)), int(rm.group(2))
+            for _ in range(n + 1):
+                out.append((i, v, False))
+                i += 1
+            continue
         if tok == "_":
             i += 1
+            continue
+        bm = _BLANK_REPEAT_RE.match(tok)
+        if bm:  # '_xN' = N+1 missing samples
+            i += int(bm.group(1)) + 1
             continue
         if tok == "stale":
             out.append((i, 0.0, True))
             i += 1
             continue
-        out.append((i, float(tok), False))
+        out.append((i, _number(tok), False))
         i += 1
     return name, labels, out
+
+
+def _number(tok: str) -> float:
+    """Series values take the Go strconv forms the corpus uses: decimals
+    and Inf/NaN keywords."""
+    t = tok.lower().lstrip("+")
+    if t in ("inf", "infinity"):
+        return float("inf")
+    if t in ("-inf", "-infinity"):
+        return float("-inf")
+    if t == "nan":
+        return float("nan")
+    return float(tok)
 
 
 def load(spark: SparkSession, step_ms: int, series: list[str]) -> DataFrame:
