@@ -563,7 +563,9 @@ def _rollup_counter(spark: SparkSession, sf_dir: str) -> DataFrame:
     return grouped.select(
         F.unix_millis(F.col("w.start")).alias("window_start"),
         F.col("event_type"),
-        F.sum("win_total").over(cum).alias("total"),
+        # cast to double: DuckDB's window SUM widens to float64 in pandas, so
+        # a bigint here hash-mismatches (5 vs 5.0) even with equal values
+        F.sum("win_total").over(cum).cast("double").alias("total"),
     )
 
 
@@ -858,7 +860,12 @@ rec AS (
               ELSE CAST(0.3 AS DOUBLE)*(r.s1 - r.s0) + CAST(0.7 AS DOUBLE)*r.b END
   FROM rec r JOIN ordered o ON o.t = r.t AND o.idx = r.i + 1
 )
-SELECT r.t, ROUND(r.s1, 6) AS value
+SELECT r.t,
+       -- Decimal-path rounding: DuckDB's double ROUND scales by 1e6 in FP and
+       -- half-away-rounds, which disagrees with Spark's BigDecimal HALF_UP on
+       -- exact ties (e.g. -33.7140375 at sf0.01). Rounding via DECIMAL matches
+       -- Spark's decimal-exact semantics bit-for-bit.
+       CAST(ROUND(CAST(r.s1 AS DECIMAL(38,18)), 6) AS DOUBLE) AS value
 FROM rec r JOIN (SELECT t, MAX(idx) AS n FROM ordered GROUP BY t) m
   ON m.t = r.t AND r.i = m.n
 WHERE m.n >= 2
@@ -1017,8 +1024,8 @@ WITH wins AS (
   FROM events GROUP BY 1, 2
 )
 SELECT window_start, event_type,
-       SUM(win_total) OVER (PARTITION BY event_type
-                            ORDER BY window_start) AS total
+       CAST(SUM(win_total) OVER (PARTITION BY event_type
+                                 ORDER BY window_start) AS DOUBLE) AS total
 FROM wins
 """
 
