@@ -1,7 +1,12 @@
 """Benchmark headline queries at $SPARK_GRAFT_SF_DIR (default sf0.1).
 
 Prints ONE JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
-"queries": {name: sec}, "sf": ...}.
+"queries": {name: sec}, "sf": ..., "runs": N}.
+
+Each query runs $SPARK_GRAFT_BENCH_RUNS times (default 2) and reports the
+per-query BEST — one JVM-warm repeat removes most run-to-run variance
+(JIT, page cache, executor spin-up) that otherwise pollutes round-over-
+round comparisons without hiding real plan cost.
 
 Query set: the heaviest representatives of each operator family — instant
 selector fan-out + agg, rate over 1d windows, histogram_quantile, topk,
@@ -51,14 +56,17 @@ def main() -> None:
     # warm the JVM + parquet footers with one tiny action
     spark.read.parquet(f"{SF_DIR}/region.parquet").count()
 
+    runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "2"))
     timings: dict[str, float] = {}
-    for name in bench_names:
-        fn = qs[name]
-        t0 = time.perf_counter()
-        df = fn(spark, SF_DIR)
-        n = df.count()
-        timings[name] = round(time.perf_counter() - t0, 3)
-        print(f"# {name}: {timings[name]}s ({n} rows)", file=sys.stderr)
+    for r in range(runs):
+        for name in bench_names:
+            fn = qs[name]
+            t0 = time.perf_counter()
+            df = fn(spark, SF_DIR)
+            n = df.count()
+            took = round(time.perf_counter() - t0, 3)
+            timings[name] = min(timings.get(name, float("inf")), took)
+            print(f"# run{r + 1} {name}: {took}s ({n} rows)", file=sys.stderr)
 
     sf = SF_DIR.rstrip("/").split("sf")[-1]
     total = round(sum(timings.values()), 3)
@@ -70,6 +78,7 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": float(sf) if sf else None,
+                "runs": runs,
             }
         )
     )

@@ -290,7 +290,7 @@ class Evaluator:
         if name == "histogram_quantile":
             q = self._const_scalar(node.args[0], "histogram_quantile quantile")
             vec = self._vector_arg(node.args[1])
-            return VectorResult(histogram_quantile(vec.df, q))
+            return VectorResult(self._check_unique(histogram_quantile(vec.df, q)))
         if name == "time":
             return ScalarResult(
                 df=self.steps_df().select(
@@ -337,9 +337,14 @@ class Evaluator:
             return VectorResult(out)
         if name in ("sort", "sort_desc"):
             vec = self._vector_arg(node.args[0])
-            order = [
-                F.col("value").asc() if name == "sort" else F.col("value").desc()
-            ]
+            # functions.go:349-364: both sorts put NaN LAST. Spark orders
+            # NaN above every double (asc → last ✓, desc → first ✗), so
+            # desc needs an explicit NaN-last key.
+            order = (
+                [F.col("value").asc()]
+                if name == "sort"
+                else [F.isnan("value").asc(), F.col("value").desc()]
+            )
             return VectorResult(vec.df.orderBy(*order), order_by=order)
         if name == "absent":
             return self._eval_absent(node.args[0])
@@ -422,7 +427,10 @@ class Evaluator:
             params = []
             range_arg = node.args[0]
         frame = self.build_range_frame(range_arg, name in NEEDS_ORDER_COLS, func=name)
-        return VectorResult(apply_range_func(name, frame, params))
+        out = apply_range_func(name, frame, params)
+        if name != "last_over_time":  # keeps __name__ — cannot collide
+            out = self._check_unique(out)
+        return VectorResult(out)
 
     def _eval_absent(self, arg: ast.Node) -> VectorResult:
         vec = self._vector_arg(arg)
@@ -456,28 +464,27 @@ class Evaluator:
 
     @staticmethod
     def _absent_labels(arg) -> Column:
-        """functions.go:684-698 createLabelsForAbsentFunction: equality
-        matchers (except __name__) become labels of the absent series."""
+        """functions.go createLabelsForAbsentFunction: a non-empty equality
+        matcher sets its label (first occurrence wins); ANY other matcher —
+        regex, !=, empty-value EQ, or a REPEATED EQ on the same name — marks
+        the name for deletion at the end, so conflicting matchers like
+        {job="a", job=~"b"} contribute nothing (functions.test)."""
         node = arg
         while isinstance(node, ParenExpr):
             node = node.expr
-        entries = []
+        b: dict[str, str] = {}
+        dels: list[str] = []
         if isinstance(node, VectorSelector):
-            seen = set()
-            dup = set()
             for m in node.matchers:
-                if m.op == MatchOp.EQ and m.name != NAME_LABEL:
-                    if m.name in seen:
-                        dup.add(m.name)
-                    seen.add(m.name)
-            for m in node.matchers:
-                if (
-                    m.op == MatchOp.EQ
-                    and m.name != NAME_LABEL
-                    and m.name not in dup
-                    and m.value != ""
-                ):
-                    entries.extend([F.lit(m.name), F.lit(m.value)])
+                if m.name == NAME_LABEL:
+                    continue
+                if m.op == MatchOp.EQ and m.value != "" and not b.get(m.name):
+                    b[m.name] = m.value
+                else:
+                    dels.append(m.name)
+            for name in dels:
+                b.pop(name, None)
+        entries = [x for k, v in b.items() for x in (F.lit(k), F.lit(v))]
         return F.create_map(*entries) if entries else F.expr(
             "cast(map() as map<string,string>)"
         )
@@ -515,7 +522,7 @@ class Evaluator:
         out = vec.df.withColumn("labels", new_labels).withColumn(
             "sig", sig(F.col("labels"))
         )
-        return VectorResult(out)
+        return VectorResult(self._check_unique(out))
 
     def _eval_label_join(self, node: Call) -> VectorResult:
         import re as _re
@@ -538,13 +545,18 @@ class Evaluator:
         out = vec.df.withColumn("labels", new_labels).withColumn(
             "sig", sig(F.col("labels"))
         )
-        return VectorResult(out)
+        return VectorResult(self._check_unique(out))
 
     def _eval_clamp(self, node: Call) -> VectorResult:
         vec = self._vector_arg(node.args[0])
         if node.func == "clamp":
-            mn = F.lit(self._const_scalar(node.args[1], "min"))
-            mx = F.lit(self._const_scalar(node.args[2], "max"))
+            mn_v = self._const_scalar(node.args[1], "min")
+            mx_v = self._const_scalar(node.args[2], "max")
+            # funcClamp: max < min → empty vector (NOT NaN; false when
+            # either bound is NaN, which instead propagates per-value)
+            if mx_v < mn_v:
+                return VectorResult(vec.df.filter(F.lit(False)))
+            mn, mx = F.lit(mn_v), F.lit(mx_v)
         elif node.func == "clamp_max":
             mn = F.lit(float("-inf"))
             mx = F.lit(self._const_scalar(node.args[1], "max"))
@@ -1000,10 +1012,19 @@ class Evaluator:
         partitioning so it adds no extra exchange in grouped plans."""
         labels = F.map_filter(F.col("labels"), lambda k, _: k != F.lit(NAME_LABEL))
         out = df.withColumn("labels", labels).withColumn("sig", sig(F.col("labels")))
+        return self._check_unique(out, check)
+
+    def _check_unique(self, df: DataFrame, check: bool | None = None) -> DataFrame:
+        """Lazy assertion that no two output series share a labelset at a
+        step — engine.go's ContainsSameLabelset() check, applied to every
+        function-call output (engine.go:1601-1602, also raised for e.g.
+        changes({__name__=~'a|b'}[5m]) and collapsing label_replace —
+        functions.test). Window keyed like the surrounding (t, sig)
+        aggregations, so in grouped plans it reuses the exchange."""
         do_check = self.ctx.check_matching if check is None else check
-        if do_check and "value" in out.columns and "t" in out.columns:
+        if do_check and "value" in df.columns and "t" in df.columns:
             w = Window.partitionBy("t", "sig")
-            out = out.withColumn(
+            df = df.withColumn(
                 "value",
                 F.when(
                     F.count(F.lit(1)).over(w) > 1,
@@ -1014,7 +1035,7 @@ class Evaluator:
                     ).cast("double"),
                 ).otherwise(F.col("value")),
             )
-        return out
+        return df
 
 
 def _format_float(value: Column) -> Column:
@@ -1067,15 +1088,26 @@ def _format_float(value: Column) -> Column:
 def _py_simple_math(name: str, v: float) -> float:
     import math as _m
 
+    def _go_log(fn):
+        # Go math: log(0) = -Inf, log(x<0) = NaN (Python raises instead)
+        def wrapped(x):
+            if _m.isnan(x) or x < 0:
+                return float("nan")
+            if x == 0:
+                return float("-inf")
+            return fn(x)
+
+        return wrapped
+
     fns = {
         "abs": abs,
         "ceil": _m.ceil,
         "floor": _m.floor,
         "exp": _m.exp,
         "sqrt": _m.sqrt,
-        "ln": _m.log,
-        "log2": _m.log2,
-        "log10": _m.log10,
+        "ln": _go_log(_m.log),
+        "log2": _go_log(_m.log2),
+        "log10": _go_log(_m.log10),
         "sgn": lambda x: float((x > 0) - (x < 0)),
         "sin": _m.sin,
         "cos": _m.cos,

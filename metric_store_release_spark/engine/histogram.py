@@ -35,9 +35,12 @@ def histogram_quantile(vector_df: DataFrame, q: float) -> DataFrame:
     """
     df = vector_df.filter(F.col("labels").getItem("le").isNotNull())
     le = _le_to_double(F.col("labels").getItem("le"))
-    group_labels = F.map_filter(
-        F.col("labels"), lambda k, _: (k != F.lit("le")) & (k != F.lit(NAME_LABEL))
-    )
+    # group by labels minus `le` ONLY — the metric name stays in the
+    # grouping signature (functions.go:1098 BytesWithoutLabels(le)), and is
+    # dropped from the OUTPUT labels below; two same-labeled histograms
+    # under different names then collide post-drop and trip the engine's
+    # same-labelset check (histograms.test eval_fail, prometheus#9910)
+    group_labels = F.map_filter(F.col("labels"), lambda k, _: k != F.lit("le"))
     df = (
         df.withColumn("le", le)
         .filter(~F.isnan("le"))
@@ -48,6 +51,29 @@ def histogram_quantile(vector_df: DataFrame, q: float) -> DataFrame:
         F.any_value("labels").alias("labels"),
         F.array_sort(F.collect_list(F.struct("le", "value"))).alias("bk"),
     )
+
+    # coalesce buckets sharing a numeric upper bound — le="0.2" / "2e-1" /
+    # "2.0e-1" are ONE bucket whose counts add (quantile.go:316-333)
+    coalesced = F.expr(
+        """
+        aggregate(
+            bk,
+            cast(array() as array<struct<le:double,value:double>>),
+            (acc, x) -> if(
+                size(acc) > 0 and try_element_at(acc, -1).le = x.le,
+                concat(
+                    slice(acc, 1, size(acc) - 1),
+                    array(named_struct(
+                        'le', x.le,
+                        'value', try_element_at(acc, -1).value + x.value
+                    ))
+                ),
+                concat(acc, array(x))
+            )
+        )
+        """
+    )
+    grouped = grouped.withColumn("bk", coalesced)
 
     # monotonicity repair: running max of counts (quantile.go:369-379)
     mono = F.expr(
@@ -103,4 +129,12 @@ def histogram_quantile(vector_df: DataFrame, q: float) -> DataFrame:
         .when((b == 1) & (bucket.getField("le") <= 0), bucket.getField("le"))
         .otherwise(interpolated)
     )
-    return grouped.select("t", "labels", "sig", value.alias("value"))
+    out_labels = F.map_filter(
+        F.col("labels"), lambda k, _: k != F.lit(NAME_LABEL)
+    )
+    return grouped.select(
+        "t",
+        out_labels.alias("labels"),
+        sig(out_labels).alias("sig"),
+        value.alias("value"),
+    )

@@ -48,6 +48,41 @@ def _simple(agg_fn, bucketed_fn=None, keep_name: bool = False):
     return handler
 
 
+#: power-of-two rescaling for overflow-safe mean: scaling a double by 2^±600
+#: only shifts the exponent (mantissa untouched), so the scaled sum rounds
+#: identically to the naive sum — just 600 binary orders of magnitude lower
+_AVG_DOWN, _AVG_UP = 2.0 ** -600, 2.0 ** 600
+
+
+def _safe_avg(sum_col: Column, scaled_sum: Column, cnt: Column) -> Column:
+    """funcAvgOverTime (functions.go:453-510) computes an incremental mean
+    precisely so that values near ±MaxFloat64 don't overflow the sum into
+    ±Inf. Same outcome, one aggregation pass: use the naive sum/count unless
+    the sum overflowed, then fall back to the exponent-shifted sum (exact
+    power-of-two rescale). A genuine ±Inf sample makes BOTH sums infinite —
+    result ±Inf/NaN exactly like the reference's fold."""
+    naive = sum_col / cnt
+    return F.when(
+        F.abs(sum_col) == F.lit(float("inf")), scaled_sum / cnt * F.lit(_AVG_UP)
+    ).otherwise(naive)
+
+
+def _avg_over_time() -> Column:
+    return _safe_avg(
+        F.sum("value"),
+        F.sum(F.col("value") * F.lit(_AVG_DOWN)),
+        F.count(F.lit(1)).cast("double"),
+    )
+
+
+def _b_avg_over_time() -> Column:
+    return _safe_avg(
+        F.sum("p_sum"),
+        F.sum(F.col("p_sum") * F.lit(_AVG_DOWN)),
+        F.sum("p_cnt").cast("double"),
+    )
+
+
 def _nan_aware_min() -> Column:
     # functions.go:584-595 — NaN only if every sample is NaN. Spark orders
     # NaN above all doubles, so plain min already skips NaN; all-NaN groups
@@ -338,9 +373,7 @@ RANGE_FUNCS = {
     "irate": lambda f, p: _instant_value(f, True),
     "idelta": lambda f, p: _instant_value(f, False),
     "sum_over_time": _simple(lambda: F.sum("value"), lambda: F.sum("p_sum")),
-    "avg_over_time": _simple(
-        lambda: F.avg("value"), lambda: F.sum("p_sum") / F.sum("p_cnt")
-    ),
+    "avg_over_time": _simple(_avg_over_time, _b_avg_over_time),
     "min_over_time": _simple(
         _nan_aware_min, lambda: F.coalesce(F.min("p_min"), F.lit(float("nan")))
     ),

@@ -15,6 +15,22 @@ import math
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
+def _go_log(fn):
+    """Go math.Log/Log2/Log10: log(0) = -Inf, log(x<0) = NaN. Spark's SQL
+    log family returns NULL for non-positive input — map the NULLs back to
+    the IEEE values PromQL expects (functions.go funcLn/funcLog2/funcLog10
+    delegate to Go's math package)."""
+
+    def wrapped(value: Column) -> Column:
+        return (
+            F.when(F.isnan(value) | (value < 0), F.lit(float("nan")))
+            .when(value == 0.0, F.lit(float("-inf")))
+            .otherwise(fn(value))
+        )
+
+    return wrapped
+
+
 # value-in, value-out; NaN/Inf propagate exactly as in Go's math package
 SIMPLE_MATH = {
     "abs": F.abs,
@@ -22,9 +38,9 @@ SIMPLE_MATH = {
     "floor": F.floor,
     "exp": F.exp,
     "sqrt": F.sqrt,
-    "ln": F.log,
-    "log2": F.log2,
-    "log10": F.log10,
+    "ln": _go_log(F.log),
+    "log2": _go_log(F.log2),
+    "log10": _go_log(F.log10),
     "sgn": F.signum,
     "sin": F.sin,
     "cos": F.cos,
@@ -58,11 +74,14 @@ def promql_round(value: Column, to_nearest: float) -> Column:
 
 
 def promql_clamp(value: Column, mn: Column, mx: Column) -> Column:
-    """functions.go:367-382 — NaN when min > max; otherwise
-    max(min(v, mx), mn). least/greatest must not swallow NaN inputs, so use
-    explicit whens."""
+    """functions.go:367-382 — math.Max(min, math.Min(max, v)): Go's
+    Max/Min propagate NaN from EITHER argument, so a NaN value OR a NaN
+    bound yields NaN (clamp(v, 0, NaN) is all-NaN, functions.test). The
+    max < min → empty-vector case is the caller's (it drops rows).
+    least/greatest must not swallow NaN inputs, so use explicit whens."""
+    any_nan = F.isnan(value) | F.isnan(mn) | F.isnan(mx)
     clamped = F.when(value > mx, mx).when(value < mn, mn).otherwise(value)
-    return F.when(mn > mx, F.lit(float("nan"))).otherwise(clamped)
+    return F.when(any_nan, F.lit(float("nan"))).otherwise(clamped)
 
 
 def date_part(name: str, value: Column) -> Column:

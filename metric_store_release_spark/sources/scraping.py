@@ -110,8 +110,18 @@ def scrape_once(
 
     Parses every fetched body and appends the synthetic per-target series
     the reference's scrape loop reports: `up` and
-    `scrape_duration_seconds` (scrape/scrape.go report()).
+    `scrape_duration_seconds` (scrape/scrape.go report()). The returned
+    plan holds a cached scrape batch; long-running callers should use
+    `_scrape_tick` and unpersist after consuming (ScrapeManager does).
     """
+    samples, _scrapes = _scrape_tick(spark, configs)
+    return samples
+
+
+def _scrape_tick(
+    spark: SparkSession, configs: list[ScrapeConfig]
+) -> tuple[DataFrame, DataFrame]:
+    """One tick → (samples, cached scrapes handle for unpersist)."""
     scrapes = fetch_targets(targets_df(spark, configs))
     # one tick is small; cache so the parse and the synthetic series don't
     # re-fetch the targets
@@ -138,7 +148,7 @@ def scrape_once(
         "'scrape_duration_seconds', scrape_duration_seconds) as (name, value)",
         "target", "job",
     ).select("ts", "name", "value", synth_labels.alias("labels"))
-    return with_job.unionByName(synthetic)
+    return with_job.unionByName(synthetic), scrapes
 
 
 class ScrapeManager:
@@ -160,13 +170,26 @@ class ScrapeManager:
         self.ticks = 0
 
     def run(self, iterations: int | None = None) -> None:
-        """Poll every min(scrape_interval) until `iterations` ticks done
-        (None = forever, the reference's Run)."""
-        interval = min(c.scrape_interval_ms for c in self.configs) / 1000.0
+        """Scrape each job on ITS OWN interval until `iterations` ticks done
+        (None = forever, the reference's Run). A tick scrapes only the
+        due jobs — scrape.Manager runs one loop per scrapePool, so a 15 s
+        job never drags a 60 s job onto its cadence. Each tick's cached
+        scrape batch is unpersisted once the appender has consumed it, so
+        a long-running loop holds at most one tick of executor storage."""
+        now = time.time()
+        next_due = {c.job_name: now for c in self.configs}
         while iterations is None or self.ticks < iterations:
-            t0 = time.time()
-            self.appender(scrape_once(self.spark, self.configs))
-            self.ticks += 1
-            if iterations is not None and self.ticks >= iterations:
-                break
-            time.sleep(max(0.0, interval - (time.time() - t0)))
+            now = time.time()
+            due = [c for c in self.configs if next_due[c.job_name] <= now]
+            if due:
+                samples, scrapes = _scrape_tick(self.spark, due)
+                try:
+                    self.appender(samples)
+                finally:
+                    scrapes.unpersist()
+                for c in due:
+                    next_due[c.job_name] = now + c.scrape_interval_ms / 1000.0
+                self.ticks += 1
+                if iterations is not None and self.ticks >= iterations:
+                    break
+            time.sleep(max(0.0, min(next_due.values()) - time.time()))

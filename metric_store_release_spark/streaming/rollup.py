@@ -198,10 +198,15 @@ def stateful_rollup_counters(
     counter.go:31-70's persistent counters map: per-key state holds the
     running total across ALL batches via applyInPandasWithState, so
     emissions are monotone cumulative no matter how ingestion is chunked.
-    State is one long per (source_id, tags) series — bounded by series
-    cardinality, the same bound the reference's map has. Late envelopes
-    re-emit their interval with the corrected running total (last write
-    wins in the shard store, like the reference's overwrite-on-same-ts).
+    State is (total, max emitted window) per (source_id, tags) series —
+    bounded by series cardinality, the same bound the reference's map has.
+    Late envelopes (older than the max emitted window) still increment the
+    running total — the reference's counter counts on ARRIVAL, never by
+    event time — but their emission is clamped to the max emitted window,
+    so the stored cumulative series stays monotone (re-emitting an old
+    window with a total that includes newer windows would read as a counter
+    reset to rate()/increase()). Last write wins in the shard store, like
+    the reference's overwrite-on-same-ts.
 
     Works on a streaming DataFrame; on a batch DataFrame use
     `rollup_counters` (identical output when all data is one batch).
@@ -230,20 +235,28 @@ def stateful_rollup_counters(
         ]
         + [StructField(tag, StringType()) for tag in tags]
     )
-    state_schema = StructType([StructField("total", LongType())])
+    state_schema = StructType(
+        [StructField("total", LongType()), StructField("max_w", LongType())]
+    )
 
     def update(key, pdfs, state: GroupState):
-        total = state.get[0] if state.exists else 0
+        total, max_w = state.get if state.exists else (0, None)
         counts: dict[int, int] = {}
         for pdf in pdfs:
             ends = (pdf["ts_ms"] // interval_ms + 1) * interval_ms
             for w, c in ends.value_counts().items():
-                counts[int(w)] = counts.get(int(w), 0) + int(c)
+                # clamp late windows to the max already-emitted window:
+                # the count still reaches the total, but an old window is
+                # never rewritten with a tail-inflated value
+                w = int(w) if max_w is None else max(int(w), max_w)
+                counts[w] = counts.get(w, 0) + int(c)
         rows = []
         for w in sorted(counts):
             total += counts[w]
             rows.append((w, float(total)) + tuple(key))
-        state.update((total,))
+        if counts:
+            max_w = max(counts) if max_w is None else max(max_w, max(counts))
+        state.update((total, max_w if max_w is not None else 0))
         yield pd.DataFrame(rows, columns=[f.name for f in out_schema.fields])
 
     rolled = t.groupBy("source_id", *[F.col(tag) for tag in tags]).applyInPandasWithState(

@@ -120,6 +120,8 @@ def parse_test_file(path: Path) -> list[EvalCase]:
 
 def almost_equal(a: float, b: float) -> bool:
     """vendor promql/test.go:667-684."""
+    if a is None or b is None:
+        return False  # a NULL engine value is always a mismatch
     if math.isnan(a) and math.isnan(b):
         return True
     if a == b:

@@ -43,17 +43,98 @@ def test_max_samples_guard(spark, samples):
     assert ok.query_range(samples, "http", 0, 50 * MIN, MIN).count() > 0
 
 
-def test_max_samples_counts_range_windows(spark, samples):
+def test_max_samples_counts_range_windows(spark, samples, tmp_path):
     # a range selector fans each sample onto range/step grid steps; the
-    # estimate must see that fan-out, not just the raw row count
-    from metric_store_release_spark.engine.admission import estimate_query_samples
+    # bound must see that fan-out, not just the raw row count (in-memory
+    # sources have no metadata bound — use a parquet store, the real case)
+    from metric_store_release_spark.engine.admission import static_sample_bound
     from metric_store_release_spark.promql import parse
 
-    inst = estimate_query_samples(samples, parse("http"), 0, 50 * MIN, MIN, 5 * MIN)
-    rng = estimate_query_samples(
-        samples, parse("rate(http[10m])"), 0, 50 * MIN, MIN, 5 * MIN
+    path = str(tmp_path / "adm_bound")
+    samples.write.mode("overwrite").parquet(path)
+    store = spark.read.parquet(path)
+    inst = static_sample_bound(store, parse("http"), 0, 50 * MIN, MIN, 5 * MIN)
+    rng = static_sample_bound(
+        store, parse("rate(http[10m])"), 0, 50 * MIN, MIN, 5 * MIN
     )
     assert rng > inst > 0
+
+
+def test_static_bound_from_parquet_footers_no_spark_job(spark, samples, tmp_path):
+    """The parquet-backed bound must come from footer metadata alone —
+    asserted by running it inside a job group that stays empty."""
+    from metric_store_release_spark.engine.admission import (
+        _footer_rows_cache,
+        static_sample_bound,
+    )
+    from metric_store_release_spark.promql import parse
+
+    path = str(tmp_path / "adm_store")
+    samples.write.mode("overwrite").parquet(path)
+    store = spark.read.parquet(path)
+    _footer_rows_cache.clear()
+
+    sc = spark.sparkContext
+    group = "admission-footer-test"
+    sc.setJobGroup(group, "footer bound", interruptOnCancel=False)
+    try:
+        bound = static_sample_bound(
+            store, parse("rate(http[10m])"), 0, 50 * MIN, MIN, 5 * MIN
+        )
+    finally:
+        sc.setLocalProperty("spark.jobGroup.id", None)
+    assert bound is not None and bound > 0
+    assert sc.statusTracker().getJobIdsForGroup(group) == [], (
+        "static_sample_bound launched a Spark job — it must be metadata-only"
+    )
+    # the bound really is an upper bound on the exact per-step fan-out
+    exact = (
+        PromQLEngine(spark, EngineConfig(max_samples=None))
+        .query_range(store, "rate(http[10m])", 0, 50 * MIN, MIN)
+        .count()
+    )
+    assert bound >= exact
+
+
+def test_static_bound_footer_cache_invalidates_on_append(spark, samples, tmp_path):
+    """Appending files to the store must produce a fresh (larger) bound —
+    the cache key includes the file listing, not just the path."""
+    from metric_store_release_spark.engine.admission import static_sample_bound
+    from metric_store_release_spark.promql import parse
+
+    path = str(tmp_path / "adm_grow")
+    samples.write.mode("overwrite").parquet(path)
+    before = static_sample_bound(
+        spark.read.parquet(path), parse("http"), 0, 50 * MIN, MIN, 5 * MIN
+    )
+    samples.write.mode("append").parquet(path)
+    after = static_sample_bound(
+        spark.read.parquet(path), parse("http"), 0, 50 * MIN, MIN, 5 * MIN
+    )
+    assert before is not None and after is not None and after > before
+
+
+def test_static_bound_at_pinned_window(spark, tmp_path):
+    """@-pinned selectors must bound over the window around the RESOLVED @
+    time: dense data near T with a query range elsewhere may NOT undercount
+    (the ADVICE bypass scenario)."""
+    from metric_store_release_spark.engine.admission import static_sample_bound
+    from metric_store_release_spark.promql import parse
+
+    # dense series around t=1000min, nothing in the queried [0, 10min] range
+    dense = corpus.load(
+        spark, MIN, ['pin{job="a"} 0+1x60']
+    ).withColumn("ts", F.col("ts") + F.lit(1000 * MIN))
+    path = str(tmp_path / "adm_at")
+    dense.write.mode("overwrite").parquet(path)
+    store = spark.read.parquet(path)
+    t_pin = (1000 + 30) * MIN  # inside the dense region
+    bound = static_sample_bound(
+        store, parse(f"pin @ {t_pin // 1000}"), 0, 10 * MIN, MIN, 5 * MIN
+    )
+    # 11 steps × the ~5min lookback window of dense data at the pin: must
+    # count the pinned window's rows, not the (empty) query range
+    assert bound is not None and bound > 0
 
 
 def test_max_samples_disabled(spark, samples):

@@ -92,6 +92,43 @@ def test_scrape_manager_appends_each_tick(spark, metrics_server):
     assert len(batches) == 2 and all(n > 0 for n in batches)
 
 
+def test_scrape_manager_honors_per_job_intervals(spark, metrics_server):
+    """A fast job must not drag a slow job onto its cadence: the slow job
+    is scraped once (the first tick), the fast one every tick."""
+    per_batch_jobs = []
+    mgr = ScrapeManager(
+        spark,
+        [
+            ScrapeConfig(job_name="fast", targets=[metrics_server],
+                         scrape_interval_ms=10),
+            ScrapeConfig(job_name="slow", targets=[metrics_server],
+                         scrape_interval_ms=3_600_000),
+        ],
+        appender=lambda df: per_batch_jobs.append(
+            sorted(
+                r["labels"]["job"]
+                for r in df.filter(F.col("name") == "up").collect()
+            )
+        ),
+    )
+    mgr.run(iterations=3)
+    assert per_batch_jobs[0] == ["fast", "slow"]
+    assert per_batch_jobs[1] == ["fast"] and per_batch_jobs[2] == ["fast"]
+
+
+def test_scrape_manager_unpersists_tick_cache(spark, metrics_server):
+    """Long-running loops must not leak a cached scrape batch per tick."""
+    before = len(spark.sparkContext._jsc.getPersistentRDDs())
+    mgr = ScrapeManager(
+        spark,
+        [ScrapeConfig(job_name="web", targets=[metrics_server],
+                      scrape_interval_ms=10)],
+        appender=lambda df: df.count(),
+    )
+    mgr.run(iterations=3)
+    assert len(spark.sparkContext._jsc.getPersistentRDDs()) <= before
+
+
 def test_scraped_samples_queryable(spark, engine, metrics_server):
     cfg = ScrapeConfig(job_name="web", targets=[metrics_server])
     samples = scrape_once(spark, [cfg]).filter(F.col("name") != "queue_depth")

@@ -287,6 +287,55 @@ def test_stateful_rollup_accumulates_across_batches(spark):
         assert labels["app_id"] == "A" and labels["source_id"] == "gorouter"
 
 
+def test_stateful_rollup_late_event_stays_monotone(spark):
+    """A late envelope for an already-emitted window must NOT rewrite that
+    window with the tail-inflated running total (which would read as a
+    counter reset at the later window). The late count reaches the total,
+    emitted at the max already-emitted window."""
+    import os
+    import time as _time
+
+    from metric_store_release_spark.streaming.nozzle import ENVELOPE_SCHEMA
+    from metric_store_release_spark.streaming.rollup import (
+        stateful_rollup_stream,
+    )
+
+    with tempfile.TemporaryDirectory() as tmp:
+        src = os.path.join(tmp, "src")
+        out = os.path.join(tmp, "out")
+        ckpt = os.path.join(tmp, "ckpt")
+        mk = lambda ts_s: env_row(
+            ts_s, "timer", name="http", start=0, stop=5_000_000,
+            tags={"status_code": "200", "app_id": "A"},
+        )
+        # batch 1: windows [0,10s)=3 and [10,20s)=1 → emits w10k=3, w20k=4
+        spark.createDataFrame(
+            [mk(1), mk(2), mk(3), mk(11)], ENVELOPE_SCHEMA
+        ).coalesce(1).write.mode("append").parquet(src)
+        _time.sleep(1.1)
+        # batch 2: LATE event for window [0,10s)
+        spark.createDataFrame([mk(4)], ENVELOPE_SCHEMA).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+        envelopes = (
+            spark.readStream.schema(ENVELOPE_SCHEMA)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(src)
+        )
+        q = stateful_rollup_stream(envelopes, out, ckpt)
+        q.awaitTermination(120)
+        from metric_store_release_spark.sources.storage import read_samples
+
+        got = read_samples(spark, out).filter(F.col("name") == "http_total")
+        by_ts: dict[int, list[float]] = {}
+        for r in got.collect():
+            by_ts.setdefault(r["ts"], []).append(r["value"])
+        # the late count lands at the max emitted window (last write wins),
+        # never back at 10s: the as-of series stays monotone
+        assert by_ts[10_000] == [3.0]
+        assert sorted(by_ts[20_000]) == [4.0, 5.0]
+
+
 def test_stateful_rollup_matches_batch_rollup_single_batch(spark, timer_envelopes):
     """On one batch the stateful op emits exactly rollup_counters' output."""
     import os
