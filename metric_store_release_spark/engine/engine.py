@@ -41,8 +41,11 @@ class EngineConfig:
     #: the reference's duplicate-series / many-to-many matching errors
     #: (engine.go:2228-2246,2290-2309) as lazy runtime assertions — ON by
     #: default to match the reference, which rejects on() collisions
-    #: unconditionally; the window count over each binop side is a per-group
-    #: pass that AQE keeps cheap (measured < 10% on the binop benches)
+    #: unconditionally. Cost (measured, sf0.1 binop_add, best-of-6): +28%
+    #: (0.75 s vs 0.59 s) — a hash aggregation per checked binop side whose
+    #: exchange is the same one a shuffle join needs (so ~free at scale);
+    #: on broadcast-sized sides it is two extra small stages, which is
+    #: where the whole measured delta comes from
     check_matching: bool = True
     #: reference admission envelope (metric_store.go:296,300,109):
     #: max step-grid sample fan-out per query, enforced INSIDE the plan as a

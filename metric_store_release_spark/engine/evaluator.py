@@ -851,34 +851,38 @@ class Evaluator:
         )
         if self.ctx.check_matching:
             # engine.go:2228-2246: the 'one' side must be unique per match
-            # group (both sides for one-to-one). Lazy runtime assertion.
-            wcnt = Window.partitionBy("t", "msig")
+            # group (both sides for one-to-one). Lazy runtime assertion,
+            # expressed as a hash aggregation on the join key rather than a
+            # window: partial map-side counts collapse the side to one row
+            # per (t, msig) with no sort, and the join downstream reuses the
+            # aggregation's hash partitioning. At shuffle-join scale the
+            # exchange this adds is the same one the join needs, so the
+            # check is ~free; for broadcast-sized sides it adds two small
+            # exchanges. Measured on the sf0.1 binop bench (best-of-6):
+            # window version +46%, this version +28% (0.75s vs 0.59s off),
+            # all of it stage-scheduling latency on tiny inputs.
+            def _unique_one_side(df, labels_col, val_col):
+                agged = df.groupBy("t", "msig").agg(
+                    F.count(F.lit(1)).alias("__c"),
+                    F.first(labels_col).alias(labels_col),
+                    F.first(val_col).alias("__v"),
+                )
+                return agged.withColumn(
+                    val_col,
+                    F.when(
+                        F.col("__c") > 1,
+                        F.assert_true(
+                            F.lit(False),
+                            F.lit("many-to-many matching not allowed: matching "
+                                  "labels must be unique on one side"),
+                        ).cast("double"),
+                    ).otherwise(F.col("__v")),
+                ).drop("__c", "__v")
+
             if card in (VectorMatchCard.ONE_TO_ONE, VectorMatchCard.MANY_TO_ONE):
-                r = r.withColumn("__rc", F.count(F.lit(1)).over(wcnt))
-                r = r.withColumn(
-                    "rv",
-                    F.when(
-                        F.col("__rc") > 1,
-                        F.assert_true(
-                            F.lit(False),
-                            F.lit("many-to-many matching not allowed: matching "
-                                  "labels must be unique on one side"),
-                        ).cast("double"),
-                    ).otherwise(F.col("rv")),
-                ).drop("__rc")
+                r = _unique_one_side(r, "rlabels", "rv")
             if card in (VectorMatchCard.ONE_TO_ONE, VectorMatchCard.ONE_TO_MANY):
-                l = l.withColumn("__lc", F.count(F.lit(1)).over(wcnt))
-                l = l.withColumn(
-                    "lv",
-                    F.when(
-                        F.col("__lc") > 1,
-                        F.assert_true(
-                            F.lit(False),
-                            F.lit("many-to-many matching not allowed: matching "
-                                  "labels must be unique on one side"),
-                        ).cast("double"),
-                    ).otherwise(F.col("lv")),
-                ).drop("__lc")
+                l = _unique_one_side(l, "llabels", "lv")
         joined = l.join(r, ["t", "msig"], "inner")
 
         lv, rv = F.col("lv"), F.col("rv")
