@@ -402,6 +402,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["doc_fingerprint"] = _doc_fingerprint
     q["multimodal_features"] = _multimodal_features  # rows-only (mapInPandas)
     q["embedding_ivf_topk"] = _embedding_ivf_topk
+    q["text_token_count"] = _text_token_count
+    q["media_resize"] = _media_resize
 
     # The driver's correctness gate checks entries in insertion order and in
     # round 1 stopped after the first 50: reorder so one representative of
@@ -688,6 +690,38 @@ def _multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _text_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from metric_store_release_spark.pipeline.text import (
+        bpe_ish_token_count,
+        token_count,
+    )
+
+    docs = _docs(spark, sf_dir)
+    return docs.select(
+        "doc_id",
+        token_count(F.col("text")).alias("n_ws_tokens"),
+        bpe_ish_token_count(F.col("text")).alias("n_bpe_tokens"),
+    )
+
+
+def _media_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from metric_store_release_spark.pipeline.multimodal import (
+        ppm_media_from_documents,
+        resize_media,
+    )
+
+    # nearest-neighbor 4×2 → 2×1 over the md5-derived P6 corpus; output
+    # pixels are source pixels (0,0) and (2,0), which the SQL oracle can
+    # reproduce from the md5 hex directly
+    out = resize_media(ppm_media_from_documents(_docs(spark, sf_dir)), 2, 1)
+    return out.select(
+        "doc_id",
+        "width",
+        "height",
+        F.round("mean_luma", 6).alias("mean_luma"),
+    )
+
+
 # -------------------------------------------------------------------- oracles
 def oracle_sql() -> dict[str, str]:
     o: dict[str, str] = {}
@@ -838,6 +872,14 @@ FROM win GROUP BY t HAVING COUNT(*) >= 2
     # walks the per-window sample sequence in ts order — identical recurrence
     # to the engine's F.aggregate fold (b seeded from the first difference,
     # no trend update on i==1).
+    #
+    # The smoothing constants are emitted via Python repr so both sides fold
+    # with bit-identical doubles: the engine computes the complement as
+    # `1.0 - sf` (one ulp away from the literal 0.7), and compounding that
+    # difference across the recurrence can land on an exact ROUND(6) tie
+    # (e.g. -33.7140375 at sf0.01).
+    hw_sf, hw_tf = 0.3, 0.3
+    hw_sf_c, hw_tf_c = repr(1.0 - hw_sf), repr(1.0 - hw_tf)
     o["promql_holt_winters"] = f"""
 WITH RECURSIVE {_SAMPLES_CTE},
 ordered AS (
@@ -853,11 +895,11 @@ rec AS (
   UNION ALL
   SELECT r.t, r.i + 1,
          r.s1,
-         CAST(0.3 AS DOUBLE)*o.value
-           + CAST(0.7 AS DOUBLE)*(r.s1 + CASE WHEN r.i = 1 THEN o.value - r.s1
-                ELSE CAST(0.3 AS DOUBLE)*(r.s1 - r.s0) + CAST(0.7 AS DOUBLE)*r.b END),
+         CAST({hw_sf!r} AS DOUBLE)*o.value
+           + CAST({hw_sf_c} AS DOUBLE)*(r.s1 + CASE WHEN r.i = 1 THEN o.value - r.s1
+                ELSE CAST({hw_tf!r} AS DOUBLE)*(r.s1 - r.s0) + CAST({hw_tf_c} AS DOUBLE)*r.b END),
          CASE WHEN r.i = 1 THEN o.value - r.s1
-              ELSE CAST(0.3 AS DOUBLE)*(r.s1 - r.s0) + CAST(0.7 AS DOUBLE)*r.b END
+              ELSE CAST({hw_tf!r} AS DOUBLE)*(r.s1 - r.s0) + CAST({hw_tf_c} AS DOUBLE)*r.b END
   FROM rec r JOIN ordered o ON o.t = r.t AND o.idx = r.i + 1
 )
 SELECT r.t,
@@ -1175,9 +1217,13 @@ SELECT t, ROUND(SQRT(ABS(value - 10)), 6) AS value FROM inst
 WITH steps AS (SELECT unnest(generate_series({start}, {end}, {step})) AS t)
 SELECT t, t / 1000.0 AS value FROM steps
 """.format(start=START, end=END, step=STEP)
+    # scalar() is NaN at steps where the vector is empty (promql/functions.go
+    # funcScalar) — left-join from steps so sparse data still yields one row
+    # per evaluation step, matching the engine.
     o["promql_scalar_of"] = f"""
 WITH {_SAMPLES_CTE}, {_inst_cte("p.name = 'purchase'")}
-SELECT t, ROUND(SUM(value) * 2, 6) AS value FROM inst GROUP BY t
+SELECT s.t, COALESCE(ROUND(SUM(i.value) * 2, 6), CAST('NaN' AS DOUBLE)) AS value
+FROM steps s LEFT JOIN inst i ON i.t = s.t GROUP BY s.t
 """
 
     o["promql_subquery_rate"] = (
@@ -1205,6 +1251,36 @@ GROUP BY s.t
     # multimodal_features: the P6 raster is the first 24 hex chars of
     # md5(text); width/height/n_bytes are structural constants of the
     # generator and mean_luma is the BT.601 average over the 8 RGB pixels
+    # token counts: whitespace tokens, and the BPE-ish proxy = maximal
+    # alnum runs + each non-alnum non-whitespace char as its own piece
+    # (exactly what the lookaround split + \\S filter keeps in pipeline/text.py)
+    o["text_token_count"] = r"""
+SELECT doc_id,
+       len(list_filter(regexp_split_to_array(text, '\s+'), x -> x <> ''))
+         AS n_ws_tokens,
+       len(list_filter(regexp_split_to_array(text, '[^a-zA-Z0-9]+'), x -> x <> ''))
+         + length(regexp_replace(text, '[a-zA-Z0-9\s]', '', 'g'))
+         AS n_bpe_tokens
+FROM documents
+"""
+
+    # media_resize: nearest-neighbor 4×2 → 2×1 keeps source pixels
+    # (0,0) and (2,0) — hex chars 1-3 and 7-9 of md5(text)
+    o["media_resize"] = """
+SELECT doc_id,
+       2 AS width,
+       1 AS height,
+       ROUND((
+           (0.299 * ascii(substr(md5(text), 1, 1))
+          + 0.587 * ascii(substr(md5(text), 2, 1))
+          + 0.114 * ascii(substr(md5(text), 3, 1)))
+         + (0.299 * ascii(substr(md5(text), 7, 1))
+          + 0.587 * ascii(substr(md5(text), 8, 1))
+          + 0.114 * ascii(substr(md5(text), 9, 1)))
+       ) / 2, 6) AS mean_luma
+FROM documents
+"""
+
     o["multimodal_features"] = """
 SELECT doc_id,
        'image/x-portable-pixmap' AS media_type,

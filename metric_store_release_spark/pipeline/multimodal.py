@@ -198,6 +198,81 @@ def ppm_media_from_documents(documents: DataFrame) -> DataFrame:
     )
 
 
+RESIZED_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType(), False),
+        StructField("media_type", StringType(), False),
+        StructField("width", IntegerType(), True),
+        StructField("height", IntegerType(), True),
+        StructField("mean_luma", DoubleType(), True),
+        StructField("payload", BinaryType(), True),
+    ]
+)
+
+
+def _decode_ppm_pixels(payload: bytes) -> tuple[int, int, int, bytes]:
+    """netpbm raster access: (width, height, channels, pixel bytes)."""
+    magic, w, h, maxval, pos = _ppm_header(payload)
+    if magic not in (b"P6", b"P5"):
+        raise ValueError(f"unsupported netpbm magic {magic!r}")
+    if maxval > 255:
+        raise ValueError("16-bit netpbm not supported")
+    channels = 3 if magic == b"P6" else 1
+    pixels = payload[pos : pos + w * h * channels]
+    if len(pixels) < w * h * channels:
+        raise ValueError("truncated netpbm raster")
+    return w, h, channels, pixels
+
+
+def _resize_nn(payload: bytes, tw: int, th: int) -> tuple[int, int, float, bytes]:
+    """Nearest-neighbor resample of a netpbm payload to (tw, th).
+
+    Source pixel for output (x, y) is (x·w//tw, y·h//th) — the standard
+    floor mapping. Returns the resized dims, mean luma of the resized
+    raster, and a re-encoded netpbm payload."""
+    w, h, channels, pixels = _decode_ppm_pixels(payload)
+    out = bytearray()
+    total = 0.0
+    for y in range(th):
+        sy = y * h // th
+        for x in range(tw):
+            sx = x * w // tw
+            px = pixels[(sy * w + sx) * channels : (sy * w + sx + 1) * channels]
+            out += px
+            if channels == 1:
+                total += px[0]
+            else:
+                total += _LUMA[0] * px[0] + _LUMA[1] * px[1] + _LUMA[2] * px[2]
+    magic = b"P6" if channels == 3 else b"P5"
+    header = magic + b"\n%d %d\n255\n" % (tw, th)
+    return tw, th, total / (tw * th), bytes(header) + bytes(out)
+
+
+def resize_media(media: DataFrame, target_w: int, target_h: int) -> DataFrame:
+    """Arrow-batched nearest-neighbor resize over netpbm payloads.
+
+    Same mapInPandas shape as extract_media_features: one Arrow batch of
+    payloads in memory per task, output is a new media table with resized
+    payloads — the decode/resample/encode is per-payload pure Python here
+    (real deployments swap a native resampler into _resize_nn)."""
+
+    def resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            res = pdf["payload"].map(lambda p: _resize_nn(p, target_w, target_h))
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "media_type": pdf["media_type"],
+                    "width": res.map(lambda r: r[0]),
+                    "height": res.map(lambda r: r[1]),
+                    "mean_luma": res.map(lambda r: r[2]),
+                    "payload": res.map(lambda r: r[3]),
+                }
+            )
+
+    return media.mapInPandas(resize, schema=RESIZED_SCHEMA)
+
+
 def frame_sample_plan(media: DataFrame, every_n: int = 10) -> DataFrame:
     """Video frame-sampling plumbing: emit (doc_id, frame_idx) rows for a
     stubbed frame count derived from payload size; the decode itself stays

@@ -25,7 +25,10 @@ def ts_ms(df: DataFrame, col: str = "ts") -> F.Column:
     field = df.schema[col]
     if isinstance(field.dataType, LongType):
         return F.floor(F.col(col) / F.lit(1_000_000)).cast("long")
-    return F.unix_millis(F.col(col))
+    # TIMESTAMP_NTZ (timestamp[us] with isAdjustedToUTC=false) needs a cast to
+    # session-local TIMESTAMP before unix_millis; the session runs UTC, so the
+    # naive wall-clock maps 1:1 to epoch — same as DuckDB's epoch_ms(ts).
+    return F.unix_millis(F.col(col).cast("timestamp"))
 
 
 def samples_from_events(

@@ -30,7 +30,9 @@ def samples(spark):
 
 
 def test_max_samples_guard(spark, samples):
-    tiny = PromQLEngine(spark, EngineConfig(max_samples=10))
+    # timeout disabled: on a cold JVM the first action can exceed the 10 s
+    # default, and the timeout would then mask the limit error we assert on
+    tiny = PromQLEngine(spark, EngineConfig(max_samples=10, timeout_ms=None))
     df = tiny.query_range(samples, "http", 0, 50 * MIN, MIN)
     # execute() surfaces the in-plan abort as the typed error
     with pytest.raises(QueryLimitError, match="MaxSamples"):

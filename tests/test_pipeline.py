@@ -219,6 +219,60 @@ def test_ppm_media_matches_python_decode(spark):
         assert r["mean_luma"] == pytest.approx(want)
 
 
+def test_resize_media_nearest_neighbor(spark):
+    from metric_store_release_spark.pipeline.multimodal import (
+        _decode_stub,
+        ppm_media_from_documents,
+        resize_media,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "hello world"), (2, "entirely different text")],
+        "doc_id long, text string",
+    )
+    media = ppm_media_from_documents(docs)
+    out = {r["doc_id"]: r for r in resize_media(media, 2, 1).collect()}
+    src = {r["doc_id"]: bytes(r["payload"]) for r in media.collect()}
+    for doc_id in (1, 2):
+        r = out[doc_id]
+        assert (r["width"], r["height"]) == (2, 1)
+        # NN 4x2→2x1 keeps source pixels (0,0) and (2,0): raster offsets 0-2, 6-8
+        raster = src[doc_id][11:]  # past 'P6\n4 2\n255\n'
+        want = sum(
+            0.299 * raster[i] + 0.587 * raster[i + 1] + 0.114 * raster[i + 2]
+            for i in (0, 6)
+        ) / 2
+        assert r["mean_luma"] == pytest.approx(want)
+        # resized payload is itself a decodable P6
+        w, h, luma = _decode_stub("image/x-portable-pixmap", bytes(r["payload"]))
+        assert (w, h) == (2, 1) and luma == pytest.approx(want)
+
+
+def test_token_counts(spark):
+    from metric_store_release_spark.pipeline.text import (
+        bpe_ish_token_count,
+        token_count,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "hello, world!  it's 2026"), (2, ""), (3, "   ")],
+        "doc_id long, text string",
+    )
+    out = {
+        r["doc_id"]: r
+        for r in docs.select(
+            "doc_id",
+            token_count(F.col("text")).alias("ws"),
+            bpe_ish_token_count(F.col("text")).alias("bpe"),
+        ).collect()
+    }
+    assert out[1]["ws"] == 4
+    # hello , world ! it ' s 2026 → 8 pieces
+    assert out[1]["bpe"] == 8
+    assert out[2]["ws"] == 0 and out[2]["bpe"] == 0
+    assert out[3]["ws"] == 0 and out[3]["bpe"] == 0
+
+
 def test_multimodal_unknown_codec_raises(spark):
     from metric_store_release_spark.pipeline.multimodal import extract_media_features
 
