@@ -404,6 +404,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["embedding_ivf_topk"] = _embedding_ivf_topk
     q["text_token_count"] = _text_token_count
     q["media_resize"] = _media_resize
+    q["promql_federated_selector"] = _promql_federated_selector
 
     # The driver's correctness gate checks entries in insertion order and in
     # round 1 stopped after the first 50: reorder so one representative of
@@ -704,6 +705,37 @@ def _text_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: sf_dir → federation root already written this session (the store is the
+#: input, not the query; rebuild only when the tmp dir vanished)
+_FED_ROOTS: dict[str, str] = {}
+
+
+def _promql_federated_selector(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same instant selector as promql_selector, but served through the
+    replicated multi-node read path (routing + failover + replica dedup,
+    sources/federation.py) instead of a single samples frame — proves the
+    federation layer is transparent to the engine, so its oracle is the
+    plain single-store selector SQL."""
+    import os
+    import tempfile
+
+    from metric_store_release_spark.sources.federation import FederatedStore
+
+    root = _FED_ROOTS.get(sf_dir)
+    if root is None or not os.path.isdir(root):
+        root = tempfile.mkdtemp(prefix="msr_fed_") + "/store"
+        FederatedStore(spark, root, n_nodes=3, replication_factor=2).write(
+            _samples(spark, sf_dir), mode="overwrite"
+        )
+        _FED_ROOTS[sf_dir] = root
+    fed = FederatedStore(spark, root, n_nodes=3, replication_factor=2)
+    eng = _engine(spark)
+    out = eng.query_range(
+        fed.select_samples("click"), 'click{user="3"}', START, END, STEP
+    )
+    return out.select("t", "value")
+
+
 def _media_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     from metric_store_release_spark.pipeline.multimodal import (
         ppm_media_from_documents,
@@ -727,6 +759,13 @@ def oracle_sql() -> dict[str, str]:
     o: dict[str, str] = {}
 
     o["promql_selector"] = f"""
+WITH {_SAMPLES_CTE}, {_inst_cte("p.name = 'click' AND p.usr = '3'")}
+SELECT t, value FROM inst
+"""
+
+    # identical to promql_selector by design: the federated read path must
+    # be invisible to query results
+    o["promql_federated_selector"] = f"""
 WITH {_SAMPLES_CTE}, {_inst_cte("p.name = 'click' AND p.usr = '3'")}
 SELECT t, value FROM inst
 """

@@ -1,0 +1,192 @@
+"""Federated multi-node storage — the Spark-first analog of the reference's
+metric-name routing + replicated read layer.
+
+Reference behavior: every metric name hashes onto `replication_factor` of N
+nodes (jump-consistent hash over the name,
+src/internal/routing/routing_table.go:47-63); writes replicate to every
+assigned node; a read resolves the metric name to its replica set, prefers
+the local node, and otherwise queries replicas with failover and retries
+(src/internal/storage/replicated_querier.go:106-160, remote read transport
+src/internal/storage/remote_querier.go:82-93).
+
+The Spark translation drops the hand-built TLS TCP transport entirely: a
+"node" is a storage path on the shared filesystem / object store Spark
+already assumes, so
+
+  - remote read   = a parquet scan of the replica's store (pushdown intact),
+  - fan-out       = Spark task scheduling over the unioned replica scans,
+  - failover      = skipping unreadable replica paths at plan time,
+  - retry/backoff = the cluster manager's task re-execution,
+  - divergence    = healed at read time by a deterministic dedup on
+                    (name, ts, series signature) — replicas that missed
+                    writes while down (the reference's hinted-handoff
+                    window) simply contribute fewer rows to the union.
+
+Routing stays on the driver as a broadcast map: metric-NAME cardinality is
+small (the reference's routing table is an in-memory array of nodes), so a
+distinct-names pass + broadcast join routes a 100 TB write without any
+per-row Python.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from pathlib import Path
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from metric_store_release_spark.sources.storage import PARTITION_COL
+
+# no leading underscore: Spark's file listing skips `_`-prefixed dirs when
+# scanning a parent, and the node dir must stay a readable scan root
+_NODE_COL = "node"
+
+
+def _hash64(s: str) -> int:
+    """Portable 64-bit name hash (md5 prefix — the xxhash analog)."""
+    return int.from_bytes(hashlib.md5(s.encode()).digest()[:8], "big")
+
+
+def _jump_hash(key: int, n_buckets: int) -> int:
+    """Jump consistent hash (Lamping & Veach 2014): same algorithm as the
+    reference's jmphash dependency (routing_table.go:41,50-51). O(ln n),
+    no state, minimal reshuffling when nodes are added."""
+    b, j = -1, 0
+    while j < n_buckets:
+        b = j
+        key = (key * 2862933555777941757 + 1) & 0xFFFFFFFFFFFFFFFF
+        j = int((b + 1) * (float(1 << 31) / float((key >> 33) + 1)))
+    return b
+
+
+class RoutingTable:
+    """Metric name → replica node set (routing_table.go:47-63).
+
+    The primary node comes from the jump hash; the remaining
+    `replication_factor - 1` replicas are the following nodes mod N — the
+    ring-successor placement the reference's range-based replica walk
+    produces."""
+
+    def __init__(self, n_nodes: int, replication_factor: int = 1) -> None:
+        if not 1 <= replication_factor <= n_nodes:
+            raise ValueError("replication_factor must be in [1, n_nodes]")
+        self.n_nodes = n_nodes
+        self.replication_factor = replication_factor
+
+    def lookup(self, metric_name: str) -> list[int]:
+        first = _jump_hash(_hash64(metric_name), self.n_nodes)
+        return [
+            (first + i) % self.n_nodes for i in range(self.replication_factor)
+        ]
+
+    def is_local(self, metric_name: str, node: int) -> bool:
+        """replicated_querier.go:115 IsLocal — serve from the local store
+        when the name routes here."""
+        return node in self.lookup(metric_name)
+
+
+class FederatedStore:
+    """N replicated shard stores under one root: node i lives at
+    `root/node=i`, each internally date-partitioned like
+    `sources.storage` (the 24 h shard analog)."""
+
+    def __init__(
+        self, spark: SparkSession, root: str, n_nodes: int,
+        replication_factor: int = 1,
+    ) -> None:
+        self.spark = spark
+        self.root = root
+        self.table = RoutingTable(n_nodes, replication_factor)
+
+    def node_path(self, node: int) -> str:
+        return f"{self.root}/{_NODE_COL}={node}"
+
+    # -- write ---------------------------------------------------------------
+    def write(self, samples: DataFrame, mode: str = "append") -> None:
+        """Replicated write: one scan, one job.
+
+        Routing is resolved once per distinct metric name on the driver
+        (names are routing-table cardinality, not row cardinality), exploded
+        to (name, node) and broadcast-joined onto the samples — each row
+        fans out to exactly its replica set, then a single
+        partitionBy(node, date) write lands every replica. No shuffle
+        beyond the write's own partitioning; no per-row Python."""
+        names = [r["name"] for r in samples.select("name").distinct().collect()]
+        routes = self.spark.createDataFrame(
+            [(n, node) for n in names for node in self.table.lookup(n)],
+            f"name string, {_NODE_COL} int",
+        )
+        routed = samples.join(F.broadcast(routes), "name").withColumn(
+            PARTITION_COL, F.to_date(F.timestamp_millis(F.col("ts")))
+        )
+        routed.write.partitionBy(_NODE_COL, PARTITION_COL).mode(mode).parquet(
+            self.root
+        )
+
+    # -- read ----------------------------------------------------------------
+    def _available(self, nodes: list[int]) -> list[int]:
+        """Failover at plan time: unreadable replicas are skipped the way
+        queryWithNodeFailover walks to the next node
+        (replicated_querier.go:160-190)."""
+        return [n for n in nodes if Path(self.node_path(n)).exists()]
+
+    def select_samples(self, metric_name: str) -> DataFrame:
+        """All samples for one metric from its replica set, divergence
+        healed. Raises when every replica is down — the reference returns
+        an error series set in the same situation."""
+        nodes = self._available(self.table.lookup(metric_name))
+        if not nodes:
+            raise FileNotFoundError(
+                f"no replica of {metric_name!r} is readable"
+            )
+        scans = [
+            self.spark.read.parquet(self.node_path(n)).filter(
+                F.col("name") == metric_name
+            )
+            for n in nodes
+        ]
+        return _dedup_replicas(_union(scans))
+
+    def read_all(self) -> DataFrame:
+        """Whole-store read across every live node (the multi-node scatter
+        behind /api/v1/labels etc.), replica-deduped."""
+        nodes = self._available(list(range(self.table.n_nodes)))
+        if not nodes:
+            raise FileNotFoundError("no federation node is readable")
+        return _dedup_replicas(
+            _union([self.spark.read.parquet(self.node_path(n)) for n in nodes])
+        )
+
+
+def _union(parts: list[DataFrame]) -> DataFrame:
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p, allowMissingColumns=True)
+    return out
+
+
+def _dedup_replicas(samples: DataFrame) -> DataFrame:
+    """Collapse replica copies of the same (name, ts, series) to one row.
+
+    Maps aren't groupable, so the series key is the sorted label entry
+    array (datamodel.sig's layout) built map-side; max(value) breaks the
+    (never-expected) divergent-value tie deterministically. One hash
+    aggregation keyed by (name, ts, sig) — uniformly distributed, no skew:
+    the same shape as the engine's per-selector aggregation."""
+    extra = [
+        c for c in samples.columns
+        if c not in ("ts", "name", "value", "labels", PARTITION_COL)
+    ]
+    sig = F.array_sort(F.map_entries(F.col("labels")))
+    deduped = (
+        samples.withColumn("__sig", sig)
+        .groupBy("ts", "name", "__sig")
+        .agg(
+            F.max("value").alias("value"),
+            *[F.max(c).alias(c) for c in extra],
+        )
+        .withColumn("labels", F.map_from_entries(F.col("__sig")))
+        .drop("__sig")
+    )
+    return deduped.select("ts", "name", "value", "labels", *extra)
