@@ -42,6 +42,9 @@ from metric_store_release_spark.sources.storage import PARTITION_COL
 # scanning a parent, and the node dir must stay a readable scan root
 _NODE_COL = "node"
 
+#: hinted-handoff defaults (write_replayer.go:19-41)
+DEFAULT_HANDOFF_MAX_AGE_MS = 7 * 24 * 3600 * 1000
+
 
 def _hash64(s: str) -> int:
     """Portable 64-bit name hash (md5 prefix — the xxhash analog)."""
@@ -103,7 +106,13 @@ class FederatedStore:
         return f"{self.root}/{_NODE_COL}={node}"
 
     # -- write ---------------------------------------------------------------
-    def write(self, samples: DataFrame, mode: str = "append") -> None:
+    def write(
+        self,
+        samples: DataFrame,
+        mode: str = "append",
+        down_nodes: "frozenset[int] | set[int]" = frozenset(),
+        queued_at_ms: int | None = None,
+    ) -> None:
         """Replicated write: one scan, one job.
 
         Routing is resolved once per distinct metric name on the driver
@@ -111,7 +120,14 @@ class FederatedStore:
         to (name, node) and broadcast-joined onto the samples — each row
         fans out to exactly its replica set, then a single
         partitionBy(node, date) write lands every replica. No shuffle
-        beyond the write's own partitioning; no per-row Python."""
+        beyond the write's own partitioning; no per-row Python.
+
+        Rows routed to a node in `down_nodes` go to the hinted-handoff
+        queue instead (metric_store.go writes through a WriteReplayer per
+        unreachable node); `replay_handoff` drains them when the node
+        recovers. `queued_at_ms` stamps the handoff batch (required when
+        down_nodes is non-empty — explicit so replay/purge are
+        deterministic and testable)."""
         names = [r["name"] for r in samples.select("name").distinct().collect()]
         routes = self.spark.createDataFrame(
             [(n, node) for n in names for node in self.table.lookup(n)],
@@ -120,9 +136,58 @@ class FederatedStore:
         routed = samples.join(F.broadcast(routes), "name").withColumn(
             PARTITION_COL, F.to_date(F.timestamp_millis(F.col("ts")))
         )
-        routed.write.partitionBy(_NODE_COL, PARTITION_COL).mode(mode).parquet(
+        live = routed
+        if down_nodes:
+            if queued_at_ms is None:
+                raise ValueError("queued_at_ms is required with down_nodes")
+            down = sorted(down_nodes)
+            live = routed.filter(~F.col(_NODE_COL).isin(down))
+            for node in down:
+                self.handoff.append(
+                    routed.filter(F.col(_NODE_COL) == node).drop(
+                        _NODE_COL, PARTITION_COL
+                    ),
+                    node,
+                    queued_at_ms,
+                )
+        live.write.partitionBy(_NODE_COL, PARTITION_COL).mode(mode).parquet(
             self.root
         )
+
+    @property
+    def handoff(self) -> HandoffLog:
+        return HandoffLog(self.spark, f"{self.root}_handoff")
+
+    def replay_handoff(
+        self,
+        node: int,
+        now_ms: int,
+        max_age_ms: int = DEFAULT_HANDOFF_MAX_AGE_MS,
+    ) -> int:
+        """Drain the recovered node's queue into its store
+        (write_replayer.go Write loop): purge batches older than MaxAge,
+        append the rest as one job, clear the queue. Returns rows replayed.
+        Idempotent under crash-between-append-and-delete: the replica dedup
+        at read time absorbs a double replay."""
+        import shutil
+
+        log = self.handoff
+        log.purge_older_than(node, now_ms - max_age_ms)
+        batches = log.pending_batches(node)
+        if not batches:
+            return 0
+        queued = self.spark.read.parquet(
+            *[f"{log.queue_path(node)}/queued_at={b}" for b in batches]
+        )
+        out = queued.withColumn(
+            PARTITION_COL, F.to_date(F.timestamp_millis(F.col("ts")))
+        )
+        n = queued.count()
+        out.write.partitionBy(PARTITION_COL).mode("append").parquet(
+            self.node_path(node)
+        )
+        shutil.rmtree(log.queue_path(node))
+        return n
 
     # -- read ----------------------------------------------------------------
     def _available(self, nodes: list[int]) -> list[int]:
@@ -156,6 +221,54 @@ class FederatedStore:
             raise FileNotFoundError("no federation node is readable")
         return _dedup_replicas(
             _union([self.spark.read.parquet(self.node_path(n)) for n in nodes])
+        )
+
+
+class HandoffLog:
+    """Disk-backed per-target-node queue of writes that missed a down node —
+    the hinted-handoff analog (src/internal/handoff/write_replayer.go:17-41,
+    disk_backed_queue.go).
+
+    The reference queues gob-encoded batches per node and a WriteReplayer
+    drains them over TCP with retry/backoff when the node returns. Here the
+    queue is parquet under `<root>/target=<node>/queued_at=<ms>` — batches
+    stay separately purgeable by age (MaxAge), DiskUsage is a directory
+    walk, and replay is a single append job into the recovered node's store
+    (Spark task retry replaces the byte-rate-limited TCP drain)."""
+
+    def __init__(self, spark: SparkSession, root: str) -> None:
+        self.spark = spark
+        self.root = root
+
+    def queue_path(self, node: int) -> str:
+        return f"{self.root}/target={node}"
+
+    def append(self, samples: DataFrame, node: int, queued_at_ms: int) -> None:
+        samples.write.mode("append").parquet(
+            f"{self.queue_path(node)}/queued_at={queued_at_ms}"
+        )
+
+    def disk_usage(self, node: int) -> int:
+        """Queue.DiskUsage analog — bytes on disk for one target node."""
+        p = Path(self.queue_path(node))
+        return sum(f.stat().st_size for f in p.rglob("*") if f.is_file())
+
+    def purge_older_than(self, node: int, cutoff_ms: int) -> int:
+        """Queue.PurgeOlderThan: drop whole batches queued before cutoff
+        (the reference purges whole queue segments the same way)."""
+        import shutil
+
+        dropped = 0
+        for batch in sorted(Path(self.queue_path(node)).glob("queued_at=*")):
+            if int(batch.name.split("=", 1)[1]) < cutoff_ms:
+                shutil.rmtree(batch)
+                dropped += 1
+        return dropped
+
+    def pending_batches(self, node: int) -> list[int]:
+        return sorted(
+            int(p.name.split("=", 1)[1])
+            for p in Path(self.queue_path(node)).glob("queued_at=*")
         )
 
 

@@ -103,6 +103,46 @@ def test_divergence_healed_at_read(spark, tmp_path):
     assert got.count() == df.count()  # no duplicates, nothing lost
 
 
+def test_handoff_queue_and_replay(spark, tmp_path):
+    """Writes for a down node queue to the handoff log and replay on
+    recovery (write_replayer.go:17-41 analog)."""
+    fed = FederatedStore(spark, str(tmp_path / "fed"), n_nodes=2,
+                         replication_factor=2)
+    df = _samples(spark, names=("http",), n=10)
+    fed.write(df, down_nodes={1}, queued_at_ms=5_000)
+    # node 1 holds nothing yet; node 0 serves reads
+    assert fed.select_samples("http").count() == df.count()
+    assert spark.read.parquet(fed.node_path(0)).count() == df.count()
+    assert fed.handoff.pending_batches(1) == [5_000]
+    assert fed.handoff.disk_usage(1) > 0
+    # recovery: replay drains the queue into node 1's store
+    replayed = fed.replay_handoff(1, now_ms=10_000)
+    assert replayed == df.count()
+    assert spark.read.parquet(fed.node_path(1)).count() == df.count()
+    assert fed.handoff.pending_batches(1) == []
+    # reads still deduped after both replicas are whole again
+    assert fed.select_samples("http").count() == df.count()
+
+
+def test_handoff_max_age_purge(spark, tmp_path):
+    """Batches older than MaxAge are purged, not replayed
+    (write_replayer.go DefaultMaxAge)."""
+    fed = FederatedStore(spark, str(tmp_path / "fed"), n_nodes=2,
+                         replication_factor=2)
+    old = _samples(spark, names=("http",), n=5)
+    new = _samples(spark, names=("grpc",), n=5)
+    fed.write(old, down_nodes={0, 1}, queued_at_ms=1_000)
+    fed.write(new, down_nodes={0, 1}, queued_at_ms=900_000)
+    for node in (0, 1):
+        replayed = fed.replay_handoff(node, now_ms=1_000_000,
+                                      max_age_ms=500_000)
+        # only the fresh batch's rows routed to this node come back
+        assert replayed <= new.count()
+    whole = fed.read_all()
+    assert whole.filter(F.col("name") == "http").count() == 0  # purged
+    assert whole.filter(F.col("name") == "grpc").count() == new.count()
+
+
 def test_promql_over_federated_store(spark, tmp_path):
     """End-to-end: the PromQL engine queries a federated read exactly as it
     queries a single-store samples frame."""
