@@ -1011,9 +1011,8 @@ class Evaluator:
         When duplicate detection is on, assert no two series collapse onto
         the same labelset (engine.go's "vector cannot contain metrics with
         the same labelset", raised for e.g. ceil({__name__=~'a|b'}) —
-        collision.test). Lazy window-count assertion like the binop
-        matching check; the window keys match the downstream (t, sig)
-        partitioning so it adds no extra exchange in grouped plans."""
+        collision.test). Hash-aggregation assertion like the binop matching
+        check — no window sort in the plan tail."""
         labels = F.map_filter(F.col("labels"), lambda k, _: k != F.lit(NAME_LABEL))
         out = df.withColumn("labels", labels).withColumn("sig", sig(F.col("labels")))
         return self._check_unique(out, check)
@@ -1023,22 +1022,34 @@ class Evaluator:
         step — engine.go's ContainsSameLabelset() check, applied to every
         function-call output (engine.go:1601-1602, also raised for e.g.
         changes({__name__=~'a|b'}[5m]) and collapsing label_replace —
-        functions.test). Window keyed like the surrounding (t, sig)
-        aggregations, so in grouped plans it reuses the exchange."""
+        functions.test).
+
+        Expressed as a hash aggregation on (t, sig) — NOT a window: a
+        window count forces exchange + full sort in the plan tail, while
+        the groupBy keeps map-side partial counts, skips the sort, and
+        lets downstream (t, sig)-keyed stages reuse its partitioning
+        (measured on the binop path in round 3; same shape here). With no
+        duplicates — the only passing case — first() per group is the
+        identity, so results are bit-identical."""
         do_check = self.ctx.check_matching if check is None else check
         if do_check and "value" in df.columns and "t" in df.columns:
-            w = Window.partitionBy("t", "sig")
-            df = df.withColumn(
+            cols = df.columns
+            others = [c for c in cols if c not in ("t", "sig")]
+            grouped = df.groupBy("t", "sig").agg(
+                F.count(F.lit(1)).alias("__dup_n"),
+                *[F.first(c).alias(c) for c in others],
+            )
+            df = grouped.withColumn(
                 "value",
                 F.when(
-                    F.count(F.lit(1)).over(w) > 1,
+                    F.col("__dup_n") > 1,
                     F.assert_true(
                         F.lit(False),
                         F.lit("vector cannot contain metrics with the "
                               "same labelset"),
                     ).cast("double"),
                 ).otherwise(F.col("value")),
-            )
+            ).select(*cols)
         return df
 
 
