@@ -59,6 +59,36 @@ def _mk_envelopes(spark, n_windows: int = 30):
     return spark.createDataFrame(rows, ENVELOPE_SCHEMA)
 
 
+def test_full_pipeline_federated(spark, tmp_path):
+    """Same acceptance shape through the replicated cluster layer: ingest
+    with one node down (writes queue to handoff), query from the surviving
+    replicas, replay on recovery, re-query — results identical
+    throughout."""
+    from metric_store_release_spark.sources.federation import FederatedStore
+
+    envelopes = _mk_envelopes(spark)
+    engine = PromQLEngine(spark, EngineConfig(lookback_ms=60_000))
+    pts = rollup_counters(envelopes).unionByName(rollup_histograms(envelopes))
+    fed = FederatedStore(spark, str(tmp_path / "cluster"), n_nodes=3,
+                         replication_factor=2)
+    down = fed.table.lookup("http_total")[0]
+    fed.write(pts, down_nodes={down}, queued_at_ms=1_000)
+
+    def p90_rates():
+        got = engine.query_instant(
+            fed.select_samples("http_total"),
+            "sum by (app_id) (rate(http_total[5m]))",
+            300_000,
+        )
+        return {r["labels"]["app_id"]: r["value"] for r in got.collect()}
+
+    degraded = p90_rates()  # served by the surviving replica
+    assert degraded["A"] == pytest.approx(0.6, rel=0.05)
+    assert degraded["B"] == pytest.approx(0.2, rel=0.05)
+    assert fed.replay_handoff(down, now_ms=2_000) > 0
+    assert p90_rates() == degraded  # replica healed, results unchanged
+
+
 def test_full_pipeline(spark):
     envelopes = _mk_envelopes(spark)
     engine = PromQLEngine(spark, EngineConfig(lookback_ms=60_000))
