@@ -422,7 +422,7 @@ _FAMILY_FIRST_ORDER = [
     "promql_sum_by_user", "promql_avg_without", "promql_topk",
     "promql_quantile_agg", "promql_stddev_agg", "promql_count_values",
     "promql_min_agg", "promql_group_agg",
-    "promql_sum_over_time", "promql_count_over_time", "promql_last_over_time",
+    "promql_sum_over_time", "promql_count_over_time",
     "promql_rate", "promql_irate", "promql_changes", "promql_deriv",
     "promql_holt_winters",
     "promql_binop_add", "promql_binop_filter", "promql_binop_bool",
@@ -436,8 +436,8 @@ _FAMILY_FIRST_ORDER = [
     "dedup_ngram_jaccard",
     "embedding_topk", "embedding_dedup", "embedding_ivf_topk",
     "text_quality", "text_lang_id", "doc_fingerprint",
-    "multimodal_features",
-    "promql_quantile_over_time",
+    "multimodal_features", "media_resize",
+    "promql_federated_selector",
 ]
 
 
