@@ -622,13 +622,18 @@ class Evaluator:
                     F.create_map(F.lit(lbl), formatted),
                 ),
             ).withColumn("gsig", sig(F.col("glabels")))
+            # aggregate primitives only; glabels == map_from_entries(gsig),
+            # so rebuilding it post-agg keeps the buffer hash-aggregable
+            # (a map-typed any_value buffer forces SortAggregate)
             out = (
                 df.groupBy("t", "gsig")
-                .agg(
-                    F.any_value("glabels").alias("labels"),
-                    F.count(F.lit(1)).cast("double").alias("value"),
+                .agg(F.count(F.lit(1)).cast("double").alias("value"))
+                .select(
+                    "t",
+                    F.map_from_entries("gsig").alias("labels"),
+                    F.col("gsig").alias("sig"),
+                    "value",
                 )
-                .select("t", "labels", F.col("gsig").alias("sig"), "value")
             )
             return VectorResult(out)
 
@@ -650,13 +655,14 @@ class Evaluator:
             out = (
                 df.groupBy("t", "gsig")
                 .agg(
-                    F.any_value("glabels").alias("labels"),
                     F.sum("value").alias("__s"),
                     F.sum(F.col("value") * F.lit(2.0**-64)).alias("__ss"),
                     F.count(F.lit(1)).cast("double").alias("__n"),
                 )
                 .select(
-                    "t", "labels", F.col("gsig").alias("sig"),
+                    "t",
+                    F.map_from_entries("gsig").alias("labels"),
+                    F.col("gsig").alias("sig"),
                     value.alias("value"),
                 )
             )
@@ -720,12 +726,12 @@ class Evaluator:
                 )
                 out = (
                     df.groupBy("t", "gsig")
-                    .agg(
-                        F.any_value("glabels").alias("labels"),
-                        agg_expr.alias("value"),
-                    )
+                    .agg(agg_expr.alias("value"))
                     .select(
-                        "t", "labels", F.col("gsig").alias("sig"), "value"
+                        "t",
+                        F.map_from_entries("gsig").alias("labels"),
+                        F.col("gsig").alias("sig"),
+                        "value",
                     )
                 )
                 return VectorResult(out)
@@ -733,8 +739,13 @@ class Evaluator:
             raise PromQLEvalError(f"unsupported aggregation {op!r}")
         out = (
             df.groupBy("t", "gsig")
-            .agg(F.any_value("glabels").alias("labels"), agg.alias("value"))
-            .select("t", "labels", F.col("gsig").alias("sig"), "value")
+            .agg(agg.alias("value"))
+            .select(
+                "t",
+                F.map_from_entries("gsig").alias("labels"),
+                F.col("gsig").alias("sig"),
+                "value",
+            )
         )
         return VectorResult(out)
 
@@ -1034,11 +1045,18 @@ class Evaluator:
         do_check = self.ctx.check_matching if check is None else check
         if do_check and "value" in df.columns and "t" in df.columns:
             cols = df.columns
-            others = [c for c in cols if c not in ("t", "sig")]
+            # labels == map_from_entries(sig) by construction; rebuilding it
+            # post-agg keeps every buffer primitive (a map-typed first()
+            # buffer would demote the whole aggregation to SortAggregate)
+            others = [c for c in cols if c not in ("t", "sig", "labels")]
             grouped = df.groupBy("t", "sig").agg(
                 F.count(F.lit(1)).alias("__dup_n"),
                 *[F.first(c).alias(c) for c in others],
             )
+            if "labels" in cols:
+                grouped = grouped.withColumn(
+                    "labels", F.map_from_entries("sig")
+                )
             df = grouped.withColumn(
                 "value",
                 F.when(

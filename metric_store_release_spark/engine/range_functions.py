@@ -27,9 +27,15 @@ def _strip_name(df: DataFrame) -> DataFrame:
 
 
 def _grouped(frame: RangeFrame, *aggs: Column, keep_name: bool = False) -> DataFrame:
+    # labels == map_from_entries(sig) on every frame (base_scan invariant):
+    # rebuilding post-agg instead of carrying a map-typed any_value keeps the
+    # aggregation buffers primitive, so pure-expression functions get
+    # HashAggregate instead of SortAggregate (collect_list-based ones use
+    # ObjectHashAggregate either way)
     out = (
         frame.df.groupBy("t", "sig")
-        .agg(F.any_value(F.col("labels")).alias("labels"), *aggs)
+        .agg(*aggs)
+        .withColumn("labels", F.map_from_entries("sig"))
     )
     return out if keep_name else _strip_name(out)
 
@@ -108,18 +114,18 @@ def _extrapolated_rate(
     extrapolated zero crossing.
     """
     rng_s = frame.range_ms / 1000.0
+    # scalar min_by/max_by per field, NOT one min_by over a struct: struct
+    # aggregation buffers demote the whole group-by to SortAggregate, while
+    # primitive buffers keep HashAggregate (ts is unique per series, so the
+    # independent extremum picks all land on the same sample)
     if frame.bucketed:
         grouped = _grouped(
             frame,
-            F.min_by(
-                F.struct(
-                    F.col("p_first.ts").alias("ts"),
-                    F.col("p_first.value").alias("value"),
-                    F.col("p_first.drop").alias("drop"),
-                ),
-                F.col("p_first.ts"),
-            ).alias("first"),
-            F.max_by(F.col("p_last"), F.col("p_last.ts")).alias("last"),
+            F.min("p_first_ts").alias("first_ts"),
+            F.min_by("p_first_v", "p_first_ts").alias("first_v"),
+            F.min_by("p_first_drop", "p_first_ts").alias("first_drop"),
+            F.max("p_last_ts").alias("last_ts"),
+            F.max_by("p_last_v", "p_last_ts").alias("last_v"),
             F.sum("p_cnt").alias("cnt"),
             F.sum("p_dropsum").alias("dropsum"),
         ).filter(F.col("cnt") >= 2)
@@ -127,16 +133,17 @@ def _extrapolated_rate(
         drop_col = F.col("drop") if is_counter else F.lit(0.0)
         grouped = _grouped(
             frame,
-            F.min_by(
-                F.struct(F.col("ts"), F.col("value"), drop_col.alias("drop")), "ts"
-            ).alias("first"),
-            F.max_by(F.struct("ts", "value"), "ts").alias("last"),
+            F.min("ts").alias("first_ts"),
+            F.min_by("value", "ts").alias("first_v"),
+            F.min_by(drop_col, "ts").alias("first_drop"),
+            F.max("ts").alias("last_ts"),
+            F.max_by("value", "ts").alias("last_v"),
             F.count(F.lit(1)).alias("cnt"),
             F.sum(drop_col).alias("dropsum"),
         ).filter(F.col("cnt") >= 2)
 
-    first_t = F.col("first.ts") + F.lit(frame.offset_ms)
-    last_t = F.col("last.ts") + F.lit(frame.offset_ms)
+    first_t = F.col("first_ts") + F.lit(frame.offset_ms)
+    last_t = F.col("last_ts") + F.lit(frame.offset_ms)
     # window geometry relative to the evaluation reference: the output step
     # t normally, or the pinned @ time (engine.go rangeStart/rangeEnd use
     # enh.Ts, which @ fixes; offset shifts sample service times instead)
@@ -144,11 +151,11 @@ def _extrapolated_rate(
     range_start = eval_ref - F.lit(frame.range_ms)
     range_end = eval_ref
 
-    result = F.col("last.value") - F.col("first.value")
+    result = F.col("last_v") - F.col("first_v")
     if is_counter:
         # dropsum includes the first sample's adjustment whose prev sample
         # lies before the window — subtract it back out
-        result = result + (F.col("dropsum") - F.col("first.drop"))
+        result = result + (F.col("dropsum") - F.col("first_drop"))
 
     dur_to_start = (first_t - range_start).cast("double") / 1000.0
     dur_to_end = (range_end - last_t).cast("double") / 1000.0
@@ -157,8 +164,8 @@ def _extrapolated_rate(
 
     if is_counter:
         dur_to_zero = F.when(
-            (result > 0) & (F.col("first.value") >= 0),
-            sampled * (F.col("first.value") / result),
+            (result > 0) & (F.col("first_v") >= 0),
+            sampled * (F.col("first_v") / result),
         ).otherwise(F.lit(float("inf")))
         dur_to_start = F.least(dur_to_start, dur_to_zero)
 
@@ -181,23 +188,28 @@ def _instant_value(frame: RangeFrame, is_rate: bool) -> DataFrame:
     last sample plus its predecessor are the two points, valid only when the
     predecessor itself falls inside the window.
     """
+    # scalar max_bys (see _extrapolated_rate): primitive buffers keep the
+    # HashAggregate; all picks resolve to the window's last sample
     grouped = _grouped(
         frame,
-        F.max_by(F.struct("ts", "value", "prev_ts", "prev_value"), "ts").alias("last"),
+        F.max("ts").alias("last_ts"),
+        F.max_by("value", "ts").alias("last_v"),
+        F.max_by("prev_ts", "ts").alias("last_prev_ts"),
+        F.max_by("prev_value", "ts").alias("last_prev_v"),
     )
     eval_ref = F.lit(frame.at_ms) if frame.at_ms is not None else F.col("t")
     window_start = eval_ref - F.lit(frame.offset_ms) - F.lit(frame.range_ms)
     ok = (
-        F.col("last.prev_ts").isNotNull()
-        & (F.col("last.prev_ts") >= window_start)
-        & (F.col("last.ts") != F.col("last.prev_ts"))
+        F.col("last_prev_ts").isNotNull()
+        & (F.col("last_prev_ts") >= window_start)
+        & (F.col("last_ts") != F.col("last_prev_ts"))
     )
-    diff = F.col("last.value") - F.col("last.prev_value")
+    diff = F.col("last_v") - F.col("last_prev_v")
     if is_rate:
         raw = F.when(
-            F.col("last.value") < F.col("last.prev_value"), F.col("last.value")
+            F.col("last_v") < F.col("last_prev_v"), F.col("last_v")
         ).otherwise(diff)
-        value = raw / ((F.col("last.ts") - F.col("last.prev_ts")).cast("double") / 1000.0)
+        value = raw / ((F.col("last_ts") - F.col("last_prev_ts")).cast("double") / 1000.0)
     else:
         value = diff
     return grouped.filter(ok).select("t", "labels", "sig", value.alias("value"))
@@ -264,7 +276,7 @@ def _sum_minus_first(col: str, frame: RangeFrame) -> DataFrame:
         grouped = _grouped(
             frame,
             F.sum(pcol).alias("total"),
-            F.min_by(F.col(f"p_first.{col}"), F.col("p_first.ts")).alias(
+            F.min_by(F.col(f"p_first_{col}"), F.col("p_first_ts")).alias(
                 "first_contrib"
             ),
         )
@@ -349,14 +361,14 @@ def _holt_winters(frame: RangeFrame, params: list[float]) -> DataFrame:
 
 
 def _ts_seconds(frame: RangeFrame, params: list[float]) -> DataFrame:
-    # last_over_time keeps the metric name (it returns the sample itself)
-    last = (
-        F.max_by(F.col("p_last"), F.col("p_last.ts"))
-        if frame.bucketed
-        else F.max_by(F.struct("ts", "value"), "ts")
-    )
-    grouped = _grouped(frame, last.alias("last"), keep_name=True)
-    return grouped.select("t", "labels", "sig", F.col("last.value").alias("value"))
+    # last_over_time keeps the metric name (it returns the sample itself);
+    # scalar max_by keeps the aggregation hash-based
+    if frame.bucketed:
+        last = F.max_by("p_last_v", "p_last_ts")
+    else:
+        last = F.max_by("value", "ts")
+    grouped = _grouped(frame, last.alias("value"), keep_name=True)
+    return grouped.select("t", "labels", "sig", "value")
 
 
 def _b_var_pop() -> Column:

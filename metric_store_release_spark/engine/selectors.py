@@ -153,16 +153,26 @@ def instant_vector(
         F.col("ts") + F.lit(off),
         F.col("ts") + F.lit(off + lookback_ms),
     )
+    # Aggregate PRIMITIVES only (max_by's buffer carries the value expr): a
+    # struct-of-map buffer forces SortAggregate — two sorts per exchange
+    # side — while primitive buffers keep HashAggregate. `labels` is exactly
+    # map_from_entries(sig), so it never needs to ride the aggregation.
+    # (ts is unique per series by the ingest contract, so the independent
+    # max_bys all pick the same sample.)
     picked = (
         exploded.groupBy("t", "sig")
-        .agg(F.max_by(F.struct("value", "labels", "stale", "ts"), "ts").alias("s"))
-        .filter(~F.coalesce(F.col("s.stale"), F.lit(False)))
+        .agg(
+            F.max_by("value", "ts").alias("value"),
+            F.max_by("stale", "ts").alias("stale"),
+            F.max("ts").alias("sample_ts"),
+        )
+        .filter(~F.coalesce(F.col("stale"), F.lit(False)))
         .select(
             "t",
-            F.col("s.labels").alias("labels"),
+            F.map_from_entries("sig").alias("labels"),
             "sig",
-            F.col("s.value").alias("value"),
-            F.col("s.ts").alias("sample_ts"),
+            "value",
+            "sample_ts",
         )
     )
     return picked
@@ -172,15 +182,21 @@ def _instant_at(
     samples: DataFrame, selector: VectorSelector, ref_ms: int, lookback_ms: int
 ) -> DataFrame:
     base = base_scan(samples, selector, ref_ms - lookback_ms, ref_ms)
+    # primitive-buffer aggregation (see instant_vector): HashAggregate, not
+    # SortAggregate; labels rebuilt from the sig grouping key
     return (
         base.groupBy("sig")
-        .agg(F.max_by(F.struct("value", "labels", "stale", "ts"), "ts").alias("s"))
-        .filter(~F.coalesce(F.col("s.stale"), F.lit(False)))
+        .agg(
+            F.max_by("value", "ts").alias("value"),
+            F.max_by("stale", "ts").alias("stale"),
+            F.max("ts").alias("sample_ts"),
+        )
+        .filter(~F.coalesce(F.col("stale"), F.lit(False)))
         .select(
-            F.col("s.labels").alias("labels"),
+            F.map_from_entries("sig").alias("labels"),
             "sig",
-            F.col("s.value").alias("value"),
-            F.col("s.ts").alias("sample_ts"),
+            "value",
+            "sample_ts",
         )
     )
 
@@ -313,8 +329,10 @@ def bucketed_range_frame(
 
     Emits per (t, sig): labels plus combinable partials
       p_cnt p_sum p_sumsq p_min p_max (NaN-aware, nullable)
-      p_first struct(ts,value,drop,change,reset)  p_last struct(ts,value)
+      p_first_{ts,v,drop,change,reset}  p_last_{ts,v}
       p_dropsum p_chgsum p_rstsum
+    (first/last partials are FLAT scalar columns, not structs: scalar
+    min_by/max_by buffers keep the partial aggregation a HashAggregate)
     Final combination happens in range_functions (bucketed variants).
     Exact for all combinable functions — same samples, same math, only the
     aggregation tree is two-level.
@@ -339,21 +357,24 @@ def bucketed_range_frame(
         .withColumn("__kmax", kmax)
         .groupBy("sig", "__kmin", "__kmax")
         .agg(
-            F.any_value("labels").alias("labels"),
             F.count(F.lit(1)).alias("p_cnt"),
             F.sum("value").alias("p_sum"),
             F.sum(F.col("value") * F.col("value")).alias("p_sumsq"),
             F.min(nn).alias("p_min"),
             F.max(nn).alias("p_max"),
-            F.min_by(
-                F.struct("ts", "value", "drop", "change", "reset"), "ts"
-            ).alias("p_first"),
-            F.max_by(F.struct("ts", "value"), "ts").alias("p_last"),
+            F.min("ts").alias("p_first_ts"),
+            F.min_by("value", "ts").alias("p_first_v"),
+            F.min_by("drop", "ts").alias("p_first_drop"),
+            F.min_by("change", "ts").alias("p_first_change"),
+            F.min_by("reset", "ts").alias("p_first_reset"),
+            F.max("ts").alias("p_last_ts"),
+            F.max_by("value", "ts").alias("p_last_v"),
             F.sum("drop").alias("p_dropsum"),
             F.sum("change").alias("p_chgsum"),
             F.sum("reset").alias("p_rstsum"),
             F.max(F.isnan("value").cast("int")).alias("p_has_nan"),
         )
+        .withColumn("labels", F.map_from_entries("sig"))
     )
     lo = F.greatest(F.lit(0), F.col("__kmin"))
     hi = F.least(F.lit(n_steps), F.col("__kmax"))

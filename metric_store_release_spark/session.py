@@ -30,10 +30,13 @@ def get_spark(
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
-        # Arrow for the few Pandas-UDF paths (holt_winters, multimodal).
+        # Arrow for the few mapInPandas paths (scrape I/O, media codecs) —
+        # no Python UDFs remain in any query hot path.
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
-        # driver testdata writes TIMESTAMP(NANOS) parquet; read as long ns
+        # some driver testdata generations write TIMESTAMP(NANOS) parquet
+        # (read as long ns); current ones are timestamp[us] NTZ — both are
+        # handled by sources/events_adapter.ts_ms
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         .config("spark.ui.enabled", "false")
         .config("spark.ui.showConsoleProgress", "false")
