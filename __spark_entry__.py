@@ -386,6 +386,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # --- TPC-H-ish relational head-to-heads ---------------------------------
     q["tpch_q1"] = _tpch_q1
     q["tpch_q3"] = _tpch_q3
+    q["tpch_q5"] = _tpch_q5
+    q["tpch_q6"] = _tpch_q6
 
     # --- streaming rollup analog (§2.9) ------------------------------------
     q["rollup_counter"] = _rollup_counter
@@ -543,6 +545,55 @@ def _tpch_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.round(
                 F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4
+            ).alias("revenue")
+        )
+    )
+
+
+def _tpch_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H q5 shape (local-supplier revenue by nation): the join-heavy
+    showcase — two fact joins shuffle on their keys, the three dimension
+    tables broadcast."""
+    spark = _prepare(spark)
+    rd = lambda t: spark.read.parquet(f"{sf_dir}/{t}.parquet")
+    li, orders, cust = rd("lineitem"), rd("orders"), rd("customer")
+    supp, nation, region = rd("supplier"), rd("nation"), rd("region")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .filter(F.col("c_nationkey") == F.col("s_nationkey"))
+        .join(F.broadcast(nation), F.col("s_nationkey") == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .filter(
+            (F.col("r_name") == "ASIA")
+            & (F.col("o_orderdate") >= F.lit("1996-01-01"))
+            & (F.col("o_orderdate") < F.lit("1997-01-01"))
+        )
+        .groupBy("n_name")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4
+            ).alias("revenue")
+        )
+    )
+
+
+def _tpch_q6(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H q6 (forecast revenue change): pure scan+filter+agg — the
+    predicate-pushdown showcase."""
+    li = _prepare(spark).read.parquet(f"{sf_dir}/lineitem.parquet")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01"))
+            & (F.col("l_discount") >= 0.05)
+            & (F.col("l_discount") <= 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * F.col("l_discount")), 4
             ).alias("revenue")
         )
     )
@@ -1096,6 +1147,29 @@ WHERE c_mktsegment = 'BUILDING'
   AND o_orderdate < TIMESTAMP '1995-03-15'
   AND l_shipdate > TIMESTAMP '1995-03-15'
 GROUP BY o_orderkey, o_orderdate, o_orderpriority
+"""
+
+    o["tpch_q5"] = """
+SELECT n_name,
+       ROUND(SUM(l_extendedprice * (1 - l_discount)), 4) AS revenue
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation   ON s_nationkey = n_nationkey
+JOIN region   ON n_regionkey = r_regionkey
+WHERE c_nationkey = s_nationkey
+  AND r_name = 'ASIA'
+  AND o_orderdate >= '1996-01-01' AND o_orderdate < '1997-01-01'
+GROUP BY n_name
+"""
+
+    o["tpch_q6"] = """
+SELECT ROUND(SUM(l_extendedprice * l_discount), 4) AS revenue
+FROM lineitem
+WHERE l_shipdate >= '1996-01-01' AND l_shipdate < '1997-01-01'
+  AND l_discount >= 0.05 AND l_discount <= 0.07
+  AND l_quantity < 24
 """
 
     o["rollup_counter"] = """
