@@ -143,6 +143,25 @@ def test_handoff_max_age_purge(spark, tmp_path):
     assert whole.filter(F.col("name") == "grpc").count() == new.count()
 
 
+def test_api_over_federated_store(spark, tmp_path):
+    """The Prometheus v1 API surface serves from a federated read exactly as
+    from a single store (prom_api.go routes /api/v1/* through the replicated
+    querier)."""
+    from metric_store_release_spark import api
+
+    fed = FederatedStore(spark, str(tmp_path / "fed"), n_nodes=3,
+                         replication_factor=2)
+    df = _samples(spark)
+    fed.write(df)
+    whole = fed.read_all()
+    assert set(api.label_values(whole, "__name__")["data"]) == {
+        "http", "grpc", "disk"
+    }
+    assert "job" in api.labels(whole)["data"]
+    got = api.series(whole, matches=["http"])
+    assert {s.get("job") for s in got["data"]} == {"j0", "j1"}
+
+
 def test_promql_over_federated_store(spark, tmp_path):
     """End-to-end: the PromQL engine queries a federated read exactly as it
     queries a single-store samples frame."""
