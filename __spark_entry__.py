@@ -407,6 +407,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["text_token_count"] = _text_token_count
     q["media_resize"] = _media_resize
     q["promql_federated_selector"] = _promql_federated_selector
+    q["dedup_components"] = _dedup_components
 
     # The driver's correctness gate checks entries in insertion order and in
     # round 1 stopped after the first 50: reorder so one representative of
@@ -635,6 +636,20 @@ def _dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return minhash_lsh_candidates(
         _docs(spark, sf_dir), num_hashes=8, bands=4, shingle_n=3
     )
+
+
+def _dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Transitive near-dup clusters over the minhash candidate pairs
+    (hash-min label propagation; see pipeline.dedup.connected_components)."""
+    from metric_store_release_spark.pipeline.dedup import (
+        connected_components,
+        minhash_lsh_candidates,
+    )
+
+    pairs = minhash_lsh_candidates(
+        _docs(spark, sf_dir), num_hashes=8, bands=4, shingle_n=3
+    )
+    return connected_components(pairs)
 
 
 def _dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1197,6 +1212,8 @@ FROM aug GROUP BY 1 HAVING COUNT(*) > 1
 
     o["dedup_minhash_lsh"] = _minhash_oracle()
 
+    o["dedup_components"] = _components_oracle()
+
     o["dedup_simhash"] = _simhash_oracle()
 
     o["dedup_ngram_jaccard"] = _jaccard_oracle()
@@ -1490,7 +1507,11 @@ SELECT query_id, vec_id, cos_sim, rank FROM (
 """
 
 
-def _minhash_oracle(num_hashes: int = 8, bands: int = 4, shingle_n: int = 3) -> str:
+def _minhash_pairs_ctes(
+    num_hashes: int = 8, bands: int = 4, shingle_n: int = 3
+) -> str:
+    """CTE chain ending in `pairs` (banded LSH candidate pairs) — shared by
+    the minhash oracle and the connected-components oracle."""
     rows = num_hashes // bands
     # hash i = (h1 + i*h2) mod 2^32, h1/h2 = md5 words (matches pipeline.dedup)
     mins = ",\n         ".join(
@@ -1505,8 +1526,7 @@ def _minhash_oracle(num_hashes: int = 8, bands: int = 4, shingle_n: int = 3) -> 
         )
         band_exprs.append(f"STRUCT_PACK(band_id := {b}, bh := md5({parts}))")
     bands_sql = ", ".join(band_exprs)
-    return f"""
-WITH toks AS (
+    ctes = f"""toks AS (
   SELECT doc_id, list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS ws
   FROM documents
 ),
@@ -1526,10 +1546,38 @@ sigs AS (
 banded AS (
   SELECT doc_id, unnest([{bands_sql}]) AS e FROM sigs
 ),
-stacked AS (SELECT doc_id, e.band_id AS band_id, e.bh AS bh FROM banded)
-SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-FROM stacked a JOIN stacked b
-  ON a.band_id = b.band_id AND a.bh = b.bh AND a.doc_id < b.doc_id
+stacked AS (SELECT doc_id, e.band_id AS band_id, e.bh AS bh FROM banded),
+pairs AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM stacked a JOIN stacked b
+    ON a.band_id = b.band_id AND a.bh = b.bh AND a.doc_id < b.doc_id
+)"""
+    return ctes
+
+
+def _minhash_oracle(num_hashes: int = 8, bands: int = 4, shingle_n: int = 3) -> str:
+    return f"""
+WITH {_minhash_pairs_ctes(num_hashes, bands, shingle_n)}
+SELECT id_a, id_b FROM pairs
+"""
+
+
+def _components_oracle() -> str:
+    """Connected components over the minhash candidate pairs: recursive
+    reachability, component = MIN over each node's reachable set."""
+    return f"""
+WITH RECURSIVE {_minhash_pairs_ctes()},
+edges AS (
+  SELECT id_a AS a, id_b AS b FROM pairs
+  UNION
+  SELECT id_b, id_a FROM pairs
+),
+reach(id, r) AS (
+  SELECT DISTINCT a, a FROM edges
+  UNION
+  SELECT e.b, r.r FROM reach r JOIN edges e ON e.a = r.id
+)
+SELECT id, MIN(r) AS component FROM reach GROUP BY id
 """
 
 

@@ -175,6 +175,62 @@ def minhash_lsh_candidates(
     return pairs.unionByName(star).distinct()
 
 
+def connected_components(
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_iter: int = 25,
+) -> DataFrame:
+    """Duplicate clusters from candidate pairs: (id, component) where
+    component is the smallest id reachable through the pair graph — the
+    transitive-closure step that turns pairwise near-dup candidates into
+    keep-one-per-cluster groups.
+
+    Hash-min label propagation (the standard MapReduce/Pregel formulation,
+    cf. Rastogi et al., "Finding Connected Components in Map-Reduce"):
+    every node starts as its own component; each round, components flow
+    across edges and each node keeps the minimum seen. Converges in
+    O(diameter) rounds — near-dup clusters are shallow (stars/chains), so
+    a handful of joins. Each round is one shuffle join + one hash agg, and
+    the label frame is localCheckpoint-ed to truncate lineage — the loop is
+    driver-orchestrated but every data operation is distributed.
+    """
+    e = pairs.select(F.col(id_a).alias("a"), F.col(id_b).alias("b"))
+    edges = (
+        e.unionByName(e.select(F.col("b").alias("a"), F.col("a").alias("b")))
+        .distinct()
+        .persist()
+    )
+    labels = (
+        edges.select(F.col("a").alias("id"))
+        .distinct()
+        .select("id", F.col("id").alias("component"))
+        .localCheckpoint()
+    )
+    for _ in range(max_iter):
+        msgs = edges.join(labels, edges.a == labels.id).select(
+            F.col("b").alias("id"), "component"
+        )
+        new_labels = (
+            labels.unionByName(msgs)
+            .groupBy("id")
+            .agg(F.min("component").alias("component"))
+            .localCheckpoint()  # truncate lineage; also materializes
+        )
+        changed = (
+            new_labels.join(
+                labels.withColumnRenamed("component", "old"), "id"
+            )
+            .filter(F.col("component") != F.col("old"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    edges.unpersist()
+    return labels
+
+
 def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id", bits: int = 32) -> DataFrame:
     """32-bit SimHash over word unigrams (map-side, no shuffle)."""
     toks = F.array_distinct(tokens(F.col(text_col)))

@@ -67,6 +67,18 @@ def test_minhash_bucket_cap_star_pairs(spark):
     assert all_pairs == {(a, b) for a in range(4) for b in range(a + 1, 4)}
 
 
+def test_connected_components_transitive(spark):
+    from metric_store_release_spark.pipeline.dedup import connected_components
+
+    # chain 1-2-3-4 (transitive), star 10-(11,12), isolated pair 20-21
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11), (10, 12), (20, 21)],
+        "id_a long, id_b long",
+    )
+    got = {r["id"]: r["component"] for r in connected_components(pairs).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 12: 10, 20: 20, 21: 20}
+
+
 def test_simhash_close_for_near_dups(docs):
     from metric_store_release_spark.pipeline.dedup import simhash
 
