@@ -408,6 +408,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["media_resize"] = _media_resize
     q["promql_federated_selector"] = _promql_federated_selector
     q["dedup_components"] = _dedup_components
+    q["docs_sample"] = _docs_sample
 
     # The driver's correctness gate checks entries in insertion order and in
     # round 1 stopped after the first 50: reorder so one representative of
@@ -650,6 +651,16 @@ def _dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
         _docs(spark, sf_dir), num_hashes=8, bands=4, shingle_n=3
     )
     return connected_components(pairs)
+
+
+def _docs_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stratified deterministic (hash-threshold) sampling by language."""
+    from metric_store_release_spark.pipeline.text import deterministic_sample
+
+    return deterministic_sample(
+        _docs(spark, sf_dir),
+        {"en": 0.5, "de": 0.25, "fr": 0.25, "es": 0.25, "zh": 0.1},
+    ).select("doc_id", "lang")
 
 
 def _dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1213,6 +1224,15 @@ FROM aug GROUP BY 1 HAVING COUNT(*) > 1
     o["dedup_minhash_lsh"] = _minhash_oracle()
 
     o["dedup_components"] = _components_oracle()
+
+    # deterministic hash-threshold sampling: bucket/2^32 is an exact
+    # power-of-two division, so both engines compare identical doubles
+    o["docs_sample"] = """
+SELECT doc_id, lang FROM documents
+WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT / 4294967296.0
+      < CASE lang WHEN 'en' THEN 0.5 WHEN 'de' THEN 0.25 WHEN 'fr' THEN 0.25
+                  WHEN 'es' THEN 0.25 WHEN 'zh' THEN 0.1 ELSE 0.0 END
+"""
 
     o["dedup_simhash"] = _simhash_oracle()
 

@@ -91,6 +91,37 @@ def language_id(df: DataFrame, text_col: str = "text") -> DataFrame:
     return df.withColumn("lang_pred", pred)
 
 
+def deterministic_sample(
+    df: DataFrame,
+    fractions: dict[str, float],
+    strata_col: str = "lang",
+    id_col: str = "doc_id",
+    default_fraction: float = 0.0,
+    salt: str = "",
+) -> DataFrame:
+    """Stratified DETERMINISTIC sampling: keep a per-stratum fraction of
+    rows chosen by hash threshold, not RNG.
+
+    The training-data sharding primitive: md5(salt ∥ id) maps each row to a
+    uniform point in [0, 1); a row survives iff its point < the stratum's
+    fraction. Reproducible across runs, engines and partitionings (no seed
+    plumbing, no sampleBy nondeterminism), map-side only (fuses into the
+    scan), and monotone — raising a fraction only ever ADDS rows, so
+    incremental re-runs are supersets. Portable to any SQL engine for
+    oracle checks.
+    """
+    bucket = F.conv(
+        F.substring(F.md5(F.concat(F.lit(salt), F.col(id_col).cast("string"))), 1, 8),
+        16,
+        10,
+    ).cast("long")
+    point = bucket / F.lit(float(1 << 32))
+    frac = F.lit(float(default_fraction))
+    for k in sorted(fractions):
+        frac = F.when(F.col(strata_col) == k, F.lit(float(fractions[k]))).otherwise(frac)
+    return df.filter(point < frac)
+
+
 def doc_fingerprint(text: Column, window: int = 8, mod: int = 1_000_003) -> Column:
     """Rolling polynomial fingerprint over word hashes (winnowing-style
     document signature): sum over positions of h(word)·31^(i mod window),

@@ -112,6 +112,29 @@ def test_quality_and_lang(docs):
     assert langs[6] == "fr"
 
 
+def test_deterministic_sample_stratified_monotone(spark):
+    from metric_store_release_spark.pipeline.text import deterministic_sample
+
+    docs = spark.createDataFrame(
+        [(i, "en" if i % 2 else "de") for i in range(400)],
+        "doc_id long, lang string",
+    )
+    small = deterministic_sample(docs, {"en": 0.2, "de": 0.1})
+    big = deterministic_sample(docs, {"en": 0.6, "de": 0.5})
+    ids_small = {r["doc_id"] for r in small.collect()}
+    ids_big = {r["doc_id"] for r in big.collect()}
+    assert ids_small <= ids_big  # raising fractions only adds rows
+    # deterministic: same call, same result
+    assert ids_small == {r["doc_id"] for r in
+                         deterministic_sample(docs, {"en": 0.2, "de": 0.1}).collect()}
+    # roughly the requested fractions per stratum
+    n_en = sum(1 for i in ids_big if i % 2)
+    n_de = len(ids_big) - n_en
+    assert abs(n_en / 200 - 0.6) < 0.15 and abs(n_de / 200 - 0.5) < 0.15
+    # unlisted strata drop by default
+    assert deterministic_sample(docs, {"xx": 1.0}).count() == 0
+
+
 def test_doc_fingerprint_deterministic(spark, docs):
     from metric_store_release_spark.pipeline.text import doc_fingerprint
 
