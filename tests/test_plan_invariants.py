@@ -72,6 +72,20 @@ def test_labels_match_sig(spark, samples, query):
         )
 
 
+def test_explode_labels_projection(spark, samples):
+    from metric_store_release_spark.engine.engine import explode_labels
+
+    eng = PromQLEngine(spark, EngineConfig(lookback_ms=6 * MIN))
+    out = eng.query_range(
+        samples, 'http_requests{group="canary"}', 10 * MIN, 10 * MIN, 10 * MIN
+    )
+    flat = explode_labels(out, ["job", "instance"], keep_name=True)
+    assert flat.columns == ["t", "name", "value", "job", "instance"]
+    rows = {(r["job"], r["instance"]) for r in flat.collect()}
+    assert rows == {("api-server", "1"), ("app-server", "0")}
+    assert {r["name"] for r in flat.collect()} == {"http_requests"}
+
+
 @pytest.mark.parametrize(
     "query",
     ['http_requests{job="api-server"}', "rate(http_requests[10m])",
