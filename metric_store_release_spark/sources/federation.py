@@ -213,6 +213,43 @@ class FederatedStore:
         ]
         return _dedup_replicas(_union(scans))
 
+    def samples_for_query(self, promql: str) -> DataFrame:
+        """Resolve a PromQL query's samples across the cluster —
+        replicated_querier.go Select: every selector's metric name routes to
+        its replica set; names must be STRICT equality matches
+        (extractMetricName, replicated_querier.go:129-140 — the reference
+        errors on regex/negative name matchers, and so do we).
+
+        Returns one union of the (deduped) per-metric replica scans, ready
+        to hand to PromQLEngine.query_range/query_instant. Name-equality
+        pushdown survives: each branch scans only its metric's replicas."""
+        from metric_store_release_spark.promql.ast import (
+            MatchOp,
+            VectorSelector,
+            walk,
+        )
+        from metric_store_release_spark.promql.parser import parse
+
+        names: set[str] = set()
+        for node in walk(parse(promql)):
+            if isinstance(node, VectorSelector):
+                name = node.name
+                if name is None:
+                    for m in node.matchers:
+                        if m.name == "__name__":
+                            if m.op != MatchOp.EQ:
+                                raise ValueError(
+                                    "only strict equality is supported for "
+                                    "metric names"
+                                )
+                            name = m.value
+                if name is None:
+                    raise ValueError("no metric name present")
+                names.add(name)
+        if not names:
+            raise ValueError("no metric name present")
+        return _union([self.select_samples(n) for n in sorted(names)])
+
     def read_all(self) -> DataFrame:
         """Whole-store read across every live node (the multi-node scatter
         behind /api/v1/labels etc.), replica-deduped."""

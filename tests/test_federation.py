@@ -143,6 +143,29 @@ def test_handoff_max_age_purge(spark, tmp_path):
     assert whole.filter(F.col("name") == "grpc").count() == new.count()
 
 
+def test_samples_for_query_routes_all_selectors(spark, tmp_path):
+    """Query-level routing (replicated_querier.go Select): every selector's
+    metric resolves through its replica set; non-equality name matchers are
+    rejected like the reference's extractMetricName."""
+    from metric_store_release_spark.engine.engine import PromQLEngine
+
+    fed = FederatedStore(spark, str(tmp_path / "fed"), n_nodes=3,
+                         replication_factor=2)
+    df = _samples(spark)
+    fed.write(df)
+    eng = PromQLEngine(spark)
+    q = "sum(http) + sum(grpc)"
+    direct = eng.query_range(df, q, 0, 29_000, 5_000)
+    routed = eng.query_range(fed.samples_for_query(q), q, 0, 29_000, 5_000)
+    assert sorted(map(tuple, direct.select("t", "value").collect())) == sorted(
+        map(tuple, routed.select("t", "value").collect())
+    )
+    with pytest.raises(ValueError, match="strict equality"):
+        fed.samples_for_query('{__name__=~"http|grpc"}')
+    with pytest.raises(ValueError, match="no metric name"):
+        fed.samples_for_query('{job="j0"}')
+
+
 def test_api_over_federated_store(spark, tmp_path):
     """The Prometheus v1 API surface serves from a federated read exactly as
     from a single store (prom_api.go routes /api/v1/* through the replicated
