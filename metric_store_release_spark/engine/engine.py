@@ -84,6 +84,11 @@ class PromQLEngine:
 
         Returns (t: long, labels: map<string,string>, value: double); the
         metric name, when retained by PromQL semantics, is labels['__name__'].
+
+        CONTRACT: `samples` must hold at most one row per (series, ts) —
+        union replica frames through FederatedStore (which dedups) rather
+        than raw unionByName; see selectors.DEBUG_ASSERT_UNIQUE_TS for an
+        eager check.
         """
         if end_ms < start_ms or step_ms <= 0:
             raise ValueError("bad query range")

@@ -21,11 +21,23 @@ every series over the grid.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from metric_store_release_spark.datamodel import NAME_LABEL, sig
 from metric_store_release_spark.promql.ast import LabelMatcher, MatchOp, VectorSelector
+
+#: Engine-wide CONTRACT: the samples frame holds at most one row per
+#: (series signature, ts). The scalar max_by/min_by picks in instant
+#: selection and range functions rely on it — with duplicate-ts rows their
+#: independently-picked fields (value / stale / prev) could mix rows.
+#: FederatedStore._dedup_replicas restores the invariant on the replicated
+#: path; set MSRS_ASSERT_UNIQUE_TS=1 (tests / staging) to assert it eagerly
+#: at every selector scan (one extra aggregation job per selector — never
+#: in production paths).
+DEBUG_ASSERT_UNIQUE_TS = os.environ.get("MSRS_ASSERT_UNIQUE_TS", "") == "1"
 
 
 def matcher_condition(m: LabelMatcher, promoted: set[str] = frozenset()) -> Column:
@@ -87,7 +99,16 @@ def base_scan(
         F.map_filter(F.col("labels"), lambda k, _: k != F.lit(NAME_LABEL)),
         F.create_map(F.lit(NAME_LABEL), F.col("name")),
     )
-    return df.withColumn("labels", labeled).withColumn("sig", sig(F.col("labels")))
+    out = df.withColumn("labels", labeled).withColumn("sig", sig(F.col("labels")))
+    if DEBUG_ASSERT_UNIQUE_TS:
+        dup = out.groupBy("sig", "ts").count().filter(F.col("count") > 1)
+        if not dup.isEmpty():
+            raise AssertionError(
+                "duplicate (series, ts) samples reached the engine — dedup "
+                "replica unions (FederatedStore._dedup_replicas) before "
+                "querying"
+            )
+    return out
 
 
 def _explode_to_steps(

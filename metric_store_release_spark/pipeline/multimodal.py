@@ -16,6 +16,7 @@ from __future__ import annotations
 
 from typing import Iterator
 
+import numpy as np
 import pandas as pd
 
 from pyspark.sql import DataFrame
@@ -228,24 +229,27 @@ def _resize_nn(payload: bytes, tw: int, th: int) -> tuple[int, int, float, bytes
     """Nearest-neighbor resample of a netpbm payload to (tw, th).
 
     Source pixel for output (x, y) is (x·w//tw, y·h//th) — the standard
-    floor mapping. Returns the resized dims, mean luma of the resized
-    raster, and a re-encoded netpbm payload."""
+    floor mapping, applied as numpy integer-array indexing so the resample
+    runs at C speed (a 1080p frame is one fancy-index, not 2M Python
+    iterations). Returns the resized dims, mean luma of the resized raster,
+    and a re-encoded netpbm payload."""
     w, h, channels, pixels = _decode_ppm_pixels(payload)
-    out = bytearray()
-    total = 0.0
-    for y in range(th):
-        sy = y * h // th
-        for x in range(tw):
-            sx = x * w // tw
-            px = pixels[(sy * w + sx) * channels : (sy * w + sx + 1) * channels]
-            out += px
-            if channels == 1:
-                total += px[0]
-            else:
-                total += _LUMA[0] * px[0] + _LUMA[1] * px[1] + _LUMA[2] * px[2]
+    arr = np.frombuffer(pixels, dtype=np.uint8)[: w * h * channels]
+    arr = arr.reshape(h, w, channels)
+    sy = (np.arange(th, dtype=np.int64) * h) // th
+    sx = (np.arange(tw, dtype=np.int64) * w) // tw
+    out = np.ascontiguousarray(arr[sy][:, sx])
+    if channels == 1:
+        luma = out[:, :, 0].astype(np.float64)
+    else:
+        luma = (
+            _LUMA[0] * out[:, :, 0].astype(np.float64)
+            + _LUMA[1] * out[:, :, 1].astype(np.float64)
+            + _LUMA[2] * out[:, :, 2].astype(np.float64)
+        )
     magic = b"P6" if channels == 3 else b"P5"
     header = magic + b"\n%d %d\n255\n" % (tw, th)
-    return tw, th, total / (tw * th), bytes(header) + bytes(out)
+    return tw, th, float(luma.mean()), bytes(header) + out.tobytes()
 
 
 def resize_media(media: DataFrame, target_w: int, target_h: int) -> DataFrame:

@@ -44,25 +44,42 @@ def bpe_ish_token_count(text: Column) -> Column:
 def quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Length / punctuation / stopword-ratio quality features.
 
-    One projection — fuses into the scan at any scale.
+    Stacked projections so the token array (an interpreted regex split —
+    the expensive part) is materialized ONCE per row: each stage's array
+    output is referenced more than once downstream, so CollapseProject
+    keeps the project boundary instead of re-inlining the split into every
+    consumer. Still purely map-side — fuses into the scan at any scale.
     """
     text = F.col(text_col)
-    toks = tokens(text)
-    n_tok = F.size(toks)
-    n_chars = F.length(text)
     en = F.array(*[F.lit(w) for w in _STOPWORDS["en"]])
-    stop_hits = F.size(F.filter(toks, lambda w: F.array_contains(en, F.lower(w))))
-    punct = F.length(F.regexp_replace(text, r"[a-zA-Z0-9\s]", ""))
+    toked = df.select(
+        "*",
+        tokens(text).alias("__toks"),
+        F.length(text).alias("__n_chars"),
+        F.length(F.regexp_replace(text, r"[a-zA-Z0-9\s]", "")).alias("__punct"),
+    )
+    counted = toked.select(
+        "*",
+        F.size("__toks").alias("__n_tok"),
+        F.size(
+            F.filter("__toks", lambda w: F.array_contains(en, F.lower(w)))
+        ).alias("__stop_hits"),
+    )
+    n_tok, n_chars = F.col("__n_tok"), F.col("__n_chars")
     mean_word_len = F.when(n_tok > 0, n_chars.cast("double") / n_tok).otherwise(0.0)
-    stop_ratio = F.when(n_tok > 0, stop_hits.cast("double") / n_tok).otherwise(0.0)
-    punct_ratio = F.when(n_chars > 0, punct.cast("double") / n_chars).otherwise(0.0)
+    stop_ratio = F.when(
+        n_tok > 0, F.col("__stop_hits").cast("double") / n_tok
+    ).otherwise(0.0)
+    punct_ratio = F.when(
+        n_chars > 0, F.col("__punct").cast("double") / n_chars
+    ).otherwise(0.0)
     quality = (
         F.when((n_tok >= 10) & (n_tok <= 100000), 0.4).otherwise(0.0)
         + F.when((mean_word_len >= 3) & (mean_word_len <= 12), 0.3).otherwise(0.0)
         + stop_ratio * F.lit(2.0).cast("double")
     )
-    return df.select(
-        "*",
+    return counted.select(
+        *df.columns,
         n_tok.alias("n_tokens"),
         F.round(mean_word_len, 6).alias("mean_word_len"),
         F.round(stop_ratio, 6).alias("stopword_ratio"),

@@ -128,6 +128,13 @@ class FederatedStore:
         recovers. `queued_at_ms` stamps the handoff batch (required when
         down_nodes is non-empty — explicit so replay/purge are
         deterministic and testable)."""
+        if down_nodes and mode != "append":
+            # overwrite would wipe the down node's existing partitions while
+            # its replacement rows sit in the handoff queue — silent loss
+            raise ValueError(
+                "down_nodes requires mode='append'; overwrite would drop the "
+                "down node's existing data while its new rows are queued"
+            )
         names = [r["name"] for r in samples.select("name").distinct().collect()]
         routes = self.spark.createDataFrame(
             [(n, node) for n in names for node in self.table.lookup(n)],
@@ -166,9 +173,11 @@ class FederatedStore:
     ) -> int:
         """Drain the recovered node's queue into its store
         (write_replayer.go Write loop): purge batches older than MaxAge,
-        append the rest as one job, clear the queue. Returns rows replayed.
-        Idempotent under crash-between-append-and-delete: the replica dedup
-        at read time absorbs a double replay."""
+        append the rest as one job, clear exactly the batches replayed.
+        Returns rows replayed. Idempotent under crash-between-append-and-
+        delete: the replica dedup at read time absorbs a double replay. A
+        batch appended concurrently (after the listing) is left queued for
+        the next replay rather than deleted unreplayed."""
         import shutil
 
         log = self.handoff
@@ -176,9 +185,8 @@ class FederatedStore:
         batches = log.pending_batches(node)
         if not batches:
             return 0
-        queued = self.spark.read.parquet(
-            *[f"{log.queue_path(node)}/queued_at={b}" for b in batches]
-        )
+        batch_paths = [f"{log.queue_path(node)}/queued_at={b}" for b in batches]
+        queued = self.spark.read.parquet(*batch_paths)
         out = queued.withColumn(
             PARTITION_COL, F.to_date(F.timestamp_millis(F.col("ts")))
         )
@@ -186,7 +194,8 @@ class FederatedStore:
         out.write.partitionBy(PARTITION_COL).mode("append").parquet(
             self.node_path(node)
         )
-        shutil.rmtree(log.queue_path(node))
+        for p in batch_paths:
+            shutil.rmtree(p)
         return n
 
     # -- read ----------------------------------------------------------------
@@ -321,9 +330,15 @@ def _dedup_replicas(samples: DataFrame) -> DataFrame:
 
     Maps aren't groupable, so the series key is the sorted label entry
     array (datamodel.sig's layout) built map-side; max(value) breaks the
-    (never-expected) divergent-value tie deterministically. One hash
-    aggregation keyed by (name, ts, sig) — uniformly distributed, no skew:
-    the same shape as the engine's per-selector aggregation."""
+    (never-expected) divergent-value tie deterministically. NOTE the
+    tie-break contract: Spark orders NaN greater than every number, so if
+    one replica holds a stale marker (NaN) and another a real sample at the
+    same (name, ts, sig), the stale marker wins — intentional, since the
+    replica that saw the staleness event has the newer information; for
+    ordinary divergence the larger value wins (there is no per-row write
+    version to do latest-write-wins). One hash aggregation keyed by
+    (name, ts, sig) — uniformly distributed, no skew: the same shape as the
+    engine's per-selector aggregation."""
     extra = [
         c for c in samples.columns
         if c not in ("ts", "name", "value", "labels", PARTITION_COL)
