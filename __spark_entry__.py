@@ -407,6 +407,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["text_token_count"] = _text_token_count
     q["media_resize"] = _media_resize
     q["promql_federated_selector"] = _promql_federated_selector
+    q["promql_sum_by_user_federated"] = _promql_sum_by_user_federated
     q["dedup_components"] = _dedup_components
     q["docs_sample"] = _docs_sample
 
@@ -425,7 +426,7 @@ _FAMILY_FIRST_ORDER = [
     "promql_selector", "promql_selector_regex", "promql_offset",
     "promql_sum_by_user", "promql_avg_without", "promql_topk",
     "promql_quantile_agg", "promql_stddev_agg", "promql_count_values",
-    "promql_min_agg", "promql_group_agg",
+    "promql_min_agg",
     "promql_sum_over_time", "promql_count_over_time",
     "promql_rate", "promql_irate", "promql_changes", "promql_deriv",
     "promql_holt_winters",
@@ -433,11 +434,10 @@ _FAMILY_FIRST_ORDER = [
     "promql_and", "promql_or", "promql_group_left_ratio",
     "promql_scalar_math", "promql_label_replace", "promql_date_fn",
     "promql_absent", "promql_sqrt_abs", "promql_vector_time",
-    "promql_scalar_of",
     "promql_subquery", "promql_subquery_rate", "promql_histogram_quantile",
     "tpch_q1", "tpch_q3", "rollup_counter",
     "dedup_exact", "dedup_minhash_lsh", "dedup_simhash",
-    "dedup_ngram_jaccard",
+    "dedup_ngram_jaccard", "dedup_components", "docs_sample",
     "embedding_topk", "embedding_dedup", "embedding_ivf_topk",
     "text_quality", "text_lang_id", "doc_fingerprint",
     "multimodal_features", "media_resize",
@@ -787,12 +787,9 @@ def _text_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
 _FED_ROOTS: dict[str, str] = {}
 
 
-def _promql_federated_selector(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Same instant selector as promql_selector, but served through the
-    replicated multi-node read path (routing + failover + replica dedup,
-    sources/federation.py) instead of a single samples frame — proves the
-    federation layer is transparent to the engine, so its oracle is the
-    plain single-store selector SQL."""
+def _fed_store(spark: SparkSession, sf_dir: str):
+    """3-node / RF2 federated store built from the sf_dir samples (written
+    once per session, reused across federated queries)."""
     import os
     import tempfile
 
@@ -805,12 +802,37 @@ def _promql_federated_selector(spark: SparkSession, sf_dir: str) -> DataFrame:
             _samples(spark, sf_dir), mode="overwrite"
         )
         _FED_ROOTS[sf_dir] = root
-    fed = FederatedStore(spark, root, n_nodes=3, replication_factor=2)
+    return FederatedStore(spark, root, n_nodes=3, replication_factor=2)
+
+
+def _promql_federated_selector(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same instant selector as promql_selector, but served through the
+    replicated multi-node read path (routing + failover + replica dedup,
+    sources/federation.py) instead of a single samples frame — proves the
+    federation layer is transparent to the engine, so its oracle is the
+    plain single-store selector SQL."""
+    fed = _fed_store(spark, sf_dir)
     eng = _engine(spark)
     out = eng.query_range(
         fed.select_samples("click"), 'click{user="3"}', START, END, STEP
     )
     return out.select("t", "value")
+
+
+def _promql_sum_by_user_federated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """sum by (user)(click) with samples resolved by the federation layer's
+    per-query AST routing (samples_for_query) — measures the replica-dedup
+    overhead against the single-store promql_sum_by_user; the oracle is the
+    identical single-store SQL because federation is transparent."""
+    q = "sum by (user) (click)"
+    fed = _fed_store(spark, sf_dir)
+    eng = _engine(spark)
+    out = eng.query_range(fed.samples_for_query(q), q, START, END, STEP)
+    return out.select(
+        F.col("t"),
+        F.col("labels").getItem("user").alias("usr"),
+        F.round(F.col("value"), 6).alias("value"),
+    )
 
 
 def _media_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -872,6 +894,10 @@ SELECT t, value FROM inst
 WITH {_SAMPLES_CTE}, {_inst_cte("p.name = 'click'")}
 SELECT t, usr, ROUND(SUM(value), 6) AS value FROM inst GROUP BY t, usr
 """
+
+    # identical to promql_sum_by_user by design: federated AST routing +
+    # replica dedup must be invisible to query results
+    o["promql_sum_by_user_federated"] = o["promql_sum_by_user"]
 
     o["promql_avg_without"] = f"""
 WITH {_SAMPLES_CTE}, {_inst_cte("p.name = 'purchase'")}

@@ -214,13 +214,16 @@ class FederatedStore:
             raise FileNotFoundError(
                 f"no replica of {metric_name!r} is readable"
             )
-        scans = [
-            self.spark.read.parquet(self.node_path(n)).filter(
-                F.col("name") == metric_name
-            )
-            for n in nodes
-        ]
-        return _dedup_replicas(_union(scans))
+        # one multi-path scan over the replica roots (not a union of
+        # per-node scans): single FileScan node, name pushdown intact;
+        # basePath makes node= a partition column, dropped after the scan
+        scan = (
+            self.spark.read.option("basePath", self.root)
+            .parquet(*[self.node_path(n) for n in nodes])
+            .drop(_NODE_COL)
+            .filter(F.col("name") == metric_name)
+        )
+        return _dedup_replicas(scan)
 
     def samples_for_query(self, promql: str) -> DataFrame:
         """Resolve a PromQL query's samples across the cluster —
@@ -266,7 +269,9 @@ class FederatedStore:
         if not nodes:
             raise FileNotFoundError("no federation node is readable")
         return _dedup_replicas(
-            _union([self.spark.read.parquet(self.node_path(n)) for n in nodes])
+            self.spark.read.option("basePath", self.root)
+            .parquet(*[self.node_path(n) for n in nodes])
+            .drop(_NODE_COL)
         )
 
 
