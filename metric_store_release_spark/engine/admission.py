@@ -46,6 +46,59 @@ from metric_store_release_spark.promql.ast import (
 )
 
 
+class ActiveQueryLog:
+    """On-disk log of in-flight queries for crash forensics — the
+    ActiveQueryTracker file analog (src/internal/metric-store/
+    metric_store.go:121-122, vendor promql ActiveQueryTracker): each
+    running query appends one JSON line and removes it on completion, so
+    after a crash the leftover lines are exactly the queries that were
+    executing. Local driver file, tiny (≤ max_concurrent_queries lines),
+    rewritten under a lock — never on the executor path."""
+
+    def __init__(self, path: str) -> None:
+        import pathlib
+        import threading
+
+        self.path = pathlib.Path(path)
+        self.path.parent.mkdir(parents=True, exist_ok=True)
+        self._lock = threading.Lock()
+
+    def add(self, query_id: str, query: str) -> None:
+        import json
+        import time
+
+        line = json.dumps(
+            {"id": query_id, "query": query, "started_ms": int(time.time() * 1000)}
+        )
+        with self._lock, self.path.open("a") as f:
+            f.write(line + "\n")
+            f.flush()
+
+    def remove(self, query_id: str) -> None:
+        with self._lock:
+            if not self.path.exists():
+                return
+            kept = [
+                ln
+                for ln in self.path.read_text().splitlines()
+                if f'"id": "{query_id}"' not in ln
+            ]
+            self.path.write_text("".join(ln + "\n" for ln in kept))
+
+    def leftover(self) -> list[dict]:
+        """Entries still in the log — after a clean shutdown, empty; after a
+        crash, the in-flight queries."""
+        import json
+
+        if not self.path.exists():
+            return []
+        return [
+            json.loads(ln)
+            for ln in self.path.read_text().splitlines()
+            if ln.strip()
+        ]
+
+
 class QueryLimitError(PromQLEvalError):
     """Query rejected by an admission limit (max samples / concurrency)."""
 

@@ -55,6 +55,11 @@ class EngineConfig:
     max_samples: int | None = 20_000_000
     timeout_ms: int | None = 10_000
     max_concurrent_queries: int = 20
+    #: crash-forensics log of in-flight queries (metric_store.go:121-122
+    #: ActiveQueryTracker file): path to a local driver file, or None (off).
+    #: Each execute() appends its query line and removes it on completion —
+    #: leftovers after a crash are the queries that were running.
+    active_query_log_path: str | None = None
     #: tumbling-partial (two-level) threshold for sliding range functions;
     #: 0 disables (default). Measured: Spark's map-side partial aggregation
     #: already compresses the window fan-out before the shuffle, so the
@@ -71,6 +76,13 @@ class PromQLEngine:
         self._query_gate = threading.BoundedSemaphore(
             self.config.max_concurrent_queries
         )
+        self._active_log = None
+        if self.config.active_query_log_path is not None:
+            from metric_store_release_spark.engine.admission import (
+                ActiveQueryLog,
+            )
+
+            self._active_log = ActiveQueryLog(self.config.active_query_log_path)
 
     def query_range(
         self,
@@ -134,22 +146,28 @@ class PromQLEngine:
             return out.orderBy(*order_by) if order_by else out
 
         if isinstance(res, VectorResult):
-            return _admit(res.df.select("t", "labels", "value"), res.order_by)
-        if isinstance(res, ScalarResult):
+            out = _admit(res.df.select("t", "labels", "value"), res.order_by)
+        elif isinstance(res, ScalarResult):
             if res.is_const:
-                return Evaluator(ctx).steps_df().select(
+                out = Evaluator(ctx).steps_df().select(
                     "t",
                     F.expr("cast(map() as map<string,string>)").alias("labels"),
                     F.lit(float(res.const)).alias("value"),
                 )
-            return _admit(res.df.select(
-                "t",
-                F.expr("cast(map() as map<string,string>)").alias("labels"),
-                "value",
-            ))
-        if isinstance(res, StringResult):
+            else:
+                out = _admit(res.df.select(
+                    "t",
+                    F.expr("cast(map() as map<string,string>)").alias("labels"),
+                    "value",
+                ))
+        elif isinstance(res, StringResult):
             raise PromQLEvalError("string results are not materializable")
-        raise PromQLEvalError("unexpected result type")
+        else:
+            raise PromQLEvalError("unexpected result type")
+        # tag the plan with its source text so execute() can log it in the
+        # active-query file without the caller re-passing the string
+        out._msrs_promql = promql
+        return out
 
     def query_instant(
         self, samples: DataFrame, promql: str, time_ms: int
@@ -157,13 +175,19 @@ class PromQLEngine:
         return self.query_range(samples, promql, time_ms, time_ms, 1)
 
     def execute(
-        self, df: DataFrame, timeout_ms: int | None = None
+        self,
+        df: DataFrame,
+        timeout_ms: int | None = None,
+        query: str | None = None,
     ) -> list[Row]:
         """Run a query plan under the reference's execution envelope.
 
         Non-blocking concurrent-query gate (ActiveQueryTracker analog) +
         wall-clock timeout enforced by cancelling the query's Spark job
-        group (metric_store.go:109 QueryTimeout, :295-303 tracker)."""
+        group (metric_store.go:109 QueryTimeout, :295-303 tracker). With
+        `active_query_log_path` configured, the in-flight query line is
+        held in the on-disk log for crash forensics (`query` overrides the
+        text; otherwise the tag query_range left on the plan is used)."""
         from metric_store_release_spark.engine.admission import (
             QueryLimitError,
             QueryTimeoutError,
@@ -177,6 +201,10 @@ class PromQLEngine:
             )
         sc = self.spark.sparkContext
         group = f"promql-{uuid.uuid4().hex[:12]}"
+        if self._active_log is not None:
+            self._active_log.add(
+                group, query or getattr(df, "_msrs_promql", "<unknown>")
+            )
         timed_out = threading.Event()
         timer: threading.Timer | None = None
         try:
@@ -210,6 +238,8 @@ class PromQLEngine:
             if timer is not None:
                 timer.cancel()
             sc.setLocalProperty("spark.jobGroup.id", None)
+            if self._active_log is not None:
+                self._active_log.remove(group)
             self._query_gate.release()
 
 

@@ -170,3 +170,100 @@ def test_concurrency_gate(spark):
         eng._query_gate.release()
     # released → executes again
     assert len(eng.execute(spark.range(1))) == 1
+
+
+def test_active_query_log_mid_flight_and_clean_exit(spark, tmp_path):
+    # ActiveQueryTracker file analog: the in-flight entry is visible on
+    # disk while the query runs and gone after a clean completion
+    import threading
+
+    from metric_store_release_spark.engine.admission import ActiveQueryLog
+
+    log_path = str(tmp_path / "active.log")
+    eng = PromQLEngine(
+        spark, EngineConfig(active_query_log_path=log_path, timeout_ms=None)
+    )
+
+    @F.udf("long")
+    def slowish(x):
+        time.sleep(1.0)
+        return x
+
+    df = spark.range(2, numPartitions=1).select(slowish(F.col("id")).alias("t"))
+    seen: list[dict] = []
+    t = threading.Thread(
+        target=lambda: eng.execute(df, query="avg_over_time(cpu[30m])")
+    )
+    t.start()
+    deadline = time.monotonic() + 30
+    while time.monotonic() < deadline and not seen:
+        seen = ActiveQueryLog(log_path).leftover()
+        time.sleep(0.05)
+    t.join(60)
+    assert seen and seen[0]["query"] == "avg_over_time(cpu[30m])"
+    assert ActiveQueryLog(log_path).leftover() == []
+
+
+def test_active_query_log_survives_crash(tmp_path):
+    # kill a driver process mid-query: the leftover log line identifies the
+    # query that was running (the reference replays this file on restart to
+    # report queries that crashed the instance)
+    import os
+    import subprocess
+    import sys
+    import textwrap
+
+    from metric_store_release_spark.engine.admission import ActiveQueryLog
+
+    log_path = str(tmp_path / "active.log")
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    script = tmp_path / "crasher.py"
+    script.write_text(
+        textwrap.dedent(
+            f"""
+            import sys, time
+            sys.path.insert(0, {repo!r})
+            from pyspark.sql import SparkSession
+            from pyspark.sql import functions as F
+            from metric_store_release_spark import EngineConfig, PromQLEngine
+
+            spark = (
+                SparkSession.builder.master("local[2]")
+                .config("spark.ui.enabled", "false")
+                .getOrCreate()
+            )
+            eng = PromQLEngine(
+                spark,
+                EngineConfig(active_query_log_path={log_path!r}, timeout_ms=None),
+            )
+
+            @F.udf("long")
+            def slow(x):
+                time.sleep(30)
+                return x
+
+            df = spark.range(4).select(slow(F.col("id")).alias("t"))
+            eng.execute(df, query='sum(rate(http[5m]))')
+            """
+        )
+    )
+    proc = subprocess.Popen(
+        [sys.executable, str(script)],
+        stdout=subprocess.DEVNULL,
+        stderr=subprocess.DEVNULL,
+    )
+    try:
+        deadline = time.monotonic() + 180
+        leftover: list[dict] = []
+        while time.monotonic() < deadline and not leftover:
+            leftover = ActiveQueryLog(log_path).leftover()
+            if proc.poll() is not None:
+                raise AssertionError("crasher exited before logging its query")
+            time.sleep(0.2)
+        assert leftover, "query never appeared in the active log"
+    finally:
+        proc.kill()
+        proc.wait()
+    # the process died mid-query -> the entry survives as forensics
+    leftover = ActiveQueryLog(log_path).leftover()
+    assert leftover and leftover[0]["query"] == "sum(rate(http[5m]))"
