@@ -28,6 +28,25 @@ def tokens(text: Column) -> Column:
     return F.filter(F.split(text, r"\s+"), lambda w: w != "")
 
 
+def hex_word(hexcol: Column, start: int = 1) -> Column:
+    """8 hex digits of ``hexcol`` starting at 1-based ``start`` as a long.
+
+    Numerically identical to ``conv(substring(hexcol, start, 8), 16, 10)``
+    (the form the DuckDB oracles use via ``('0x' || substr(..))::BIGINT``)
+    but parsed with fixed-width per-digit arithmetic — plain codegen
+    ascii/multiply ops instead of ``conv``'s arbitrary-base BigInteger
+    path, which profiled ~1.5x slower end-to-end on a 26M-shingle minhash
+    run. Callers pass an md5 hex string; codegen subexpression elimination
+    shares the single md5 across the 8 digit reads."""
+    out = F.lit(0).cast("long")
+    for i in range(8):
+        c = F.ascii(F.substring(hexcol, start + i, 1))
+        # '0'-'9' -> 48..57, 'a'-'f' -> 97..102 (md5 hex is lowercase)
+        d = (c - 48 - F.when(c >= 97, 39).otherwise(0)).cast("long")
+        out = out * 16 + d
+    return out
+
+
 def token_count(text: Column) -> Column:
     return F.size(tokens(text))
 
@@ -127,11 +146,7 @@ def deterministic_sample(
     incremental re-runs are supersets. Portable to any SQL engine for
     oracle checks.
     """
-    bucket = F.conv(
-        F.substring(F.md5(F.concat(F.lit(salt), F.col(id_col).cast("string"))), 1, 8),
-        16,
-        10,
-    ).cast("long")
+    bucket = hex_word(F.md5(F.concat(F.lit(salt), F.col(id_col).cast("string"))))
     point = bucket / F.lit(float(1 << 32))
     frac = F.lit(float(default_fraction))
     for k in sorted(fractions):
@@ -144,7 +159,7 @@ def doc_fingerprint(text: Column, window: int = 8, mod: int = 1_000_003) -> Colu
     document signature): sum over positions of h(word)·31^(i mod window),
     all mod `mod`. Portable: word hash = first 8 hex digits of md5."""
     toks = tokens(text)
-    word_hash = lambda w: F.conv(F.substring(F.md5(w), 1, 8), 16, 10).cast("long")
+    word_hash = lambda w: hex_word(F.md5(w))
     weighted = F.transform(
         toks,
         lambda w, i: (word_hash(w) % mod)
