@@ -1,0 +1,501 @@
+"""Prometheus remote-read wire protocol: snappy-framed protobuf over HTTP.
+
+The reference federates node-to-node reads with Prometheus's stock remote
+read client — snappy-compressed ``prompb.ReadRequest`` POSTed to
+``/api/v1/read`` and a snappy-compressed ``prompb.ReadResponse`` back
+(src/internal/api/prom_read_client.go:20-36 builds remote.NewReadClient
+against that path; src/internal/storage/remote_querier.go:84-93 Select →
+remote.ToQuery → client.Read → remote.FromQueryResult). Round 3 shipped the
+*function* of that layer (routing, failover, replica dedup in
+sources/federation.py) but not the wire format; this module closes the gap
+so a stock Prometheus can actually federate against this store.
+
+Both codecs are hand-rolled from public specifications only:
+
+- protobuf wire format (developers.google.com/protocol-buffers/docs/encoding)
+  for exactly the prompb message subset remote read uses: Label, Sample,
+  TimeSeries, LabelMatcher, Query, ReadRequest, QueryResult, ReadResponse
+  (schema: prometheus/prompb/remote.proto, types.proto — public).
+- snappy block format (github.com/google/snappy format_description.txt):
+  the DECODER is complete (literals + 1/2/4-byte-offset copies, so
+  payloads from any real snappy compressor parse); the ENCODER emits
+  spec-valid literal-only blocks — compression ratio is irrelevant for
+  the row counts an egress endpoint returns, compatibility is not.
+
+Scale note: the HTTP egress materializes the queried series on the driver
+— the same shape as the reference's read handler, which streams the
+QueryResult through one process. The distributed path between OUR nodes
+remains the federation layer's direct parquet scan (federation.py
+select_samples); this endpoint exists for interop with external
+Prometheus-ecosystem readers, whose result sets are bounded by the
+admission gate's 20e6-sample cap anyway.
+"""
+
+from __future__ import annotations
+
+import struct
+import threading
+from dataclasses import dataclass, field
+
+# ---------------------------------------------------------------------------
+# snappy block format
+# ---------------------------------------------------------------------------
+
+
+def _uvarint(n: int) -> bytes:
+    out = bytearray()
+    while True:
+        b = n & 0x7F
+        n >>= 7
+        if n:
+            out.append(b | 0x80)
+        else:
+            out.append(b)
+            return bytes(out)
+
+
+def _read_uvarint(buf: bytes, pos: int) -> tuple[int, int]:
+    shift = 0
+    val = 0
+    while True:
+        b = buf[pos]
+        pos += 1
+        val |= (b & 0x7F) << shift
+        if not b & 0x80:
+            return val, pos
+        shift += 7
+        if shift > 63:
+            raise ValueError("uvarint too long")
+
+
+def snappy_compress(data: bytes) -> bytes:
+    """Spec-valid snappy block: preamble + literal-only chunks."""
+    out = bytearray(_uvarint(len(data)))
+    pos = 0
+    n = len(data)
+    while pos < n or n == 0:
+        chunk = data[pos : pos + 65536]
+        ln = len(chunk)
+        if ln == 0:
+            break
+        if ln <= 60:
+            out.append((ln - 1) << 2)
+        elif ln <= 0xFF:
+            out.append(60 << 2)
+            out.append(ln - 1)
+        else:  # <= 0xFFFF
+            out.append(61 << 2)
+            out += struct.pack("<H", ln - 1)
+        out += chunk
+        pos += ln
+    return bytes(out)
+
+
+def snappy_decompress(data: bytes) -> bytes:
+    """Full block-format decoder: literals and copy elements."""
+    expected, pos = _read_uvarint(data, 0)
+    out = bytearray()
+    n = len(data)
+    while pos < n:
+        tag = data[pos]
+        pos += 1
+        kind = tag & 0x03
+        if kind == 0:  # literal
+            ln = tag >> 2
+            if ln >= 60:
+                extra = ln - 59
+                ln = int.from_bytes(data[pos : pos + extra], "little")
+                pos += extra
+            ln += 1
+            out += data[pos : pos + ln]
+            pos += ln
+            continue
+        if kind == 1:  # copy, 1-byte offset
+            ln = ((tag >> 2) & 0x07) + 4
+            offset = ((tag >> 5) << 8) | data[pos]
+            pos += 1
+        elif kind == 2:  # copy, 2-byte offset
+            ln = (tag >> 2) + 1
+            offset = int.from_bytes(data[pos : pos + 2], "little")
+            pos += 2
+        else:  # copy, 4-byte offset
+            ln = (tag >> 2) + 1
+            offset = int.from_bytes(data[pos : pos + 4], "little")
+            pos += 4
+        if offset == 0 or offset > len(out):
+            raise ValueError("corrupt snappy copy offset")
+        # overlapping copies are defined byte-at-a-time
+        start = len(out) - offset
+        for i in range(ln):
+            out.append(out[start + i])
+    if len(out) != expected:
+        raise ValueError(f"snappy length mismatch: {len(out)} != {expected}")
+    return bytes(out)
+
+
+# ---------------------------------------------------------------------------
+# protobuf wire helpers (subset: varint, 64-bit, length-delimited)
+# ---------------------------------------------------------------------------
+
+_WT_VARINT, _WT_I64, _WT_LEN = 0, 1, 2
+
+
+def _key(field_no: int, wire_type: int) -> bytes:
+    return _uvarint((field_no << 3) | wire_type)
+
+
+def _pb_varint_field(field_no: int, value: int) -> bytes:
+    if value == 0:
+        return b""
+    # int64: negatives encode as 10-byte two's complement
+    return _key(field_no, _WT_VARINT) + _uvarint(value & 0xFFFFFFFFFFFFFFFF)
+
+
+def _pb_double_field(field_no: int, value: float) -> bytes:
+    return _key(field_no, _WT_I64) + struct.pack("<d", value)
+
+
+def _pb_len_field(field_no: int, payload: bytes) -> bytes:
+    if not payload:
+        return b""
+    return _key(field_no, _WT_LEN) + _uvarint(len(payload)) + payload
+
+
+def _pb_str_field(field_no: int, s: str) -> bytes:
+    return _pb_len_field(field_no, s.encode("utf-8"))
+
+
+def _pb_fields(buf: bytes):
+    """Yield (field_no, wire_type, value) — value is int for varint,
+    bytes for I64/length-delimited."""
+    pos = 0
+    n = len(buf)
+    while pos < n:
+        key, pos = _read_uvarint(buf, pos)
+        field_no, wt = key >> 3, key & 0x07
+        if wt == _WT_VARINT:
+            val, pos = _read_uvarint(buf, pos)
+        elif wt == _WT_I64:
+            val = buf[pos : pos + 8]
+            pos += 8
+        elif wt == _WT_LEN:
+            ln, pos = _read_uvarint(buf, pos)
+            val = buf[pos : pos + ln]
+            pos += ln
+        elif wt == 5:  # I32 — not used by prompb, skipped for robustness
+            val = buf[pos : pos + 4]
+            pos += 4
+        else:
+            raise ValueError(f"unsupported wire type {wt}")
+        yield field_no, wt, val
+
+
+def _to_int64(v: int) -> int:
+    return v - (1 << 64) if v >= (1 << 63) else v
+
+
+# ---------------------------------------------------------------------------
+# prompb messages (remote.proto / types.proto subset)
+# ---------------------------------------------------------------------------
+
+#: LabelMatcher.Type enum (types.proto): EQ=0 NEQ=1 RE=2 NRE=3
+MATCH_EQ, MATCH_NEQ, MATCH_RE, MATCH_NRE = 0, 1, 2, 3
+
+
+@dataclass
+class PbMatcher:
+    type: int
+    name: str
+    value: str
+
+    def encode(self) -> bytes:
+        return (
+            _pb_varint_field(1, self.type)
+            + _pb_str_field(2, self.name)
+            + _pb_str_field(3, self.value)
+        )
+
+    @classmethod
+    def decode(cls, buf: bytes) -> "PbMatcher":
+        t, name, value = 0, "", ""
+        for fno, _, val in _pb_fields(buf):
+            if fno == 1:
+                t = val
+            elif fno == 2:
+                name = val.decode("utf-8")
+            elif fno == 3:
+                value = val.decode("utf-8")
+        return cls(t, name, value)
+
+
+@dataclass
+class PbQuery:
+    start_ms: int
+    end_ms: int
+    matchers: list[PbMatcher] = field(default_factory=list)
+
+    def encode(self) -> bytes:
+        out = _pb_varint_field(1, self.start_ms) + _pb_varint_field(2, self.end_ms)
+        for m in self.matchers:
+            out += _pb_len_field(3, m.encode())
+        return out
+
+    @classmethod
+    def decode(cls, buf: bytes) -> "PbQuery":
+        q = cls(0, 0)
+        for fno, _, val in _pb_fields(buf):
+            if fno == 1:
+                q.start_ms = _to_int64(val)
+            elif fno == 2:
+                q.end_ms = _to_int64(val)
+            elif fno == 3:
+                q.matchers.append(PbMatcher.decode(val))
+        return q
+
+
+@dataclass
+class PbReadRequest:
+    queries: list[PbQuery] = field(default_factory=list)
+
+    def encode(self) -> bytes:
+        out = b""
+        for q in self.queries:
+            out += _pb_len_field(1, q.encode())
+        return out
+
+    @classmethod
+    def decode(cls, buf: bytes) -> "PbReadRequest":
+        req = cls()
+        for fno, _, val in _pb_fields(buf):
+            if fno == 1:
+                req.queries.append(PbQuery.decode(val))
+        return req
+
+
+@dataclass
+class PbTimeSeries:
+    labels: list[tuple[str, str]] = field(default_factory=list)
+    samples: list[tuple[float, int]] = field(default_factory=list)  # (value, ts_ms)
+
+    def encode(self) -> bytes:
+        out = b""
+        for name, value in self.labels:
+            out += _pb_len_field(1, _pb_str_field(1, name) + _pb_str_field(2, value))
+        for value, ts in self.samples:
+            out += _pb_len_field(
+                2, _pb_double_field(1, value) + _pb_varint_field(2, ts)
+            )
+        return out
+
+    @classmethod
+    def decode(cls, buf: bytes) -> "PbTimeSeries":
+        ts_msg = cls()
+        for fno, _, val in _pb_fields(buf):
+            if fno == 1:
+                name, value = "", ""
+                for f2, _, v2 in _pb_fields(val):
+                    if f2 == 1:
+                        name = v2.decode("utf-8")
+                    elif f2 == 2:
+                        value = v2.decode("utf-8")
+                ts_msg.labels.append((name, value))
+            elif fno == 2:
+                v, t = 0.0, 0
+                for f2, wt2, v2 in _pb_fields(val):
+                    if f2 == 1:
+                        v = struct.unpack("<d", v2)[0]
+                    elif f2 == 2:
+                        t = _to_int64(v2)
+                ts_msg.samples.append((v, t))
+        return ts_msg
+
+
+@dataclass
+class PbReadResponse:
+    results: list[list[PbTimeSeries]] = field(default_factory=list)
+
+    def encode(self) -> bytes:
+        out = b""
+        for result in self.results:
+            payload = b""
+            for series in result:
+                payload += _pb_len_field(1, series.encode())
+            # QueryResult with zero series must still be emitted
+            out += _key(1, _WT_LEN) + _uvarint(len(payload)) + payload
+        return out
+
+    @classmethod
+    def decode(cls, buf: bytes) -> "PbReadResponse":
+        resp = cls()
+        for fno, _, val in _pb_fields(buf):
+            if fno == 1:
+                series = [
+                    PbTimeSeries.decode(v2)
+                    for f2, _, v2 in _pb_fields(val)
+                    if f2 == 1
+                ]
+                resp.results.append(series)
+        return resp
+
+
+# ---------------------------------------------------------------------------
+# server: POST /api/v1/read over a samples DataFrame
+# ---------------------------------------------------------------------------
+
+
+class RemoteReadServer:
+    """Serve a samples DataFrame over the Prometheus remote-read protocol.
+
+    ``samples`` is the canonical frame (ts ms, name, value, labels map).
+    Matchers translate to the same pushdown-friendly conditions the engine
+    uses (engine/selectors.matcher_condition), so __name__ equality prunes
+    parquet row groups before anything reaches the driver.
+    """
+
+    def __init__(self, samples_provider, host: str = "127.0.0.1", port: int = 0):
+        import http.server
+
+        outer = self
+
+        class Handler(http.server.BaseHTTPRequestHandler):
+            def log_message(self, *args):  # quiet
+                pass
+
+            def do_POST(self):
+                if self.path != "/api/v1/read":
+                    self.send_error(404)
+                    return
+                ln = int(self.headers.get("Content-Length", "0"))
+                body = snappy_decompress(self.rfile.read(ln))
+                req = PbReadRequest.decode(body)
+                resp = PbReadResponse(
+                    results=[outer._run_query(q) for q in req.queries]
+                )
+                payload = snappy_compress(resp.encode())
+                self.send_response(200)
+                self.send_header("Content-Type", "application/x-protobuf")
+                self.send_header("Content-Encoding", "snappy")
+                self.send_header("Content-Length", str(len(payload)))
+                self.end_headers()
+                self.wfile.write(payload)
+
+        self._samples_provider = samples_provider
+        self._srv = http.server.ThreadingHTTPServer((host, port), Handler)
+        self._thread = threading.Thread(target=self._srv.serve_forever, daemon=True)
+
+    @property
+    def url(self) -> str:
+        host, port = self._srv.server_address
+        return f"http://{host}:{port}/api/v1/read"
+
+    def start(self) -> "RemoteReadServer":
+        self._thread.start()
+        return self
+
+    def stop(self) -> None:
+        self._srv.shutdown()
+        self._srv.server_close()
+
+    def _run_query(self, q: PbQuery) -> list[PbTimeSeries]:
+        from pyspark.sql import functions as F
+
+        from metric_store_release_spark.engine.selectors import matcher_condition
+        from metric_store_release_spark.promql.ast import LabelMatcher, MatchOp
+
+        op_map = {
+            MATCH_EQ: MatchOp.EQ,
+            MATCH_NEQ: MatchOp.NEQ,
+            MATCH_RE: MatchOp.RE,
+            MATCH_NRE: MatchOp.NRE,
+        }
+        df = self._samples_provider()
+        df = df.filter(F.col("ts").between(q.start_ms, q.end_ms))
+        for m in q.matchers:
+            df = df.filter(
+                matcher_condition(LabelMatcher(m.name, op_map[m.type], m.value))
+            )
+        rows = (
+            df.select("ts", "name", "value", "labels")
+            .sort("name", "ts")
+            .collect()
+        )
+        by_series: dict[tuple, PbTimeSeries] = {}
+        for r in rows:
+            lbls = dict(r["labels"] or {})
+            lbls["__name__"] = r["name"]
+            key = tuple(sorted(lbls.items()))
+            series = by_series.get(key)
+            if series is None:
+                series = by_series[key] = PbTimeSeries(labels=sorted(lbls.items()))
+            series.samples.append((r["value"], r["ts"]))
+        return [by_series[k] for k in sorted(by_series)]
+
+
+# ---------------------------------------------------------------------------
+# client: the PromReadClient analog
+# ---------------------------------------------------------------------------
+
+
+def remote_read(
+    url: str,
+    matchers: list[PbMatcher],
+    start_ms: int,
+    end_ms: int,
+    timeout_s: float = 30.0,
+) -> list[PbTimeSeries]:
+    """POST one Query; return the decoded series (remote_querier.go:84-93)."""
+    import urllib.request
+
+    req_msg = PbReadRequest(queries=[PbQuery(start_ms, end_ms, matchers)])
+    body = snappy_compress(req_msg.encode())
+    http_req = urllib.request.Request(
+        url,
+        data=body,
+        headers={
+            "Content-Type": "application/x-protobuf",
+            "Content-Encoding": "snappy",
+            "X-Prometheus-Remote-Read-Version": "0.1.0",
+        },
+        method="POST",
+    )
+    with urllib.request.urlopen(http_req, timeout=timeout_s) as resp:
+        raw = snappy_decompress(resp.read())
+    decoded = PbReadResponse.decode(raw)
+    return decoded.results[0] if decoded.results else []
+
+
+def remote_read_samples(
+    spark,
+    url: str,
+    matchers: list[PbMatcher],
+    start_ms: int,
+    end_ms: int,
+):
+    """Remote read → canonical samples DataFrame (driver-side transport,
+    then distributed: the result lands in executors via createDataFrame).
+    Interop path only — node-to-node reads inside this engine use the
+    federation layer's direct parquet scans."""
+    from pyspark.sql.types import (
+        DoubleType,
+        LongType,
+        MapType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    schema = StructType(
+        [
+            StructField("ts", LongType()),
+            StructField("name", StringType()),
+            StructField("value", DoubleType()),
+            StructField("labels", MapType(StringType(), StringType())),
+        ]
+    )
+    rows = []
+    for series in remote_read(url, matchers, start_ms, end_ms):
+        lbls = dict(series.labels)
+        name = lbls.pop("__name__", "")
+        for value, ts in series.samples:
+            rows.append((ts, name, value, lbls))
+    return spark.createDataFrame(rows, schema)
