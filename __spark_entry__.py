@@ -410,6 +410,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["promql_sum_by_user_federated"] = _promql_sum_by_user_federated
     q["dedup_components"] = _dedup_components
     q["docs_sample"] = _docs_sample
+    q["text_repetition"] = _text_repetition
+    q["dedup_substring"] = _dedup_substring
+    q["embedding_kmeans"] = _embedding_kmeans
+    q["events_props_stats"] = _events_props_stats
 
     # The driver's correctness gate checks entries in insertion order and in
     # round 1 stopped after the first 50: reorder so one representative of
@@ -427,19 +431,22 @@ _FAMILY_FIRST_ORDER = [
     "promql_sum_by_user", "promql_avg_without", "promql_topk",
     "promql_quantile_agg", "promql_stddev_agg", "promql_count_values",
     "promql_min_agg",
-    "promql_sum_over_time", "promql_count_over_time",
-    "promql_rate", "promql_irate", "promql_changes", "promql_deriv",
+    "promql_sum_over_time",
+    "promql_rate", "promql_deriv",
     "promql_holt_winters",
-    "promql_binop_add", "promql_binop_filter", "promql_binop_bool",
+    "promql_binop_add", "promql_binop_filter",
     "promql_and", "promql_or", "promql_group_left_ratio",
     "promql_scalar_math", "promql_label_replace", "promql_date_fn",
     "promql_absent", "promql_sqrt_abs", "promql_vector_time",
     "promql_subquery", "promql_subquery_rate", "promql_histogram_quantile",
     "tpch_q1", "tpch_q3", "rollup_counter",
     "dedup_exact", "dedup_minhash_lsh", "dedup_simhash",
-    "dedup_ngram_jaccard", "dedup_components", "docs_sample",
+    "dedup_ngram_jaccard", "dedup_components", "dedup_substring",
+    "docs_sample",
     "embedding_topk", "embedding_dedup", "embedding_ivf_topk",
-    "text_quality", "text_lang_id", "doc_fingerprint",
+    "embedding_kmeans",
+    "text_quality", "text_lang_id", "doc_fingerprint", "text_repetition",
+    "events_props_stats",
     "multimodal_features", "media_resize",
     "promql_federated_selector",
 ]
@@ -779,6 +786,50 @@ def _text_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         token_count(F.col("text")).alias("n_ws_tokens"),
         bpe_ish_token_count(F.col("text")).alias("n_bpe_tokens"),
+    )
+
+
+def _text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition quality signals (pipeline.text
+    .repetition_features) — map-side, no shuffle."""
+    from metric_store_release_spark.pipeline.text import repetition_features
+
+    return repetition_features(_docs(spark, sf_dir)).select(
+        "doc_id", "n_words", "dup_word_frac", "top_word_frac",
+        "top_bigram_frac", "dup_5gram_frac",
+    )
+
+
+def _dedup_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-substring dedup candidates: pairs sharing a 15-word window
+    (pipeline.dedup.shared_ngram_pairs — the suffix-array-dedup stand-in)."""
+    from metric_store_release_spark.pipeline.dedup import shared_ngram_pairs
+
+    return shared_ngram_pairs(_docs(spark, sf_dir), window_n=15)
+
+
+def _embedding_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic Lloyd's k-means (pipeline.similarity.kmeans): 3
+    distributed assign/update rounds, k=4, smallest-id init."""
+    from metric_store_release_spark.pipeline.similarity import kmeans
+
+    return kmeans(_emb(spark, sf_dir), k=4, iters=3)
+
+
+def _events_props_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Typed JSON extraction from the events props column (from_json — a
+    codegen JSON parse, not a per-row UDF) + per-type aggregate."""
+    ev = _prepare(spark).read.parquet(f"{sf_dir}/events.parquet")
+    k = F.from_json(F.col("props"), "k INT")["k"]
+    return (
+        ev.select("event_type", k.alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.avg("k"), 6).alias("avg_k"),
+            F.min("k").alias("min_k"),
+            F.max("k").alias("max_k"),
+        )
     )
 
 
@@ -1292,6 +1343,21 @@ SELECT query_id, vec_id, cos_sim, rank FROM (
 
     o["doc_fingerprint"] = _fingerprint_oracle()
 
+    o["text_repetition"] = _repetition_oracle()
+
+    o["dedup_substring"] = _substring_oracle()
+
+    o["embedding_kmeans"] = _kmeans_oracle(k=4, iters=3, dim=64)
+
+    o["events_props_stats"] = """
+SELECT event_type,
+       COUNT(*) AS n,
+       ROUND(AVG(CAST(json_extract_string(props, '$.k') AS INT)), 6) AS avg_k,
+       MIN(CAST(json_extract_string(props, '$.k') AS INT)) AS min_k,
+       MAX(CAST(json_extract_string(props, '$.k') AS INT)) AS max_k
+FROM events GROUP BY event_type
+"""
+
     o["promql_min_agg"] = f"""
 WITH {_SAMPLES_CTE}, {_inst_cte("p.name = 'view'")}
 SELECT t, usr, MIN(value) AS value FROM inst GROUP BY t, usr
@@ -1756,3 +1822,114 @@ SELECT doc_id,
        ) % {mod} AS BIGINT) AS fingerprint
 FROM expanded GROUP BY doc_id
 """
+
+
+def _repetition_oracle() -> str:
+    """Gopher repetition features: mode counts via windowed counts over the
+    unnested token stream (vs Spark's map-side sorted-array run scan —
+    different shape, same numbers)."""
+    return """
+WITH w AS (
+  SELECT doc_id, unnest(arr) AS w, generate_subscripts(arr, 1) AS pos
+  FROM (SELECT doc_id,
+               list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS arr
+        FROM documents) d
+),
+base AS (
+  SELECT doc_id, COUNT(*) AS n, COUNT(DISTINCT w) AS n_dist, MAX(cnt) AS top_w
+  FROM (SELECT doc_id, w, COUNT(*) OVER (PARTITION BY doc_id, w) AS cnt FROM w) t
+  GROUP BY doc_id
+),
+g2 AS (
+  SELECT a.doc_id, a.w || ' ' || b.w AS g
+  FROM w a JOIN w b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+),
+b2 AS (
+  SELECT doc_id, COUNT(*) AS n2, MAX(cnt) AS top2
+  FROM (SELECT doc_id, g, COUNT(*) OVER (PARTITION BY doc_id, g) AS cnt FROM g2) t
+  GROUP BY doc_id
+),
+g5 AS (
+  SELECT a.doc_id, a.w || ' ' || b.w || ' ' || c.w || ' ' || d.w || ' ' || e.w AS g
+  FROM w a JOIN w b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+           JOIN w c ON a.doc_id = c.doc_id AND c.pos = a.pos + 2
+           JOIN w d ON a.doc_id = d.doc_id AND d.pos = a.pos + 3
+           JOIN w e ON a.doc_id = e.doc_id AND e.pos = a.pos + 4
+),
+b5 AS (SELECT doc_id, COUNT(*) AS n5, COUNT(DISTINCT g) AS n5_dist FROM g5 GROUP BY doc_id)
+SELECT base.doc_id,
+       CAST(base.n AS INT) AS n_words,
+       ROUND((base.n - base.n_dist) / CAST(base.n AS DOUBLE), 6) AS dup_word_frac,
+       ROUND(base.top_w / CAST(base.n AS DOUBLE), 6) AS top_word_frac,
+       ROUND(COALESCE(b2.top2 / CAST(b2.n2 AS DOUBLE), 0), 6) AS top_bigram_frac,
+       ROUND(COALESCE((b5.n5 - b5.n5_dist) / CAST(b5.n5 AS DOUBLE), 0), 6) AS dup_5gram_frac
+FROM base LEFT JOIN b2 USING (doc_id) LEFT JOIN b5 USING (doc_id)
+"""
+
+
+def _substring_oracle(window_n: int = 15, hot_cap: int = 1000) -> str:
+    """Shared window-gram pairs: positional n-gram build via list slicing
+    (arr[i : i+n-1] inclusive), DISTINCT per doc, inverted-index join."""
+    return f"""
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS arr
+  FROM documents
+),
+grams AS (
+  SELECT DISTINCT doc_id,
+         md5(array_to_string(arr[i:i+{window_n - 1}], ' ')) AS gh
+  FROM toks, unnest(CASE WHEN len(arr) >= {window_n}
+                         THEN list_transform(range(1, len(arr) - {window_n - 2}), x -> x)
+                         ELSE [1] END) AS t(i)
+),
+hot AS (SELECT gh FROM grams GROUP BY gh HAVING COUNT(*) > {hot_cap})
+SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS shared_windows
+FROM grams a JOIN grams b ON a.gh = b.gh AND a.doc_id < b.doc_id
+WHERE a.gh NOT IN (SELECT gh FROM hot)
+GROUP BY 1, 2
+"""
+
+
+def _kmeans_oracle(k: int, iters: int, dim: int) -> str:
+    """Lloyd's k-means replayed in SQL: one (assign, update) CTE pair per
+    iteration, programmatically chained. Assignment = row_number over
+    (squared-L2, cid) per vector; update = per-(cluster, position) AVG
+    re-listed in position order. Distances are double-precision in both
+    engines; the only cross-engine FP divergence source is summation order
+    inside AVG, orders of magnitude below any realistic assignment margin."""
+    dist = (
+        f"list_sum(list_transform(range(1, {dim + 1}), "
+        "i -> (emb.e[i]-c.c[i])*(emb.e[i]-c.c[i])))"
+    )
+
+    def assign_cte(name: str, cent: str) -> str:
+        return f"""{name} AS (
+  SELECT vec_id, e, cid FROM (
+    SELECT emb.vec_id, emb.e, c.cid,
+           row_number() OVER (PARTITION BY emb.vec_id ORDER BY {dist}, c.cid) AS rn
+    FROM emb CROSS JOIN {cent} c) WHERE rn = 1
+)"""
+
+    def update_cte(name: str, assigned: str) -> str:
+        return f"""{name} AS (
+  SELECT cid, list(m ORDER BY pos) AS c FROM (
+    SELECT cid, pos, avg(v) AS m FROM (
+      SELECT cid, unnest(e) AS v, generate_subscripts(e, 1) AS pos FROM {assigned})
+    GROUP BY cid, pos) GROUP BY cid
+)"""
+
+    ctes = [
+        "emb AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings)",
+        f"""c0 AS (
+  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, e AS c
+  FROM (SELECT * FROM emb ORDER BY vec_id LIMIT {k}))""",
+    ]
+    for it in range(iters):
+        ctes.append(assign_cte(f"a{it}", f"c{it}"))
+        ctes.append(update_cte(f"c{it + 1}", f"a{it}"))
+    ctes.append(assign_cte(f"a{iters}", f"c{iters}"))
+    return (
+        "WITH " + ",\n".join(ctes)
+        + f"\nSELECT vec_id, CAST(cid AS INT) AS cluster FROM a{iters}"
+    )

@@ -175,6 +175,47 @@ def minhash_lsh_candidates(
     return pairs.unionByName(star).distinct()
 
 
+def shared_ngram_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    window_n: int = 15,
+    hot_cap: int = 1000,
+) -> DataFrame:
+    """Exact-substring duplicate candidates: pairs of documents sharing at
+    least one contiguous run of ``window_n`` words, with the count of
+    distinct shared windows.
+
+    The scalable stand-in for suffix-array exact-substring dedup (Lee et
+    al. 2022, "Deduplicating Training Data Makes Language Models Better"):
+    any shared word-substring of >= window_n words necessarily shares a
+    full window-gram, so recall at that granularity is exact — no
+    probabilistic signatures. Inverted-index join on the window hash (md5
+    before the shuffle: rows carry 32 hex chars, not ~100-char strings),
+    never materializes n² pairs; windows present in > ``hot_cap`` docs
+    (boilerplate) are dropped under the same rationale as
+    ngram_jaccard_pairs' hot-shingle guard.
+    """
+    grams = df.select(
+        F.col(id_col),
+        F.explode(_word_shingles(F.col(text_col), window_n)).alias("g"),
+    ).select(id_col, F.md5("g").alias("gh"))
+    hot = grams.groupBy("gh").count().filter(F.col("count") > hot_cap)
+    grams = grams.join(F.broadcast(hot.select("gh")), "gh", "left_anti")
+    a, b = grams.alias("a"), grams.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.gh") == F.col("b.gh"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .groupBy(
+            F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b")
+        )
+        .agg(F.count(F.lit(1)).alias("shared_windows"))
+    )
+
+
 def connected_components(
     pairs: DataFrame,
     id_a: str = "id_a",

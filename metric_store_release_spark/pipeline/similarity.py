@@ -60,6 +60,79 @@ def cosine(a: Column, b: Column) -> Column:
     return _dot(a, b) / (_norm(a) * _norm(b))
 
 
+def _sq_dist(vec: Column, centroid: list[float]) -> Column:
+    """Squared L2 to a literal centroid — left-to-right fold, so the
+    floating-point sum order is reproducible in any engine."""
+    c = F.array(*[F.lit(float(x)) for x in centroid])
+    return F.aggregate(
+        F.zip_with(vec, c, lambda a, b: (a - b) * (a - b)),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def kmeans(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    k: int = 4,
+    iters: int = 3,
+) -> DataFrame:
+    """Deterministic Lloyd's k-means over an embedding column → (id, cluster).
+
+    Init: the k vectors with the smallest ids — engine-portable, no RNG.
+    Each iteration:
+      ASSIGN — the k×dim centroid matrix is baked into the plan as
+      literals, so assignment is a map-side projection (no join, no
+      broadcast variable, no shuffle): squared-L2 via zip_with/aggregate,
+      argmin via least() over (dist, cid) structs — ties break to the
+      lower cluster id, deterministically.
+      UPDATE — posexplode the assigned vectors and average per
+      (cluster, position): ONE hash aggregation per iteration (map-side
+      partial aggs do the heavy lifting), then k×dim values — a few KB,
+      independent of corpus size — collect to the driver to become the
+      next iteration's literals. The same loop shape as
+      pipeline.dedup.connected_components: driver-orchestrated rounds,
+      all data movement distributed.
+
+    Empty clusters keep their previous centroid. Vectors are cast to
+    double before any arithmetic so results are engine-portable.
+    """
+    vec = F.col(vec_col).cast("array<double>")
+    base = df.select(F.col(id_col), vec.alias("__v"))
+    cents: list[list[float]] = [
+        list(r["__v"]) for r in base.orderBy(id_col).limit(k).collect()
+    ]
+
+    def assign(col: Column) -> Column:
+        # cast names the struct fields positionally — inner aliases don't
+        # survive inside least()
+        structs = [
+            F.struct(_sq_dist(col, c), F.lit(i)).cast("struct<d:double,cid:int>")
+            for i, c in enumerate(cents)
+        ]
+        return F.least(*structs)["cid"]
+
+    for _ in range(iters):
+        agg = (
+            base.select(assign(F.col("__v")).alias("cluster"),
+                        F.posexplode("__v").alias("pos", "val"))
+            .groupBy("cluster", "pos")
+            .agg(F.avg("val").alias("m"))
+            .groupBy("cluster")
+            .agg(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "m"))),
+                    lambda s: s["m"],
+                ).alias("c")
+            )
+        )
+        new_cents = {r["cluster"]: list(r["c"]) for r in agg.collect()}
+        cents = [new_cents.get(i, cents[i]) for i in range(k)]
+
+    return base.select(id_col, assign(F.col("__v")).alias("cluster"))
+
+
 def brute_force_topk(
     corpus: DataFrame,
     queries: DataFrame,

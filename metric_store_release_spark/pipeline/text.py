@@ -107,6 +107,87 @@ def quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+def _mode_count(sorted_arr: Column) -> Column:
+    """Occurrence count of the most frequent element of a SORTED array.
+
+    Longest-run scan via aggregate(): one interpreted pass over an array
+    that is already in executor memory — no explode, no shuffle. The
+    struct accumulator carries (prev element, current run, best run)."""
+    init = F.struct(
+        F.lit(" ").alias("prev"),
+        F.lit(0).cast("long").alias("run"),
+        F.lit(0).cast("long").alias("best"),
+    )
+    step = lambda acc, x: F.struct(
+        x.alias("prev"),
+        F.when(x == acc["prev"], acc["run"] + 1).otherwise(F.lit(1).cast("long")).alias("run"),
+        F.greatest(
+            acc["best"],
+            F.when(x == acc["prev"], acc["run"] + 1).otherwise(F.lit(1).cast("long")),
+        ).alias("best"),
+    )
+    return F.aggregate(sorted_arr, init, step, lambda acc: acc["best"])
+
+
+def _grams(toks: Column, n: int) -> Column:
+    """Positional (non-distinct) word n-grams — zip_with fold, cf.
+    dedup._word_shingles. Docs shorter than n words yield an empty array
+    (slice length clamped to 0)."""
+    k = F.size(toks)
+    m = F.greatest(k - (n - 1), F.lit(0))
+    acc = F.slice(toks, 1, m)
+    for j in range(1, n):
+        acc = F.zip_with(
+            acc, F.slice(toks, 1 + j, m), lambda a, b: F.concat(a, F.lit(" "), b)
+        )
+    return acc
+
+
+def repetition_features(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Gopher-style repetition quality signals (Rae et al. 2021, §A1.1:
+    repetitious documents are low-quality training data):
+
+      dup_word_frac    1 − distinct words / words
+      top_word_frac    occurrences of the most frequent word / words
+      top_bigram_frac  occurrences of the most frequent 2-gram / 2-grams
+      dup_5gram_frac   1 − distinct 5-grams / 5-gram positions
+
+    Entirely map-side (sort + one aggregate() pass per feature over the
+    in-memory token array — no explode, no shuffle); fuses into the scan
+    at 100 TB. Ratios rounded to 6 dp for engine-portable comparison."""
+    text = F.col(text_col)
+    toked = df.select("*", tokens(text).alias("__toks"))
+    based = toked.select(
+        "*",
+        F.size("__toks").alias("__n"),
+        F.size(F.array_distinct("__toks")).alias("__n_dist"),
+        _mode_count(F.array_sort("__toks")).alias("__top_w"),
+        _grams(F.col("__toks"), 2).alias("__g2"),
+        _grams(F.col("__toks"), 5).alias("__g5"),
+    )
+    counted = based.select(
+        "*",
+        F.size("__g2").alias("__n2"),
+        _mode_count(F.array_sort("__g2")).alias("__top2"),
+        F.size("__g5").alias("__n5"),
+        F.size(F.array_distinct("__g5")).alias("__n5_dist"),
+    )
+    n = F.col("__n").cast("double")
+    n2 = F.col("__n2").cast("double")
+    n5 = F.col("__n5").cast("double")
+    safe = lambda num, den: F.round(
+        F.when(den > 0, num.cast("double") / den).otherwise(0.0), 6
+    )
+    return counted.select(
+        *df.columns,
+        F.col("__n").alias("n_words"),
+        safe(F.col("__n") - F.col("__n_dist"), n).alias("dup_word_frac"),
+        safe(F.col("__top_w"), n).alias("top_word_frac"),
+        safe(F.col("__top2"), n2).alias("top_bigram_frac"),
+        safe(F.col("__n5") - F.col("__n5_dist"), n5).alias("dup_5gram_frac"),
+    )
+
+
 def language_id(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Stopword-vote language heuristic: the language whose stopword list
     hits the most tokens wins; ties and no-hits → 'und' (undetermined)."""

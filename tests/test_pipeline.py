@@ -399,3 +399,99 @@ def test_ivf_topk_matches_brute_force_for_easy_queries(spark):
     a = {(r["query_id"], r["vec_id"]) for r in approx.collect()}
     recall = len(e & a) / len(e)
     assert recall >= 0.5, recall
+
+
+# --------------------------------------------------------------- repetition
+def test_repetition_features_hand_computed(spark):
+    from metric_store_release_spark.pipeline.text import repetition_features
+
+    rows = [
+        (1, "a a a a"),          # one word repeated
+        (2, "a b c d"),          # all distinct
+        (3, "x y x y x y"),      # alternating bigram
+        (4, "p q r s t p q r s t"),  # repeated 5-gram
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in repetition_features(df).collect()}
+    # doc 1: 4 words, 1 distinct; top word 4/4; bigrams all "a a" (3/3);
+    # 5-gram positions: none (4 < 5) -> 0
+    assert out[1]["n_words"] == 4
+    assert out[1]["dup_word_frac"] == 0.75
+    assert out[1]["top_word_frac"] == 1.0
+    assert out[1]["top_bigram_frac"] == 1.0
+    assert out[1]["dup_5gram_frac"] == 0.0
+    # doc 2: nothing repeats
+    assert out[2]["dup_word_frac"] == 0.0
+    assert out[2]["top_word_frac"] == 0.25
+    assert out[2]["top_bigram_frac"] == round(1 / 3, 6)
+    # doc 3: "x y" occurs 3 of 5 bigrams
+    assert out[3]["top_bigram_frac"] == 0.6
+    # doc 4: 10 words -> 6 5-gram positions, "p q r s t" twice -> 1 dup pos
+    assert out[4]["dup_5gram_frac"] == round(1 / 6, 6)
+
+
+def test_repetition_short_doc_no_crash(spark):
+    from metric_store_release_spark.pipeline.text import repetition_features
+
+    df = spark.createDataFrame([(1, "solo"), (2, "two words")],
+                               "doc_id long, text string")
+    out = {r["doc_id"]: r for r in repetition_features(df).collect()}
+    assert out[1]["n_words"] == 1 and out[1]["top_word_frac"] == 1.0
+    assert out[2]["top_bigram_frac"] == 1.0  # single bigram
+
+
+# ----------------------------------------------------------- substring dedup
+def test_shared_ngram_pairs(spark):
+    from metric_store_release_spark.pipeline.dedup import shared_ngram_pairs
+
+    common = "one two three four five six seven eight nine ten"
+    rows = [
+        (1, common + " alpha beta"),
+        (2, common + " gamma delta"),        # shares the 10-word run with 1
+        (3, "totally unrelated words that never overlap anything here at all"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {(r["id_a"], r["id_b"]): r["shared_windows"]
+           for r in shared_ngram_pairs(df, window_n=10).collect()}
+    assert (1, 2) in out and out[(1, 2)] == 1  # exactly the shared window
+    assert all(3 not in k for k in out)
+
+
+def test_shared_ngram_hot_cap_drops_boilerplate(spark):
+    from metric_store_release_spark.pipeline.dedup import shared_ngram_pairs
+
+    boiler = "w1 w2 w3 w4 w5 w6 w7 w8 w9 w10"
+    rows = [(i, boiler) for i in range(30)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    # the single shared window sits in 30 docs > cap 20 -> dropped entirely
+    assert shared_ngram_pairs(df, window_n=10, hot_cap=20).count() == 0
+    # under the cap the pairs appear
+    assert shared_ngram_pairs(df, window_n=10, hot_cap=50).count() == 30 * 29 / 2
+
+
+# -------------------------------------------------------------------- kmeans
+def test_kmeans_separates_obvious_clusters(spark):
+    from metric_store_release_spark.pipeline.similarity import kmeans
+
+    rows = []
+    for i in range(20):
+        rows.append((i, [10.0 + (i % 3) * 0.1, 0.0]))
+        rows.append((100 + i, [-10.0 - (i % 3) * 0.1, 0.0]))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = {r["vec_id"]: r["cluster"] for r in kmeans(df, k=2, iters=3).collect()}
+    lo = {out[i] for i in range(20)}
+    hi = {out[100 + i] for i in range(20)}
+    assert len(lo) == 1 and len(hi) == 1 and lo != hi
+
+
+def test_kmeans_deterministic_and_empty_cluster_safe(spark):
+    from metric_store_release_spark.pipeline.similarity import kmeans
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    a = sorted(map(tuple, kmeans(emb, k=4, iters=2).collect()))
+    b = sorted(map(tuple, kmeans(emb, k=4, iters=2).collect()))
+    assert a == b
+    # k larger than natural cluster count: empty clusters keep previous
+    # centroid, output still covers every vector exactly once
+    out = kmeans(emb.limit(10), k=8, iters=2)
+    assert out.count() == 10
