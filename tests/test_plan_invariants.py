@@ -96,3 +96,95 @@ def test_no_sort_aggregate_in_plan(spark, samples, query):
     out = eng.query_range(samples, query, 10 * MIN, 40 * MIN, 10 * MIN)
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "SortAggregate" not in plan, f"SortAggregate regressed for {query!r}"
+
+
+# ---------------------------------------------------------------------------
+# pipeline operators: shuffle/scan-shape invariants at 100 TB
+# ---------------------------------------------------------------------------
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_repetition_features_is_map_side_only(spark):
+    """The Gopher repetition features must stay a pure projection — an
+    Exchange here would mean a per-document shuffle of the token stream."""
+    from metric_store_release_spark.pipeline.text import repetition_features
+
+    df = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    plan = _plan(repetition_features(df))
+    assert "Exchange" not in plan, plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_quality_and_langid_map_side_only(spark):
+    from metric_store_release_spark.pipeline.text import (
+        language_id,
+        quality_features,
+    )
+
+    df = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    assert "Exchange" not in _plan(quality_features(df))
+    assert "Exchange" not in _plan(language_id(df))
+
+
+def test_kmeans_assignment_no_join_no_shuffle(spark):
+    """Centroids are plan literals: the final assignment must contain no
+    Join and no Exchange — it fuses into the scan at any corpus size."""
+    from metric_store_release_spark.pipeline.similarity import kmeans
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    plan = _plan(kmeans(emb, k=2, iters=1))
+    assert "Join" not in plan, plan
+    assert "Exchange" not in plan, plan
+
+
+def test_shared_ngram_pairs_no_cartesian(spark):
+    """The substring-dedup join must be a hash equi-join on the window
+    hash — a nested-loop/cartesian here is the n^2 trap."""
+    from metric_store_release_spark.pipeline.dedup import shared_ngram_pairs
+
+    df = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    plan = _plan(shared_ngram_pairs(df))
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+
+
+def test_ngram_jaccard_no_forced_corpus_broadcast(spark):
+    """Round-3 scale-killer regression guard: the per-doc set-size tables
+    must NOT carry broadcast HINTS (a corpus-cardinality broadcast OOMs at
+    100 TB). At test scale AQE legitimately auto-broadcasts everything, so
+    disable auto-broadcast: any BroadcastExchange that remains comes from
+    an explicit hint — only the (bounded) hot-shingle guard may have one."""
+    from metric_store_release_spark.pipeline.dedup import ngram_jaccard_pairs
+
+    df = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        plan = _plan(ngram_jaccard_pairs(df))
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    assert plan.count("BroadcastExchange") <= 2, plan
+
+
+def test_substring_and_minhash_no_forced_broadcast(spark):
+    """Same guard for the other inverted-index dedup paths: with
+    auto-broadcast off, only the bounded guards (hot-window anti-join /
+    big-bucket star table) may appear as BroadcastExchange."""
+    from metric_store_release_spark.pipeline.dedup import (
+        minhash_lsh_candidates,
+        shared_ngram_pairs,
+    )
+
+    df = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        assert _plan(shared_ngram_pairs(df)).count("BroadcastExchange") <= 2
+        # the big-bucket table feeds three branches (both self-join sides
+        # + the star branch); all three are the same bounded subtree
+        assert _plan(minhash_lsh_candidates(df)).count("BroadcastExchange") <= 3
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
