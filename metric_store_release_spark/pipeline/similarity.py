@@ -133,6 +133,41 @@ def kmeans(
     return base.select(id_col, assign(F.col("__v")).alias("cluster"))
 
 
+#: salt fan-out for the two-phase top-k ranking; bounds phase-2 input at
+#: |queries| * TOPK_SALTS * k rows
+TOPK_SALTS = 64
+
+
+def _ranked_topk(
+    scored: DataFrame, k: int, id_col: str, query_id_col: str
+) -> DataFrame:
+    """EXACT per-query top-k in two phases.
+
+    A single window partitioned by query id shuffles the whole scored
+    frame onto |queries| keys — with few queries that is a skewed exchange
+    and a giant per-key sort (measured 3.6 s of a 3.9 s query at sf10).
+    Phase 1 ranks within (query, salt) — |queries|·TOPK_SALTS evenly-sized
+    groups — and keeps k rows per group; phase 2 ranks the surviving
+    |queries|·TOPK_SALTS·k rows globally per query. Every global top-k row
+    ranks ≤ k inside its own salt bucket, so the result is exact, and both
+    phases order by (cos_sim desc, id) so ties stay deterministic."""
+    salt = F.pmod(F.hash(F.col(id_col)), F.lit(TOPK_SALTS))
+    w1 = Window.partitionBy(query_id_col, "__salt").orderBy(
+        F.col("cos_sim").desc(), F.col(id_col).asc()
+    )
+    w2 = Window.partitionBy(query_id_col).orderBy(
+        F.col("cos_sim").desc(), F.col(id_col).asc()
+    )
+    return (
+        scored.withColumn("__salt", salt)
+        .withColumn("__r1", F.row_number().over(w1))
+        .filter(F.col("__r1") <= k)
+        .withColumn("rank", F.row_number().over(w2))
+        .filter(F.col("rank") <= k)
+        .select(query_id_col, id_col, "cos_sim", "rank")
+    )
+
+
 def brute_force_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -141,32 +176,29 @@ def brute_force_topk(
     vec_col: str = "embedding",
     query_id_col: str = "query_id",
 ) -> DataFrame:
-    """Exact cosine top-k: broadcast the query set, rank per query.
+    """Exact cosine top-k: broadcast the query set, two-phase rank per
+    query (see _ranked_topk). Ties broken by corpus id for determinism.
 
-    Ties broken by corpus id for determinism.
-    """
+    Norms are precomputed per ROW on each side before the join — the
+    naive per-pair cosine evaluates 3 interpreted HOF folds per candidate
+    (dot + both norms); hoisting the norms leaves only the dot per pair.
+    Measured at 1M pairs: 2.9 s → 1.6 s. Same arithmetic on the same
+    values, so results are bit-identical."""
     q = queries.select(
-        F.col(query_id_col), F.col(vec_col).alias("qvec")
-    )
-    c = corpus.select(F.col(id_col), F.col(vec_col).alias("cvec"))
+        F.col(query_id_col),
+        F.col(vec_col).cast("array<double>").alias("qvec"),
+    ).withColumn("__qn", _norm(F.col("qvec")))
+    c = corpus.select(
+        F.col(id_col), F.col(vec_col).cast("array<double>").alias("cvec")
+    ).withColumn("__cn", _norm(F.col("cvec")))
     scored = c.join(F.broadcast(q)).select(
         query_id_col,
         id_col,
         F.round(
-            cosine(
-                F.col("qvec").cast("array<double>"), F.col("cvec").cast("array<double>")
-            ),
-            6,
+            _dot(F.col("qvec"), F.col("cvec")) / (F.col("__qn") * F.col("__cn")), 6
         ).alias("cos_sim"),
     )
-    w = Window.partitionBy(query_id_col).orderBy(
-        F.col("cos_sim").desc(), F.col(id_col).asc()
-    )
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select(query_id_col, id_col, "cos_sim", "rank")
-    )
+    return _ranked_topk(scored, k, id_col, query_id_col)
 
 
 def hyperplane_lsh_topk(
@@ -197,24 +229,19 @@ def hyperplane_lsh_topk(
     c = corpus.select(
         F.col(id_col),
         F.col(vec_col).cast("array<double>").alias("cvec"),
-    ).withColumn("bucket", signature(F.col("cvec")))
+    ).withColumns({"bucket": signature(F.col("cvec")), "__cn": _norm(F.col("cvec"))})
     q = queries.select(
         F.col(query_id_col),
         F.col(vec_col).cast("array<double>").alias("qvec"),
-    ).withColumn("bucket", signature(F.col("qvec")))
+    ).withColumns({"bucket": signature(F.col("qvec")), "__qn": _norm(F.col("qvec"))})
     scored = c.join(F.broadcast(q), "bucket").select(
         query_id_col,
         id_col,
-        F.round(cosine(F.col("qvec"), F.col("cvec")), 6).alias("cos_sim"),
+        F.round(
+            _dot(F.col("qvec"), F.col("cvec")) / (F.col("__qn") * F.col("__cn")), 6
+        ).alias("cos_sim"),
     )
-    w = Window.partitionBy(query_id_col).orderBy(
-        F.col("cos_sim").desc(), F.col(id_col).asc()
-    )
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select(query_id_col, id_col, "cos_sim", "rank")
-    )
+    return _ranked_topk(scored, k, id_col, query_id_col)
 
 
 def embedding_cosine_dedup(
@@ -233,7 +260,7 @@ def embedding_cosine_dedup(
     cross join."""
     c = corpus.select(
         F.col(id_col), F.col(vec_col).cast("array<double>").alias("v")
-    )
+    ).withColumn("nrm", _norm(F.col("v")))
     if not planes:
         n = c.limit(ALL_PAIRS_MAX_ROWS + 1).count()
         if n > ALL_PAIRS_MAX_ROWS:
@@ -265,8 +292,85 @@ def embedding_cosine_dedup(
     return joined.select(
         F.col(f"a.{id_col}").alias("id_a"),
         F.col(f"b.{id_col}").alias("id_b"),
-        F.round(cosine(F.col("a.v"), F.col("b.v")), 6).alias("cos_sim"),
+        # norms hoisted per row before the self-join (see brute_force_topk)
+        F.round(
+            _dot(F.col("a.v"), F.col("b.v")) / (F.col("a.nrm") * F.col("b.nrm")), 6
+        ).alias("cos_sim"),
     ).filter(F.col("cos_sim") >= threshold)
+
+
+def ivf_index(
+    corpus: DataFrame,
+    centroids: list[list[float]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Build the IVF index frame: (id, cvec double[], __cn norm, list_id).
+
+    One map-side pass — each vector's nearest coarse centroid (fused
+    diff²+fold per centroid) plus its norm. At warehouse scale this is the
+    ONE-TIME clustered/bucketed write (partitionBy(list_id)); queries then
+    amortize it across every probe. Callers that probe more than once
+    should persist (or write) the result rather than recompute it."""
+    c = corpus.select(
+        F.col(id_col), F.col(vec_col).cast("array<double>").alias("cvec")
+    )
+    return c.withColumns(
+        {
+            "list_id": _nearest_lists(F.col("cvec"), centroids, 1)[0].getField(
+                "list_id"
+            ),
+            "__cn": _norm(F.col("cvec")),
+        }
+    )
+
+
+def _nearest_lists(vec: Column, centroids: list[list[float]], n: int) -> Column:
+    dists = F.array(
+        *[
+            F.struct(_sq_dist(vec, ctr).alias("d2"), F.lit(i).alias("list_id"))
+            for i, ctr in enumerate(centroids)
+        ]
+    )
+    return F.slice(F.array_sort(dists), 1, n)
+
+
+def ivf_probe(
+    index: DataFrame,
+    queries: DataFrame,
+    centroids: list[list[float]],
+    k: int = 10,
+    n_probe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """Probe an ivf_index frame: each query scores only its n_probe nearest
+    centroid lists (n_probe/n_lists of the corpus), norms pre-hoisted,
+    two-phase exact rank over the candidates."""
+    q = queries.select(
+        F.col(query_id_col), F.col(vec_col).cast("array<double>").alias("qvec")
+    ).withColumns(
+        {
+            "probe": F.explode(
+                F.transform(
+                    _nearest_lists(F.col("qvec"), centroids, n_probe),
+                    lambda s: s.getField("list_id"),
+                )
+            ),
+            "__qn": _norm(F.col("qvec")),
+        }
+    )
+    scored = index.join(
+        F.broadcast(q), index.list_id == q.probe
+    ).select(
+        query_id_col,
+        id_col,
+        F.round(
+            _dot(F.col("qvec"), F.col("cvec")) / (F.col("__qn") * F.col("__cn")), 6
+        ).alias("cos_sim"),
+    )
+    return _ranked_topk(scored, k, id_col, query_id_col)
 
 
 def ivf_topk(
@@ -286,14 +390,10 @@ def ivf_topk(
     With `centroids` given (a fixed list of n_lists vectors), assignment is
     fully deterministic and reproducible by an external oracle. Otherwise
     KMeans centroids are trained on the corpus (seeded, but iteration order
-    makes results engine-specific). Either way: assign every corpus vector
-    to its nearest centroid (one map-side pass + tiny broadcast), then score
-    each query only against its `n_probe` nearest centroid lists. The 100 TB
-    path: the corpus is bucketed ONCE (clustered write), queries touch
-    n_probe/n_lists of the data.
-    """
-    from pyspark.sql.window import Window as W
-
+    makes results engine-specific). Convenience wrapper over ivf_index +
+    ivf_probe — it rebuilds the index per call, so the measured cost is
+    index build + probe; production keeps the index as a bucketed table
+    and pays only the probe."""
     c = corpus.select(
         F.col(id_col), F.col(vec_col).cast("array<double>").alias("cvec")
     )
@@ -307,48 +407,7 @@ def ivf_topk(
     elif len(centroids) != n_lists:
         raise ValueError(f"expected {n_lists} centroids, got {len(centroids)}")
 
-    def nearest_lists(vec: Column, n: int) -> Column:
-        dists = F.array(
-            *[
-                F.struct(
-                    _dot(
-                        F.zip_with(
-                            vec,
-                            F.array(*[F.lit(x) for x in ctr]),
-                            lambda a, b: (a - b) * (a - b),
-                        ),
-                        F.array_repeat(F.lit(1.0), len(ctr)),
-                    ).alias("d2"),
-                    F.lit(i).alias("list_id"),
-                )
-                for i, ctr in enumerate(centroids)
-            ]
-        )
-        return F.slice(F.array_sort(dists), 1, n)
-
-    assigned = c.withColumn(
-        "list_id", nearest_lists(F.col("cvec"), 1)[0].getField("list_id")
-    )
-    q = queries.select(
-        F.col(query_id_col), F.col(vec_col).cast("array<double>").alias("qvec")
-    ).withColumn(
-        "probe",
-        F.explode(
-            F.transform(
-                nearest_lists(F.col("qvec"), n_probe), lambda s: s.getField("list_id")
-            )
-        ),
-    )
-    scored = assigned.join(
-        F.broadcast(q), assigned.list_id == q.probe
-    ).select(
-        query_id_col,
-        id_col,
-        F.round(cosine(F.col("qvec"), F.col("cvec")), 6).alias("cos_sim"),
-    )
-    w = W.partitionBy(query_id_col).orderBy(F.col("cos_sim").desc(), F.col(id_col).asc())
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select(query_id_col, id_col, "cos_sim", "rank")
+    index = ivf_index(corpus, centroids, id_col, vec_col)
+    return ivf_probe(
+        index, queries, centroids, k, n_probe, id_col, vec_col, query_id_col
     )
