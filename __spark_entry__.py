@@ -1868,25 +1868,53 @@ FROM base LEFT JOIN b2 USING (doc_id) LEFT JOIN b5 USING (doc_id)
 
 
 def _substring_oracle(window_n: int = 15, hot_cap: int = 1000) -> str:
-    """Shared window-gram pairs: positional n-gram build via list slicing
-    (arr[i : i+n-1] inclusive), DISTINCT per doc, inverted-index join."""
+    """Shared window-gram pairs, replaying pipeline.dedup's double
+    polynomial window hash exactly: per-word md5 32-bit words folded
+    acc = (acc*31 + wh) mod p over each window. The fold is replayed as a
+    weighted SUM — word at window offset j carries weight 31^(L-1-j) mod p
+    (L = window length, < n for short docs) — with the 15 weight values
+    precomputed exactly in Python and joined by exponent, keeping every
+    SQL intermediate under 2^62."""
+    from metric_store_release_spark.pipeline.dedup import SUBSTR_P1, SUBSTR_P2
+
+    p1, p2 = SUBSTR_P1, SUBSTR_P2
+    weights = ", ".join(
+        f"({e}, {pow(31, e, p1)}, {pow(31, e, p2)})" for e in range(window_n)
+    )
     return f"""
 WITH toks AS (
   SELECT doc_id,
          list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS arr
   FROM documents
 ),
-grams AS (
-  SELECT DISTINCT doc_id,
-         md5(array_to_string(arr[i:i+{window_n - 1}], ' ')) AS gh
-  FROM toks, unnest(CASE WHEN len(arr) >= {window_n}
-                         THEN list_transform(range(1, len(arr) - {window_n - 2}), x -> x)
-                         ELSE [1] END) AS t(i)
+w AS (
+  SELECT doc_id, len(arr) AS k, generate_subscripts(arr, 1) AS pos,
+         ('0x' || substr(md5(unnest(arr)), 1, 8))::BIGINT AS wh1,
+         ('0x' || substr(md5(unnest(arr)), 9, 8))::BIGINT AS wh2
+  FROM toks
 ),
-hot AS (SELECT gh FROM grams GROUP BY gh HAVING COUNT(*) > {hot_cap})
+wt(e, w1, w2) AS (VALUES {weights}),
+anchors AS (
+  SELECT doc_id, unnest(list_transform(
+           range(1, GREATEST(len(arr) - {window_n - 2}, 2)), x -> x)) AS i
+  FROM toks WHERE len(arr) > 0
+),
+grams AS (
+  SELECT DISTINCT doc_id, h1, h2 FROM (
+    SELECT w.doc_id, a.i,
+           SUM((w.wh1 % {p1}) * wt.w1 % {p1}) % {p1} AS h1,
+           SUM((w.wh2 % {p2}) * wt.w2 % {p2}) % {p2} AS h2
+    FROM anchors a
+    JOIN w ON w.doc_id = a.doc_id
+          AND w.pos BETWEEN a.i AND a.i + {window_n - 1}
+    JOIN wt ON wt.e = LEAST(w.k, {window_n}) - 1 - (w.pos - a.i)
+    GROUP BY w.doc_id, a.i)
+),
+hot AS (SELECT h1, h2 FROM grams GROUP BY h1, h2 HAVING COUNT(*) > {hot_cap})
 SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS shared_windows
-FROM grams a JOIN grams b ON a.gh = b.gh AND a.doc_id < b.doc_id
-WHERE a.gh NOT IN (SELECT gh FROM hot)
+FROM grams a
+JOIN grams b ON a.h1 = b.h1 AND a.h2 = b.h2 AND a.doc_id < b.doc_id
+ANTI JOIN hot ON a.h1 = hot.h1 AND a.h2 = hot.h2
 GROUP BY 1, 2
 """
 

@@ -53,6 +53,11 @@ def main() -> None:
         "dedup_minhash_lsh",
         "embedding_topk",
         "text_quality",
+        # added round 4 — totals are NOT comparable with BENCH_r0{1..3}
+        # without subtracting these three entries
+        "dedup_substring",
+        "embedding_kmeans",
+        "text_repetition",
     ]
     # warm the JVM + parquet footers with one tiny action
     spark.read.parquet(f"{SF_DIR}/region.parquet").count()

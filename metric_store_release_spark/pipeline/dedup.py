@@ -54,6 +54,25 @@ def _h_seeded(seed: int, s: Column) -> Column:
     return hex_word(F.md5(F.concat(F.lit(f"{seed}:"), s)))
 
 
+def _fan_out(df: DataFrame) -> DataFrame:
+    """Spread a small scan across the session's parallelism before
+    shingle/hash fan-out.
+
+    The explode stages below do orders of magnitude more work per input
+    BYTE than the scan itself, and Spark sizes input splits by bytes — a
+    corpus that fits one parquet file becomes ONE task doing all the
+    hashing (measured: the sf0.1 documents table is a single 584 KB file,
+    so the window-hash fold ran single-threaded, 15.8 s instead of ~2 s).
+    No-op whenever the scan already has enough splits, i.e. any real
+    warehouse table; one narrow-to-wide shuffle of the raw text otherwise.
+    """
+    sc = df.sparkSession.sparkContext
+    target = sc.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
+
+
 def exact_duplicates(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """Groups of byte-identical documents (digest, count, member ids)."""
     return (
@@ -85,7 +104,7 @@ def minhash_signatures(
     interpreted in Spark, while the explode→groupBy(min) path stays in
     whole-stage codegen with map-side partial aggregation, so the only
     shuffle carries one pre-aggregated row per (partition, doc)."""
-    sh = df.select(
+    sh = _fan_out(df).select(
         F.col(id_col), F.explode(_word_shingles(F.col(text_col), shingle_n)).alias("s")
     )
     digest = F.md5(F.col("s"))
@@ -175,6 +194,42 @@ def minhash_lsh_candidates(
     return pairs.unionByName(star).distinct()
 
 
+#: moduli for the double polynomial window hash — both < 2^31, so every
+#: intermediate (acc*31 + wordhash with acc < p, wordhash < 2^32) stays
+#: under 2^37 and the oracle's per-term (wh % p) * 31^e % p stays under
+#: 2^62: overflow-free in any 64-bit engine
+SUBSTR_P1 = 2_147_483_647
+SUBSTR_P2 = 2_147_483_629
+
+
+def _window_poly_hashes(wh: Column, n: int, p: int) -> Column:
+    """Polynomial hash of every ``n``-element window of a word-hash array:
+    fold acc = (acc*31 + wh) mod p over the window.
+
+    ``wh`` MUST be a materialized column (not an inline transform): the
+    expression references it ~n+1 times via shifted slices, and Spark does
+    no CSE across higher-order-function boundaries — an inline word-hash
+    transform would be re-evaluated per reference (measured 190 s vs 4 s
+    at sf0.1). Folding LONGS rather than concatenating window strings
+    avoids the O(n²·wordlen) per-window prefix copying of the string
+    build. Docs shorter than n words hash their whole run with the same
+    recurrence (one window); empty docs produce no windows."""
+    k = F.size(wh)
+    m = F.greatest(k - (n - 1), F.lit(0))
+    acc = F.transform(F.slice(wh, 1, m), lambda x: x % p)
+    for j in range(1, n):
+        acc = F.zip_with(
+            acc, F.slice(wh, 1 + j, m), lambda a, b: (a * 31 + b) % p
+        )
+    whole = F.aggregate(
+        wh, F.lit(0).cast("long"), lambda a, x: (a * 31 + x) % p
+    )
+    empty = F.array().cast("array<long>")
+    return F.when(k >= n, acc).otherwise(
+        F.when(k > 0, F.array(whole)).otherwise(empty)
+    )
+
+
 def shared_ngram_pairs(
     df: DataFrame,
     text_col: str = "text",
@@ -189,24 +244,60 @@ def shared_ngram_pairs(
     The scalable stand-in for suffix-array exact-substring dedup (Lee et
     al. 2022, "Deduplicating Training Data Makes Language Models Better"):
     any shared word-substring of >= window_n words necessarily shares a
-    full window-gram, so recall at that granularity is exact — no
-    probabilistic signatures. Inverted-index join on the window hash (md5
-    before the shuffle: rows carry 32 hex chars, not ~100-char strings),
+    full window-gram, so recall at that granularity is exact. Windows are
+    identified by a DOUBLE polynomial hash over per-word md5 words (two
+    independent 31-ary folds mod two primes — see _window_poly_hashes):
+    shuffle rows carry two longs instead of ~100-char strings, and a
+    false-positive pair needs a simultaneous collision in both ~2^31
+    spaces (~2^-62 per window pair — negligible even at 10^10 windows).
+    The DuckDB oracle reproduces the exact same hashes, so the check is
+    deterministic, not merely almost-surely equal. Inverted-index join,
     never materializes n² pairs; windows present in > ``hot_cap`` docs
     (boilerplate) are dropped under the same rationale as
     ngram_jaccard_pairs' hot-shingle guard.
     """
-    grams = df.select(
+    toks = tokens(F.col(text_col))
+    # stage 1 materializes the word-hash arrays ONCE per row (multiple
+    # downstream references keep the projection boundary — cf.
+    # quality_features); stage 2 folds windows and dedups them map-side
+    # on the zipped (h1, h2) structs — no global distinct shuffle
+    hashed = _fan_out(df).select(
         F.col(id_col),
-        F.explode(_word_shingles(F.col(text_col), window_n)).alias("g"),
-    ).select(id_col, F.md5("g").alias("gh"))
-    hot = grams.groupBy("gh").count().filter(F.col("count") > hot_cap)
-    grams = grams.join(F.broadcast(hot.select("gh")), "gh", "left_anti")
+        F.transform(toks, lambda w: hex_word(F.md5(w), 1)).alias("__wh1"),
+        F.transform(toks, lambda w: hex_word(F.md5(w), 9)).alias("__wh2"),
+    )
+    grams = hashed.select(
+        F.col(id_col),
+        F.explode(
+            F.array_distinct(
+                F.arrays_zip(
+                    _window_poly_hashes(
+                        F.col("__wh1"), window_n, SUBSTR_P1
+                    ).alias("h1"),
+                    _window_poly_hashes(
+                        F.col("__wh2"), window_n, SUBSTR_P2
+                    ).alias("h2"),
+                )
+            )
+        ).alias("g"),
+    ).select(id_col, F.col("g.h1").alias("h1"), F.col("g.h2").alias("h2"))
+    # three consumers (hot count + both self-join sides) would each
+    # re-derive the fold lineage; persist the compact (id, h1, h2) frame —
+    # at warehouse scale this is the window-index table write (cf. the
+    # minhash band table)
+    grams = grams.persist()
+    hot = (
+        grams.groupBy("h1", "h2").count().filter(F.col("count") > hot_cap)
+    )
+    grams = grams.join(
+        F.broadcast(hot.select("h1", "h2")), ["h1", "h2"], "left_anti"
+    )
     a, b = grams.alias("a"), grams.alias("b")
     return (
         a.join(
             b,
-            (F.col("a.gh") == F.col("b.gh"))
+            (F.col("a.h1") == F.col("b.h1"))
+            & (F.col("a.h2") == F.col("b.h2"))
             & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
         )
         .groupBy(
@@ -307,7 +398,7 @@ def ngram_jaccard_pairs(
     LSH-verification pattern that scales (skew guard: drop ubiquitous
     shingles appearing in > 1000 docs).
     """
-    sh = df.select(
+    sh = _fan_out(df).select(
         F.col(id_col), _word_shingles(F.col(text_col), shingle_n).alias("sh")
     )
     sizes = sh.select(id_col, F.size("sh").alias("set_size"))

@@ -114,9 +114,14 @@ def kmeans(
         return F.least(*structs)["cid"]
 
     for _ in range(iters):
+        # assign FIRST, explode SECOND, in separate projections: a single
+        # select with posexplode evaluates the assignment expression once
+        # per EXPLODED row — dim x the work (measured 64x: 227 s vs 3.5 s
+        # per pass at 200k x 64). The Generate boundary keeps the
+        # assignment in the lower project.
         agg = (
-            base.select(assign(F.col("__v")).alias("cluster"),
-                        F.posexplode("__v").alias("pos", "val"))
+            base.select(assign(F.col("__v")).alias("cluster"), "__v")
+            .select("cluster", F.posexplode("__v").alias("pos", "val"))
             .groupBy("cluster", "pos")
             .agg(F.avg("val").alias("m"))
             .groupBy("cluster")
