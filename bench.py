@@ -58,6 +58,8 @@ def main() -> None:
         "dedup_substring",
         "embedding_kmeans",
         "text_repetition",
+        "text_unigram_logprob",
+        "docs_pack",
     ]
     # warm the JVM + parquet footers with one tiny action
     spark.read.parquet(f"{SF_DIR}/region.parquet").count()

@@ -235,6 +235,69 @@ def deterministic_sample(
     return df.filter(point < frac)
 
 
+#: (name, pattern, replacement) — patterns restricted to the regex subset
+#: whose semantics agree between Java regex (Spark) and RE2 (DuckDB/oracle):
+#: character classes, bounded repetition, word boundaries. Applied in order.
+_PII_PATTERNS = (
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("ipv4", r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "<IP>"),
+    ("number", r"\b\d{7,}\b", "<NUM>"),
+)
+
+
+def pii_redact(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Rule-based PII scrubbing: mask emails, IPv4 addresses and long digit
+    runs (phone/account-number shaped), and count each category.
+
+    Counts are taken on the ORIGINAL text (regexp_extract_all size);
+    redaction is the chained regexp_replace in `_PII_PATTERNS` order, so an
+    earlier category's replacement token is never re-matched by a later
+    pattern. Purely map-side codegen regex work — fuses into the scan, no
+    shuffle, no UDF; the standard pre-training scrub pass shape.
+    """
+    text = F.col(text_col)
+    counts = [
+        F.size(F.regexp_extract_all(text, F.lit(pat), F.lit(0))).alias(f"n_{name}")
+        for name, pat, _ in _PII_PATTERNS
+    ]
+    redacted = text
+    for _, pat, repl in _PII_PATTERNS:
+        redacted = F.regexp_replace(redacted, pat, repl)
+    return df.select("*", *counts, redacted.alias("redacted"))
+
+
+def unigram_logprob(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Corpus-unigram cross-entropy scoring: each document's mean token
+    surprisal −ln(cf/total) under the corpus's own unigram distribution —
+    the classic cheap LM-quality proxy (high surprisal ⇒ rare-token soup,
+    low ⇒ repetitive boilerplate).
+
+    Two hash aggregations (vocab counts; per-doc mean) plus one equi-join
+    of the exploded tokens against the vocab table. The vocab table is
+    vocabulary-cardinality, not corpus-cardinality — no broadcast hint, AQE
+    broadcasts it when it is genuinely small. The 1-row grand total joins
+    as an explicit broadcast. Docs with zero tokens yield no row.
+    """
+    tok = df.select(
+        F.col(id_col), F.explode(tokens(F.col(text_col))).alias("tok")
+    )
+    vocab = tok.groupBy("tok").agg(F.count(F.lit(1)).alias("cf"))
+    total = vocab.agg(F.sum("cf").alias("tf_total"))
+    return (
+        tok.join(vocab, "tok")
+        .join(F.broadcast(total))
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.round(
+                F.avg(-F.log(F.col("cf") / F.col("tf_total"))), 6
+            ).alias("mean_surprisal"),
+        )
+    )
+
+
 def doc_fingerprint(text: Column, window: int = 8, mod: int = 1_000_003) -> Column:
     """Rolling polynomial fingerprint over word hashes (winnowing-style
     document signature): sum over positions of h(word)·31^(i mod window),

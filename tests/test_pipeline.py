@@ -495,3 +495,85 @@ def test_kmeans_deterministic_and_empty_cluster_safe(spark):
     # centroid, output still covers every vector exactly once
     out = kmeans(emb.limit(10), k=8, iters=2)
     assert out.count() == 10
+
+
+def test_pii_redact_masks_and_counts(spark):
+    from metric_store_release_spark.pipeline.text import pii_redact
+
+    rows = [
+        (1, "mail bob.smith+x@corp.example.org now"),
+        (2, "from 192.168.1.254 ref 123456789 end"),
+        (3, "clean text with no identifiers at all"),
+        (4, "two mails a@b.io c@d.net and 10.0.0.1"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in pii_redact(df).collect()}
+    assert out[1]["n_email"] == 1 and out[1]["redacted"] == "mail <EMAIL> now"
+    assert out[2]["n_ipv4"] == 1 and out[2]["n_number"] == 1
+    assert out[2]["redacted"] == "from <IP> ref <NUM> end"
+    assert out[3]["redacted"] == rows[2][1]
+    assert (out[3]["n_email"], out[3]["n_ipv4"], out[3]["n_number"]) == (0, 0, 0)
+    assert out[4]["n_email"] == 2 and out[4]["n_ipv4"] == 1
+    assert out[4]["redacted"] == "two mails <EMAIL> <EMAIL> and <IP>"
+
+
+def test_unigram_logprob_matches_hand_computation(spark):
+    import math
+
+    from metric_store_release_spark.pipeline.text import unigram_logprob
+
+    df = spark.createDataFrame(
+        [(1, "a a b"), (2, "a b"), (3, "")], "doc_id long, text string"
+    )
+    out = {r["doc_id"]: r for r in unigram_logprob(df).collect()}
+    # corpus: a x3, b x2, total 5
+    exp1 = -(2 * math.log(3 / 5) + math.log(2 / 5)) / 3
+    exp2 = -(math.log(3 / 5) + math.log(2 / 5)) / 2
+    assert out[1]["n_tokens"] == 3
+    assert abs(out[1]["mean_surprisal"] - exp1) < 1e-6
+    assert abs(out[2]["mean_surprisal"] - exp2) < 1e-6
+    assert 3 not in out  # zero-token doc yields no row
+
+
+def test_sequence_pack_invariants(spark):
+    from metric_store_release_spark.pipeline.packing import sequence_pack
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    out = sequence_pack(docs, budget=64, n_shards=4).collect()
+    assert len(out) == docs.count()
+    by_shard: dict[int, list] = {}
+    for r in out:
+        by_shard.setdefault(r["shard"], []).append(r)
+    assert set(by_shard) <= set(range(4))
+    for rows in by_shard.values():
+        rows.sort(key=lambda r: r["start_offset"])
+        # head-to-tail layout: each doc starts where the previous ended
+        pos = 0
+        for r in rows:
+            assert r["start_offset"] == pos
+            assert r["pack_id"] == pos // 64
+            last = pos + r["n_tokens"] - 1
+            assert r["n_packs"] == (last // 64 - pos // 64 + 1 if r["n_tokens"] else 0)
+            pos += r["n_tokens"]
+    # partitioning-independent: identical manifest from a reshuffled input
+    again = sequence_pack(docs.repartition(7), budget=64, n_shards=4).collect()
+    assert sorted(map(tuple, again)) == sorted(map(tuple, out))
+
+
+def test_prepare_corpus_stages(spark):
+    from metric_store_release_spark.pipeline.prepare import prepare_corpus
+
+    rows = [
+        # good en doc, duplicated text: only smallest id survives dedup
+        (1, "the quick brown fox and the lazy dog for all of the days on end"),
+        (5, "the quick brown fox and the lazy dog for all of the days on end"),
+        # too short -> quality floor kills it
+        (2, "tiny doc"),
+        # no stopword hits in any language -> 'und', filtered
+        (3, "zzz qqq www rrr ttt yyy uuu iii ooo ppp aaa sss ddd fff ggg hhh"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = prepare_corpus(df, fractions={})  # default_fraction=1.0: keep all
+    got = {r["doc_id"]: r for r in out.collect()}
+    assert set(got) == {1}
+    assert got[1]["lang_pred"] == "en" and got[1]["quality_score"] >= 0.5

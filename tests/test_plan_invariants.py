@@ -188,3 +188,60 @@ def test_substring_and_minhash_no_forced_broadcast(spark):
         assert _plan(minhash_lsh_candidates(df)).count("BroadcastExchange") <= 3
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+
+
+def test_pii_redact_map_side_only(spark):
+    """The scrub pass is chained codegen regex work — an Exchange or a
+    Python eval node here would mean the redaction stopped fusing into
+    the scan."""
+    from metric_store_release_spark.pipeline.text import pii_redact
+
+    df = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    plan = _plan(pii_redact(df))
+    assert "Exchange" not in plan, plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_sequence_pack_one_shuffle(spark):
+    """Packing is one hash shuffle on shard + a per-shard sort for the
+    running-sum window — any second Exchange means the layout stopped
+    being shard-parallel."""
+    from metric_store_release_spark.pipeline.packing import sequence_pack
+
+    df = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    plan = _plan(sequence_pack(df, budget=64, n_shards=4))
+    assert plan.count("Exchange") == 1, plan
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_unigram_logprob_no_forced_corpus_broadcast(spark):
+    """Only the 1-row grand total may carry a broadcast hint; the vocab
+    table join must stay a plain equi-join (vocabulary can be huge)."""
+    from metric_store_release_spark.pipeline.text import unigram_logprob
+
+    df = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        plan = _plan(unigram_logprob(df))
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    assert plan.count("BroadcastExchange") <= 1, plan
+
+
+def test_prepare_corpus_two_wide_ops_only(spark):
+    """The composed preparation pipeline must shuffle only for the digest
+    agg + keep-one join (one exchange pair, reused by AQE) — every
+    filter/score stage stays fused into the scan; no forced broadcasts."""
+    from metric_store_release_spark.pipeline.prepare import prepare_corpus
+
+    df = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        plan = _plan(prepare_corpus(df))
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    assert "BroadcastExchange" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    assert plan.count("Exchange") <= 3, plan  # digest agg + join sides
