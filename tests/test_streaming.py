@@ -390,3 +390,65 @@ def test_rollup_streaming_availablenow(spark, timer_envelopes):
             (10_000, "B"): 1.0,
             (20_000, "A"): 4.0,
         }
+
+
+def test_dedup_points_last_write_wins(spark):
+    """Batch write-path dedup: one row per (name, labels, ts); the latest
+    arrival (by order col) wins — the TSM cache overwrite semantic."""
+    from metric_store_release_spark.sources.storage import dedup_points
+
+    rows = [
+        (1000, "m", 10.0, {"a": "1"}, 1),
+        (1000, "m", 20.0, {"a": "1"}, 2),   # later arrival, same series+ts
+        (1000, "m", 5.0, {"a": "2"}, 3),    # different labels: kept
+        (2000, "m", 7.0, {"a": "1"}, 4),    # different ts: kept
+    ]
+    df = spark.createDataFrame(
+        rows, "ts long, name string, value double, labels map<string,string>, seq long"
+    )
+    got = {
+        (r["ts"], r["labels"]["a"]): r["value"]
+        for r in dedup_points(df, order_col="seq").collect()
+    }
+    assert got == {(1000, "1"): 20.0, (1000, "2"): 5.0, (2000, "1"): 7.0}
+
+
+def test_dedup_points_stream_drops_cross_batch_duplicates(spark):
+    """Streaming ingest dedup: duplicates of an already-seen (series, ts)
+    arriving in a later micro-batch (within the watermark) are dropped;
+    state is watermark-bounded."""
+    import os
+    import time as _time
+
+    from metric_store_release_spark.sources.storage import dedup_points_stream
+
+    schema = "ts long, name string, value double, labels map<string,string>"
+    with tempfile.TemporaryDirectory() as tmp:
+        src = os.path.join(tmp, "src")
+        out = os.path.join(tmp, "out")
+        ckpt = os.path.join(tmp, "ckpt")
+        spark.createDataFrame(
+            [(1_000, "m", 1.0, {"a": "1"})], schema
+        ).coalesce(1).write.mode("append").parquet(src)
+        _time.sleep(1.1)
+        spark.createDataFrame(
+            [(1_000, "m", 9.0, {"a": "1"}), (2_000, "m", 2.0, {"a": "1"})],
+            schema,
+        ).coalesce(1).write.mode("append").parquet(src)
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(src)
+        )
+        q = (
+            dedup_points_stream(stream, watermark_delay="1 minute")
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        got = {(r["ts"], r["value"]) for r in spark.read.parquet(out).collect()}
+        # the batch-2 duplicate of (m,{a:1},1000) is dropped; first wins
+        assert got == {(1_000, 1.0), (2_000, 2.0)}
