@@ -420,6 +420,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["tpch_q14"] = _tpch_q14
     q["corpus_prepare"] = _corpus_prepare
     q["events_latency_pctl"] = _events_latency_pctl
+    q["ngram_contamination"] = _ngram_contamination
 
     # The driver's correctness gate checks entries in insertion order and in
     # round 1 stopped after the first 50: reorder so one representative of
@@ -888,6 +889,20 @@ def _docs_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
     from metric_store_release_spark.pipeline.packing import sequence_pack
 
     return sequence_pack(_docs(spark, sf_dir), budget=256, n_shards=16)
+
+
+def _ngram_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/eval contamination (pipeline.dedup.ngram_contamination):
+    13-gram collision of the corpus against a planted benchmark set
+    (copies of every 25th doc, id-shifted) — broadcast benchmark grams,
+    corpus side never shuffles."""
+    from metric_store_release_spark.pipeline.dedup import ngram_contamination
+
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    bench = docs.filter(F.col("doc_id") % _PLANT_EVERY == 0).withColumn(
+        "doc_id", F.col("doc_id") + F.lit(_PLANT_OFFSET)
+    )
+    return ngram_contamination(docs, bench, window_n=13)
 
 
 def _events_latency_pctl(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1522,6 +1537,8 @@ FROM cum
 """
 
     o["corpus_prepare"] = _prepare_corpus_oracle()
+
+    o["ngram_contamination"] = _contamination_oracle()
 
     o["events_latency_pctl"] = """
 SELECT event_type,
@@ -2160,6 +2177,62 @@ SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS shared_windows
 FROM grams a
 JOIN grams b ON a.h1 = b.h1 AND a.h2 = b.h2 AND a.doc_id < b.doc_id
 ANTI JOIN hot ON a.h1 = hot.h1 AND a.h2 = hot.h2
+GROUP BY 1, 2
+"""
+
+
+def _contamination_oracle(window_n: int = 13, hot_cap: int = 1000) -> str:
+    """Corpus-vs-benchmark window-gram collisions, replaying the same
+    double polynomial hash as _substring_oracle for BOTH sides; benchmark
+    = id-shifted copies of every 25th doc (same plant as the entry)."""
+    from metric_store_release_spark.pipeline.dedup import SUBSTR_P1, SUBSTR_P2
+
+    p1, p2 = SUBSTR_P1, SUBSTR_P2
+    weights = ", ".join(
+        f"({e}, {pow(31, e, p1)}, {pow(31, e, p2)})" for e in range(window_n)
+    )
+
+    def grams_cte(src: str, tag: str) -> str:
+        return f"""
+toks_{tag} AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS arr
+  FROM {src}
+),
+w_{tag} AS (
+  SELECT doc_id, len(arr) AS k, generate_subscripts(arr, 1) AS pos,
+         ('0x' || substr(md5(unnest(arr)), 1, 8))::BIGINT AS wh1,
+         ('0x' || substr(md5(unnest(arr)), 9, 8))::BIGINT AS wh2
+  FROM toks_{tag}
+),
+anchors_{tag} AS (
+  SELECT doc_id, unnest(list_transform(
+           range(1, GREATEST(len(arr) - {window_n - 2}, 2)), x -> x)) AS i
+  FROM toks_{tag} WHERE len(arr) > 0
+),
+grams_{tag} AS (
+  SELECT DISTINCT doc_id, h1, h2 FROM (
+    SELECT w.doc_id, a.i,
+           SUM((w.wh1 % {p1}) * wt.w1 % {p1}) % {p1} AS h1,
+           SUM((w.wh2 % {p2}) * wt.w2 % {p2}) % {p2} AS h2
+    FROM anchors_{tag} a
+    JOIN w_{tag} w ON w.doc_id = a.doc_id
+          AND w.pos BETWEEN a.i AND a.i + {window_n - 1}
+    JOIN wt ON wt.e = LEAST(w.k, {window_n}) - 1 - (w.pos - a.i)
+    GROUP BY w.doc_id, a.i)
+)"""
+
+    return f"""
+WITH bench_src AS (
+  SELECT doc_id + {_PLANT_OFFSET} AS doc_id, text FROM documents
+  WHERE doc_id % {_PLANT_EVERY} = 0
+),
+wt(e, w1, w2) AS (VALUES {weights}),{grams_cte('documents', 'c')},{grams_cte('bench_src', 'b')},
+hot AS (SELECT h1, h2 FROM grams_b GROUP BY h1, h2 HAVING COUNT(*) > {hot_cap})
+SELECT c.doc_id AS doc_id, b.doc_id AS bench_id, COUNT(*) AS shared_windows
+FROM grams_c c
+JOIN grams_b b ON c.h1 = b.h1 AND c.h2 = b.h2
+ANTI JOIN hot ON c.h1 = hot.h1 AND c.h2 = hot.h2
 GROUP BY 1, 2
 """
 

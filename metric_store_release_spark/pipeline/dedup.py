@@ -235,6 +235,83 @@ def _window_poly_hashes(wh: Column, n: int, p: int) -> Column:
     )
 
 
+def _window_gram_table(
+    df: DataFrame, text_col: str, id_col: str, window_n: int
+) -> DataFrame:
+    """(id, h1, h2): the distinct double-poly-hashed ``window_n``-word
+    windows of every document — the window-index table both substring
+    dedup and contamination detection join on.
+
+    Stage 1 materializes the word-hash arrays ONCE per row (multiple
+    downstream references keep the projection boundary — cf.
+    quality_features); stage 2 folds windows and dedups them map-side on
+    the zipped (h1, h2) structs — no global distinct shuffle."""
+    toks = tokens(F.col(text_col))
+    hashed = _fan_out(df).select(
+        F.col(id_col),
+        F.transform(toks, lambda w: hex_word(F.md5(w), 1)).alias("__wh1"),
+        F.transform(toks, lambda w: hex_word(F.md5(w), 9)).alias("__wh2"),
+    )
+    return hashed.select(
+        F.col(id_col),
+        F.explode(
+            F.array_distinct(
+                F.arrays_zip(
+                    _window_poly_hashes(
+                        F.col("__wh1"), window_n, SUBSTR_P1
+                    ).alias("h1"),
+                    _window_poly_hashes(
+                        F.col("__wh2"), window_n, SUBSTR_P2
+                    ).alias("h2"),
+                )
+            )
+        ).alias("g"),
+    ).select(id_col, F.col("g.h1").alias("h1"), F.col("g.h2").alias("h2"))
+
+
+def ngram_contamination(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    window_n: int = 13,
+    bench_hot_cap: int = 1000,
+) -> DataFrame:
+    """Train/eval contamination detection: corpus documents sharing at
+    least one contiguous run of ``window_n`` words with a benchmark
+    document (the standard n-gram decontamination check — e.g. GPT-3
+    appendix C uses 13-gram collision against eval sets).
+
+    Returns (corpus ``id_col``, bench_id, shared_windows).
+
+    100 TB shape: the benchmark gram table is BENCHMARK-cardinality (an
+    eval suite — thousands of documents), so it broadcasts; the corpus
+    side builds its window grams fused with the corpus scan and NEVER
+    shuffles the corpus. The only exchange is the final
+    (corpus, benchmark) pair count over collision rows — contamination
+    hits only, vanishingly small by construction. Benchmark windows
+    occurring in more than ``bench_hot_cap`` benchmark docs (suite
+    boilerplate: shared prompts, answer templates) are dropped under the
+    same rationale as shared_ngram_pairs' hot guard; both guard joins are
+    benchmark-sized."""
+    g_c = _window_gram_table(corpus, text_col, id_col, window_n)
+    g_b = _window_gram_table(benchmark, text_col, id_col, window_n).select(
+        F.col(id_col).alias("bench_id"), "h1", "h2"
+    )
+    hot = (
+        g_b.groupBy("h1", "h2")
+        .count()
+        .filter(F.col("count") > bench_hot_cap)
+        .select("h1", "h2")
+    )
+    g_b = g_b.join(F.broadcast(hot), ["h1", "h2"], "left_anti")
+    return (
+        g_c.join(F.broadcast(g_b), ["h1", "h2"])
+        .groupBy(id_col, "bench_id")
+        .agg(F.count(F.lit(1)).alias("shared_windows"))
+    )
+
+
 def shared_ngram_pairs(
     df: DataFrame,
     text_col: str = "text",
@@ -261,31 +338,7 @@ def shared_ngram_pairs(
     (boilerplate) are dropped under the same rationale as
     ngram_jaccard_pairs' hot-shingle guard.
     """
-    toks = tokens(F.col(text_col))
-    # stage 1 materializes the word-hash arrays ONCE per row (multiple
-    # downstream references keep the projection boundary — cf.
-    # quality_features); stage 2 folds windows and dedups them map-side
-    # on the zipped (h1, h2) structs — no global distinct shuffle
-    hashed = _fan_out(df).select(
-        F.col(id_col),
-        F.transform(toks, lambda w: hex_word(F.md5(w), 1)).alias("__wh1"),
-        F.transform(toks, lambda w: hex_word(F.md5(w), 9)).alias("__wh2"),
-    )
-    grams = hashed.select(
-        F.col(id_col),
-        F.explode(
-            F.array_distinct(
-                F.arrays_zip(
-                    _window_poly_hashes(
-                        F.col("__wh1"), window_n, SUBSTR_P1
-                    ).alias("h1"),
-                    _window_poly_hashes(
-                        F.col("__wh2"), window_n, SUBSTR_P2
-                    ).alias("h2"),
-                )
-            )
-        ).alias("g"),
-    ).select(id_col, F.col("g.h1").alias("h1"), F.col("g.h2").alias("h2"))
+    grams = _window_gram_table(df, text_col, id_col, window_n)
     # three consumers (hot count + both self-join sides) would each
     # re-derive the fold lineage; persist the compact (id, h1, h2) frame —
     # at warehouse scale this is the window-index table write (cf. the

@@ -577,3 +577,25 @@ def test_prepare_corpus_stages(spark):
     got = {r["doc_id"]: r for r in out.collect()}
     assert set(got) == {1}
     assert got[1]["lang_pred"] == "en" and got[1]["quality_score"] >= 0.5
+
+
+def test_ngram_contamination_detects_planted_overlap(spark):
+    from metric_store_release_spark.pipeline.dedup import ngram_contamination
+
+    run = "w1 w2 w3 w4 w5 w6 w7 w8 w9 w10 w11 w12 w13"
+    corpus = spark.createDataFrame(
+        [
+            (1, f"intro text {run} trailing words here"),
+            (2, "totally unrelated content with no overlap at all in sight"),
+        ],
+        "doc_id long, text string",
+    )
+    bench = spark.createDataFrame(
+        [(100, f"benchmark question {run} benchmark answer")],
+        "doc_id long, text string",
+    )
+    out = ngram_contamination(corpus, bench, window_n=13).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert (r["doc_id"], r["bench_id"]) == (1, 100)
+    assert r["shared_windows"] == 1

@@ -245,3 +245,23 @@ def test_prepare_corpus_two_wide_ops_only(spark):
     assert "BroadcastExchange" not in plan, plan
     assert "CartesianProduct" not in plan, plan
     assert plan.count("Exchange") <= 3, plan  # digest agg + join sides
+
+
+def test_ngram_contamination_corpus_side_never_shuffles(spark):
+    """Contamination joins broadcast benchmark grams into the corpus scan:
+    with auto-broadcast off, the only BroadcastExchanges are the two
+    forced ones (bench gram table + its hot guard) and the corpus rows
+    reach the final pair count without a corpus-cardinality shuffle."""
+    from metric_store_release_spark.pipeline.dedup import ngram_contamination
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    bench = docs.limit(20)
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        plan = _plan(ngram_contamination(docs, bench))
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    assert plan.count("BroadcastExchange") == 2, plan
+    assert "CartesianProduct" not in plan, plan
+    assert "SortMergeJoin" not in plan, plan
