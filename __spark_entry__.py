@@ -421,6 +421,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["corpus_prepare"] = _corpus_prepare
     q["events_latency_pctl"] = _events_latency_pctl
     q["ngram_contamination"] = _ngram_contamination
+    q["embedding_ann_trained"] = _embedding_ann_trained
 
     # The driver's correctness gate checks entries in insertion order and in
     # round 1 stopped after the first 50: reorder so one representative of
@@ -889,6 +890,25 @@ def _docs_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
     from metric_store_release_spark.pipeline.packing import sequence_pack
 
     return sequence_pack(_docs(spark, sf_dir), budget=256, n_shards=16)
+
+
+def _embedding_ann_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end trained ANN: Lloyd's k-means learns the IVF coarse
+    quantizer on the corpus (pipeline.similarity.kmeans_centroids, k=8,
+    2 rounds), then ivf_topk probes the 3 nearest trained lists per
+    query — index build and search as one deterministic pipeline."""
+    from metric_store_release_spark.pipeline.similarity import (
+        ivf_topk,
+        kmeans_centroids,
+    )
+
+    emb = _emb(spark, sf_dir)
+    corpus = emb.filter(F.col("vec_id") >= 5)
+    cents = kmeans_centroids(corpus, k=8, iters=2)
+    queries_df = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding")
+    )
+    return ivf_topk(corpus, queries_df, k=10, n_lists=8, n_probe=3, centroids=cents)
 
 
 def _ngram_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1540,6 +1560,8 @@ FROM cum
 
     o["ngram_contamination"] = _contamination_oracle()
 
+    o["embedding_ann_trained"] = _ann_trained_oracle()
+
     o["events_latency_pctl"] = """
 SELECT event_type,
        ROUND(quantile_cont(value, 0.5), 6) AS p50,
@@ -2179,6 +2201,95 @@ JOIN grams b ON a.h1 = b.h1 AND a.h2 = b.h2 AND a.doc_id < b.doc_id
 ANTI JOIN hot ON a.h1 = hot.h1 AND a.h2 = hot.h2
 GROUP BY 1, 2
 """
+
+
+def _ann_trained_oracle(
+    dim: int = _EMB_DIM,
+    k_lists: int = 8,
+    iters: int = 2,
+    n_probe: int = 3,
+    k: int = 10,
+) -> str:
+    """Trained-IVF replay: the _kmeans_oracle CTE chain (on the corpus,
+    vec_id >= 5) yields the trained centroid table, which then plays the
+    ctr role of _ivf_oracle's assignment/probe/score/rank chain. FP note:
+    centroid AVGs can differ from Spark's in the last ulp, but assignment
+    and probe margins are orders of magnitude larger (same argument as
+    _kmeans_oracle)."""
+    dist = (
+        f"list_sum(list_transform(range(1, {dim + 1}), "
+        "i -> (emb.e[i]-c.c[i])*(emb.e[i]-c.c[i])))"
+    )
+    d2 = (
+        "list_sum(list_transform(generate_series(1, {dim}), "
+        "i -> ({{v}}[i] - ctr.ctv[i]) * ({{v}}[i] - ctr.ctv[i])))"
+    ).format(dim=dim)
+
+    def assign_cte(name: str, cent: str) -> str:
+        return f"""{name} AS (
+  SELECT vec_id, e, cid FROM (
+    SELECT emb.vec_id, emb.e, c.cid,
+           row_number() OVER (PARTITION BY emb.vec_id ORDER BY {dist}, c.cid) AS rn
+    FROM emb CROSS JOIN {cent} c) WHERE rn = 1
+)"""
+
+    def update_cte(name: str, assigned: str) -> str:
+        return f"""{name} AS (
+  SELECT cid, list(m ORDER BY pos) AS c FROM (
+    SELECT cid, pos, avg(v) AS m FROM (
+      SELECT cid, unnest(e) AS v, generate_subscripts(e, 1) AS pos FROM {assigned})
+    GROUP BY cid, pos) GROUP BY cid
+)"""
+
+    ctes = [
+        "emb AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings"
+        " WHERE vec_id >= 5)",
+        f"""c0 AS (
+  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, e AS c
+  FROM (SELECT * FROM emb ORDER BY vec_id LIMIT {k_lists}))""",
+    ]
+    for it in range(iters):
+        ctes.append(assign_cte(f"a{it}", f"c{it}"))
+        ctes.append(update_cte(f"c{it + 1}", f"a{it}"))
+    ctes.append(
+        f"ctr AS (SELECT cid AS list_id, c AS ctv FROM c{iters})"
+    )
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f""",
+assign AS (
+  SELECT vec_id, e AS cv, list_id FROM (
+    SELECT emb.vec_id, emb.e, ctr.list_id,
+           row_number() OVER (PARTITION BY emb.vec_id
+                              ORDER BY {d2.format(v="emb.e")}, ctr.list_id) AS rn
+    FROM emb CROSS JOIN ctr
+  ) WHERE rn = 1
+),
+q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+      FROM embeddings WHERE vec_id < 5),
+probe AS (
+  SELECT query_id, qv, list_id FROM (
+    SELECT q.query_id, q.qv, ctr.list_id,
+           row_number() OVER (PARTITION BY q.query_id
+                              ORDER BY {d2.format(v="q.qv")}, ctr.list_id) AS rn
+    FROM q CROSS JOIN ctr
+  ) WHERE rn <= {n_probe}
+),
+scored AS (
+  SELECT p.query_id, a.vec_id,
+         ROUND(list_dot_product(p.qv, a.cv)
+               / (sqrt(list_dot_product(p.qv, p.qv))
+                  * sqrt(list_dot_product(a.cv, a.cv))), 6) AS cos_sim
+  FROM probe p JOIN assign a ON a.list_id = p.list_id
+)
+SELECT query_id, vec_id, cos_sim, rank FROM (
+  SELECT *, CAST(row_number() OVER (PARTITION BY query_id
+                ORDER BY cos_sim DESC, vec_id ASC) AS INT) AS rank
+  FROM scored
+) WHERE rank <= {k}
+"""
+    )
 
 
 def _contamination_oracle(window_n: int = 13, hot_cap: int = 1000) -> str:

@@ -98,21 +98,40 @@ def kmeans(
     Empty clusters keep their previous centroid. Vectors are cast to
     double before any arithmetic so results are engine-portable.
     """
+    base = df.select(
+        F.col(id_col), F.col(vec_col).cast("array<double>").alias("__v")
+    )
+    cents = kmeans_centroids(df, vec_col, id_col, k, iters)
+    return base.select(id_col, _assign_cluster(F.col("__v"), cents).alias("cluster"))
+
+
+def _assign_cluster(col: Column, cents: list[list[float]]) -> Column:
+    """Argmin cluster over literal centroids: least() over (dist, cid)
+    structs — ties break to the lower cluster id, deterministically. The
+    cast names the struct fields positionally — inner aliases don't
+    survive inside least()."""
+    structs = [
+        F.struct(_sq_dist(col, c), F.lit(i)).cast("struct<d:double,cid:int>")
+        for i, c in enumerate(cents)
+    ]
+    return F.least(*structs)["cid"]
+
+
+def kmeans_centroids(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    k: int = 4,
+    iters: int = 3,
+) -> list[list[float]]:
+    """The Lloyd training loop of :func:`kmeans`, returning the final
+    centroid matrix (k×dim floats — a few KB, independent of corpus
+    size). Feed it to :func:`ivf_topk` for a trained IVF index."""
     vec = F.col(vec_col).cast("array<double>")
     base = df.select(F.col(id_col), vec.alias("__v"))
     cents: list[list[float]] = [
         list(r["__v"]) for r in base.orderBy(id_col).limit(k).collect()
     ]
-
-    def assign(col: Column) -> Column:
-        # cast names the struct fields positionally — inner aliases don't
-        # survive inside least()
-        structs = [
-            F.struct(_sq_dist(col, c), F.lit(i)).cast("struct<d:double,cid:int>")
-            for i, c in enumerate(cents)
-        ]
-        return F.least(*structs)["cid"]
-
     for _ in range(iters):
         # assign FIRST, explode SECOND, in separate projections: a single
         # select with posexplode evaluates the assignment expression once
@@ -120,7 +139,7 @@ def kmeans(
         # per pass at 200k x 64). The Generate boundary keeps the
         # assignment in the lower project.
         agg = (
-            base.select(assign(F.col("__v")).alias("cluster"), "__v")
+            base.select(_assign_cluster(F.col("__v"), cents).alias("cluster"), "__v")
             .select("cluster", F.posexplode("__v").alias("pos", "val"))
             .groupBy("cluster", "pos")
             .agg(F.avg("val").alias("m"))
@@ -134,8 +153,7 @@ def kmeans(
         )
         new_cents = {r["cluster"]: list(r["c"]) for r in agg.collect()}
         cents = [new_cents.get(i, cents[i]) for i in range(k)]
-
-    return base.select(id_col, assign(F.col("__v")).alias("cluster"))
+    return cents
 
 
 #: salt fan-out for the two-phase top-k ranking; bounds phase-2 input at

@@ -599,3 +599,23 @@ def test_ngram_contamination_detects_planted_overlap(spark):
     r = out[0]
     assert (r["doc_id"], r["bench_id"]) == (1, 100)
     assert r["shared_windows"] == 1
+
+
+def test_kmeans_centroids_consistent_with_assignments(spark):
+    """kmeans() assignments are exactly nearest-centroid over the matrix
+    kmeans_centroids() returns — the trained-IVF contract."""
+    import math
+
+    from metric_store_release_spark.pipeline.similarity import (
+        kmeans,
+        kmeans_centroids,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    cents = kmeans_centroids(emb, k=4, iters=2)
+    assert len(cents) == 4 and all(len(c) == 64 for c in cents)
+    got = {r["vec_id"]: r["cluster"] for r in kmeans(emb, k=4, iters=2).collect()}
+    for r in emb.limit(30).collect():
+        v = [float(x) for x in r["embedding"]]
+        d = [sum((a - b) ** 2 for a, b in zip(v, c)) for c in cents]
+        assert got[r["vec_id"]] == d.index(min(d))
