@@ -1524,11 +1524,12 @@ WITH tok AS (
          unnest(list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '')) AS tok
   FROM documents
 ),
-vocab AS (SELECT tok, COUNT(*) AS cf FROM tok GROUP BY tok),
+tf AS (SELECT doc_id, tok, COUNT(*) AS tf FROM tok GROUP BY doc_id, tok),
+vocab AS (SELECT tok, SUM(tf) AS cf FROM tf GROUP BY tok),
 tot AS (SELECT SUM(cf) AS tf_total FROM vocab)
-SELECT doc_id, COUNT(*) AS n_tokens,
-       ROUND(AVG(-ln(cf / tf_total)), 6) AS mean_surprisal
-FROM tok JOIN vocab USING (tok), tot
+SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS n_tokens,
+       ROUND(SUM(tf * -ln(cf / tf_total)) / SUM(tf), 6) AS mean_surprisal
+FROM tf JOIN vocab USING (tok), tot
 GROUP BY doc_id
 """
 

@@ -60,6 +60,9 @@ def main() -> None:
         "text_repetition",
         "text_unigram_logprob",
         "docs_pack",
+        "corpus_prepare",
+        "ngram_contamination",
+        "embedding_ann_trained",
     ]
     # warm the JVM + parquet footers with one tiny action
     spark.read.parquet(f"{SF_DIR}/region.parquet").count()

@@ -274,25 +274,33 @@ def unigram_logprob(
     the classic cheap LM-quality proxy (high surprisal ⇒ rare-token soup,
     low ⇒ repetitive boilerplate).
 
-    Two hash aggregations (vocab counts; per-doc mean) plus one equi-join
-    of the exploded tokens against the vocab table. The vocab table is
-    vocabulary-cardinality, not corpus-cardinality — no broadcast hint, AQE
-    broadcasts it when it is genuinely small. The 1-row grand total joins
-    as an explicit broadcast. Docs with zero tokens yield no row.
+    Plan shape: the token stream aggregates to per-doc TERM FREQUENCIES
+    first (one shuffle of distinct (doc, token) pairs — strictly smaller
+    than the raw occurrence stream, much smaller on repetitive corpora);
+    the vocab table then derives from the tf table (second, vocab-sized
+    agg) and joins back by token as a plain equi-join — no broadcast
+    hint, AQE broadcasts it when genuinely small. The per-doc mean is the
+    tf-weighted mean, identical to averaging over occurrences. The 1-row
+    grand total joins as an explicit broadcast. Docs with zero tokens
+    yield no row.
     """
-    tok = df.select(
-        F.col(id_col), F.explode(tokens(F.col(text_col))).alias("tok")
+    tf = (
+        df.select(F.col(id_col), F.explode(tokens(F.col(text_col))).alias("tok"))
+        .groupBy(id_col, "tok")
+        .agg(F.count(F.lit(1)).alias("tf"))
     )
-    vocab = tok.groupBy("tok").agg(F.count(F.lit(1)).alias("cf"))
+    vocab = tf.groupBy("tok").agg(F.sum("tf").alias("cf"))
     total = vocab.agg(F.sum("cf").alias("tf_total"))
     return (
-        tok.join(vocab, "tok")
+        tf.join(vocab, "tok")
         .join(F.broadcast(total))
         .groupBy(id_col)
         .agg(
-            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum("tf").alias("n_tokens"),
             F.round(
-                F.avg(-F.log(F.col("cf") / F.col("tf_total"))), 6
+                F.sum(F.col("tf") * -F.log(F.col("cf") / F.col("tf_total")))
+                / F.sum("tf"),
+                6,
             ).alias("mean_surprisal"),
         )
     )
