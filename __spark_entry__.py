@@ -435,19 +435,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 #: family representatives first (driver correctness window), variants after
 _FAMILY_FIRST_ORDER = [
-    "promql_selector", "promql_selector_regex", "promql_offset",
+    "promql_selector", "promql_selector_regex",
     "promql_sum_by_user", "promql_avg_without", "promql_topk",
     "promql_quantile_agg", "promql_count_values",
-    "promql_min_agg",
     "promql_sum_over_time",
-    "promql_rate", "promql_deriv",
+    "promql_rate",
     "promql_holt_winters",
     "promql_binop_add",
-    "promql_and", "promql_or", "promql_group_left_ratio",
+    "promql_and", "promql_group_left_ratio",
     "promql_scalar_math", "promql_label_replace", "promql_date_fn",
     "promql_absent", "promql_vector_time",
     "promql_subquery", "promql_histogram_quantile",
     "pii_redact", "text_unigram_logprob", "docs_pack", "tpch_q14",
+    "corpus_prepare", "ngram_contamination", "embedding_ann_trained",
+    "events_latency_pctl",
     "tpch_q1", "tpch_q3", "rollup_counter",
     "dedup_exact", "dedup_minhash_lsh", "dedup_simhash",
     "dedup_ngram_jaccard", "dedup_components", "dedup_substring",
@@ -1964,9 +1965,9 @@ WHERE inter * 1.0 / (sa.set_size + sb.set_size - inter) >= {threshold} - 5e-7
 
 
 def _text_quality_oracle() -> str:
-    stop = "', '".join(
-        ["the", "a", "and", "of", "to", "in", "is", "that", "for", "on"]
-    )
+    from metric_store_release_spark.pipeline.text import _STOPWORDS
+
+    stop = "', '".join(_STOPWORDS["en"])
     return f"""
 WITH toks AS (
   SELECT doc_id, text,
@@ -1998,12 +1999,7 @@ FROM feat
 
 
 def _lang_id_oracle() -> str:
-    stopwords = {
-        "en": ["the", "a", "and", "of", "to", "in", "is", "that", "for", "on"],
-        "de": ["der", "die", "das", "und", "ist", "nicht", "mit", "ein", "zu", "den"],
-        "fr": ["le", "la", "les", "et", "de", "un", "une", "est", "pour", "dans"],
-        "es": ["el", "la", "los", "de", "que", "y", "en", "un", "una", "es"],
-    }
+    from metric_store_release_spark.pipeline.text import _STOPWORDS as stopwords
     hit_cols = []
     for lang in sorted(stopwords):
         lst = "', '".join(stopwords[lang])
@@ -2031,13 +2027,9 @@ def _prepare_corpus_oracle(min_quality: float = 0.5) -> str:
     """Composed replay of lang-ID + quality + exact-dedup-keep-one +
     hash-threshold sample — the CTE chain mirrors prepare_corpus stage by
     stage (expressions identical to _lang_id_oracle / _text_quality_oracle
-    / docs_sample)."""
-    stopwords = {
-        "en": ["the", "a", "and", "of", "to", "in", "is", "that", "for", "on"],
-        "de": ["der", "die", "das", "und", "ist", "nicht", "mit", "ein", "zu", "den"],
-        "fr": ["le", "la", "les", "et", "de", "un", "une", "est", "pour", "dans"],
-        "es": ["el", "la", "los", "de", "que", "y", "en", "un", "una", "es"],
-    }
+    / docs_sample). Stopword lists imported from the pipeline so the
+    oracle cannot silently desynchronize."""
+    from metric_store_release_spark.pipeline.text import _STOPWORDS as stopwords
     hit_cols = []
     for lang in sorted(stopwords):
         lst = "', '".join(stopwords[lang])
@@ -2234,12 +2226,17 @@ def _ann_trained_oracle(
     FROM emb CROSS JOIN {cent} c) WHERE rn = 1
 )"""
 
-    def update_cte(name: str, assigned: str) -> str:
+    def update_cte(name: str, assigned: str, prev: str) -> str:
+        # empty clusters keep their previous centroid (COALESCE against the
+        # prior table) — matches kmeans_centroids' new_cents.get(i, cents[i])
         return f"""{name} AS (
-  SELECT cid, list(m ORDER BY pos) AS c FROM (
-    SELECT cid, pos, avg(v) AS m FROM (
-      SELECT cid, unnest(e) AS v, generate_subscripts(e, 1) AS pos FROM {assigned})
-    GROUP BY cid, pos) GROUP BY cid
+  SELECT p.cid, COALESCE(n.c, p.c) AS c
+  FROM {prev} p LEFT JOIN (
+    SELECT cid, list(m ORDER BY pos) AS c FROM (
+      SELECT cid, pos, avg(v) AS m FROM (
+        SELECT cid, unnest(e) AS v, generate_subscripts(e, 1) AS pos FROM {assigned})
+      GROUP BY cid, pos) GROUP BY cid
+  ) n ON n.cid = p.cid
 )"""
 
     ctes = [
@@ -2251,7 +2248,7 @@ def _ann_trained_oracle(
     ]
     for it in range(iters):
         ctes.append(assign_cte(f"a{it}", f"c{it}"))
-        ctes.append(update_cte(f"c{it + 1}", f"a{it}"))
+        ctes.append(update_cte(f"c{it + 1}", f"a{it}", f"c{it}"))
     ctes.append(
         f"ctr AS (SELECT cid AS list_id, c AS ctv FROM c{iters})"
     )
@@ -2369,12 +2366,17 @@ def _kmeans_oracle(k: int, iters: int, dim: int) -> str:
     FROM emb CROSS JOIN {cent} c) WHERE rn = 1
 )"""
 
-    def update_cte(name: str, assigned: str) -> str:
+    def update_cte(name: str, assigned: str, prev: str) -> str:
+        # empty clusters keep their previous centroid (COALESCE against the
+        # prior table) — matches kmeans_centroids' new_cents.get(i, cents[i])
         return f"""{name} AS (
-  SELECT cid, list(m ORDER BY pos) AS c FROM (
-    SELECT cid, pos, avg(v) AS m FROM (
-      SELECT cid, unnest(e) AS v, generate_subscripts(e, 1) AS pos FROM {assigned})
-    GROUP BY cid, pos) GROUP BY cid
+  SELECT p.cid, COALESCE(n.c, p.c) AS c
+  FROM {prev} p LEFT JOIN (
+    SELECT cid, list(m ORDER BY pos) AS c FROM (
+      SELECT cid, pos, avg(v) AS m FROM (
+        SELECT cid, unnest(e) AS v, generate_subscripts(e, 1) AS pos FROM {assigned})
+      GROUP BY cid, pos) GROUP BY cid
+  ) n ON n.cid = p.cid
 )"""
 
     ctes = [
@@ -2385,7 +2387,7 @@ def _kmeans_oracle(k: int, iters: int, dim: int) -> str:
     ]
     for it in range(iters):
         ctes.append(assign_cte(f"a{it}", f"c{it}"))
-        ctes.append(update_cte(f"c{it + 1}", f"a{it}"))
+        ctes.append(update_cte(f"c{it + 1}", f"a{it}", f"c{it}"))
     ctes.append(assign_cte(f"a{iters}", f"c{iters}"))
     return (
         "WITH " + ",\n".join(ctes)

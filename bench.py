@@ -54,7 +54,7 @@ def main() -> None:
         "embedding_topk",
         "text_quality",
         # added round 4 — totals are NOT comparable with BENCH_r0{1..3}
-        # without subtracting these five entries
+        # without subtracting these eight entries
         "dedup_substring",
         "embedding_kmeans",
         "text_repetition",

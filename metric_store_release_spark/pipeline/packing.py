@@ -54,7 +54,14 @@ def sequence_pack(
         (hex_word(h) % n_shards).cast("int").alias("shard"),
         token_count(F.col(text_col)).cast("long").alias("n_tokens"),
     )
-    w = Window.partitionBy("shard").orderBy("__h")
+    # explicit ROWS frame: the default RANGE frame treats tied sort keys as
+    # one group, which would give duplicate ids identical start offsets and
+    # break the head-to-tail invariant (the oracle pins ROWS too)
+    w = (
+        Window.partitionBy("shard")
+        .orderBy("__h")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
     cum = F.sum("n_tokens").over(w)
     start = (cum - F.col("n_tokens")).alias("start_offset")
     first_pack = F.floor((cum - F.col("n_tokens")) / F.lit(budget)).cast("long")

@@ -35,16 +35,19 @@ def dedup_points(points: DataFrame, order_col: str | None = None) -> DataFrame:
     write time with last-write-wins (V tsm1/cache.go:285+ — later cache
     entries overwrite earlier ones when the shard flushes). Spark analog:
     one hash aggregation keyed on (name, series signature, ts); when an
-    arrival-order column exists the latest arrival's value wins
-    (`max_by`), otherwise the max value — deterministic either way, and
-    the engine's duplicate-ts uniqueness contract (engine/selectors.py)
+    arrival-order column exists the latest arrival's value wins (`max_by`
+    on the (order, value) pair, so ties on the order column resolve to
+    the larger value — fully deterministic), otherwise the max value.
+    The engine's duplicate-ts uniqueness contract (engine/selectors.py)
     holds downstream. Uniform shuffle on the series key: skew-free at any
     scale because the key includes ts.
     """
     from metric_store_release_spark.datamodel import map_from_sig, sig
 
     win = (
-        F.max_by("value", order_col) if order_col else F.max("value")
+        F.max_by("value", F.struct(F.col(order_col), F.col("value")))
+        if order_col
+        else F.max("value")
     ).alias("value")
     deduped = (
         points.withColumn("__sig", sig(F.col("labels")))
@@ -57,14 +60,20 @@ def dedup_points(points: DataFrame, order_col: str | None = None) -> DataFrame:
 
 
 def dedup_points_stream(points: DataFrame, watermark_delay: str = "1 minute") -> DataFrame:
-    """Streaming form for the ingest path: first-write-wins per
+    """Streaming form for the ingest path: FIRST-write-wins per
     (name, labels, ts) with state bounded by the event-time watermark
     (dropDuplicatesWithinWatermark — state for a key is dropped once the
     watermark passes it, so the dedup map cannot grow unboundedly the way
-    an unwatermarked dropDuplicates would). Duplicates arriving later
-    than the delay fall through to the batch `dedup_points` at read/
-    compaction time — same layered contract as the reference (cache
-    dedup + TSM compaction merge)."""
+    an unwatermarked dropDuplicates would).
+
+    Contract note: this layer is a VOLUME-REDUCTION pass, not the
+    authoritative resolution — it keeps the first arrival while the batch
+    `dedup_points` (compaction/read time) keeps the last, mirroring the
+    reference where the cache absorbs duplicates cheaply and TSM
+    compaction applies the final overwrite ordering. When duplicate
+    values can genuinely differ, route conflicting series through the
+    batch pass with an arrival-order column; the streaming pass is for
+    the common retransmit case where duplicates are identical."""
     from metric_store_release_spark.datamodel import sig
 
     # map columns cannot be equality keys — use the canonical sorted-entry

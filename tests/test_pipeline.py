@@ -619,3 +619,23 @@ def test_kmeans_centroids_consistent_with_assignments(spark):
         v = [float(x) for x in r["embedding"]]
         d = [sum((a - b) ** 2 for a, b in zip(v, c)) for c in cents]
         assert got[r["vec_id"]] == d.index(min(d))
+
+
+def test_sequence_pack_duplicate_ids_stay_head_to_tail(spark):
+    """Tied sort keys (re-ingested duplicate ids) must still lay out
+    head-to-tail — pins the explicit ROWS window frame (the default RANGE
+    frame would give both copies the same cumulative sum)."""
+    from metric_store_release_spark.pipeline.packing import sequence_pack
+
+    df = spark.createDataFrame(
+        [(1, "w " * 10), (1, "w " * 10), (2, "x " * 5)],
+        "doc_id long, text string",
+    )
+    out = sequence_pack(df, budget=8, n_shards=1).collect()
+    starts = sorted(r["start_offset"] for r in out if r["doc_id"] == 1)
+    assert starts[0] != starts[1]  # distinct offsets despite tied keys
+    rows = sorted(out, key=lambda r: r["start_offset"])
+    pos = 0
+    for r in rows:
+        assert r["start_offset"] == pos
+        pos += r["n_tokens"]
