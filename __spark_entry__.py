@@ -422,6 +422,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["events_latency_pctl"] = _events_latency_pctl
     q["ngram_contamination"] = _ngram_contamination
     q["embedding_ann_trained"] = _embedding_ann_trained
+    q["dedup_simhash_pairs"] = _dedup_simhash_pairs
+    q["text_bm25"] = _text_bm25
+    q["docs_quota"] = _docs_quota
+    q["text_top_ngrams"] = _text_top_ngrams
 
     # The driver's correctness gate checks entries in insertion order and in
     # round 1 stopped after the first 50: reorder so one representative of
@@ -437,15 +441,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 _FAMILY_FIRST_ORDER = [
     "promql_selector", "promql_selector_regex",
     "promql_sum_by_user", "promql_avg_without", "promql_topk",
-    "promql_quantile_agg", "promql_count_values",
+    "promql_quantile_agg",
     "promql_sum_over_time",
     "promql_rate",
-    "promql_holt_winters",
     "promql_binop_add",
     "promql_and", "promql_group_left_ratio",
-    "promql_scalar_math", "promql_label_replace", "promql_date_fn",
-    "promql_absent", "promql_vector_time",
+    "promql_scalar_math", "promql_label_replace",
+    "promql_absent",
     "promql_subquery", "promql_histogram_quantile",
+    # round-5 additions inside the driver window; the displaced
+    # promql_date_fn / promql_vector_time / promql_count_values /
+    # promql_holt_winters families keep other in-window representatives
+    "dedup_simhash_pairs", "text_bm25", "docs_quota", "text_top_ngrams",
     "pii_redact", "text_unigram_logprob", "docs_pack", "tpch_q14",
     "corpus_prepare", "ngram_contamination", "embedding_ann_trained",
     "events_latency_pctl",
@@ -690,6 +697,42 @@ def _ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     from metric_store_release_spark.pipeline.dedup import ngram_jaccard_pairs
 
     return ngram_jaccard_pairs(_docs(spark, sf_dir), shingle_n=3, threshold=0.5)
+
+
+def _dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pairs by banded SimHash Hamming distance (Manku et al.
+    WWW'07); the all-pairs oracle also proves the banding recall."""
+    from metric_store_release_spark.pipeline.dedup import simhash_hamming_pairs
+
+    return simhash_hamming_pairs(
+        _docs(spark, sf_dir), bits=32, max_hamming=3, shingle_n=3
+    )
+
+
+def _text_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Okapi BM25 relevance of every doc to a fixed bag-of-words query."""
+    from metric_store_release_spark.pipeline.text import bm25_scores
+
+    return bm25_scores(_docs(spark, sf_dir), _BM25_TERMS)
+
+
+def _docs_quota(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language quota cap: exactly min(30, |lang|) docs per language,
+    lowest-hash-first (corpus language balancing)."""
+    from metric_store_release_spark.pipeline.text import quota_sample
+
+    return quota_sample(_docs(spark, sf_dir), _QUOTA_N).select("doc_id", "lang")
+
+
+def _text_top_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus heavy hitters: 50 most document-frequent word trigrams."""
+    from metric_store_release_spark.pipeline.text import top_ngrams
+
+    return top_ngrams(_docs(spark, sf_dir), n=3, k=50)
+
+
+_BM25_TERMS = ["spark", "window", "join"]
+_QUOTA_N = 30
 
 
 def _embedding_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1450,6 +1493,42 @@ WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT / 4294967296.
 
     o["dedup_simhash"] = _simhash_oracle()
 
+    o["dedup_simhash_pairs"] = _simhash_pairs_oracle()
+
+    o["text_bm25"] = _bm25_oracle()
+
+    o["docs_quota"] = f"""
+SELECT doc_id, lang FROM (
+  SELECT doc_id, lang,
+         row_number() OVER (PARTITION BY lang
+           ORDER BY ('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::BIGINT,
+                    doc_id) AS rn
+  FROM documents
+) WHERE rn <= {_QUOTA_N}
+"""
+
+    o["text_top_ngrams"] = """
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS ws
+  FROM documents
+),
+grams AS (
+  SELECT doc_id, g
+  FROM (
+    SELECT doc_id,
+           CASE WHEN len(ws) >= 3
+                THEN list_distinct([list_aggr(ws[i:i+2], 'string_agg', ' ')
+                                    for i in range(1, len(ws) - 1)])
+                ELSE [list_aggr(ws, 'string_agg', ' ')] END AS gs
+    FROM toks
+  ), unnest(gs) AS t(g)
+)
+SELECT g AS gram, count(*) AS df
+FROM grams GROUP BY g
+ORDER BY df DESC, gram ASC LIMIT 50
+"""
+
     o["dedup_ngram_jaccard"] = _jaccard_oracle()
 
     o["embedding_topk"] = """
@@ -1931,6 +2010,66 @@ WITH toks AS (
   FROM documents
 )
 SELECT doc_id, ({votes}) AS simhash FROM toks
+"""
+
+
+def _simhash_pairs_oracle(bits: int = 32, max_hamming: int = 3) -> str:
+    """Brute-force all-pairs Hamming oracle over shingle-3 simhash
+    fingerprints — also proves the Spark side's band-index recall is total
+    (pigeonhole over max_hamming+1 bands)."""
+    votes = " + ".join(
+        f"""CASE WHEN (
+      SELECT SUM(CASE WHEN (('0x' || substr(md5('0:' || g), 1, 8))::BIGINT >> {b}) & 1 = 1
+                      THEN 1 ELSE -1 END)
+      FROM unnest(grams) AS u(g)) > 0 THEN {1 << b}::BIGINT ELSE 0::BIGINT END"""
+        for b in range(bits)
+    )
+    return f"""
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS ws
+  FROM documents
+),
+sh AS (
+  SELECT doc_id,
+         CASE WHEN len(ws) >= 3
+              THEN list_distinct([list_aggr(ws[i:i+2], 'string_agg', ' ')
+                                  for i in range(1, len(ws) - 1)])
+              ELSE [list_aggr(ws, 'string_agg', ' ')] END AS grams
+  FROM toks
+),
+fp AS (SELECT doc_id, ({votes}) AS simhash FROM sh)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       bit_count(xor(a.simhash, b.simhash)) AS hamming
+FROM fp a JOIN fp b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.simhash, b.simhash)) <= {max_hamming}
+"""
+
+
+def _bm25_oracle(k1: float = 1.2, b: float = 0.75) -> str:
+    terms = "[" + ",".join(f"'{t}'" for t in sorted(set(_BM25_TERMS))) + "]"
+    return f"""
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS ws
+  FROM documents
+),
+lens AS (SELECT doc_id, len(ws) AS dl FROM toks),
+tf AS (
+  SELECT doc_id, term, count(*) AS tf
+  FROM (SELECT doc_id,
+               unnest(list_filter(ws, w -> list_contains({terms}, w))) AS term
+        FROM toks)
+  GROUP BY doc_id, term
+),
+stats AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM lens),
+dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY term)
+SELECT tf.doc_id,
+       round(SUM(ln(1.0 + (n_docs - df + 0.5)/(df + 0.5))
+             * (tf * ({k1} + 1)) / (tf + {k1} * (1 - {b} + {b} * dl / avgdl))),
+             6) AS bm25
+FROM tf JOIN dfreq USING (term) JOIN lens USING (doc_id) CROSS JOIN stats
+GROUP BY tf.doc_id
 """
 
 

@@ -424,9 +424,22 @@ def connected_components(
     return labels
 
 
-def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id", bits: int = 32) -> DataFrame:
-    """32-bit SimHash over word unigrams (map-side, no shuffle)."""
-    toks = F.array_distinct(tokens(F.col(text_col)))
+def simhash(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bits: int = 32,
+    shingle_n: int = 1,
+) -> DataFrame:
+    """SimHash over distinct word n-grams (map-side, no shuffle).
+
+    shingle_n=1 hashes unigrams; higher n makes fingerprints sensitive to
+    word ORDER, which matters on low-vocabulary corpora where most docs
+    share most unigrams."""
+    if shingle_n == 1:
+        toks = F.array_distinct(tokens(F.col(text_col)))
+    else:
+        toks = _word_shingles(F.col(text_col), shingle_n)
     hashes = F.transform(toks, lambda w: _h_seeded(0, w))
 
     def bit_vote(b: int):
@@ -443,6 +456,75 @@ def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id", bits:
     bit_votes = [bit_vote(b) for b in range(bits)]
     fingerprint = sum(bit_votes[1:], bit_votes[0])
     return df.select(F.col(id_col), fingerprint.alias("simhash"))
+
+
+def simhash_hamming_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bits: int = 32,
+    max_hamming: int = 3,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """Near-duplicate pairs by SimHash Hamming distance via band-exact
+    indexing (Manku, Jain & Sarma, "Detecting Near-Duplicates for Web
+    Crawling", WWW'07 — the published Google simhash-dedup design).
+
+    Pigeonhole: split the b-bit fingerprint into max_hamming+1 bands; any
+    pair within Hamming distance k must agree EXACTLY on at least one band.
+    Candidates come from a self-equi-join on (band_index, band_bits) —
+    never all-pairs — then bit_count(xor) verifies the exact distance.
+    The oracle is the brute-force all-pairs scan, so it also proves the
+    banding recall is total for d <= k.
+
+    100 TB shape: the band table is (k+1) rows per doc with a uniform
+    16-ish-bit join key; near-dup clusters make some buckets hot, but
+    bucket size is bounded by cluster size (AQE skew-join splits the rest).
+    One shuffle for the join, one distinct on pairs.
+    """
+    n_bands = max_hamming + 1
+    width = bits // n_bands
+    fp = simhash(df, text_col, id_col, bits=bits, shingle_n=shingle_n)
+    bands = fp.select(
+        F.col(id_col),
+        F.col("simhash"),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("band"),
+                        F.shiftright(F.col("simhash"), i * width)
+                        .bitwiseAND(F.lit((1 << width) - 1))
+                        .alias("band_bits"),
+                    )
+                    # bits % n_bands high bits stay uncovered: that only
+                    # widens candidate buckets, recall stays total
+                    for i in range(n_bands)
+                ]
+            )
+        ).alias("bk"),
+    ).select(
+        id_col, "simhash", F.col("bk.band").alias("band"), F.col("bk.band_bits").alias("band_bits")
+    )
+    a, b = bands.alias("a"), bands.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.band_bits") == F.col("b.band_bits"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            F.bit_count(
+                F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))
+            ).alias("hamming"),
+        )
+        .filter(F.col("hamming") <= max_hamming)
+        .distinct()
+    )
+    return pairs
 
 
 def ngram_jaccard_pairs(

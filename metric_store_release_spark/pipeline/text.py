@@ -306,6 +306,136 @@ def unigram_logprob(
     )
 
 
+def bm25_scores(
+    df: DataFrame,
+    query_terms: list[str],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """BM25 relevance of every document to a bag-of-words query (Robertson
+    & Spärck Jones Okapi BM25 — the published formula, idf = ln(1 +
+    (N−df+0.5)/(df+0.5)), Lucene's non-negative variant).
+
+    Plan shape for 100 TB: doc length is a map-side projection; the token
+    stream is FILTERED TO QUERY TERMS BEFORE the explode-shuffle, so the
+    per-(doc, term) tf aggregation shuffles only matching occurrences —
+    |q| terms, not the corpus vocabulary. The per-term df table and the
+    (N, avgdl) grand stats are |q|-row / 1-row broadcasts. One equi-join
+    back to per-doc lengths (plain join, AQE decides). Output: docs with
+    at least one query term, deterministic rounded score.
+    """
+    terms = sorted(set(query_terms))
+    toks = tokens(F.col(text_col))
+    lens = df.select(F.col(id_col), F.size(toks).alias("dl"))
+    tf = (
+        df.select(
+            F.col(id_col),
+            F.explode(
+                F.filter(toks, lambda w: w.isin(*terms))
+            ).alias("term"),
+        )
+        .groupBy(id_col, "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    stats = lens.agg(
+        F.count(F.lit(1)).alias("n_docs"), F.avg("dl").alias("avgdl")
+    )
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    idf = F.log(
+        F.lit(1.0)
+        + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5)
+    )
+    tf_part = (F.col("tf") * (k1 + 1)) / (
+        F.col("tf") + k1 * (1 - b + b * F.col("dl") / F.col("avgdl"))
+    )
+    return (
+        tf.join(F.broadcast(dfreq), "term")
+        .join(lens, id_col)
+        .join(F.broadcast(stats))
+        .groupBy(id_col)
+        .agg(F.round(F.sum(idf * tf_part), 6).alias("bm25"))
+    )
+
+
+def quota_sample(
+    df: DataFrame,
+    quota: int,
+    strata_col: str = "lang",
+    id_col: str = "doc_id",
+    salt: str = "",
+    margin: int = 8,
+) -> DataFrame:
+    """Exactly min(quota, |stratum|) rows per stratum, chosen by hash
+    order — the per-language cap pass of a corpus-balancing pipeline
+    (deterministic counterpart of "downsample English to N docs").
+
+    Selection order is md5(salt ∥ id): reproducible across engines and
+    runs, and consistent with [[deterministic_sample]] — the quota winners
+    are exactly the lowest-hash rows, so a quota of N is a prefix of any
+    hash-threshold sample that kept ≥ N rows.
+
+    100 TB shape: a rank-over-window partitioned by stratum would sort
+    whole strata (one language can be 10 TB). Instead: one count
+    aggregation per stratum (broadcast back, map-side), then a HASH
+    THRESHOLD filter keeps ~margin·quota expected rows per stratum, and
+    the exact row_number runs on that tiny survivor set. The threshold is
+    deterministic given the data; P(under-selection) for margin 8 is
+    exp(-Θ(quota)) over the hash ensemble — the oracle check would catch
+    the (never-observed) miss.
+    """
+    from pyspark.sql import Window
+
+    bucket = hex_word(F.md5(F.concat(F.lit(salt), F.col(id_col).cast("string"))))
+    counts = df.groupBy(strata_col).agg(F.count(F.lit(1)).alias("__n"))
+    thresh = F.when(
+        F.col("__n") <= F.lit(margin * quota), F.lit(1 << 32).cast("long")
+    ).otherwise((F.lit(float(margin * quota)) / F.col("__n") * (1 << 32)).cast("long"))
+    survivors = (
+        df.join(F.broadcast(counts), strata_col)
+        .filter(bucket < thresh)
+        .drop("__n")
+    )
+    w = Window.partitionBy(strata_col).orderBy(bucket.asc(), F.col(id_col).asc())
+    return (
+        survivors.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= quota)
+        .drop("__rn")
+    )
+
+
+def top_ngrams(
+    df: DataFrame,
+    n: int = 3,
+    k: int = 50,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Corpus-level heavy hitters: the k word n-grams found in the most
+    documents (document frequency, distinct per doc) — the boilerplate /
+    template-detection statistic a C4-style cleaning pass thresholds on.
+
+    One explode → one hash aggregation keyed by gram (uniform md5-free
+    string key; partial map-side combine collapses per-partition repeats)
+    → global top-k via orderBy+limit, which Spark executes as TakeOrdered:
+    per-partition partial top-k, only k rows per partition reach the
+    driver-side merge. Ties break on the gram string, so the result is
+    deterministic.
+    """
+    from metric_store_release_spark.pipeline.dedup import _word_shingles
+
+    grams = df.select(
+        F.col(id_col), F.explode(_word_shingles(F.col(text_col), n)).alias("gram")
+    )
+    return (
+        grams.groupBy("gram")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .orderBy(F.col("df").desc(), F.col("gram").asc())
+        .limit(k)
+    )
+
+
 def doc_fingerprint(text: Column, window: int = 8, mod: int = 1_000_003) -> Column:
     """Rolling polynomial fingerprint over word hashes (winnowing-style
     document signature): sum over positions of h(word)·31^(i mod window),

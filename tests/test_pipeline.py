@@ -639,3 +639,98 @@ def test_sequence_pack_duplicate_ids_stay_head_to_tail(spark):
     for r in rows:
         assert r["start_offset"] == pos
         pos += r["n_tokens"]
+
+
+def test_simhash_hamming_pairs_banding_recall(spark):
+    """Banded candidate generation must find every pair the brute-force
+    Hamming scan finds (pigeonhole over max_hamming+1 bands)."""
+    from itertools import combinations
+
+    from metric_store_release_spark.pipeline.dedup import (
+        simhash,
+        simhash_hamming_pairs,
+    )
+
+    rows = [
+        (1, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+        (2, "alpha beta gamma delta epsilon zeta eta theta iota mu"),  # near
+        (3, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),  # dup
+        (4, "one two three four five six seven eight nine ten"),
+        (5, "uno dos tres cuatro cinco seis siete ocho nueve diez"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    fps = {
+        r["doc_id"]: r["simhash"]
+        for r in simhash(df, bits=32, shingle_n=3).collect()
+    }
+    want = {
+        (a, b)
+        for a, b in combinations(sorted(fps), 2)
+        if bin(fps[a] ^ fps[b]).count("1") <= 3
+    }
+    got = {
+        (r["id_a"], r["id_b"])
+        for r in simhash_hamming_pairs(df, bits=32, max_hamming=3).collect()
+    }
+    assert got == want
+    assert (1, 3) in got  # exact dup -> hamming 0
+
+
+def test_bm25_hand_computed(spark):
+    """BM25 against a hand-computed score (Okapi, Lucene idf variant)."""
+    import math
+
+    from metric_store_release_spark.pipeline.text import bm25_scores
+
+    rows = [
+        (1, "spark spark join"),
+        (2, "window filter scan"),
+        (3, "join window spark cost"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r["bm25"] for r in bm25_scores(df, ["spark"]).collect()}
+    assert set(out) == {1, 3}
+    n, dfreq, avgdl = 3, 2, 10 / 3
+    idf = math.log(1 + (n - dfreq + 0.5) / (dfreq + 0.5))
+    tf, dl = 2, 3
+    want1 = idf * (tf * 2.2) / (tf + 1.2 * (1 - 0.75 + 0.75 * dl / avgdl))
+    assert out[1] == pytest.approx(want1, abs=1e-6)
+    tf, dl = 1, 4
+    want3 = idf * (tf * 2.2) / (tf + 1.2 * (1 - 0.75 + 0.75 * dl / avgdl))
+    assert out[3] == pytest.approx(want3, abs=1e-6)
+
+
+def test_quota_sample_exact_and_prefix_consistent(spark):
+    """Exactly min(quota, |stratum|) rows per stratum; winners are the
+    lowest-hash prefix, so quota N ⊂ quota N+1."""
+    from metric_store_release_spark.pipeline.text import quota_sample
+
+    rows = [(i, f"doc {i}", ["en", "de", "zh"][i % 3]) for i in range(60)]
+    df = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    small = {r["doc_id"] for r in quota_sample(df, 5).collect()}
+    big = {r["doc_id"] for r in quota_sample(df, 9).collect()}
+    per_lang = (
+        quota_sample(df, 5).groupBy("lang").count().collect()
+    )
+    assert {r["count"] for r in per_lang} == {5}
+    assert small < big
+    # quota above stratum size keeps whole strata
+    assert quota_sample(df, 100).count() == 60
+
+
+def test_top_ngrams_counts_and_tiebreak(spark):
+    from metric_store_release_spark.pipeline.text import top_ngrams
+
+    rows = [
+        (1, "a b c d"),
+        (2, "a b c e"),
+        (3, "a b c d"),
+        (4, "x y"),  # shorter than n -> whole doc as one gram
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = top_ngrams(df, n=3, k=3).collect()
+    assert [(r["gram"], r["df"]) for r in out] == [
+        ("a b c", 3),
+        ("b c d", 2),
+        ("b c e", 1),  # df=1 ties ("b c e", "x y") break on gram ascending
+    ]
