@@ -388,6 +388,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["tpch_q3"] = _tpch_q3
     q["tpch_q5"] = _tpch_q5
     q["tpch_q6"] = _tpch_q6
+    q["tpch_q4"] = _tpch_q4
+    q["tpch_q10"] = _tpch_q10
+    q["tpch_q18"] = _tpch_q18
 
     # --- streaming rollup analog (§2.9) ------------------------------------
     q["rollup_counter"] = _rollup_counter
@@ -621,6 +624,93 @@ def _tpch_q6(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(
                 F.sum(F.col("l_extendedprice") * F.col("l_discount")), 4
             ).alias("revenue")
+        )
+    )
+
+
+def _tpch_q4(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H q4 shape (order-priority checking): the EXISTS semi-join
+    showcase. The reduced driver schema has no l_commitdate/l_receiptdate,
+    so "late lineitem" is l_shipdate > o_orderdate + 60 days; the plan
+    point is unchanged — a LEFT SEMI join of orders against the filtered
+    fact table (no fact-side duplication, orders counted once no matter
+    how many late lines), then a small hash agg by priority."""
+    spark = _prepare(spark)
+    rd = lambda t: spark.read.parquet(f"{sf_dir}/{t}.parquet")
+    orders, li = rd("orders"), rd("lineitem")
+    window = (F.col("o_orderdate") >= F.lit("1996-01-01")) & (
+        F.col("o_orderdate") < F.lit("1996-07-01")
+    )
+    late = li.join(
+        orders.select("o_orderkey", "o_orderdate"),
+        li.l_orderkey == F.col("o_orderkey"),
+    ).filter(F.col("l_shipdate") > F.date_add(F.col("o_orderdate"), 60))
+    return (
+        orders.filter(window)
+        .join(
+            late.select(F.col("l_orderkey").alias("__ok")),
+            orders.o_orderkey == F.col("__ok"),
+            "left_semi",
+        )
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+    )
+
+
+def _tpch_q10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H q10 shape (returned-item revenue, top 20 customers): fact
+    filter pushed to the scan, one shuffle join orders↔lineitem, customer
+    + nation broadcast, TakeOrdered top-20 with a deterministic custkey
+    tie-break."""
+    spark = _prepare(spark)
+    rd = lambda t: spark.read.parquet(f"{sf_dir}/{t}.parquet")
+    li, orders = rd("lineitem"), rd("orders")
+    cust, nation = rd("customer"), rd("nation")
+    return (
+        li.filter(F.col("l_returnflag") == "R")
+        .join(
+            orders.filter(
+                (F.col("o_orderdate") >= F.lit("1996-01-01"))
+                & (F.col("o_orderdate") < F.lit("1996-04-01"))
+            ),
+            li.l_orderkey == orders.o_orderkey,
+        )
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4
+            ).alias("revenue")
+        )
+        .orderBy(F.col("revenue").desc(), F.col("c_custkey").asc())
+        .limit(20)
+    )
+
+
+def _tpch_q18(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H q18 shape (large-volume customers): self-aggregation of the
+    fact table feeding a HAVING filter, then joins back — the classic
+    agg-then-semi-join; the qualifying-orders set (sum qty > 250, ~1% of
+    orders) joins as a plain equi-join AQE can broadcast."""
+    spark = _prepare(spark)
+    rd = lambda t: spark.read.parquet(f"{sf_dir}/{t}.parquet")
+    li, orders, cust = rd("lineitem"), rd("orders"), rd("customer")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("total_qty"))
+        .filter(F.col("total_qty") > 250)
+    )
+    return (
+        orders.join(big, orders.o_orderkey == big.l_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .select(
+            "c_name",
+            "c_custkey",
+            "o_orderkey",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("o_orderdate"),
+            "o_totalprice",
+            F.round("total_qty", 4).alias("total_qty"),
         )
     )
 
@@ -1453,6 +1543,45 @@ FROM lineitem
 WHERE l_shipdate >= '1996-01-01' AND l_shipdate < '1997-01-01'
   AND l_discount >= 0.05 AND l_discount <= 0.07
   AND l_quantity < 24
+"""
+
+    o["tpch_q4"] = """
+SELECT o_orderpriority, COUNT(*) AS order_count
+FROM orders
+WHERE o_orderdate >= '1996-01-01' AND o_orderdate < '1996-07-01'
+  AND EXISTS (
+    SELECT 1 FROM lineitem, orders o2
+    WHERE l_orderkey = o2.o_orderkey
+      AND o2.o_orderkey = orders.o_orderkey
+      AND l_shipdate > o2.o_orderdate + INTERVAL 60 DAY
+  )
+GROUP BY o_orderpriority
+"""
+
+    o["tpch_q10"] = """
+SELECT c_custkey, c_name, c_acctbal, n_name,
+       ROUND(SUM(l_extendedprice * (1 - l_discount)), 4) AS revenue
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation   ON c_nationkey = n_nationkey
+WHERE l_returnflag = 'R'
+  AND o_orderdate >= '1996-01-01' AND o_orderdate < '1996-04-01'
+GROUP BY c_custkey, c_name, c_acctbal, n_name
+ORDER BY revenue DESC, c_custkey ASC
+LIMIT 20
+"""
+
+    o["tpch_q18"] = """
+WITH big AS (
+  SELECT l_orderkey, SUM(l_quantity) AS total_qty
+  FROM lineitem GROUP BY l_orderkey HAVING SUM(l_quantity) > 250
+)
+SELECT c_name, c_custkey, o_orderkey,
+       strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate,
+       o_totalprice, ROUND(total_qty, 4) AS total_qty
+FROM orders JOIN big ON o_orderkey = big.l_orderkey
+JOIN customer ON o_custkey = c_custkey
 """
 
     o["rollup_counter"] = """
