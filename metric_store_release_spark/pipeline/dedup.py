@@ -440,7 +440,16 @@ def simhash(
         toks = F.array_distinct(tokens(F.col(text_col)))
     else:
         toks = _word_shingles(F.col(text_col), shingle_n)
-    hashes = F.transform(toks, lambda w: _h_seeded(0, w))
+    # Materialize the md5 hash array in its OWN projection: the `bits`
+    # bit-vote folds below are interpreted HOFs with no common-subexpression
+    # elimination between them, so inlining `hashes` would recompute the
+    # per-shingle md5 once per BIT — measured 124 s vs 2 s cold on a 5k-doc
+    # corpus at bits=32. The projection boundary pins one evaluation
+    # (CollapseProject keeps it: the column is referenced `bits` times).
+    hashed = df.select(
+        F.col(id_col), F.transform(toks, lambda w: _h_seeded(0, w)).alias("__h")
+    )
+    hashes = F.col("__h")
 
     def bit_vote(b: int):
         mask = F.lit(1 << b)
@@ -455,7 +464,7 @@ def simhash(
 
     bit_votes = [bit_vote(b) for b in range(bits)]
     fingerprint = sum(bit_votes[1:], bit_votes[0])
-    return df.select(F.col(id_col), fingerprint.alias("simhash"))
+    return hashed.select(F.col(id_col), fingerprint.alias("simhash"))
 
 
 def simhash_hamming_pairs(
@@ -506,6 +515,12 @@ def simhash_hamming_pairs(
     ).select(
         id_col, "simhash", F.col("bk.band").alias("band"), F.col("bk.band_bits").alias("band_bits")
     )
+    # the self-join would recompute the md5 + 32-fold fingerprint lineage
+    # on BOTH sides; pin the (4 rows/doc) band table eagerly — same
+    # race-free persist pattern as minhash_lsh_candidates above. At
+    # warehouse scale this is the one-time fingerprint-table write.
+    bands = bands.persist()
+    bands.count()
     a, b = bands.alias("a"), bands.alias("b")
     pairs = (
         a.join(
