@@ -63,6 +63,11 @@ def main() -> None:
         "corpus_prepare",
         "ngram_contamination",
         "embedding_ann_trained",
+        # added round 5
+        "dedup_simhash_pairs",
+        "text_bm25",
+        "text_top_ngrams",
+        "tpch_q10",
     ]
     # warm the JVM + parquet footers with one tiny action
     spark.read.parquet(f"{SF_DIR}/region.parquet").count()

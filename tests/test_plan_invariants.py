@@ -265,3 +265,61 @@ def test_ngram_contamination_corpus_side_never_shuffles(spark):
     assert plan.count("BroadcastExchange") == 2, plan
     assert "CartesianProduct" not in plan, plan
     assert "SortMergeJoin" not in plan, plan
+
+
+def test_simhash_pairs_no_corpus_broadcast_no_cartesian(spark):
+    """The simhash band self-join must stay an equi-join on
+    (band, band_bits) with no forced corpus-cardinality broadcast — with
+    auto-broadcast off, no BroadcastExchange may remain at all."""
+    from metric_store_release_spark.pipeline.dedup import simhash_hamming_pairs
+
+    df = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        plan = _plan(simhash_hamming_pairs(df))
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "BroadcastExchange" not in plan, plan
+
+
+def test_bm25_term_filter_before_explode(spark):
+    """BM25 must filter the token array to query terms BEFORE the explode
+    (shuffling only matching occurrences), and the only broadcasts are the
+    |q|-row df table and the 1-row stats table."""
+    from metric_store_release_spark.pipeline.text import bm25_scores
+
+    df = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    plan = _plan(bm25_scores(df, ["spark", "join"]))
+    gen = [l for l in plan.splitlines() if "Generate explode" in l]
+    assert gen and all("filter" in l for l in gen), plan
+
+
+def test_quota_sample_window_input_is_pruned(spark):
+    """The exact rank must run on the hash-threshold survivor set, not the
+    full stratum: the plan's Window/Sort sits above a Filter carrying the
+    threshold comparison (a bare Window over the scan would sort whole
+    strata at 100 TB)."""
+    from metric_store_release_spark.pipeline.text import quota_sample
+
+    df = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    plan = _plan(quota_sample(df, 10))
+    assert "Window" in plan, plan
+    # the threshold filter compares the md5-derived bucket against the
+    # per-stratum cutoff; it must appear below the window sort
+    win_at = plan.index("Window")
+    assert "4294967296" in plan or "__n" in plan, plan
+    filt_at = plan.rindex("Filter")
+    assert filt_at > win_at, "no filter below the window\n" + plan
+
+
+def test_top_ngrams_is_take_ordered(spark):
+    """Global top-k must be TakeOrderedAndProject (per-partition partial
+    top-k), never a global Sort + Limit."""
+    from metric_store_release_spark.pipeline.text import top_ngrams
+
+    df = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    plan = _plan(top_ngrams(df, n=3, k=20))
+    assert "TakeOrderedAndProject" in plan, plan
