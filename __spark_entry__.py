@@ -391,6 +391,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["tpch_q4"] = _tpch_q4
     q["tpch_q10"] = _tpch_q10
     q["tpch_q18"] = _tpch_q18
+    q["events_sessionize"] = _events_sessionize
+    q["events_asof_join"] = _events_asof_join
 
     # --- streaming rollup analog (§2.9) ------------------------------------
     q["rollup_counter"] = _rollup_counter
@@ -712,6 +714,37 @@ def _tpch_q18(spark: SparkSession, sf_dir: str) -> DataFrame:
             "o_totalprice",
             F.round("total_qty", 4).alias("total_qty"),
         )
+    )
+
+
+_SESSION_GAP_MS = 4 * 3600 * 1000
+
+
+def _events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization (pipeline.events.sessionize): one shuffle
+    keyed by user, one sort reused by both window functions, pre-
+    partitioned session aggregation."""
+    from metric_store_release_spark.pipeline.events import sessionize
+    from metric_store_release_spark.sources.events_adapter import ts_ms
+
+    ev = _prepare(spark).read.parquet(f"{sf_dir}/events.parquet")
+    ev = ev.withColumn("ts_ms", ts_ms(ev)).drop("ts")
+    return sessionize(ev, gap_ms=_SESSION_GAP_MS)
+
+
+def _events_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Backward as-of join (pipeline.events.asof_join): each purchase
+    gains the most recent at-or-before view of the same user — union-tag
+    + last_value(ignoreNulls), no join node, one shuffle."""
+    from metric_store_release_spark.pipeline.events import asof_join
+    from metric_store_release_spark.sources.events_adapter import ts_ms
+
+    ev = _prepare(spark).read.parquet(f"{sf_dir}/events.parquet")
+    ev = ev.withColumn("ts_ms", ts_ms(ev)).drop("ts")
+    purchases = ev.filter(F.col("event_type") == "purchase")
+    views = ev.filter(F.col("event_type") == "view")
+    return asof_join(purchases, views, right_cols=("value",)).select(
+        "event_id", "user_id", "ts_ms", "value", "asof_ts_ms", "asof_value"
     )
 
 
@@ -1543,6 +1576,50 @@ FROM lineitem
 WHERE l_shipdate >= '1996-01-01' AND l_shipdate < '1997-01-01'
   AND l_discount >= 0.05 AND l_discount <= 0.07
   AND l_quantity < 24
+"""
+
+    o["events_sessionize"] = f"""
+WITH e AS (
+  SELECT user_id, event_id, epoch_ms(ts) AS ts_ms, value FROM events
+),
+flagged AS (
+  SELECT *, CASE WHEN lag(ts_ms) OVER w IS NULL
+                  OR ts_ms - lag(ts_ms) OVER w > {_SESSION_GAP_MS}
+             THEN 1 ELSE 0 END AS b
+  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_ms, event_id)
+),
+seq AS (
+  SELECT *, SUM(b) OVER (PARTITION BY user_id ORDER BY ts_ms, event_id
+                         ROWS UNBOUNDED PRECEDING) AS session_seq
+  FROM flagged
+)
+SELECT user_id, session_seq, MIN(ts_ms) AS session_start_ms,
+       MAX(ts_ms) AS session_end_ms, COUNT(*) AS n_events,
+       ROUND(SUM(value), 6) AS sum_value
+FROM seq GROUP BY user_id, session_seq
+"""
+
+    o["events_asof_join"] = """
+WITH e AS (SELECT user_id, event_id, epoch_ms(ts) AS ts_ms, value, event_type
+           FROM events),
+l AS (SELECT * FROM e WHERE event_type = 'purchase'),
+r AS (SELECT * FROM e WHERE event_type = 'view'),
+u AS (
+  SELECT user_id, ts_ms, event_id, 1 AS side, l.value AS lvalue,
+         l.event_id AS levent, NULL::BIGINT AS r_ts, NULL::DOUBLE AS r_val
+  FROM l
+  UNION ALL
+  SELECT user_id, ts_ms, event_id, 0, NULL, NULL, ts_ms, value FROM r
+),
+carried AS (
+  SELECT *, last_value(r_ts IGNORE NULLS) OVER w AS asof_ts_ms,
+            last_value(r_val IGNORE NULLS) OVER w AS asof_value
+  FROM u WINDOW w AS (PARTITION BY user_id ORDER BY ts_ms, side, event_id
+                      ROWS UNBOUNDED PRECEDING)
+)
+SELECT levent AS event_id, user_id, ts_ms, lvalue AS value,
+       asof_ts_ms, asof_value
+FROM carried WHERE side = 1
 """
 
     o["tpch_q4"] = """

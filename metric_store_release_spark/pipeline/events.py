@@ -1,0 +1,114 @@
+"""Event-stream analytics operators: sessionization and as-of join.
+
+Both are single-shuffle designs keyed by the (uniform) user column:
+
+  - sessionize: the classic gap-based session split. One shuffle + one
+    sort per user; the boundary flag, session number and per-session
+    aggregate all reuse the same window partitioning, so Spark plans ONE
+    Exchange + ONE Sort for the whole pipeline.
+  - asof_join: "for each left event, the most recent right event at or
+    before it". Implemented with the union-tag trick instead of a range
+    join: tag both sides, union, sort per key by (ts, side), and carry the
+    last non-null right value forward with last_value(ignoreNulls). No
+    join node at all — one shuffle of left+right, one sort, map-side
+    projection; immune to the range-join blowup and to right-side skew.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def sessionize(
+    events: DataFrame,
+    gap_ms: int = 30 * 60 * 1000,
+    user_col: str = "user_id",
+    ts_col: str = "ts_ms",
+    id_col: str = "event_id",
+    value_col: str = "value",
+) -> DataFrame:
+    """Split each user's event stream into sessions at inactivity gaps
+    > ``gap_ms``; return one row per session with start/end/count/sum.
+
+    Ordering ties break on ``id_col`` so the split is deterministic even
+    with duplicate timestamps. Plan: one Exchange keyed by user, one Sort
+    by (ts, id) reused by both window functions, then a hash aggregation
+    on (user, session_seq) that arrives pre-partitioned — no second
+    shuffle of the event stream.
+    """
+    w = Window.partitionBy(user_col).orderBy(F.col(ts_col), F.col(id_col))
+    prev_ts = F.lag(ts_col).over(w)
+    boundary = F.when(
+        prev_ts.isNull() | (F.col(ts_col) - prev_ts > gap_ms), 1
+    ).otherwise(0)
+    seq = F.sum(boundary).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        events.withColumn("session_seq", seq)
+        .groupBy(user_col, "session_seq")
+        .agg(
+            F.min(ts_col).alias("session_start_ms"),
+            F.max(ts_col).alias("session_end_ms"),
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum(value_col), 6).alias("sum_value"),
+        )
+    )
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str = "user_id",
+    ts_col: str = "ts_ms",
+    id_col: str = "event_id",
+    right_cols: tuple[str, ...] = ("value",),
+    prefix: str = "asof_",
+) -> DataFrame:
+    """Backward as-of join: each left row gains the most recent right row
+    with the same ``on`` key and right.ts <= left.ts (inclusive).
+
+    Union-tag formulation: right rows sort BEFORE left rows at equal
+    timestamps (side 0 < 1), equal (ts, side) ties break on ``id_col``,
+    and ``last_value(..., ignoreNulls)`` carries the latest right payload
+    forward onto every left row. Rows with no prior right match keep
+    nulls. Output: every left column plus ``prefix + ts_col`` and
+    ``prefix + c`` for each requested right column.
+    """
+    carried = [ts_col, *right_cols]
+    l = left.select(
+        *left.columns,
+        F.lit(1).alias("__side"),
+        *[F.lit(None).cast(dict(left.dtypes + right.dtypes)[c]).alias(f"__r_{c}") for c in carried],
+    )
+    r = right.select(
+        F.col(on),
+        F.col(ts_col),
+        F.col(id_col),
+        F.lit(0).alias("__side"),
+        *[F.col(c).alias(f"__r_{c}") for c in carried],
+    )
+    # align schemas: left keeps all its columns; right fills the rest null
+    for c in left.columns:
+        if c not in r.columns:
+            r = r.withColumn(c, F.lit(None).cast(dict(left.dtypes)[c]))
+    r = r.select(*l.columns)
+    unioned = l.unionByName(r)
+    w = (
+        Window.partitionBy(on)
+        .orderBy(F.col(ts_col), F.col("__side"), F.col(id_col))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    out = unioned.select(
+        "*",
+        *[
+            F.last(F.col(f"__r_{c}"), ignorenulls=True)
+            .over(w)
+            .alias(f"{prefix}{c}")
+            for c in carried
+        ],
+    )
+    return out.filter(F.col("__side") == 1).drop(
+        "__side", *[f"__r_{c}" for c in carried]
+    )

@@ -734,3 +734,80 @@ def test_top_ngrams_counts_and_tiebreak(spark):
         ("b c d", 2),
         ("b c e", 1),  # df=1 ties ("b c e", "x y") break on gram ascending
     ]
+
+
+def test_sessionize_hand_computed(spark):
+    from metric_store_release_spark.pipeline.events import sessionize
+
+    rows = [
+        # user 1: two sessions split by a 10-min gap (gap_ms=5 min)
+        (1, 1, 0, 1.0),
+        (2, 1, 60_000, 2.0),
+        (3, 1, 660_000, 4.0),
+        # user 2: one singleton session
+        (4, 2, 0, 8.0),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, user_id long, ts_ms long, value double"
+    )
+    out = {
+        (r["user_id"], r["session_seq"]): r
+        for r in sessionize(df, gap_ms=300_000).collect()
+    }
+    assert len(out) == 3
+    s11 = out[(1, 1)]
+    assert (s11["session_start_ms"], s11["session_end_ms"]) == (0, 60_000)
+    assert (s11["n_events"], s11["sum_value"]) == (2, 3.0)
+    s12 = out[(1, 2)]
+    assert s12["n_events"] == 1 and s12["sum_value"] == 4.0
+    assert out[(2, 1)]["n_events"] == 1
+
+
+def test_sessionize_single_exchange(spark):
+    """The whole sessionize pipeline must plan exactly one Exchange: the
+    window shuffle keyed by user; the session agg arrives pre-partitioned."""
+    from metric_store_release_spark.pipeline.events import sessionize
+
+    rows = [(i, i % 3, i * 1000, 1.0) for i in range(30)]
+    df = spark.createDataFrame(
+        rows, "event_id long, user_id long, ts_ms long, value double"
+    )
+    plan = sessionize(df)._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange") == 1, plan
+
+
+def test_asof_join_backward_inclusive(spark):
+    from metric_store_release_spark.pipeline.events import asof_join
+
+    left = spark.createDataFrame(
+        [(10, 1, 1000, 5.0), (11, 1, 3000, 6.0), (12, 2, 500, 7.0)],
+        "event_id long, user_id long, ts_ms long, value double",
+    )
+    right = spark.createDataFrame(
+        [(20, 1, 1000, 0.1), (21, 1, 2000, 0.2), (22, 1, 4000, 0.3)],
+        "event_id long, user_id long, ts_ms long, value double",
+    )
+    out = {r["event_id"]: r for r in asof_join(left, right).collect()}
+    # equal-ts right row matches (inclusive, right sorts first)
+    assert (out[10]["asof_ts_ms"], out[10]["asof_value"]) == (1000, 0.1)
+    # picks the most recent at-or-before, not any earlier one
+    assert (out[11]["asof_ts_ms"], out[11]["asof_value"]) == (2000, 0.2)
+    # no prior right row for user 2 -> nulls
+    assert out[12]["asof_ts_ms"] is None and out[12]["asof_value"] is None
+
+
+def test_asof_join_no_join_node(spark):
+    """The union-tag as-of must compile to window-over-union: no join
+    operator (a range join here explodes at scale)."""
+    from metric_store_release_spark.pipeline.events import asof_join
+
+    left = spark.createDataFrame(
+        [(1, 1, 1000, 1.0)], "event_id long, user_id long, ts_ms long, value double"
+    )
+    right = spark.createDataFrame(
+        [(2, 1, 500, 2.0)], "event_id long, user_id long, ts_ms long, value double"
+    )
+    plan = (
+        asof_join(left, right)._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Join" not in plan, plan
