@@ -1,0 +1,106 @@
+"""Bucketed-layout evidence: bucket-key operations plan no Exchange.
+
+These tests disable auto-broadcast so a missing Exchange can only come
+from the bucketed scan's hash distribution, not from a broadcast plan.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from metric_store_release_spark.sources.bucketed import (
+    read_bucketed,
+    write_bucketed,
+)
+
+
+@pytest.fixture(scope="module")
+def bucketed_docs(spark):
+    df = spark.createDataFrame(
+        [(i, f"text {i} " * 5, float(i)) for i in range(200)],
+        "doc_id long, text string, score double",
+    )
+    write_bucketed(df, "b_docs", "doc_id", 4)
+    return read_bucketed(spark, "b_docs")
+
+
+@pytest.fixture(scope="module")
+def bucketed_events(spark):
+    rows = [(i, i % 7, i * 60_000, float(i % 5)) for i in range(500)]
+    df = spark.createDataFrame(
+        rows, "event_id long, user_id long, ts_ms long, value double"
+    )
+    write_bucketed(
+        df, "b_events", "user_id", 4, sort_cols=("user_id", "ts_ms", "event_id")
+    )
+    return read_bucketed(spark, "b_events")
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+@pytest.fixture()
+def no_broadcast(spark):
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    yield
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+
+
+def test_bucket_key_join_no_exchange(spark, bucketed_docs, no_broadcast):
+    """Self-join on the bucket key: both sides arrive pre-partitioned, so
+    the sort-merge join plans zero Exchange."""
+    a = bucketed_docs.select("doc_id", "score")
+    b = bucketed_docs.select(F.col("doc_id"), F.col("text"))
+    joined = a.join(b, "doc_id")
+    plan = _plan(joined)
+    assert "Exchange" not in plan, plan
+    assert joined.count() == 200
+
+
+def test_bucket_key_groupby_no_exchange(spark, bucketed_docs):
+    """Aggregation keyed by the bucket column: the scan satisfies the
+    required distribution, no shuffle."""
+    agg = bucketed_docs.groupBy("doc_id").agg(F.sum("score").alias("s"))
+    plan = _plan(agg)
+    assert "Exchange" not in plan, plan
+    assert agg.count() == 200
+
+
+def test_sessionize_on_bucketed_events_no_exchange(spark, bucketed_events):
+    """sessionize's per-user window over a user-bucketed events table: the
+    stored layout satisfies the window's distribution, so the WHOLE session
+    pipeline plans zero Exchange — the remaining Sort is per-bucket (local,
+    linear, no network; Spark does not propagate bucket sort order when
+    buckets span multiple files)."""
+    from metric_store_release_spark.pipeline.events import sessionize
+
+    out = sessionize(bucketed_events, gap_ms=120_000)
+    plan = _plan(out)
+    assert "Exchange" not in plan, plan
+    # semantics unchanged vs the unbucketed path
+    plain = spark.createDataFrame(
+        bucketed_events.collect(), bucketed_events.schema
+    )
+    want = {
+        (r["user_id"], r["session_seq"]): (r["n_events"], r["sum_value"])
+        for r in sessionize(plain, gap_ms=120_000).collect()
+    }
+    got = {
+        (r["user_id"], r["session_seq"]): (r["n_events"], r["sum_value"])
+        for r in out.collect()
+    }
+    assert got == want
+
+
+def test_unbucketed_join_does_exchange(spark, no_broadcast):
+    """Control: the same join over plain frames shuffles — proves the
+    Exchange-free plans above come from the bucketed layout."""
+    df = spark.createDataFrame(
+        [(i, float(i)) for i in range(50)], "doc_id long, score double"
+    )
+    joined = df.join(df.withColumnRenamed("score", "s2"), "doc_id")
+    assert "Exchange" in _plan(joined)
