@@ -393,6 +393,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["tpch_q18"] = _tpch_q18
     q["events_sessionize"] = _events_sessionize
     q["events_asof_join"] = _events_asof_join
+    q["events_funnel"] = _events_funnel
 
     # --- streaming rollup analog (§2.9) ------------------------------------
     q["rollup_counter"] = _rollup_counter
@@ -446,14 +447,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 _FAMILY_FIRST_ORDER = [
     "promql_selector", "promql_selector_regex",
     "promql_sum_by_user", "promql_avg_without", "promql_topk",
-    "promql_quantile_agg",
     "promql_sum_over_time",
     "promql_rate",
     "promql_binop_add",
     "promql_and", "promql_group_left_ratio",
     "promql_scalar_math", "promql_label_replace",
-    "promql_absent",
     "promql_subquery", "promql_histogram_quantile",
+    # events family window reps (displaced promql_absent / promql_quantile_agg
+    # families keep scalar-fn and aggregation representatives in-window)
+    "events_sessionize", "events_asof_join",
     # round-5 additions inside the driver window; the displaced
     # promql_date_fn / promql_vector_time / promql_count_values /
     # promql_holt_winters families keep other in-window representatives
@@ -746,6 +748,20 @@ def _events_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return asof_join(purchases, views, right_cols=("value",)).select(
         "event_id", "user_id", "ts_ms", "value", "asof_ts_ms", "asof_value"
     )
+
+
+_FUNNEL_WINDOW_MS = 3 * 24 * 3600 * 1000
+
+
+def _events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered view→click→purchase funnel within 3 days of first view
+    (pipeline.events.funnel): one per-user aggregation per step."""
+    from metric_store_release_spark.pipeline.events import funnel
+    from metric_store_release_spark.sources.events_adapter import ts_ms
+
+    ev = _prepare(spark).read.parquet(f"{sf_dir}/events.parquet")
+    ev = ev.withColumn("ts_ms", ts_ms(ev)).drop("ts")
+    return funnel(ev, ["view", "click", "purchase"], _FUNNEL_WINDOW_MS)
 
 
 def _rollup_counter(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1620,6 +1636,25 @@ carried AS (
 SELECT levent AS event_id, user_id, ts_ms, lvalue AS value,
        asof_ts_ms, asof_value
 FROM carried WHERE side = 1
+"""
+
+    o["events_funnel"] = f"""
+WITH e AS (SELECT user_id, event_type, epoch_ms(ts) AS ts_ms FROM events),
+s1 AS (SELECT user_id, MIN(ts_ms) AS t, MIN(ts_ms) + {_FUNNEL_WINDOW_MS} AS deadline
+       FROM e WHERE event_type = 'view' GROUP BY user_id),
+s2 AS (SELECT e.user_id, MIN(e.ts_ms) AS t, MIN(deadline) AS deadline
+       FROM e JOIN s1 USING (user_id)
+       WHERE event_type = 'click' AND e.ts_ms >= s1.t AND e.ts_ms <= s1.deadline
+       GROUP BY e.user_id),
+s3 AS (SELECT e.user_id, MIN(e.ts_ms) AS t
+       FROM e JOIN s2 USING (user_id)
+       WHERE event_type = 'purchase' AND e.ts_ms >= s2.t AND e.ts_ms <= s2.deadline
+       GROUP BY e.user_id)
+SELECT 1 AS step_index, 'view' AS step, (SELECT COUNT(*) FROM s1) AS n_users
+UNION ALL
+SELECT 2, 'click', (SELECT COUNT(*) FROM s2)
+UNION ALL
+SELECT 3, 'purchase', (SELECT COUNT(*) FROM s3)
 """
 
     o["tpch_q4"] = """

@@ -68,6 +68,8 @@ def main() -> None:
         "text_bm25",
         "text_top_ngrams",
         "tpch_q10",
+        "events_sessionize",
+        "events_asof_join",
     ]
     # warm the JVM + parquet footers with one tiny action
     spark.read.parquet(f"{SF_DIR}/region.parquet").count()

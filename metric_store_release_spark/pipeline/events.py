@@ -57,6 +57,73 @@ def sessionize(
     )
 
 
+def funnel(
+    events: DataFrame,
+    steps: list[str],
+    window_ms: int,
+    type_col: str = "event_type",
+    user_col: str = "user_id",
+    ts_col: str = "ts_ms",
+) -> DataFrame:
+    """Ordered-funnel conversion: how many users performed ``steps`` in
+    order, all within ``window_ms`` of their FIRST step-0 event.
+
+    Semantics: t0 = the user's earliest step-0 event; each later step k
+    needs an event at-or-after the user's step-(k-1) completion time and
+    no later than t0 + window. Earliest-qualifying times are used at every
+    level, which maximizes conversion (the standard greedy funnel).
+
+    Plan shape: one filtered aggregation per step keyed by the (uniform)
+    user column, chained by per-user equi-joins — len(steps) small
+    shuffles over only that step's events, no windows over the full
+    stream, no cross-step data movement beyond the per-user frontier
+    table (one row per surviving user). Output: (step_index, step,
+    n_users), built as a union of 1-row aggregates.
+    """
+    if not steps:
+        raise ValueError("steps must be non-empty")
+    first = (
+        events.filter(F.col(type_col) == steps[0])
+        .groupBy(user_col)
+        .agg(F.min(ts_col).alias("__t"))
+        .withColumn("__deadline", F.col("__t") + F.lit(window_ms))
+    )
+    frontier = first
+    counts = [
+        frontier.agg(
+            F.lit(1).alias("step_index"),
+            F.lit(steps[0]).alias("step"),
+            F.count(F.lit(1)).alias("n_users"),
+        )
+    ]
+    for k, step in enumerate(steps[1:], start=2):
+        nxt = (
+            events.filter(F.col(type_col) == step)
+            .join(frontier, user_col)
+            .filter(
+                (F.col(ts_col) >= F.col("__t"))
+                & (F.col(ts_col) <= F.col("__deadline"))
+            )
+            .groupBy(user_col)
+            .agg(
+                F.min(ts_col).alias("__t"),
+                F.first("__deadline").alias("__deadline"),
+            )
+        )
+        frontier = nxt
+        counts.append(
+            frontier.agg(
+                F.lit(k).alias("step_index"),
+                F.lit(step).alias("step"),
+                F.count(F.lit(1)).alias("n_users"),
+            )
+        )
+    out = counts[0]
+    for c in counts[1:]:
+        out = out.unionByName(c)
+    return out
+
+
 def asof_join(
     left: DataFrame,
     right: DataFrame,

@@ -811,3 +811,32 @@ def test_asof_join_no_join_node(spark):
         asof_join(left, right)._jdf.queryExecution().executedPlan().toString()
     )
     assert "Join" not in plan, plan
+
+
+def test_funnel_order_and_window_enforced(spark):
+    from metric_store_release_spark.pipeline.events import funnel
+
+    H = 3600 * 1000
+    rows = [
+        # user 1 converts fully in order inside the window
+        (1, 1, "view", 0),
+        (2, 1, "click", 1 * H),
+        (3, 1, "purchase", 2 * H),
+        # user 2 clicks BEFORE viewing -> click doesn't count
+        (4, 2, "click", 0),
+        (5, 2, "view", 1 * H),
+        # user 3 clicks after the window closes
+        (6, 3, "view", 0),
+        (7, 3, "click", 25 * H),
+        # user 4 purchases without clicking -> stops at view
+        (8, 4, "view", 0),
+        (9, 4, "purchase", 1 * H),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, user_id long, event_type string, ts_ms long"
+    )
+    out = {
+        r["step_index"]: r["n_users"]
+        for r in funnel(df, ["view", "click", "purchase"], 24 * H).collect()
+    }
+    assert out == {1: 4, 2: 1, 3: 1}
