@@ -1077,8 +1077,10 @@ def _docs_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _embedding_ann_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end trained ANN: Lloyd's k-means learns the IVF coarse
-    quantizer on the corpus (pipeline.similarity.kmeans_centroids, k=8,
-    2 rounds), then ivf_topk probes the 3 nearest trained lists per
+    quantizer on a deterministic 25% hash sample of the corpus
+    (pipeline.similarity.kmeans_centroids, k=8, 2 rounds — sampled
+    training is the standard IVF recipe and decouples train cost from
+    corpus size), then ivf_topk probes the 3 nearest trained lists per
     query — index build and search as one deterministic pipeline."""
     from metric_store_release_spark.pipeline.similarity import (
         ivf_topk,
@@ -1087,7 +1089,7 @@ def _embedding_ann_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = _emb(spark, sf_dir)
     corpus = emb.filter(F.col("vec_id") >= 5)
-    cents = kmeans_centroids(corpus, k=8, iters=2)
+    cents = kmeans_centroids(corpus, k=8, iters=2, sample_fraction=_ANN_TRAIN_FRACTION)
     queries_df = emb.filter(F.col("vec_id") < 5).select(
         F.col("vec_id").alias("query_id"), F.col("embedding")
     )
@@ -2576,6 +2578,9 @@ GROUP BY 1, 2
 """
 
 
+_ANN_TRAIN_FRACTION = 0.25
+
+
 def _ann_trained_oracle(
     dim: int = _EMB_DIM,
     k_lists: int = 8,
@@ -2599,11 +2604,13 @@ def _ann_trained_oracle(
     ).format(dim=dim)
 
     def assign_cte(name: str, cent: str) -> str:
+        # training assignment runs over the SAMPLED table tr (not emb):
+        # mirrors kmeans_centroids(sample_fraction=_ANN_TRAIN_FRACTION)
         return f"""{name} AS (
   SELECT vec_id, e, cid FROM (
     SELECT emb.vec_id, emb.e, c.cid,
            row_number() OVER (PARTITION BY emb.vec_id ORDER BY {dist}, c.cid) AS rn
-    FROM emb CROSS JOIN {cent} c) WHERE rn = 1
+    FROM tr emb CROSS JOIN {cent} c) WHERE rn = 1
 )"""
 
     def update_cte(name: str, assigned: str, prev: str) -> str:
@@ -2622,9 +2629,12 @@ def _ann_trained_oracle(
     ctes = [
         "emb AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings"
         " WHERE vec_id >= 5)",
+        "tr AS (SELECT * FROM emb WHERE"
+        " ('0x' || substr(md5(vec_id::VARCHAR), 1, 8))::BIGINT / 4294967296.0"
+        f" < {_ANN_TRAIN_FRACTION})",
         f"""c0 AS (
   SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, e AS c
-  FROM (SELECT * FROM emb ORDER BY vec_id LIMIT {k_lists}))""",
+  FROM (SELECT * FROM tr ORDER BY vec_id LIMIT {k_lists}))""",
     ]
     for it in range(iters):
         ctes.append(assign_cte(f"a{it}", f"c{it}"))

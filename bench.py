@@ -70,6 +70,7 @@ def main() -> None:
         "tpch_q10",
         "events_sessionize",
         "events_asof_join",
+        "events_funnel",
     ]
     # warm the JVM + parquet footers with one tiny action
     spark.read.parquet(f"{SF_DIR}/region.parquet").count()

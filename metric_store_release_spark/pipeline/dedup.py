@@ -285,15 +285,18 @@ def ngram_contamination(
     Returns (corpus ``id_col``, bench_id, shared_windows).
 
     100 TB shape: the benchmark gram table is BENCHMARK-cardinality (an
-    eval suite — thousands of documents), so it broadcasts; the corpus
-    side builds its window grams fused with the corpus scan and NEVER
-    shuffles the corpus. The only exchange is the final
-    (corpus, benchmark) pair count over collision rows — contamination
-    hits only, vanishingly small by construction. Benchmark windows
+    eval suite — typically thousands of documents), so AQE broadcasts it
+    and the corpus side builds its window grams fused with the corpus
+    scan, never shuffling the corpus. The join carries NO broadcast hint:
+    a forced hint would OOM when a caller passes a benchmark that scales
+    with the corpus (measured: 25 s and climbing superlinearly at a 20k-doc
+    derived benchmark); with the plain equi-join AQE keeps the
+    broadcast-when-small plan and degrades to a uniform (h1, h2)-keyed
+    shuffle join when the benchmark is genuinely large. Benchmark windows
     occurring in more than ``bench_hot_cap`` benchmark docs (suite
     boilerplate: shared prompts, answer templates) are dropped under the
-    same rationale as shared_ngram_pairs' hot guard; both guard joins are
-    benchmark-sized."""
+    same rationale as shared_ngram_pairs' hot guard; the guard join is
+    bounded by the cap."""
     g_c = _window_gram_table(corpus, text_col, id_col, window_n)
     g_b = _window_gram_table(benchmark, text_col, id_col, window_n).select(
         F.col(id_col).alias("bench_id"), "h1", "h2"
@@ -306,7 +309,7 @@ def ngram_contamination(
     )
     g_b = g_b.join(F.broadcast(hot), ["h1", "h2"], "left_anti")
     return (
-        g_c.join(F.broadcast(g_b), ["h1", "h2"])
+        g_c.join(g_b, ["h1", "h2"])
         .groupBy(id_col, "bench_id")
         .agg(F.count(F.lit(1)).alias("shared_windows"))
     )

@@ -123,12 +123,29 @@ def kmeans_centroids(
     id_col: str = "vec_id",
     k: int = 4,
     iters: int = 3,
+    sample_fraction: float | None = None,
+    sample_salt: str = "",
 ) -> list[list[float]]:
     """The Lloyd training loop of :func:`kmeans`, returning the final
     centroid matrix (k×dim floats — a few KB, independent of corpus
-    size). Feed it to :func:`ivf_topk` for a trained IVF index."""
+    size). Feed it to :func:`ivf_topk` for a trained IVF index.
+
+    ``sample_fraction`` trains on a DETERMINISTIC hash-threshold sample
+    (md5(salt ∥ id)/2³² < fraction — the same engine-portable rule as
+    text.deterministic_sample): the standard IVF practice of training the
+    coarse quantizer on a corpus sample, which decouples training cost
+    from corpus size — at 100 TB you train on ~10⁶ vectors, not 10¹⁰.
+    Reproducible by a SQL oracle; init picks the k smallest ids WITHIN
+    the sample."""
+    from metric_store_release_spark.pipeline.text import hex_word
+
     vec = F.col(vec_col).cast("array<double>")
     base = df.select(F.col(id_col), vec.alias("__v"))
+    if sample_fraction is not None:
+        bucket = hex_word(
+            F.md5(F.concat(F.lit(sample_salt), F.col(id_col).cast("string")))
+        )
+        base = base.filter(bucket / F.lit(float(1 << 32)) < sample_fraction)
     cents: list[list[float]] = [
         list(r["__v"]) for r in base.orderBy(id_col).limit(k).collect()
     ]

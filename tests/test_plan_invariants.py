@@ -247,11 +247,13 @@ def test_prepare_corpus_two_wide_ops_only(spark):
     assert plan.count("Exchange") <= 3, plan  # digest agg + join sides
 
 
-def test_ngram_contamination_corpus_side_never_shuffles(spark):
-    """Contamination joins broadcast benchmark grams into the corpus scan:
-    with auto-broadcast off, the only BroadcastExchanges are the two
-    forced ones (bench gram table + its hot guard) and the corpus rows
-    reach the final pair count without a corpus-cardinality shuffle."""
+def test_ngram_contamination_no_forced_benchmark_broadcast(spark):
+    """The benchmark-gram join carries NO broadcast hint (a forced hint
+    OOMs when the benchmark scales with the corpus): with auto-broadcast
+    off the only BroadcastExchange left is the bounded hot guard, and the
+    main join degrades to a uniform equi-join — never a cartesian. With
+    defaults on, AQE still broadcasts the (small) benchmark side so the
+    corpus never shuffles."""
     from metric_store_release_spark.pipeline.dedup import ngram_contamination
 
     docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
@@ -262,9 +264,11 @@ def test_ngram_contamination_corpus_side_never_shuffles(spark):
         plan = _plan(ngram_contamination(docs, bench))
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
-    assert plan.count("BroadcastExchange") == 2, plan
+    assert plan.count("BroadcastExchange") == 1, plan
     assert "CartesianProduct" not in plan, plan
-    assert "SortMergeJoin" not in plan, plan
+    # default path: AQE broadcasts the genuinely-small benchmark side
+    default_plan = _plan(ngram_contamination(docs, bench))
+    assert default_plan.count("BroadcastExchange") >= 2, default_plan
 
 
 def test_simhash_pairs_no_corpus_broadcast_no_cartesian(spark):
