@@ -1766,6 +1766,7 @@ grams AS (
                 ELSE [list_aggr(ws, 'string_agg', ' ')] END AS gs
     FROM toks
   ), unnest(gs) AS t(g)
+  WHERE g IS NOT NULL  -- empty docs contribute no grams (matches Spark)
 )
 SELECT g AS gram, count(*) AS df
 FROM grams GROUP BY g

@@ -44,8 +44,13 @@ def _word_shingles(text: Column, n: int) -> Column:
             F.slice(toks, 1 + j, m),
             lambda a, b: F.concat(a, F.lit(" "), b),
         )
+    # short docs contribute their whole token run as one shingle; EMPTY
+    # docs contribute NO shingles (an empty-string gram would diverge from
+    # SQL oracles, where string_agg over an empty list is NULL)
     return F.array_distinct(
-        F.when(k >= n, acc).otherwise(F.array(F.concat_ws(" ", toks)))
+        F.when(k >= n, acc)
+        .when(k > 0, F.array(F.concat_ws(" ", toks)))
+        .otherwise(F.array().cast("array<string>"))
     )
 
 
@@ -295,8 +300,8 @@ def ngram_contamination(
     shuffle join when the benchmark is genuinely large. Benchmark windows
     occurring in more than ``bench_hot_cap`` benchmark docs (suite
     boilerplate: shared prompts, answer templates) are dropped under the
-    same rationale as shared_ngram_pairs' hot guard; the guard join is
-    bounded by the cap."""
+    same rationale as shared_ngram_pairs' hot guard; the guard table is
+    |benchmark grams|/cap — also unhinted, AQE-sized."""
     g_c = _window_gram_table(corpus, text_col, id_col, window_n)
     g_b = _window_gram_table(benchmark, text_col, id_col, window_n).select(
         F.col(id_col).alias("bench_id"), "h1", "h2"
@@ -307,7 +312,9 @@ def ngram_contamination(
         .filter(F.col("count") > bench_hot_cap)
         .select("h1", "h2")
     )
-    g_b = g_b.join(F.broadcast(hot), ["h1", "h2"], "left_anti")
+    # no hint here either: |hot| ~ |benchmark grams| / cap, which still
+    # grows with the benchmark — AQE broadcasts it while genuinely small
+    g_b = g_b.join(hot, ["h1", "h2"], "left_anti")
     return (
         g_c.join(g_b, ["h1", "h2"])
         .groupBy(id_col, "bench_id")

@@ -137,18 +137,26 @@ def kmeans_centroids(
     from corpus size — at 100 TB you train on ~10⁶ vectors, not 10¹⁰.
     Reproducible by a SQL oracle; init picks the k smallest ids WITHIN
     the sample."""
-    from metric_store_release_spark.pipeline.text import hex_word
+    from metric_store_release_spark.pipeline.text import hash_bucket
 
     vec = F.col(vec_col).cast("array<double>")
     base = df.select(F.col(id_col), vec.alias("__v"))
     if sample_fraction is not None:
-        bucket = hex_word(
-            F.md5(F.concat(F.lit(sample_salt), F.col(id_col).cast("string")))
-        )
-        base = base.filter(bucket / F.lit(float(1 << 32)) < sample_fraction)
+        point = hash_bucket(F.col(id_col), sample_salt) / F.lit(float(1 << 32))
+        base = base.filter(point < sample_fraction)
     cents: list[list[float]] = [
         list(r["__v"]) for r in base.orderBy(id_col).limit(k).collect()
     ]
+    if len(cents) < k:
+        raise ValueError(
+            f"k-means needs at least k={k} training vectors, got {len(cents)}"
+            + (
+                f" after sampling at fraction {sample_fraction} — raise "
+                "sample_fraction or pass None"
+                if sample_fraction is not None
+                else ""
+            )
+        )
     for _ in range(iters):
         # assign FIRST, explode SECOND, in separate projections: a single
         # select with posexplode evaluates the assignment expression once

@@ -227,8 +227,7 @@ def deterministic_sample(
     incremental re-runs are supersets. Portable to any SQL engine for
     oracle checks.
     """
-    bucket = hex_word(F.md5(F.concat(F.lit(salt), F.col(id_col).cast("string"))))
-    point = bucket / F.lit(float(1 << 32))
+    point = hash_bucket(F.col(id_col), salt) / F.lit(float(1 << 32))
     frac = F.lit(float(default_fraction))
     for k in sorted(fractions):
         frac = F.when(F.col(strata_col) == k, F.lit(float(fractions[k]))).otherwise(frac)
@@ -306,6 +305,18 @@ def unigram_logprob(
     )
 
 
+def hash_bucket(id_col: Column, salt: str = "") -> Column:
+    """The engine-portable deterministic sampling key: first 8 hex digits
+    of md5(salt ∥ id) as a long in [0, 2³²). The ONE definition shared by
+    deterministic_sample, quota_sample and kmeans_centroids' training
+    sample — their prefix-consistency guarantees (a smaller sample is
+    always a subset of a larger one, quota winners are the lowest-hash
+    rows) hold only while all three use the identical rule, and every
+    DuckDB oracle replays it as
+    ``('0x' || substr(md5(id::VARCHAR), 1, 8))::BIGINT``."""
+    return hex_word(F.md5(F.concat(F.lit(salt), id_col.cast("string"))))
+
+
 def bm25_scores(
     df: DataFrame,
     query_terms: list[str],
@@ -318,28 +329,31 @@ def bm25_scores(
     & Spärck Jones Okapi BM25 — the published formula, idf = ln(1 +
     (N−df+0.5)/(df+0.5)), Lucene's non-negative variant).
 
-    Plan shape for 100 TB: doc length is a map-side projection; the token
-    stream is FILTERED TO QUERY TERMS BEFORE the explode-shuffle, so the
-    per-(doc, term) tf aggregation shuffles only matching occurrences —
-    |q| terms, not the corpus vocabulary. The per-term df table and the
-    (N, avgdl) grand stats are |q|-row / 1-row broadcasts. One equi-join
-    back to per-doc lengths (plain join, AQE decides). Output: docs with
-    at least one query term, deterministic rounded score.
+    Plan shape for 100 TB: the token stream is FILTERED TO QUERY TERMS
+    BEFORE the explode-shuffle, so the per-(doc, term) tf aggregation
+    shuffles only matching occurrences — |q| terms, not the corpus
+    vocabulary — and the doc length rides the explode into that same
+    aggregation (first(dl)), so NO doc-cardinality join exists anywhere.
+    The per-term df table and the (N, avgdl) grand stats are |q|-row /
+    1-row broadcasts. Output: docs with at least one query term,
+    deterministic rounded score.
     """
+    if not query_terms:
+        raise ValueError("query_terms must be non-empty")
     terms = sorted(set(query_terms))
     toks = tokens(F.col(text_col))
-    lens = df.select(F.col(id_col), F.size(toks).alias("dl"))
     tf = (
         df.select(
             F.col(id_col),
+            F.size(toks).alias("dl"),
             F.explode(
                 F.filter(toks, lambda w: w.isin(*terms))
             ).alias("term"),
         )
         .groupBy(id_col, "term")
-        .agg(F.count(F.lit(1)).alias("tf"))
+        .agg(F.count(F.lit(1)).alias("tf"), F.first("dl").alias("dl"))
     )
-    stats = lens.agg(
+    stats = df.select(F.size(toks).alias("dl")).agg(
         F.count(F.lit(1)).alias("n_docs"), F.avg("dl").alias("avgdl")
     )
     dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
@@ -352,7 +366,6 @@ def bm25_scores(
     )
     return (
         tf.join(F.broadcast(dfreq), "term")
-        .join(lens, id_col)
         .join(F.broadcast(stats))
         .groupBy(id_col)
         .agg(F.round(F.sum(idf * tf_part), 6).alias("bm25"))
@@ -384,18 +397,24 @@ def quota_sample(
     deterministic given the data; P(under-selection) for margin 8 is
     exp(-Θ(quota)) over the hash ensemble — the oracle check would catch
     the (never-observed) miss.
+
+    A NULL stratum is a real stratum (matching SQL's PARTITION BY): the
+    counts join is null-safe, so NULL-keyed rows get their quota too.
     """
     from pyspark.sql import Window
 
-    bucket = hex_word(F.md5(F.concat(F.lit(salt), F.col(id_col).cast("string"))))
+    bucket = hash_bucket(F.col(id_col), salt)
     counts = df.groupBy(strata_col).agg(F.count(F.lit(1)).alias("__n"))
     thresh = F.when(
         F.col("__n") <= F.lit(margin * quota), F.lit(1 << 32).cast("long")
     ).otherwise((F.lit(float(margin * quota)) / F.col("__n") * (1 << 32)).cast("long"))
     survivors = (
-        df.join(F.broadcast(counts), strata_col)
+        df.join(
+            F.broadcast(counts.withColumnRenamed(strata_col, "__k")),
+            F.col(strata_col).eqNullSafe(F.col("__k")),
+        )
         .filter(bucket < thresh)
-        .drop("__n")
+        .drop("__n", "__k")
     )
     w = Window.partitionBy(strata_col).orderBy(bucket.asc(), F.col(id_col).asc())
     return (

@@ -48,16 +48,20 @@ def write_bucketed(
         spark.sql(f"DROP TABLE IF EXISTS {table}")
         # an in-memory catalog forgets managed tables between sessions but
         # their warehouse directories survive; clear the orphan location
-        # or saveAsTable fails with LOCATION_ALREADY_EXISTS
-        import shutil
-        from pathlib import Path
+        # or saveAsTable fails with LOCATION_ALREADY_EXISTS. Only for
+        # UNQUALIFIED names in the default database — a qualified name's
+        # location lives under <db>.db/ and guessing it risks deleting an
+        # unrelated default-db table of the same trailing name.
+        if "." not in table:
+            import shutil
+            from pathlib import Path
 
-        warehouse = spark.conf.get(
-            "spark.sql.warehouse.dir", "spark-warehouse"
-        ).removeprefix("file:")
-        orphan = Path(warehouse) / table.split(".")[-1]
-        if orphan.exists():
-            shutil.rmtree(orphan)
+            warehouse = spark.conf.get(
+                "spark.sql.warehouse.dir", "spark-warehouse"
+            ).removeprefix("file:")
+            orphan = Path(warehouse) / table
+            if orphan.exists():
+                shutil.rmtree(orphan)
     w = df.write.format("parquet").bucketBy(n_buckets, bucket_col)
     if sort_cols:
         w = w.sortBy(*sort_cols)

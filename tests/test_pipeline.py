@@ -840,3 +840,51 @@ def test_funnel_order_and_window_enforced(spark):
         for r in funnel(df, ["view", "click", "purchase"], 24 * H).collect()
     }
     assert out == {1: 4, 2: 1, 3: 1}
+
+
+def test_quota_sample_null_stratum_counts(spark):
+    """A NULL stratum is a real stratum (SQL PARTITION BY semantics): the
+    counts join is null-safe, so NULL-keyed rows get their quota too."""
+    from metric_store_release_spark.pipeline.text import quota_sample
+
+    rows = [(i, "x", None if i % 2 else "en") for i in range(40)]
+    df = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    out = quota_sample(df, 7).groupBy("lang").count().collect()
+    assert {r["lang"]: r["count"] for r in out} == {"en": 7, None: 7}
+
+
+def test_bm25_empty_terms_raises(spark):
+    from metric_store_release_spark.pipeline.text import bm25_scores
+
+    df = spark.createDataFrame([(1, "a b")], "doc_id long, text string")
+    with pytest.raises(ValueError, match="non-empty"):
+        bm25_scores(df, [])
+
+
+def test_kmeans_sample_smaller_than_k_raises(spark):
+    from metric_store_release_spark.pipeline.similarity import kmeans_centroids
+
+    df = spark.createDataFrame(
+        [(i, [float(i), 0.0]) for i in range(10)],
+        "vec_id long, embedding array<float>",
+    )
+    with pytest.raises(ValueError, match="at least k"):
+        kmeans_centroids(df, k=8, iters=1, sample_fraction=0.01)
+
+
+def test_empty_docs_produce_no_shingles_or_grams(spark):
+    """Empty/whitespace docs contribute nothing: no '' shingle (which
+    would diverge from SQL oracles where string_agg over [] is NULL)."""
+    from metric_store_release_spark.pipeline.dedup import _word_shingles
+    from metric_store_release_spark.pipeline.text import top_ngrams
+
+    df = spark.createDataFrame(
+        [(1, ""), (2, "   "), (3, "a b")], "doc_id long, text string"
+    )
+    sh = df.select(
+        "doc_id", _word_shingles(F.col("text"), 3).alias("sh")
+    ).collect()
+    got = {r["doc_id"]: r["sh"] for r in sh}
+    assert got[1] == [] and got[2] == [] and got[3] == ["a b"]
+    out = top_ngrams(df, n=3, k=10).collect()
+    assert [(r["gram"], r["df"]) for r in out] == [("a b", 1)]
