@@ -394,6 +394,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["events_sessionize"] = _events_sessionize
     q["events_asof_join"] = _events_asof_join
     q["events_funnel"] = _events_funnel
+    q["events_cube"] = _events_cube
+    q["events_top_users"] = _events_top_users
+    q["events_value_hist"] = _events_value_hist
 
     # --- streaming rollup analog (§2.9) ------------------------------------
     q["rollup_counter"] = _rollup_counter
@@ -762,6 +765,52 @@ def _events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _prepare(spark).read.parquet(f"{sf_dir}/events.parquet")
     ev = ev.withColumn("ts_ms", ts_ms(ev)).drop("ts")
     return funnel(ev, ["view", "click", "purchase"], _FUNNEL_WINDOW_MS)
+
+
+def _events_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-dimensional rollup: CUBE(event_type, weekday) — all four
+    grouping sets in ONE pass (Spark expands the cube map-side before a
+    single hash aggregation; no per-set rescan)."""
+    from metric_store_release_spark.sources.events_adapter import ts_ms
+
+    ev = _prepare(spark).read.parquet(f"{sf_dir}/events.parquet")
+    ev = ev.withColumn(
+        "dow", F.dayofweek(F.timestamp_millis(ts_ms(ev)))
+    )
+    return ev.cube("event_type", "dow").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.round(F.sum("value"), 6).alias("sum_value"),
+    )
+
+
+def _events_top_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 users by total value within each event type: aggregate first
+    (uniform (type, user) key), then rank the SMALL aggregate — the window
+    never sees the raw event stream."""
+    ev = _prepare(spark).read.parquet(f"{sf_dir}/events.parquet")
+    from pyspark.sql import Window
+
+    per_user = ev.groupBy("event_type", "user_id").agg(
+        F.round(F.sum("value"), 6).alias("total_value")
+    )
+    w = Window.partitionBy("event_type").orderBy(
+        F.col("total_value").desc(), F.col("user_id").asc()
+    )
+    return (
+        per_user.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= 3)
+    )
+
+
+def _events_value_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width value histogram per event type: floor-bucket projection
+    fused into the scan, one hash aggregation."""
+    ev = _prepare(spark).read.parquet(f"{sf_dir}/events.parquet")
+    bucket = F.floor(F.col("value") / 10.0).cast("long")
+    return (
+        ev.groupBy("event_type", bucket.alias("bucket"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
 
 
 def _rollup_counter(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1657,6 +1706,29 @@ UNION ALL
 SELECT 2, 'click', (SELECT COUNT(*) FROM s2)
 UNION ALL
 SELECT 3, 'purchase', (SELECT COUNT(*) FROM s3)
+"""
+
+    o["events_cube"] = """
+SELECT event_type, dayofweek(ts) + 1 AS dow,
+       COUNT(*) AS n_events, ROUND(SUM(value), 6) AS sum_value
+FROM events
+GROUP BY CUBE(event_type, dayofweek(ts) + 1)
+"""
+
+    o["events_top_users"] = """
+SELECT event_type, user_id, total_value, CAST(rank AS INT) AS rank FROM (
+  SELECT event_type, user_id, total_value,
+         row_number() OVER (PARTITION BY event_type
+                            ORDER BY total_value DESC, user_id ASC) AS rank
+  FROM (SELECT event_type, user_id, ROUND(SUM(value), 6) AS total_value
+        FROM events GROUP BY event_type, user_id)
+) WHERE rank <= 3
+"""
+
+    o["events_value_hist"] = """
+SELECT event_type, CAST(floor(value / 10.0) AS BIGINT) AS bucket,
+       COUNT(*) AS n
+FROM events GROUP BY event_type, bucket
 """
 
     o["tpch_q4"] = """

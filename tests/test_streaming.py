@@ -452,3 +452,94 @@ def test_dedup_points_stream_drops_cross_batch_duplicates(spark):
         got = {(r["ts"], r["value"]) for r in spark.read.parquet(out).collect()}
         # the batch-2 duplicate of (m,{a:1},1000) is dropped; first wins
         assert got == {(1_000, 1.0), (2_000, 2.0)}
+
+
+def test_session_window_batch_matches_sessionize(spark):
+    """The streaming session aggregate (F.session_window) and the batch
+    lag/cumsum sessionize must produce the same sessions: same start
+    (first event), same membership counts and sums; session_window's end
+    is exclusive (last_ts + gap) by contract."""
+    from metric_store_release_spark.pipeline.events import sessionize
+    from metric_store_release_spark.streaming.sessions import session_aggregate
+
+    rows = []
+    eid = 0
+    for u in range(4):
+        base = 1_700_000_000_000 + u * 10_000_000
+        for burst in range(3):
+            start = base + burst * 7_200_000  # bursts 2 h apart
+            for i in range(burst + 1):
+                rows.append((eid, u, start + i * 60_000, float(u + i)))
+                eid += 1
+    df = spark.createDataFrame(
+        rows, "event_id long, user_id long, ts_ms long, value double"
+    )
+    batch = {
+        (r["user_id"], r["session_start_ms"]): (r["n_events"], r["sum_value"])
+        for r in sessionize(df, gap_ms=30 * 60 * 1000).collect()
+    }
+    sw = session_aggregate(
+        df.withColumn("ts", F.timestamp_millis(F.col("ts_ms"))),
+        gap="30 minutes",
+    )
+    stream_shape = {
+        (
+            r["user_id"],
+            int(r["session_start"].timestamp() * 1000),
+        ): (r["n_events"], r["sum_value"])
+        for r in sw.collect()
+    }
+    assert stream_shape == batch
+
+
+def test_session_stream_availablenow_watermark_closes(spark, tmp_path):
+    """Real readStream → session_window → foreachBatch (availableNow,
+    append mode): exactly the sessions the final watermark has CLOSED are
+    emitted — user 1's late second session (inside the 1 h watermark of
+    the stream's max event time) stays open in state, unemitted; the two
+    earlier sessions emit with the same aggregates as the batch path."""
+    from metric_store_release_spark.streaming.sessions import (
+        session_aggregate,
+        session_stream,
+    )
+
+    rows = [
+        (1, 1_700_000_000_000 + i * 60_000, 1.0) for i in range(3)
+    ] + [
+        (1, 1_700_000_000_000 + 4 * 3_600_000, 5.0),  # second session
+        (2, 1_700_000_000_000, 7.0),
+    ]
+    df = spark.createDataFrame(rows, "user_id long, ts_ms long, value double")
+    src = df.withColumn("ts", F.timestamp_millis(F.col("ts_ms"))).drop("ts_ms")
+    path = str(tmp_path / "events_stream")
+    src.write.parquet(path)
+
+    stream = spark.readStream.schema(src.schema).parquet(path)
+    sink: list = []
+    q = session_stream(stream, sink, gap="30 minutes", watermark="1 hour")
+    q.awaitTermination(120)
+    got = {
+        (r["user_id"], r["session_start"], r["session_end"]): (
+            r["n_events"],
+            r["sum_value"],
+        )
+        for r in sink
+    }
+    batch = {
+        (r["user_id"], r["session_start"], r["session_end"]): (
+            r["n_events"],
+            r["sum_value"],
+        )
+        for r in session_aggregate(src, gap="30 minutes").collect()
+    }
+    assert len(batch) == 3  # two sessions for user 1, one for user 2
+    # final watermark = max event time - 1 h; only sessions with
+    # end < watermark are closed and emitted
+    import datetime
+
+    wm = datetime.datetime.utcfromtimestamp(
+        (1_700_000_000_000 + 4 * 3_600_000) / 1000 - 3600
+    )
+    closed = {key: v for key, v in batch.items() if key[2] < wm}
+    assert got == closed
+    assert len(got) == 2
