@@ -252,10 +252,18 @@ def _window_gram_table(
     quality_features); stage 2 folds windows and dedups them map-side on
     the zipped (h1, h2) structs — no global distinct shuffle."""
     toks = tokens(F.col(text_col))
-    hashed = _fan_out(df).select(
+    # md5 once per token: the two word-hash chains read hex offsets 1 and
+    # 9 of the SAME digest, but two inline transforms would each compute
+    # their own md5 (interpreted HOFs, no cross-expression CSE — the
+    # simhash lesson). Materialize the digest array in its own projection,
+    # then derive both chains from it.
+    digests = _fan_out(df).select(
+        F.col(id_col), F.transform(toks, lambda w: F.md5(w)).alias("__m")
+    )
+    hashed = digests.select(
         F.col(id_col),
-        F.transform(toks, lambda w: hex_word(F.md5(w), 1)).alias("__wh1"),
-        F.transform(toks, lambda w: hex_word(F.md5(w), 9)).alias("__wh2"),
+        F.transform(F.col("__m"), lambda m: hex_word(m, 1)).alias("__wh1"),
+        F.transform(F.col("__m"), lambda m: hex_word(m, 9)).alias("__wh2"),
     )
     return hashed.select(
         F.col(id_col),
