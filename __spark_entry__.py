@@ -397,6 +397,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["events_cube"] = _events_cube
     q["events_top_users"] = _events_top_users
     q["events_value_hist"] = _events_value_hist
+    q["events_retention"] = _events_retention
+    q["events_rolling_7d"] = _events_rolling_7d
 
     # --- streaming rollup analog (§2.9) ------------------------------------
     q["rollup_counter"] = _rollup_counter
@@ -810,6 +812,55 @@ def _events_value_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         ev.groupBy("event_type", bucket.alias("bucket"))
         .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+def _events_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention: users grouped by their first-activity day; for
+    each (cohort_day, day_offset) the count of distinct cohort users
+    active that day. Two hash aggregations (per-user first day; per
+    (user, day) activity) joined on the uniform user key — the window
+    never touches the raw stream."""
+    from metric_store_release_spark.sources.events_adapter import ts_ms
+
+    ev = _prepare(spark).read.parquet(f"{sf_dir}/events.parquet")
+    day = F.to_date(F.timestamp_millis(ts_ms(ev)))
+    per_day = ev.select(F.col("user_id"), day.alias("day")).distinct()
+    first = per_day.groupBy("user_id").agg(F.min("day").alias("cohort_day"))
+    return (
+        per_day.join(first, "user_id")
+        .groupBy(
+            "cohort_day",
+            F.datediff(F.col("day"), F.col("cohort_day")).alias("day_offset"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_users"))
+    )
+
+
+def _events_rolling_7d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """7-day rolling event count and value sum per user, evaluated at
+    each active day: daily pre-aggregation first (uniform (user, day)
+    key), then a RANGE window over the SMALL daily table — the rolling
+    frame never sees raw events."""
+    from metric_store_release_spark.sources.events_adapter import ts_ms
+
+    from pyspark.sql import Window
+
+    ev = _prepare(spark).read.parquet(f"{sf_dir}/events.parquet")
+    epoch_day = (ts_ms(ev) / F.lit(86_400_000)).cast("long")
+    daily = ev.groupBy(F.col("user_id"), epoch_day.alias("eday")).agg(
+        F.count(F.lit(1)).alias("n"), F.sum("value").alias("v")
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.col("eday"))
+        .rangeBetween(-6, 0)
+    )
+    return daily.select(
+        "user_id",
+        "eday",
+        F.sum("n").over(w).alias("n_7d"),
+        F.round(F.sum("v").over(w), 6).alias("v_7d"),
     )
 
 
@@ -1729,6 +1780,31 @@ SELECT event_type, user_id, total_value, CAST(rank AS INT) AS rank FROM (
 SELECT event_type, CAST(floor(value / 10.0) AS BIGINT) AS bucket,
        COUNT(*) AS n
 FROM events GROUP BY event_type, bucket
+"""
+
+    o["events_retention"] = """
+WITH per_day AS (
+  SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events
+),
+first AS (SELECT user_id, MIN(day) AS cohort_day FROM per_day GROUP BY user_id)
+SELECT cohort_day, datediff('day', cohort_day, day) AS day_offset,
+       COUNT(*) AS n_users
+FROM per_day JOIN first USING (user_id)
+GROUP BY cohort_day, day_offset
+"""
+
+    o["events_rolling_7d"] = """
+WITH daily AS (
+  SELECT user_id, epoch_ms(ts) // 86400000 AS eday,
+         COUNT(*) AS n, SUM(value) AS v
+  FROM events GROUP BY user_id, eday
+)
+SELECT user_id, eday,
+       SUM(n) OVER w AS n_7d,
+       ROUND(SUM(v) OVER w, 6) AS v_7d
+FROM daily
+WINDOW w AS (PARTITION BY user_id ORDER BY eday
+             RANGE BETWEEN 6 PRECEDING AND CURRENT ROW)
 """
 
     o["tpch_q4"] = """
