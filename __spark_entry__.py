@@ -391,6 +391,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["tpch_q4"] = _tpch_q4
     q["tpch_q10"] = _tpch_q10
     q["tpch_q18"] = _tpch_q18
+    q["tpch_q7"] = _tpch_q7
+    q["tpch_q19"] = _tpch_q19
     q["events_sessionize"] = _events_sessionize
     q["events_asof_join"] = _events_asof_join
     q["events_funnel"] = _events_funnel
@@ -767,6 +769,84 @@ def _events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _prepare(spark).read.parquet(f"{sf_dir}/events.parquet")
     ev = ev.withColumn("ts_ms", ts_ms(ev)).drop("ts")
     return funnel(ev, ["view", "click", "purchase"], _FUNNEL_WINDOW_MS)
+
+
+def _tpch_q7(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H q7 shape (bi-nation shipping volume by year): one fact join
+    shuffles, customer/supplier/nation broadcast, the symmetric
+    nation-pair predicate evaluated post-join."""
+    spark = _prepare(spark)
+    rd = lambda t: spark.read.parquet(f"{sf_dir}/{t}.parquet")
+    li, orders, cust = rd("lineitem"), rd("orders"), rd("customer")
+    supp, nation = rd("supplier"), rd("nation")
+    n1 = nation.select(
+        F.col("n_nationkey").alias("s_nk"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = nation.select(
+        F.col("n_nationkey").alias("c_nk"), F.col("n_name").alias("cust_nation")
+    )
+    pair = (
+        (F.col("supp_nation") == "NATION_1") & (F.col("cust_nation") == "NATION_2")
+    ) | (
+        (F.col("supp_nation") == "NATION_2") & (F.col("cust_nation") == "NATION_1")
+    )
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01"))
+            & (F.col("l_shipdate") < F.lit("1998-01-01"))
+        )
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("s_nk"))
+        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("c_nk"))
+        .filter(pair)
+        .groupBy(
+            "supp_nation",
+            "cust_nation",
+            F.year("l_shipdate").alias("l_year"),
+        )
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4
+            ).alias("revenue")
+        )
+    )
+
+
+def _tpch_q19(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H q19 shape (disjunctive brand/size/quantity revenue): the
+    OR-of-conjunctions predicate showcase — part broadcasts, each disjunct
+    combines part and lineitem attributes so the filter must sit ON the
+    join, not under it (no l_shipmode/container in the reduced schema;
+    brand/size/quantity carry the structure)."""
+    spark = _prepare(spark)
+    rd = lambda t: spark.read.parquet(f"{sf_dir}/{t}.parquet")
+    li, part = rd("lineitem"), rd("part")
+    d1 = (
+        (F.col("p_brand") == "Brand#1")
+        & F.col("p_size").between(1, 10)
+        & F.col("l_quantity").between(1, 11)
+    )
+    d2 = (
+        (F.col("p_brand") == "Brand#2")
+        & F.col("p_size").between(5, 20)
+        & F.col("l_quantity").between(10, 20)
+    )
+    d3 = (
+        (F.col("p_brand") == "Brand#3")
+        & F.col("p_size").between(15, 40)
+        & F.col("l_quantity").between(20, 30)
+    )
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .filter(d1 | d2 | d3)
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4
+            ).alias("revenue")
+        )
+    )
 
 
 def _events_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1805,6 +1885,33 @@ SELECT user_id, eday,
 FROM daily
 WINDOW w AS (PARTITION BY user_id ORDER BY eday
              RANGE BETWEEN 6 PRECEDING AND CURRENT ROW)
+"""
+
+    o["tpch_q7"] = """
+SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+       CAST(year(l_shipdate) AS INT) AS l_year,
+       ROUND(SUM(l_extendedprice * (1 - l_discount)), 4) AS revenue
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation n1 ON s_nationkey = n1.n_nationkey
+JOIN nation n2 ON c_nationkey = n2.n_nationkey
+WHERE l_shipdate >= '1996-01-01' AND l_shipdate < '1998-01-01'
+  AND ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+    OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+GROUP BY supp_nation, cust_nation, l_year
+"""
+
+    o["tpch_q19"] = """
+SELECT ROUND(SUM(l_extendedprice * (1 - l_discount)), 4) AS revenue
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 10
+       AND l_quantity BETWEEN 1 AND 11)
+   OR (p_brand = 'Brand#2' AND p_size BETWEEN 5 AND 20
+       AND l_quantity BETWEEN 10 AND 20)
+   OR (p_brand = 'Brand#3' AND p_size BETWEEN 15 AND 40
+       AND l_quantity BETWEEN 20 AND 30)
 """
 
     o["tpch_q4"] = """
