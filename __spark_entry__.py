@@ -401,6 +401,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["events_value_hist"] = _events_value_hist
     q["events_retention"] = _events_retention
     q["events_rolling_7d"] = _events_rolling_7d
+    q["docs_weighted_sample"] = _docs_weighted_sample
+    q["docs_difficulty"] = _docs_difficulty
 
     # --- streaming rollup analog (§2.9) ------------------------------------
     q["rollup_counter"] = _rollup_counter
@@ -1048,6 +1050,27 @@ def _text_top_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     from metric_store_release_spark.pipeline.text import top_ngrams
 
     return top_ngrams(_docs(spark, sf_dir), n=3, k=50)
+
+
+def _docs_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Length-proportional deterministic sampling: keep probability
+    min(1, n_tokens/60) via the shared hash_bucket rule."""
+    from metric_store_release_spark.pipeline.text import (
+        token_count,
+        weighted_sample,
+    )
+
+    docs = _docs(spark, sf_dir)
+    w = token_count(F.col("text")) / F.lit(60.0)
+    return weighted_sample(docs, w).select("doc_id", "lang")
+
+
+def _docs_difficulty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curriculum thirds by unigram-LM surprisal (global P33/P66 cutoffs,
+    one 1-row broadcast — no corpus sort)."""
+    from metric_store_release_spark.pipeline.text import difficulty_bins
+
+    return difficulty_bins(_docs(spark, sf_dir))
 
 
 _BM25_TERMS = ["spark", "window", "join"]
@@ -1885,6 +1908,40 @@ SELECT user_id, eday,
 FROM daily
 WINDOW w AS (PARTITION BY user_id ORDER BY eday
              RANGE BETWEEN 6 PRECEDING AND CURRENT ROW)
+"""
+
+    o["docs_weighted_sample"] = """
+SELECT doc_id, lang FROM documents
+WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT / 4294967296.0
+      < LEAST(1.0, GREATEST(0.0,
+          len(list_filter(string_split_regex(text, '\\s+'), x -> x <> '')) / 60.0))
+"""
+
+    o["docs_difficulty"] = r"""
+WITH tok AS (
+  SELECT doc_id,
+         unnest(list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '')) AS tok
+  FROM documents
+),
+tf AS (SELECT doc_id, tok, COUNT(*) AS tf FROM tok GROUP BY doc_id, tok),
+vocab AS (SELECT tok, SUM(tf) AS cf FROM tf GROUP BY tok),
+tot AS (SELECT SUM(cf) AS tf_total FROM vocab),
+scored AS (
+  SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS n_tokens,
+         ROUND(SUM(tf * -ln(cf / tf_total)) / SUM(tf), 6) AS mean_surprisal
+  FROM tf JOIN vocab USING (tok), tot
+  GROUP BY doc_id
+),
+cuts AS (
+  SELECT ROUND(quantile_cont(mean_surprisal, 1.0/3.0), 6) AS p33,
+         ROUND(quantile_cont(mean_surprisal, 2.0/3.0), 6) AS p66
+  FROM scored
+)
+SELECT doc_id, n_tokens, mean_surprisal,
+       CASE WHEN mean_surprisal <= p33 THEN 0
+            WHEN mean_surprisal <= p66 THEN 1
+            ELSE 2 END AS difficulty
+FROM scored, cuts
 """
 
     o["tpch_q7"] = """

@@ -424,6 +424,55 @@ def quota_sample(
     )
 
 
+def weighted_sample(
+    df: DataFrame,
+    weight: Column,
+    id_col: str = "doc_id",
+    salt: str = "",
+) -> DataFrame:
+    """Per-row Bernoulli sampling with probability clamp(weight, 0, 1) —
+    the quality-proportional / length-proportional downsampling pass of a
+    training-data mix (keep good docs with high probability, bad ones
+    rarely), made DETERMINISTIC: row survives iff
+    hash_bucket(id)/2³² < weight. Map-side only, reproducible across
+    engines, and monotone in the weight column — raising any row's weight
+    can only ever keep it.
+    """
+    p = F.least(F.lit(1.0), F.greatest(F.lit(0.0), weight))
+    point = hash_bucket(F.col(id_col), salt) / F.lit(float(1 << 32))
+    return df.filter(point < p)
+
+
+def difficulty_bins(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Curriculum binning: split the corpus into easy/medium/hard thirds
+    by unigram-LM mean surprisal (low surprisal = repetitive/boilerplate =
+    easy; high = rare-token soup = hard).
+
+    Plan: the unigram_logprob pipeline scores every doc, ONE 1-row
+    aggregation computes the global P33/P66 cutoffs (`F.percentile` ==
+    ANSI quantile_cont linear interpolation, rounded to 6 so both engines
+    compare identical doubles), broadcast back for a map-side bucket
+    assignment. No per-row window, no sort of the corpus.
+    """
+    scored = unigram_logprob(df, text_col, id_col)
+    cuts = scored.agg(
+        F.round(F.percentile("mean_surprisal", F.lit(1.0 / 3.0)), 6).alias("p33"),
+        F.round(F.percentile("mean_surprisal", F.lit(2.0 / 3.0)), 6).alias("p66"),
+    )
+    bin_col = (
+        F.when(F.col("mean_surprisal") <= F.col("p33"), 0)
+        .when(F.col("mean_surprisal") <= F.col("p66"), 1)
+        .otherwise(2)
+    )
+    return scored.join(F.broadcast(cuts)).select(
+        id_col, "n_tokens", "mean_surprisal", bin_col.alias("difficulty")
+    )
+
+
 def top_ngrams(
     df: DataFrame,
     n: int = 3,

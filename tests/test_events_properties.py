@@ -115,3 +115,53 @@ def test_asof_join_matches_python_reference(spark):
             for r in asof_join(ldf, rdf).collect()
         }
         assert got == _asof_ref(left, right), f"trial {trial}"
+
+
+def _funnel_ref(rows, steps, window_ms):
+    """Pure-Python greedy funnel."""
+    by_user: dict = {}
+    for eid, u, typ, ts in rows:
+        by_user.setdefault(u, []).append((ts, typ))
+    counts = [0] * len(steps)
+    for u, evs in by_user.items():
+        evs.sort()
+        firsts = [t for t, typ in evs if typ == steps[0]]
+        if not firsts:
+            continue
+        t = min(firsts)
+        deadline = t + window_ms
+        counts[0] += 1
+        for k, step in enumerate(steps[1:], start=1):
+            nxt = [ts for ts, typ in evs if typ == step and t <= ts <= deadline]
+            if not nxt:
+                break
+            t = min(nxt)
+            counts[k] += 1
+    return {k + 1: c for k, c in enumerate(counts) if c}
+
+
+def test_funnel_matches_python_reference(spark):
+    from metric_store_release_spark.pipeline.events import funnel
+
+    rng = random.Random(23)
+    steps = ["a", "b", "c"]
+    for trial in range(3):
+        rows = [
+            (
+                eid,
+                rng.randrange(6),
+                rng.choice(steps + ["x"]),
+                rng.randrange(0, 500) * 100,
+            )
+            for eid in range(150)
+        ]
+        df = spark.createDataFrame(
+            rows, "event_id long, user_id long, event_type string, ts_ms long"
+        )
+        window = rng.choice([5_000, 20_000])
+        got = {
+            r["step_index"]: r["n_users"]
+            for r in funnel(df, steps, window).collect()
+            if r["n_users"] > 0
+        }
+        assert got == _funnel_ref(rows, steps, window), f"trial {trial}"

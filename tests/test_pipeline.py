@@ -888,3 +888,38 @@ def test_empty_docs_produce_no_shingles_or_grams(spark):
     assert got[1] == [] and got[2] == [] and got[3] == ["a b"]
     out = top_ngrams(df, n=3, k=10).collect()
     assert [(r["gram"], r["df"]) for r in out] == [("a b", 1)]
+
+
+def test_weighted_sample_deterministic_and_monotone(spark):
+    from metric_store_release_spark.pipeline.text import weighted_sample
+
+    df = spark.createDataFrame(
+        [(i, float(i) / 100.0) for i in range(200)], "doc_id long, w double"
+    )
+    kept = {r["doc_id"] for r in weighted_sample(df, F.col("w")).collect()}
+    # weight 0 never survives; weight >= 1 always survives
+    assert 0 not in kept
+    big = {
+        r["doc_id"]
+        for r in weighted_sample(df, F.col("w") * 10).collect()
+    }
+    assert kept <= big  # raising weights only adds rows
+    assert {i for i in range(100, 200)} <= big  # w >= 1 -> certain keep
+    # reproducible
+    assert kept == {r["doc_id"] for r in weighted_sample(df, F.col("w")).collect()}
+
+
+def test_difficulty_bins_thirds(spark):
+    from metric_store_release_spark.pipeline.text import difficulty_bins
+
+    # 30 docs: 10 of each repetition level -> surprisal splits into thirds
+    rows = (
+        [(i, "aaa " * 20) for i in range(10)]
+        + [(i, f"common{i % 3} word{i} filler{i} " * 5) for i in range(10, 20)]
+        + [(i, " ".join(f"rare{i}w{j}" for j in range(20))) for i in range(20, 30)]
+    )
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r["difficulty"] for r in difficulty_bins(df).collect()}
+    assert all(out[i] == 0 for i in range(10))
+    assert all(out[i] == 2 for i in range(20, 30))
+    assert set(out.values()) == {0, 1, 2}
