@@ -403,6 +403,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["events_rolling_7d"] = _events_rolling_7d
     q["docs_weighted_sample"] = _docs_weighted_sample
     q["docs_difficulty"] = _docs_difficulty
+    q["docs_mixture"] = _docs_mixture
 
     # --- streaming rollup analog (§2.9) ------------------------------------
     q["rollup_counter"] = _rollup_counter
@@ -1050,6 +1051,19 @@ def _text_top_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     from metric_store_release_spark.pipeline.text import top_ngrams
 
     return top_ngrams(_docs(spark, sf_dir), n=3, k=50)
+
+
+_MIX = {"src0": 0.5, "src1": 0.3, "src2": 0.2}
+
+
+def _docs_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Largest exact-proportion mixture over three sources (50/30/20):
+    bottleneck-scaled per-source quotas, lowest-hash-first."""
+    from metric_store_release_spark.pipeline.text import mixture_sample
+
+    return mixture_sample(_docs(spark, sf_dir), _MIX).select(
+        "doc_id", "source"
+    )
 
 
 def _docs_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1908,6 +1922,26 @@ SELECT user_id, eday,
 FROM daily
 WINDOW w AS (PARTITION BY user_id ORDER BY eday
              RANGE BETWEEN 6 PRECEDING AND CURRENT ROW)
+"""
+
+    o["docs_mixture"] = """
+WITH c AS (
+  SELECT source AS k, COUNT(*) AS n,
+         CASE source WHEN 'src0' THEN 0.5 WHEN 'src1' THEN 0.3
+                     WHEN 'src2' THEN 0.2 END AS p
+  FROM documents GROUP BY source
+),
+c2 AS (SELECT * FROM c WHERE p IS NOT NULL),
+scale AS (SELECT MIN(n / p) AS s FROM c2),
+q AS (SELECT k, CAST(floor(p * s) AS BIGINT) AS q FROM c2, scale)
+SELECT doc_id, source FROM (
+  SELECT d.doc_id, d.source, q.q,
+         row_number() OVER (
+           PARTITION BY d.source
+           ORDER BY ('0x' || substr(md5(d.doc_id::VARCHAR), 1, 8))::BIGINT,
+                    d.doc_id) AS rn
+  FROM documents d JOIN q ON d.source = q.k
+) WHERE rn <= q
 """
 
     o["docs_weighted_sample"] = """

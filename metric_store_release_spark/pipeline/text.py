@@ -424,6 +424,63 @@ def quota_sample(
     )
 
 
+def mixture_sample(
+    df: DataFrame,
+    proportions: dict[str, float],
+    strata_col: str = "source",
+    id_col: str = "doc_id",
+    salt: str = "",
+    margin: int = 8,
+) -> DataFrame:
+    """The LARGEST corpus mixture achieving exact target proportions —
+    the data-mixing step of a training run ("40% web, 40% code, 20%
+    books"): scale = min over sources of count_s / p_s (the bottleneck
+    source is taken whole-ish), then exactly n_s = floor(p_s · scale)
+    rows per source, lowest-hash first (same deterministic rule as
+    [[quota_sample]] — the mixture is a prefix of any larger sample).
+
+    Plan: one per-stratum count aggregation (tiny, broadcast back), the
+    1-row bottleneck scale derived from it, a hash-threshold pre-prune
+    sized ~margin·n_s, and the exact rank over survivors. Strata not in
+    ``proportions`` are dropped.
+    """
+    from pyspark.sql import Window
+
+    if not proportions or any(p <= 0 for p in proportions.values()):
+        raise ValueError("proportions must be non-empty and positive")
+    p_col = F.lit(None).cast("double")
+    for s in sorted(proportions):
+        p_col = F.when(F.col("__k") == s, F.lit(float(proportions[s]))).otherwise(p_col)
+    counts = (
+        df.groupBy(F.col(strata_col).alias("__k"))
+        .agg(F.count(F.lit(1)).alias("__n"))
+        .withColumn("__p", p_col)
+        .filter(F.col("__p").isNotNull())
+    )
+    scale = counts.agg(F.min(F.col("__n") / F.col("__p")).alias("__scale"))
+    quotas = counts.join(F.broadcast(scale)).select(
+        "__k",
+        "__n",
+        F.floor(F.col("__p") * F.col("__scale")).cast("long").alias("__q"),
+    )
+    bucket = hash_bucket(F.col(id_col), salt)
+    thresh = F.when(
+        F.col("__n") <= margin * F.col("__q"), F.lit(1 << 32).cast("long")
+    ).otherwise(
+        (F.lit(float(margin)) * F.col("__q") / F.col("__n") * (1 << 32)).cast("long")
+    )
+    survivors = (
+        df.join(F.broadcast(quotas), F.col(strata_col).eqNullSafe(F.col("__k")))
+        .filter(bucket < thresh)
+    )
+    w = Window.partitionBy(strata_col).orderBy(bucket.asc(), F.col(id_col).asc())
+    return (
+        survivors.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= F.col("__q"))
+        .drop("__rn", "__k", "__n", "__q")
+    )
+
+
 def weighted_sample(
     df: DataFrame,
     weight: Column,

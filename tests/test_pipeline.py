@@ -923,3 +923,31 @@ def test_difficulty_bins_thirds(spark):
     assert all(out[i] == 0 for i in range(10))
     assert all(out[i] == 2 for i in range(20, 30))
     assert set(out.values()) == {0, 1, 2}
+
+
+def test_mixture_sample_exact_proportions(spark):
+    """Bottleneck scaling: the scarce source relative to its share caps
+    the mixture; per-source counts are exactly floor(p * scale)."""
+    from metric_store_release_spark.pipeline.text import mixture_sample
+
+    rows = (
+        [(i, "web") for i in range(100)]
+        + [(i + 1000, "code") for i in range(40)]
+        + [(i + 2000, "books") for i in range(100)]
+    )
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+    out = (
+        mixture_sample(df, {"web": 0.5, "code": 0.4, "books": 0.1})
+        .groupBy("source")
+        .count()
+        .collect()
+    )
+    got = {r["source"]: r["count"] for r in out}
+    # scale = min(100/0.5, 40/0.4, 100/0.1) = 100 -> 50 / 40 / 10
+    assert got == {"web": 50, "code": 40, "books": 10}
+    # deterministic prefix: same call, same rows
+    ids1 = {r["doc_id"] for r in mixture_sample(df, {"web": 0.5, "code": 0.4, "books": 0.1}).collect()}
+    ids2 = {r["doc_id"] for r in mixture_sample(df, {"web": 0.5, "code": 0.4, "books": 0.1}).collect()}
+    assert ids1 == ids2
+    with pytest.raises(ValueError):
+        mixture_sample(df, {})
