@@ -404,6 +404,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["docs_weighted_sample"] = _docs_weighted_sample
     q["docs_difficulty"] = _docs_difficulty
     q["docs_mixture"] = _docs_mixture
+    q["docs_chunks"] = _docs_chunks
+    q["dedup_exact_normalized"] = _dedup_exact_normalized
 
     # --- streaming rollup analog (§2.9) ------------------------------------
     q["rollup_counter"] = _rollup_counter
@@ -1051,6 +1053,30 @@ def _text_top_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     from metric_store_release_spark.pipeline.text import top_ngrams
 
     return top_ngrams(_docs(spark, sf_dir), n=3, k=50)
+
+
+def _docs_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-size token chunking, 40-token chunks with 10-token overlap
+    (pipeline.text.chunk_documents); digest column only, so the compare
+    stays small."""
+    from metric_store_release_spark.pipeline.text import chunk_documents
+
+    return chunk_documents(_docs(spark, sf_dir)).select(
+        "doc_id", "chunk_id", "n_tokens", "chunk_digest"
+    )
+
+
+def _dedup_exact_normalized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup over NORMALIZED text (lowercase, punctuation stripped,
+    whitespace collapsed) — catches trivially-reformatted copies byte
+    dedup misses. Same planted duplicates as dedup_exact."""
+    from metric_store_release_spark.pipeline.dedup import exact_duplicates
+    from metric_store_release_spark.pipeline.text import normalize_text
+
+    docs = _docs_planted(spark, sf_dir).select(
+        "doc_id", normalize_text(F.col("text")).alias("text")
+    )
+    return exact_duplicates(docs)
 
 
 _MIX = {"src0": 0.5, "src1": 0.3, "src2": 0.2}
@@ -2065,6 +2091,48 @@ WITH aug AS (
 )
 SELECT md5(text) AS digest, COUNT(*) AS n_docs, MIN(doc_id) AS keep_id
 FROM aug GROUP BY 1 HAVING COUNT(*) > 1
+"""
+
+    o["dedup_exact_normalized"] = f"""
+WITH aug AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + {_PLANT_OFFSET}, text FROM documents
+  WHERE doc_id % {_PLANT_EVERY} = 0
+),
+norm AS (
+  SELECT doc_id,
+         trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'),
+                             ' +', ' ', 'g')) AS text
+  FROM aug
+)
+SELECT md5(text) AS digest, COUNT(*) AS n_docs, MIN(doc_id) AS keep_id
+FROM norm GROUP BY 1 HAVING COUNT(*) > 1
+"""
+
+    o["docs_chunks"] = r"""
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '') AS t
+  FROM documents
+),
+meta AS (
+  SELECT doc_id, t,
+         CASE WHEN len(t) <= 0 THEN 0
+              ELSE 1 + CAST(ceil(greatest(len(t) - 40, 0) / 30.0) AS INT)
+         END AS nc
+  FROM toks
+),
+ch AS (
+  SELECT doc_id, t, CAST(unnest(range(nc)) AS INT) AS chunk_id
+  FROM meta WHERE nc > 0
+)
+SELECT doc_id, chunk_id,
+       CAST(len(list_slice(t, chunk_id * 30 + 1, chunk_id * 30 + 40)) AS INT)
+         AS n_tokens,
+       md5(list_aggr(list_slice(t, chunk_id * 30 + 1, chunk_id * 30 + 40),
+                     'string_agg', ' ')) AS chunk_digest
+FROM ch
 """
 
     o["dedup_minhash_lsh"] = _minhash_oracle()

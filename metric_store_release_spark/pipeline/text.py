@@ -561,6 +561,66 @@ def top_ngrams(
     )
 
 
+def normalize_text(text: Column) -> Column:
+    """Canonical text form for normalization-robust dedup (the C4-style
+    cleanup): lowercase, strip everything outside [a-z0-9 ] (ASCII class —
+    identical semantics in Java regex and RE2/DuckDB), collapse whitespace
+    runs, trim. Pure codegen projection."""
+    t = F.lower(text)
+    t = F.regexp_replace(t, r"[^a-z0-9 ]", " ")
+    t = F.regexp_replace(t, r" +", " ")
+    return F.trim(t)
+
+
+def chunk_documents(
+    df: DataFrame,
+    chunk_tokens: int = 40,
+    overlap: int = 10,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Fixed-size token chunking with overlap — the pretraining/RAG
+    chunker: chunk i covers tokens [i·stride, i·stride + chunk_tokens)
+    with stride = chunk_tokens − overlap; the last chunk may be short;
+    a doc shorter than one chunk yields exactly one chunk. Empty docs
+    yield none.
+
+    Map-side explode over the precomputed token array (token split runs
+    once per doc — the array is materialized before the explode, the
+    HOF-CSE rule); output carries the chunk text, its token count and a
+    portable md5 content hash for downstream chunk-level dedup.
+    """
+    if overlap >= chunk_tokens:
+        raise ValueError("overlap must be smaller than chunk_tokens")
+    stride = chunk_tokens - overlap
+    toked = df.select(F.col(id_col), tokens(F.col(text_col)).alias("__t"))
+    n = F.size(F.col("__t"))
+    # number of chunks: 1 + ceil(max(0, n - chunk) / stride), 0 when n == 0
+    n_chunks = F.when(n <= 0, F.lit(0)).otherwise(
+        F.lit(1) + F.ceil(F.greatest(n - chunk_tokens, F.lit(0)) / stride).cast("int")
+    )
+    # guard: sequence(0, -1) would generate a DESCENDING [0, -1] — empty
+    # docs must explode an empty array instead
+    ids = F.when(n_chunks > 0, F.sequence(F.lit(0), n_chunks - 1)).otherwise(
+        F.array().cast("array<int>")
+    )
+    exploded = toked.select(
+        F.col(id_col),
+        F.col("__t"),
+        F.explode(ids).alias("chunk_id"),
+    )
+    piece = F.slice(
+        F.col("__t"), F.col("chunk_id") * stride + 1, chunk_tokens
+    )
+    return exploded.select(
+        id_col,
+        "chunk_id",
+        F.size(piece).alias("n_tokens"),
+        F.array_join(piece, " ").alias("chunk_text"),
+        F.md5(F.array_join(piece, " ")).alias("chunk_digest"),
+    )
+
+
 def doc_fingerprint(text: Column, window: int = 8, mod: int = 1_000_003) -> Column:
     """Rolling polynomial fingerprint over word hashes (winnowing-style
     document signature): sum over positions of h(word)·31^(i mod window),

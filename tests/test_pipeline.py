@@ -951,3 +951,43 @@ def test_mixture_sample_exact_proportions(spark):
     assert ids1 == ids2
     with pytest.raises(ValueError):
         mixture_sample(df, {})
+
+
+def test_chunk_documents_overlap_and_edges(spark):
+    from metric_store_release_spark.pipeline.text import chunk_documents
+
+    rows = [
+        (1, " ".join(f"w{i}" for i in range(100))),  # 100 tokens
+        (2, "a b c"),                                  # shorter than chunk
+        (3, ""),                                       # empty -> no chunks
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = chunk_documents(df, chunk_tokens=40, overlap=10).collect()
+    by_doc: dict = {}
+    for r in out:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    # doc 1: starts at 0, 30, 60 — the chunk at 60 reaches token 99
+    c1 = sorted(by_doc[1], key=lambda r: r["chunk_id"])
+    assert [r["n_tokens"] for r in c1] == [40, 40, 40]
+    # overlap: chunk 1 starts at token 30
+    assert c1[1]["chunk_text"].split()[0] == "w30"
+    # full coverage: every token appears in some chunk
+    seen = set()
+    for r in c1:
+        seen.update(r["chunk_text"].split())
+    assert seen == {f"w{i}" for i in range(100)}
+    assert [r["n_tokens"] for r in by_doc[2]] == [3]
+    assert 3 not in by_doc
+    with pytest.raises(ValueError):
+        chunk_documents(df, chunk_tokens=10, overlap=10)
+
+
+def test_normalize_text_canonicalizes(spark):
+    from metric_store_release_spark.pipeline.text import normalize_text
+
+    df = spark.createDataFrame(
+        [(1, "  Hello,   WORLD!! (x1) "), (2, "hello world x1")],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r["n"] for r in df.select("doc_id", normalize_text(F.col("text")).alias("n")).collect()}
+    assert out[1] == out[2] == "hello world x1"
