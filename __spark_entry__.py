@@ -393,6 +393,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["tpch_q18"] = _tpch_q18
     q["tpch_q7"] = _tpch_q7
     q["tpch_q19"] = _tpch_q19
+    q["tpch_q13"] = _tpch_q13
+    q["tpch_q15"] = _tpch_q15
     q["events_sessionize"] = _events_sessionize
     q["events_asof_join"] = _events_asof_join
     q["events_funnel"] = _events_funnel
@@ -851,6 +853,55 @@ def _tpch_q19(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4
             ).alias("revenue")
         )
+    )
+
+
+def _tpch_q13(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H q13 shape (customer order-count distribution): LEFT join so
+    zero-order customers survive, two stacked hash aggregations — the
+    histogram-of-group-sizes pattern."""
+    spark = _prepare(spark)
+    rd = lambda t: spark.read.parquet(f"{sf_dir}/{t}.parquet")
+    cust, orders = rd("customer"), rd("orders")
+    per_cust = (
+        cust.join(
+            orders.filter(F.col("o_orderpriority") != "1-URGENT"),
+            cust.c_custkey == orders.o_custkey,
+            "left",
+        )
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(
+        F.count(F.lit(1)).alias("custdist")
+    )
+
+
+def _tpch_q15(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H q15 shape (top supplier by quarterly revenue): revenue per
+    supplier, then keep the max-revenue row(s) via a 1-row broadcast max —
+    no window over the aggregate, ties all returned (the spec's semantics)."""
+    spark = _prepare(spark)
+    rd = lambda t: spark.read.parquet(f"{sf_dir}/{t}.parquet")
+    li, supp = rd("lineitem"), rd("supplier")
+    rev = (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01"))
+            & (F.col("l_shipdate") < F.lit("1996-04-01"))
+        )
+        .groupBy("l_suppkey")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4
+            ).alias("total_revenue")
+        )
+    )
+    mx = rev.agg(F.max("total_revenue").alias("__mx"))
+    return (
+        rev.join(F.broadcast(mx))
+        .filter(F.col("total_revenue") == F.col("__mx"))
+        .join(F.broadcast(supp), rev.l_suppkey == supp.s_suppkey)
+        .select("s_suppkey", "s_name", "total_revenue")
     )
 
 
@@ -2002,6 +2053,28 @@ SELECT doc_id, n_tokens, mean_surprisal,
             WHEN mean_surprisal <= p66 THEN 1
             ELSE 2 END AS difficulty
 FROM scored, cuts
+"""
+
+    o["tpch_q13"] = """
+SELECT c_count, COUNT(*) AS custdist FROM (
+  SELECT c_custkey, COUNT(o_orderkey) AS c_count
+  FROM customer LEFT JOIN orders
+    ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+  GROUP BY c_custkey
+) GROUP BY c_count
+"""
+
+    o["tpch_q15"] = """
+WITH rev AS (
+  SELECT l_suppkey,
+         ROUND(SUM(l_extendedprice * (1 - l_discount)), 4) AS total_revenue
+  FROM lineitem
+  WHERE l_shipdate >= '1996-01-01' AND l_shipdate < '1996-04-01'
+  GROUP BY l_suppkey
+)
+SELECT s_suppkey, s_name, total_revenue
+FROM rev JOIN supplier ON l_suppkey = s_suppkey
+WHERE total_revenue = (SELECT MAX(total_revenue) FROM rev)
 """
 
     o["tpch_q7"] = """
