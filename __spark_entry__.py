@@ -1080,7 +1080,7 @@ def _dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from metric_store_release_spark.pipeline.dedup import simhash_hamming_pairs
 
     return simhash_hamming_pairs(
-        _docs(spark, sf_dir), bits=32, max_hamming=3, shingle_n=3
+        _docs(spark, sf_dir), bits=64, max_hamming=3, shingle_n=3
     )
 
 
@@ -2744,15 +2744,17 @@ SELECT doc_id, ({votes}) AS simhash FROM toks
 """
 
 
-def _simhash_pairs_oracle(bits: int = 32, max_hamming: int = 3) -> str:
+def _simhash_pairs_oracle(bits: int = 64, max_hamming: int = 3) -> str:
     """Brute-force all-pairs Hamming oracle over shingle-3 simhash
     fingerprints — also proves the Spark side's band-index recall is total
-    (pigeonhole over max_hamming+1 bands)."""
+    (pigeonhole over max_hamming+1 bands). 64-bit: bits 0-31 read md5 hex
+    digits 1-8, bits 32-63 digits 9-16; bit 63's contribution is long-min
+    (the sign bit — xor/bit_count are sign-agnostic)."""
     votes = " + ".join(
         f"""CASE WHEN (
-      SELECT SUM(CASE WHEN (('0x' || substr(md5('0:' || g), 1, 8))::BIGINT >> {b}) & 1 = 1
+      SELECT SUM(CASE WHEN (('0x' || substr(md5('0:' || g), {1 if b < 32 else 9}, 8))::BIGINT >> {b % 32}) & 1 = 1
                       THEN 1 ELSE -1 END)
-      FROM unnest(grams) AS u(g)) > 0 THEN {1 << b}::BIGINT ELSE 0::BIGINT END"""
+      FROM unnest(grams) AS u(g)) > 0 THEN ({-(1 << 63) if b == 63 else 1 << b})::BIGINT ELSE 0::BIGINT END"""
         for b in range(bits)
     )
     return f"""

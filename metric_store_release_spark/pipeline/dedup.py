@@ -453,43 +453,71 @@ def simhash(
 
     shingle_n=1 hashes unigrams; higher n makes fingerprints sensitive to
     word ORDER, which matters on low-vocabulary corpora where most docs
-    share most unigrams."""
+    share most unigrams.
+
+    Up to 64 bits (two 32-bit words of one md5; bit 63 is the long sign
+    bit — xor/bit_count are sign-agnostic, so Hamming math is unaffected).
+    Width matters at scale: 32-bit fingerprints suffer birthday collisions
+    from ~10⁵ docs (measured: 180k spurious hamming<=3 pairs across
+    unrelated 500k-doc replicas), which is why Manku et al. use 64."""
     if shingle_n == 1:
         toks = F.array_distinct(tokens(F.col(text_col)))
     else:
         toks = _word_shingles(F.col(text_col), shingle_n)
-    # Materialize the md5 hash array in its OWN projection: the `bits`
-    # bit-vote folds below are interpreted HOFs with no common-subexpression
-    # elimination between them, so inlining `hashes` would recompute the
-    # per-shingle md5 once per BIT — measured 124 s vs 2 s cold on a 5k-doc
-    # corpus at bits=32. The projection boundary pins one evaluation
-    # (CollapseProject keeps it: the column is referenced `bits` times).
-    hashed = df.select(
-        F.col(id_col), F.transform(toks, lambda w: _h_seeded(0, w)).alias("__h")
-    )
-    hashes = F.col("__h")
-
-    def bit_vote(b: int):
-        mask = F.lit(1 << b)
-        vote = F.aggregate(
-            hashes,
-            F.lit(0).cast("long"),
-            lambda acc, h: acc + F.when(h.bitwiseAND(mask) != 0, 1).otherwise(-1),
+    # Explode + codegen hash aggregation, NOT per-bit interpreted folds:
+    # each exploded shingle row hashes once (whole-stage codegen md5 +
+    # fixed-width hex parse) and the `bits` vote sums are primitive agg
+    # buffers with map-side partial combine — one uniform shuffle of
+    # `bits` longs per doc per partition. Measured 3x over the fold
+    # formulation at 500k docs (6.7 s vs 20 s; the folds run interpreted).
+    if not 1 <= bits <= 64:
+        raise ValueError("bits must be in [1, 64]")
+    ex = (
+        _fan_out(df)
+        .select(F.col(id_col), F.explode(toks).alias("__w"))
+        .select(
+            id_col, F.md5(F.concat(F.lit("0:"), F.col("__w"))).alias("__m")
         )
-        return F.when(vote > 0, F.lit(1 << b).cast("long")).otherwise(
+        .select(
+            id_col,
+            hex_word(F.col("__m"), 1).alias("__h1"),
+            hex_word(F.col("__m"), 9).alias("__h2"),
+        )
+    )
+
+    def bit_src(b: int) -> Column:
+        word = F.col("__h1") if b < 32 else F.col("__h2")
+        return word.bitwiseAND(F.lit(1 << (b % 32)))
+
+    votes = [
+        F.sum(F.when(bit_src(b) != 0, 1).otherwise(-1)).alias(f"__v{b}")
+        for b in range(bits)
+    ]
+    agg = ex.groupBy(id_col).agg(*votes)
+    fingerprint = None
+    for b in range(bits):
+        # bit 63 is the sign bit: its contribution is long-min; added LAST
+        # the running sum never leaves the long range (ANSI-safe)
+        contrib = F.lit(-(1 << 63) if b == 63 else (1 << b)).cast("long")
+        t = F.when(F.col(f"__v{b}") > 0, contrib).otherwise(
             F.lit(0).cast("long")
         )
-
-    bit_votes = [bit_vote(b) for b in range(bits)]
-    fingerprint = sum(bit_votes[1:], bit_votes[0])
-    return hashed.select(F.col(id_col), fingerprint.alias("simhash"))
+        fingerprint = t if fingerprint is None else fingerprint + t
+    fp = agg.select(F.col(id_col), fingerprint.alias("simhash"))
+    # empty docs explode to no rows; re-attach them with fingerprint 0
+    # (the all-votes-negative value the fold formulation produced)
+    return (
+        df.select(F.col(id_col))
+        .join(fp, id_col, "left")
+        .select(id_col, F.coalesce(F.col("simhash"), F.lit(0).cast("long")).alias("simhash"))
+    )
 
 
 def simhash_hamming_pairs(
     df: DataFrame,
     text_col: str = "text",
     id_col: str = "doc_id",
-    bits: int = 32,
+    bits: int = 64,
     max_hamming: int = 3,
     shingle_n: int = 3,
 ) -> DataFrame:
@@ -520,7 +548,9 @@ def simhash_hamming_pairs(
                 *[
                     F.struct(
                         F.lit(i).alias("band"),
-                        F.shiftright(F.col("simhash"), i * width)
+                        # unsigned shift: bit 63 is the sign bit, an
+                        # arithmetic shift would smear it across bands
+                        F.shiftrightunsigned(F.col("simhash"), i * width)
                         .bitwiseAND(F.lit((1 << width) - 1))
                         .alias("band_bits"),
                     )
