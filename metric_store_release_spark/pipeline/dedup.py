@@ -54,11 +54,6 @@ def _word_shingles(text: Column, n: int) -> Column:
     )
 
 
-def _h_seeded(seed: int, s: Column) -> Column:
-    """Portable 32-bit hash: first 8 hex digits of md5(seed || ':' || s)."""
-    return hex_word(F.md5(F.concat(F.lit(f"{seed}:"), s)))
-
-
 def _fan_out(df: DataFrame) -> DataFrame:
     """Spread a small scan across the session's parallelism before
     shingle/hash fan-out.
