@@ -282,6 +282,11 @@ def test_simhash_pairs_no_corpus_broadcast_no_cartesian(spark):
     prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
     try:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        # another test may have pinned the band table under DEFAULT confs;
+        # plan canonicalization would reuse that cache, whose stored plan
+        # legitimately contains a broadcast — clear it so the no-broadcast
+        # contract is checked on a fresh build
+        spark.catalog.clearCache()
         plan = _plan(simhash_hamming_pairs(df))
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
