@@ -515,6 +515,7 @@ def simhash_hamming_pairs(
     bits: int = 64,
     max_hamming: int = 3,
     shingle_n: int = 3,
+    bucket_cap: int | None = None,
 ) -> DataFrame:
     """Near-duplicate pairs by SimHash Hamming distance via band-exact
     indexing (Manku, Jain & Sarma, "Detecting Near-Duplicates for Web
@@ -527,10 +528,20 @@ def simhash_hamming_pairs(
     The oracle is the brute-force all-pairs scan, so it also proves the
     banding recall is total for d <= k.
 
+    ``bucket_cap``: a cluster of c identical documents shares every band
+    value, so one bucket emits c² pairs — the k² trap minhash's cap also
+    guards. With a cap, oversized buckets emit STAR pairs (hub = min id ↔
+    every member, O(c)) instead; members of such a bucket share a whole
+    fingerprint band (near-identical docs), so the connectivity a
+    transitive-closure dedup needs is preserved while the exact pair list
+    is deliberately incomplete. Default None keeps EXACT all-pairs
+    semantics (what the brute-force oracle checks); set it for
+    production-scale corpora with massive duplicate clusters.
+
     100 TB shape: the band table is (k+1) rows per doc with a uniform
-    16-ish-bit join key; near-dup clusters make some buckets hot, but
-    bucket size is bounded by cluster size (AQE skew-join splits the rest).
-    One shuffle for the join, one distinct on pairs.
+    16-bit join key; near-dup clusters make some buckets hot — bounded by
+    cluster size under the cap, AQE skew-join splits the rest. One
+    shuffle for the join, one distinct on pairs.
     """
     n_bands = max_hamming + 1
     width = bits // n_bands
@@ -564,7 +575,34 @@ def simhash_hamming_pairs(
     # warehouse scale this is the one-time fingerprint-table write.
     bands = bands.persist()
     bands.count()
-    a, b = bands.alias("a"), bands.alias("b")
+    if bucket_cap is not None:
+        # map-side-combined bucket counts; very few buckets exceed the cap
+        # by construction, so the guard table broadcasts via AQE (no hint)
+        big = (
+            bands.groupBy("band", "band_bits")
+            .agg(
+                F.count(F.lit(1)).alias("bk_n"),
+                F.min(id_col).alias("hub"),
+                F.min_by("simhash", F.col(id_col)).alias("hub_fp"),
+            )
+            .filter(F.col("bk_n") > bucket_cap)
+        )
+        ann = bands.join(big, ["band", "band_bits"], "left")
+        small = ann.filter(F.col("bk_n").isNull()).drop("bk_n", "hub", "hub_fp")
+        star = (
+            ann.filter(F.col("bk_n").isNotNull() & (F.col(id_col) != F.col("hub")))
+            .select(
+                F.col("hub").alias("id_a"),
+                F.col(id_col).alias("id_b"),
+                F.bit_count(
+                    F.col("simhash").bitwiseXOR(F.col("hub_fp"))
+                ).alias("hamming"),
+            )
+            .distinct()
+        )
+    else:
+        small, star = bands, None
+    a, b = small.alias("a"), small.alias("b")
     pairs = (
         a.join(
             b,
@@ -582,6 +620,10 @@ def simhash_hamming_pairs(
         .filter(F.col("hamming") <= max_hamming)
         .distinct()
     )
+    if star is not None:
+        pairs = pairs.unionByName(star).groupBy("id_a", "id_b").agg(
+            F.min("hamming").alias("hamming")
+        )
     return pairs
 
 

@@ -991,3 +991,23 @@ def test_normalize_text_canonicalizes(spark):
     )
     out = {r["doc_id"]: r["n"] for r in df.select("doc_id", normalize_text(F.col("text")).alias("n")).collect()}
     assert out[1] == out[2] == "hello world x1"
+
+
+def test_simhash_pairs_bucket_cap_star_pairs(spark):
+    """A cluster of c identical docs would emit c^2 pairs from one bucket;
+    with the cap it emits hub-star pairs — O(c), connectivity preserved."""
+    from metric_store_release_spark.pipeline.dedup import simhash_hamming_pairs
+
+    c = 60
+    rows = [(i, "same exact text body repeated in every doc here now") for i in range(c)]
+    rows += [(1000, "an unrelated document talking about different things")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    capped = {
+        (r["id_a"], r["id_b"]): r["hamming"]
+        for r in simhash_hamming_pairs(df, bucket_cap=20).collect()
+    }
+    assert set(capped) == {(0, i) for i in range(1, c)}
+    assert set(capped.values()) == {0}  # identical docs -> true hamming 0
+    # without the cap: the full c*(c-1)/2 pair list
+    full = simhash_hamming_pairs(df).count()
+    assert full == c * (c - 1) // 2
