@@ -983,7 +983,9 @@ def _events_rolling_7d(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
     ev = _prepare(spark).read.parquet(f"{sf_dir}/events.parquet")
-    epoch_day = (ts_ms(ev) / F.lit(86_400_000)).cast("long")
+    # floor division, not cast-truncation: they differ for pre-1970
+    # timestamps (the oracle's // floors; events_adapter.ts_ms floors too)
+    epoch_day = F.floor(ts_ms(ev) / F.lit(86_400_000)).cast("long")
     daily = ev.groupBy(F.col("user_id"), epoch_day.alias("eday")).agg(
         F.count(F.lit(1)).alias("n"), F.sum("value").alias("v")
     )

@@ -598,6 +598,11 @@ def simhash_hamming_pairs(
                     F.col("simhash").bitwiseXOR(F.col("hub_fp"))
                 ).alias("hamming"),
             )
+            # star edges obey the SAME distance contract: an over-cap
+            # bucket can also arise from birthday collisions among
+            # unrelated docs, whose hub distance is large — emitting those
+            # would hand a transitive-closure dedup false merges
+            .filter(F.col("hamming") <= max_hamming)
             .distinct()
         )
     else:

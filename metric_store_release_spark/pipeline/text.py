@@ -464,11 +464,14 @@ def mixture_sample(
         F.floor(F.col("__p") * F.col("__scale")).cast("long").alias("__q"),
     )
     bucket = hash_bucket(F.col(id_col), salt)
+    # expected survivors per source = margin*q + 64: the additive floor
+    # keeps the under-fill probability ~exp(-64) even when the derived
+    # quota is tiny (q=1 with a bare multiplicative margin would have had
+    # P(no survivor) ~ e^-margin — not negligible)
+    want = F.lit(float(margin)) * F.col("__q") + F.lit(64.0)
     thresh = F.when(
-        F.col("__n") <= margin * F.col("__q"), F.lit(1 << 32).cast("long")
-    ).otherwise(
-        (F.lit(float(margin)) * F.col("__q") / F.col("__n") * (1 << 32)).cast("long")
-    )
+        F.col("__n") <= want, F.lit(1 << 32).cast("long")
+    ).otherwise((want / F.col("__n") * (1 << 32)).cast("long"))
     survivors = (
         df.join(F.broadcast(quotas), F.col(strata_col).eqNullSafe(F.col("__k")))
         .filter(bucket < thresh)

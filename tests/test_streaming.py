@@ -482,11 +482,15 @@ def test_session_window_batch_matches_sessionize(spark):
         df.withColumn("ts", F.timestamp_millis(F.col("ts_ms"))),
         gap="30 minutes",
     )
+    import datetime
+
+    # collected session_start is a NAIVE datetime in the session tz (UTC);
+    # naive .timestamp() would reinterpret it in the OS-local zone
+    def ms(dt):
+        return int(dt.replace(tzinfo=datetime.timezone.utc).timestamp() * 1000)
+
     stream_shape = {
-        (
-            r["user_id"],
-            int(r["session_start"].timestamp() * 1000),
-        ): (r["n_events"], r["sum_value"])
+        (r["user_id"], ms(r["session_start"])): (r["n_events"], r["sum_value"])
         for r in sw.collect()
     }
     assert stream_shape == batch
@@ -537,9 +541,10 @@ def test_session_stream_availablenow_watermark_closes(spark, tmp_path):
     # end < watermark are closed and emitted
     import datetime
 
-    wm = datetime.datetime.utcfromtimestamp(
-        (1_700_000_000_000 + 4 * 3_600_000) / 1000 - 3600
-    )
+    wm = datetime.datetime.fromtimestamp(
+        (1_700_000_000_000 + 4 * 3_600_000) / 1000 - 3600,
+        tz=datetime.timezone.utc,
+    ).replace(tzinfo=None)  # collected rows are naive session-UTC datetimes
     closed = {key: v for key, v in batch.items() if key[2] < wm}
     assert got == closed
     assert len(got) == 2
