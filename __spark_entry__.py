@@ -408,6 +408,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["docs_mixture"] = _docs_mixture
     q["docs_chunks"] = _docs_chunks
     q["dedup_exact_normalized"] = _dedup_exact_normalized
+    q["events_anomalies"] = _events_anomalies
 
     # --- streaming rollup analog (§2.9) ------------------------------------
     q["rollup_counter"] = _rollup_counter
@@ -902,6 +903,27 @@ def _tpch_q15(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("total_revenue") == F.col("__mx"))
         .join(F.broadcast(supp), rev.l_suppkey == supp.s_suppkey)
         .select("s_suppkey", "s_name", "total_revenue")
+    )
+
+
+def _events_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-score outliers per event type: per-type mean/stddev is a tiny
+    aggregate broadcast back onto the scan; the flag itself is map-side.
+    |z| > 3 rows only — the monitoring-style anomaly sweep."""
+    ev = _prepare(spark).read.parquet(f"{sf_dir}/events.parquet")
+    stats = ev.groupBy("event_type").agg(
+        F.avg("value").alias("__mu"), F.stddev_samp("value").alias("__sd")
+    )
+    z = (F.col("value") - F.col("__mu")) / F.col("__sd")
+    return (
+        ev.join(F.broadcast(stats), "event_type")
+        .filter(F.abs(z) > 3.0)
+        .select(
+            "event_id",
+            "event_type",
+            "value",
+            F.round(z, 6).alias("zscore"),
+        )
     )
 
 
@@ -1976,6 +1998,17 @@ SELECT event_type, user_id, total_value, CAST(rank AS INT) AS rank FROM (
 SELECT event_type, CAST(floor(value / 10.0) AS BIGINT) AS bucket,
        COUNT(*) AS n
 FROM events GROUP BY event_type, bucket
+"""
+
+    o["events_anomalies"] = """
+WITH stats AS (
+  SELECT event_type, AVG(value) AS mu, STDDEV_SAMP(value) AS sd
+  FROM events GROUP BY event_type
+)
+SELECT event_id, event_type, value,
+       ROUND((value - mu) / sd, 6) AS zscore
+FROM events JOIN stats USING (event_type)
+WHERE ABS((value - mu) / sd) > 3.0
 """
 
     o["events_retention"] = """
