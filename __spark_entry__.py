@@ -409,6 +409,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["docs_chunks"] = _docs_chunks
     q["dedup_exact_normalized"] = _dedup_exact_normalized
     q["events_anomalies"] = _events_anomalies
+    q["events_dau_wau"] = _events_dau_wau
 
     # --- streaming rollup analog (§2.9) ------------------------------------
     q["rollup_counter"] = _rollup_counter
@@ -904,6 +905,38 @@ def _tpch_q15(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(supp), rev.l_suppkey == supp.s_suppkey)
         .select("s_suppkey", "s_name", "total_revenue")
     )
+
+
+def _events_dau_wau(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact daily + trailing-7-day active users per day, WITHOUT a
+    windowed COUNT(DISTINCT) (which neither Spark nor ANSI windows
+    support): each per-(user, day) activity row explodes to the <=7
+    future days it covers, then one distinct + one hash aggregation count
+    coverage per day. Bounded 7x fan-out of the (user, day)-deduped
+    table — the scale-sane exact sliding-distinct pattern. Days past the
+    observed maximum are clipped so every reported day is fully defined."""
+    from metric_store_release_spark.sources.events_adapter import ts_ms
+
+    ev = _prepare(spark).read.parquet(f"{sf_dir}/events.parquet")
+    eday = F.floor(ts_ms(ev) / F.lit(86_400_000)).cast("long")
+    per_day = ev.select(F.col("user_id"), eday.alias("eday")).distinct()
+    bounds = per_day.agg(F.max("eday").alias("__max_day"))
+    dau = per_day.groupBy("eday").agg(F.count(F.lit(1)).alias("dau"))
+    covered = (
+        per_day.join(F.broadcast(bounds))
+        .select(
+            "user_id",
+            F.explode(
+                F.sequence(
+                    F.col("eday"),
+                    F.least(F.col("eday") + 6, F.col("__max_day")),
+                )
+            ).alias("eday"),
+        )
+        .distinct()
+    )
+    wau = covered.groupBy("eday").agg(F.count(F.lit(1)).alias("wau"))
+    return dau.join(wau, "eday")
 
 
 def _events_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1998,6 +2031,20 @@ SELECT event_type, user_id, total_value, CAST(rank AS INT) AS rank FROM (
 SELECT event_type, CAST(floor(value / 10.0) AS BIGINT) AS bucket,
        COUNT(*) AS n
 FROM events GROUP BY event_type, bucket
+"""
+
+    o["events_dau_wau"] = """
+WITH per_day AS (
+  SELECT DISTINCT user_id, epoch_ms(ts) // 86400000 AS eday FROM events
+),
+mx AS (SELECT MAX(eday) AS max_day FROM per_day),
+dau AS (SELECT eday, COUNT(*) AS dau FROM per_day GROUP BY eday),
+covered AS (
+  SELECT DISTINCT user_id, d AS eday
+  FROM per_day, mx, unnest(generate_series(eday, LEAST(eday + 6, max_day))) AS t(d)
+),
+wau AS (SELECT eday, COUNT(*) AS wau FROM covered GROUP BY eday)
+SELECT eday, dau, wau FROM dau JOIN wau USING (eday)
 """
 
     o["events_anomalies"] = """
