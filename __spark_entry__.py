@@ -410,6 +410,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["dedup_exact_normalized"] = _dedup_exact_normalized
     q["events_anomalies"] = _events_anomalies
     q["events_dau_wau"] = _events_dau_wau
+    q["docs_difficulty_by_lang"] = _docs_difficulty_by_lang
 
     # --- streaming rollup analog (§2.9) ------------------------------------
     q["rollup_counter"] = _rollup_counter
@@ -1161,6 +1162,14 @@ def _text_top_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     from metric_store_release_spark.pipeline.text import top_ngrams
 
     return top_ngrams(_docs(spark, sf_dir), n=3, k=50)
+
+
+def _docs_difficulty_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style per-language surprisal thirds (cutoffs within each
+    language, not global)."""
+    from metric_store_release_spark.pipeline.text import difficulty_bins_by_group
+
+    return difficulty_bins_by_group(_docs(spark, sf_dir))
 
 
 def _docs_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2157,6 +2166,34 @@ WITH rev AS (
 SELECT s_suppkey, s_name, total_revenue
 FROM rev JOIN supplier ON l_suppkey = s_suppkey
 WHERE total_revenue = (SELECT MAX(total_revenue) FROM rev)
+"""
+
+    o["docs_difficulty_by_lang"] = r"""
+WITH tok AS (
+  SELECT doc_id,
+         unnest(list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '')) AS tok
+  FROM documents
+),
+tf AS (SELECT doc_id, tok, COUNT(*) AS tf FROM tok GROUP BY doc_id, tok),
+vocab AS (SELECT tok, SUM(tf) AS cf FROM tf GROUP BY tok),
+tot AS (SELECT SUM(cf) AS tf_total FROM vocab),
+scored AS (
+  SELECT d.doc_id, d.lang, CAST(SUM(tf) AS BIGINT) AS n_tokens,
+         ROUND(SUM(tf * -ln(cf / tf_total)) / SUM(tf), 6) AS mean_surprisal
+  FROM tf JOIN vocab USING (tok) JOIN documents d USING (doc_id), tot
+  GROUP BY d.doc_id, d.lang
+),
+cuts AS (
+  SELECT lang,
+         ROUND(quantile_cont(mean_surprisal, 1.0/3.0), 6) AS p33,
+         ROUND(quantile_cont(mean_surprisal, 2.0/3.0), 6) AS p66
+  FROM scored GROUP BY lang
+)
+SELECT doc_id, s.lang, n_tokens, mean_surprisal,
+       CASE WHEN mean_surprisal <= p33 THEN 0
+            WHEN mean_surprisal <= p66 THEN 1
+            ELSE 2 END AS difficulty
+FROM scored s JOIN cuts USING (lang)
 """
 
     o["tpch_q7"] = """

@@ -533,6 +533,40 @@ def difficulty_bins(
     )
 
 
+def difficulty_bins_by_group(
+    df: DataFrame,
+    group_col: str = "lang",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-GROUP surprisal thirds — the CCNet head/middle/tail design:
+    cutoffs computed within each language (a hard German doc and a hard
+    English doc land in the same bucket even if their absolute surprisal
+    differs), unlike [[difficulty_bins]]'s global cutoffs.
+
+    Plan: the unigram_logprob scores join the group column back from the
+    source (uniform id key), ONE group-count-sized aggregation computes
+    per-group P33/P66, and a second equi-join (group-cardinality — tiny,
+    AQE broadcasts) assigns buckets map-side. No per-row window, no sort.
+    """
+    scored = unigram_logprob(df, text_col, id_col).join(
+        df.select(F.col(id_col), F.col(group_col)), id_col
+    )
+    cuts = scored.groupBy(group_col).agg(
+        F.round(F.percentile("mean_surprisal", F.lit(1.0 / 3.0)), 6).alias("p33"),
+        F.round(F.percentile("mean_surprisal", F.lit(2.0 / 3.0)), 6).alias("p66"),
+    )
+    bin_col = (
+        F.when(F.col("mean_surprisal") <= F.col("p33"), 0)
+        .when(F.col("mean_surprisal") <= F.col("p66"), 1)
+        .otherwise(2)
+    )
+    return scored.join(cuts, group_col).select(
+        id_col, group_col, "n_tokens", "mean_surprisal",
+        bin_col.alias("difficulty"),
+    )
+
+
 def top_ngrams(
     df: DataFrame,
     n: int = 3,
