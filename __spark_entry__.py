@@ -411,6 +411,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["events_anomalies"] = _events_anomalies
     q["events_dau_wau"] = _events_dau_wau
     q["docs_difficulty_by_lang"] = _docs_difficulty_by_lang
+    q["events_transitions"] = _events_transitions
 
     # --- streaming rollup analog (§2.9) ------------------------------------
     q["rollup_counter"] = _rollup_counter
@@ -938,6 +939,25 @@ def _events_dau_wau(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     wau = covered.groupBy("eday").agg(F.count(F.lit(1)).alias("wau"))
     return dau.join(wau, "eday")
+
+
+def _events_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Markov transition counts between consecutive event types per user:
+    one user-keyed window (lag over (ts, id) order) + one small hash agg
+    over the |types|² transition matrix."""
+    from metric_store_release_spark.sources.events_adapter import ts_ms
+
+    from pyspark.sql import Window
+
+    ev = _prepare(spark).read.parquet(f"{sf_dir}/events.parquet")
+    ev = ev.withColumn("ts_ms", ts_ms(ev))
+    w = Window.partitionBy("user_id").orderBy(F.col("ts_ms"), F.col("event_id"))
+    return (
+        ev.withColumn("prev_type", F.lag("event_type").over(w))
+        .filter(F.col("prev_type").isNotNull())
+        .groupBy("prev_type", F.col("event_type").alias("next_type"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
 
 
 def _events_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2054,6 +2074,16 @@ covered AS (
 ),
 wau AS (SELECT eday, COUNT(*) AS wau FROM covered GROUP BY eday)
 SELECT eday, dau, wau FROM dau JOIN wau USING (eday)
+"""
+
+    o["events_transitions"] = """
+SELECT prev_type, next_type, COUNT(*) AS n FROM (
+  SELECT lag(event_type) OVER (PARTITION BY user_id
+                               ORDER BY epoch_ms(ts), event_id) AS prev_type,
+         event_type AS next_type
+  FROM events
+) WHERE prev_type IS NOT NULL
+GROUP BY prev_type, next_type
 """
 
     o["events_anomalies"] = """
