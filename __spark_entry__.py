@@ -916,7 +916,10 @@ def _events_dau_wau(spark: SparkSession, sf_dir: str) -> DataFrame:
     future days it covers, then one distinct + one hash aggregation count
     coverage per day. Bounded 7x fan-out of the (user, day)-deduped
     table — the scale-sane exact sliding-distinct pattern. Days past the
-    observed maximum are clipped so every reported day is fully defined."""
+    observed maximum are clipped so every reported day is fully defined.
+    Driven from the WAU side (left join): a day with trailing-7-day actives
+    but zero same-day activity still reports, with dau = 0 — WAU coverage
+    is a superset of DAU days, never vice versa."""
     from metric_store_release_spark.sources.events_adapter import ts_ms
 
     ev = _prepare(spark).read.parquet(f"{sf_dir}/events.parquet")
@@ -938,7 +941,9 @@ def _events_dau_wau(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
     wau = covered.groupBy("eday").agg(F.count(F.lit(1)).alias("wau"))
-    return dau.join(wau, "eday")
+    return wau.join(dau, "eday", "left").select(
+        "eday", F.coalesce("dau", F.lit(0)).alias("dau"), "wau"
+    )
 
 
 def _events_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1987,8 +1992,10 @@ flagged AS (
   FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_ms, event_id)
 ),
 seq AS (
-  SELECT *, SUM(b) OVER (PARTITION BY user_id ORDER BY ts_ms, event_id
-                         ROWS UNBOUNDED PRECEDING) AS session_seq
+  -- CAST: DuckDB windowed SUM(BIGINT) -> HUGEINT -> pandas float64, which
+  -- breaks the driver's exact-hash compare even when every value matches.
+  SELECT *, CAST(SUM(b) OVER (PARTITION BY user_id ORDER BY ts_ms, event_id
+                              ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_seq
   FROM flagged
 )
 SELECT user_id, session_seq, MIN(ts_ms) AS session_start_ms,
@@ -2073,7 +2080,10 @@ covered AS (
   FROM per_day, mx, unnest(generate_series(eday, LEAST(eday + 6, max_day))) AS t(d)
 ),
 wau AS (SELECT eday, COUNT(*) AS wau FROM covered GROUP BY eday)
-SELECT eday, dau, wau FROM dau JOIN wau USING (eday)
+-- WAU days are a superset of DAU days: drive from wau so zero-activity
+-- days inside a trailing window still report (dau = 0)
+SELECT eday, COALESCE(dau, 0) AS dau, wau
+FROM wau LEFT JOIN dau USING (eday)
 """
 
     o["events_transitions"] = """
@@ -2115,7 +2125,7 @@ WITH daily AS (
   FROM events GROUP BY user_id, eday
 )
 SELECT user_id, eday,
-       SUM(n) OVER w AS n_7d,
+       CAST(SUM(n) OVER w AS BIGINT) AS n_7d,
        ROUND(SUM(v) OVER w, 6) AS v_7d
 FROM daily
 WINDOW w AS (PARTITION BY user_id ORDER BY eday
@@ -2505,8 +2515,9 @@ WITH base AS (
 ),
 cum AS (
   SELECT doc_id, shard, n_tokens,
-         SUM(n_tokens) OVER (PARTITION BY shard ORDER BY h
-                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS c
+         CAST(SUM(n_tokens) OVER (PARTITION BY shard ORDER BY h
+                                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+              AS BIGINT) AS c
   FROM base
 )
 SELECT doc_id, shard, n_tokens,

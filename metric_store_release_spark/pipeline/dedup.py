@@ -140,6 +140,13 @@ def minhash_lsh_candidates(
     verification adds nothing. The bucket-size window runs on the same
     (band_id, bh) key the self-join shuffles on, so it adds no extra
     exchange.
+
+    Cache lifetime: the persisted band-index table backs the returned (lazy)
+    plan, so this function cannot unpersist it. The caller owns it via the
+    ``_index_cache`` attribute on the returned DataFrame — after
+    materializing the pairs, call ``pairs._index_cache.unpersist()`` (or
+    ``spark.catalog.clearCache()``) to release executor storage in
+    long-lived sessions.
     """
     rows_per_band = num_hashes // bands
     sigs = minhash_signatures(df, text_col, id_col, num_hashes, shingle_n)
@@ -196,7 +203,9 @@ def minhash_lsh_candidates(
         # hub is the bucket min, so id_a < id_b holds by construction
         .select(F.col("hub").alias("id_a"), F.col(id_col).alias("id_b"))
     )
-    return pairs.unionByName(star).distinct()
+    out = pairs.unionByName(star).distinct()
+    out._index_cache = stacked  # caller-owned persisted band table (docstring)
+    return out
 
 
 #: moduli for the double polynomial window hash — both < 2^31, so every
@@ -363,11 +372,14 @@ def shared_ngram_pairs(
     hot = (
         grams.groupBy("h1", "h2").count().filter(F.col("count") > hot_cap)
     )
-    grams = grams.join(
-        F.broadcast(hot.select("h1", "h2")), ["h1", "h2"], "left_anti"
-    )
+    # No broadcast hint: the hot-window guard's worst-case cardinality grows
+    # ~linearly with the corpus (occurrences / hot_cap), so a forced broadcast
+    # is an OOM at 10^9+ docs. AQE broadcasts the left-anti equi-join whenever
+    # the aggregate is genuinely small, and degrades to a uniform shuffle join
+    # otherwise (same shape as the simhash big-bucket path).
+    grams = grams.join(hot.select("h1", "h2"), ["h1", "h2"], "left_anti")
     a, b = grams.alias("a"), grams.alias("b")
-    return (
+    out = (
         a.join(
             b,
             (F.col("a.h1") == F.col("b.h1"))
@@ -379,6 +391,10 @@ def shared_ngram_pairs(
         )
         .agg(F.count(F.lit(1)).alias("shared_windows"))
     )
+    # caller-owned persisted gram table: unpersist via out._index_cache after
+    # materializing (cf. minhash_lsh_candidates docstring)
+    out._index_cache = grams
+    return out
 
 
 def connected_components(
@@ -629,6 +645,9 @@ def simhash_hamming_pairs(
         pairs = pairs.unionByName(star).groupBy("id_a", "id_b").agg(
             F.min("hamming").alias("hamming")
         )
+    # caller-owned persisted band table: unpersist via pairs._index_cache
+    # after materializing (cf. minhash_lsh_candidates docstring)
+    pairs._index_cache = bands
     return pairs
 
 
@@ -652,7 +671,9 @@ def ngram_jaccard_pairs(
     sizes = sh.select(id_col, F.size("sh").alias("set_size"))
     inv = sh.select(F.col(id_col), F.explode("sh").alias("shingle"))
     hot = inv.groupBy("shingle").count().filter(F.col("count") > 1000)
-    inv = inv.join(F.broadcast(hot.select("shingle")), "shingle", "left_anti")
+    # No broadcast hint (guard cardinality ~ corpus_size/1000 worst-case);
+    # AQE broadcasts while genuinely small, uniform shuffle join otherwise.
+    inv = inv.join(hot.select("shingle"), "shingle", "left_anti")
     a, b = inv.alias("a"), inv.alias("b")
     inter = (
         a.join(

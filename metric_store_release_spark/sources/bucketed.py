@@ -23,7 +23,14 @@ spans multiple files).
 
 from __future__ import annotations
 
+import re
+
 from pyspark.sql import DataFrame, SparkSession
+
+#: plain identifiers (optionally db-qualified) only: the name is interpolated
+#: into DROP TABLE SQL and mapped to a warehouse path, so path separators or
+#: `..` in a hostile name would escape the warehouse directory
+_IDENT = re.compile(r"^[A-Za-z_][A-Za-z0-9_]*(\.[A-Za-z_][A-Za-z0-9_]*)?$")
 
 
 def write_bucketed(
@@ -43,6 +50,11 @@ def write_bucketed(
     row-group stat pruning; note Spark still plans a (local, per-bucket)
     Sort for ordered consumers when a bucket spans multiple files.
     """
+    if not _IDENT.match(table):
+        raise ValueError(
+            f"table name {table!r} is not a plain (optionally db-qualified) "
+            "identifier"
+        )
     if mode == "overwrite":
         spark = df.sparkSession
         spark.sql(f"DROP TABLE IF EXISTS {table}")
@@ -59,8 +71,10 @@ def write_bucketed(
             warehouse = spark.conf.get(
                 "spark.sql.warehouse.dir", "spark-warehouse"
             ).removeprefix("file:")
-            orphan = Path(warehouse) / table
-            if orphan.exists():
+            orphan = (Path(warehouse) / table).resolve()
+            # belt-and-braces with the identifier check above: never delete
+            # outside the warehouse directory
+            if orphan.exists() and orphan.parent == Path(warehouse).resolve():
                 shutil.rmtree(orphan)
     w = df.write.format("parquet").bucketBy(n_buckets, bucket_col)
     if sort_cols:

@@ -97,10 +97,18 @@ class FederatedStore:
     def __init__(
         self, spark: SparkSession, root: str, n_nodes: int,
         replication_factor: int = 1,
+        heal_on_read: bool = False,
     ) -> None:
         self.spark = spark
         self.root = root
         self.table = RoutingTable(n_nodes, replication_factor)
+        #: read-repair mode: scan EVERY live replica and collapse divergent
+        #: copies (one extra hash-agg shuffle). The reference's
+        #: replicated_querier serves each metric from a single node with
+        #: failover (replicated_querier.go:160-190) and never cross-checks
+        #: replicas, so the default follows it; heal_on_read=True is the
+        #: stronger anti-entropy read for operators who want it.
+        self.heal_on_read = heal_on_read
 
     def node_path(self, node: int) -> str:
         return f"{self.root}/{_NODE_COL}={node}"
@@ -205,16 +213,32 @@ class FederatedStore:
         (replicated_querier.go:160-190)."""
         return [n for n in nodes if Path(self.node_path(n)).exists()]
 
-    def select_samples(self, metric_name: str) -> DataFrame:
-        """All samples for one metric from its replica set, divergence
-        healed. Raises when every replica is down — the reference returns
-        an error series set in the same situation."""
+    def select_samples(
+        self, metric_name: str, heal: "bool | None" = None
+    ) -> DataFrame:
+        """All samples for one metric. Raises when every replica is down —
+        the reference returns an error series set in the same situation.
+
+        Default (``heal`` None → ``self.heal_on_read``, default False):
+        serve from the FIRST available replica in ring order, exactly the
+        reference's single-node read with failover
+        (replicated_querier.go:160-190) — a plain one-node FileScan, no
+        dedup shuffle. ``heal=True``: scan every live replica and collapse
+        divergent copies via `_dedup_replicas` (read-repair; one extra
+        hash-agg shuffle). At replication factor 1 the two modes are
+        identical and the dedup is always skipped — it cannot remove
+        anything and would only add a shuffle to every federated read
+        (measured as most of the round-4 1.42x federated premium).
+        """
+        heal = self.heal_on_read if heal is None else heal
         nodes = self._available(self.table.lookup(metric_name))
         if not nodes:
             raise FileNotFoundError(
                 f"no replica of {metric_name!r} is readable"
             )
-        # one multi-path scan over the replica roots (not a union of
+        if not heal or self.table.replication_factor == 1:
+            nodes = nodes[:1]
+        # one multi-path scan over the chosen replica roots (not a union of
         # per-node scans): single FileScan node, name pushdown intact;
         # basePath makes node= a partition column, dropped after the scan
         scan = (
@@ -223,6 +247,8 @@ class FederatedStore:
             .drop(_NODE_COL)
             .filter(F.col("name") == metric_name)
         )
+        if len(nodes) == 1:
+            return scan
         return _dedup_replicas(scan)
 
     def samples_for_query(self, promql: str) -> DataFrame:
@@ -268,11 +294,15 @@ class FederatedStore:
         nodes = self._available(list(range(self.table.n_nodes)))
         if not nodes:
             raise FileNotFoundError("no federation node is readable")
-        return _dedup_replicas(
+        scan = (
             self.spark.read.option("basePath", self.root)
             .parquet(*[self.node_path(n) for n in nodes])
             .drop(_NODE_COL)
         )
+        # RF=1: node stores are disjoint by routing, nothing to heal
+        if self.table.replication_factor == 1:
+            return scan
+        return _dedup_replicas(scan)
 
 
 class HandoffLog:

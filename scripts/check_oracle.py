@@ -49,16 +49,31 @@ for name, fn in qs.items():
         print(f"FAIL {name}: rows {len(s)} vs {len(o)}")
         fails.append(name); continue
     mismatch = 0
+    drift = []
     for c in s.columns:
         a, b = s[c], o[c]
-        if a.dtype.kind in "fc" or b.dtype.kind in "fc":
+        ak, bk = a.dtype.kind, b.dtype.kind
+        # The driver's gate hashes values EXACTLY, so an integer column on the
+        # Spark side vs float64 on the oracle side (DuckDB windowed SUM over
+        # BIGINT -> HUGEINT -> pandas float64) is a driver failure even when
+        # every value is numerically identical. Flag the dtype drift here so
+        # the local gate predicts the driver's verdict.
+        if (ak in "iu") != (bk in "iu") and {ak, bk} <= set("iuf"):
+            drift.append(f"{c}: {a.dtype} vs {b.dtype}")
+        if ak in "iu" and bk in "iu":
+            bad = a.astype("int64") != b.astype("int64")
+        elif ak in "fc" or bk in "fc":
             af = pd.to_numeric(a, errors="coerce").astype(float)
             bf = pd.to_numeric(b, errors="coerce").astype(float)
             bad = ~((af - bf).abs() <= 1e-5) & ~(af.isna() & bf.isna())
         else:
             bad = a.astype(str) != b.astype(str)
         mismatch += int(bad.sum())
-    if mismatch:
+    if drift:
+        print(f"FAIL {name}: int-vs-float dtype drift ({'; '.join(drift)}) "
+              f"— driver exact-hash would be red")
+        fails.append(name)
+    elif mismatch:
         print(f"FAIL {name}: {mismatch} cell mismatches over {len(s)} rows")
         fails.append(name)
     else:

@@ -104,3 +104,12 @@ def test_unbucketed_join_does_exchange(spark, no_broadcast):
     )
     joined = df.join(df.withColumnRenamed("score", "s2"), "doc_id")
     assert "Exchange" in _plan(joined)
+
+
+def test_write_bucketed_rejects_non_identifier_names(spark):
+    """Hostile table names must not reach DROP TABLE SQL or the warehouse
+    rmtree path (path separators / .. would escape the warehouse dir)."""
+    df = spark.createDataFrame([(1, 1.0)], "doc_id long, score double")
+    for bad in ("../escape", "a/b", "a;DROP TABLE x", "a.b.c", "", "1abc"):
+        with pytest.raises(ValueError):
+            write_bucketed(df, bad, "doc_id", 2)

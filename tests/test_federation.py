@@ -87,8 +87,8 @@ def test_failover_skips_dead_replica(spark, tmp_path):
 
 
 def test_divergence_healed_at_read(spark, tmp_path):
-    """A replica that missed writes (handoff window) must not shrink or
-    duplicate the read result."""
+    """heal=True: a replica that missed writes (handoff window) must not
+    shrink or duplicate the read result, whichever replica is primary."""
     fed = FederatedStore(spark, str(tmp_path / "fed"), n_nodes=2,
                          replication_factor=2)
     df = _samples(spark, names=("http",), n=20)
@@ -99,8 +99,37 @@ def test_divergence_healed_at_read(spark, tmp_path):
         part.withColumn(
             "date", F.to_date(F.timestamp_millis(F.col("ts")))
         ).write.partitionBy("date").parquet(path)
-    got = fed.select_samples("http")
+    got = fed.select_samples("http", heal=True)
     assert got.count() == df.count()  # no duplicates, nothing lost
+    # default read = reference semantics: one replica serves, no heal agg —
+    # the result is exactly SOME single replica's content
+    assert fed.select_samples("http").count() in (df.count(), early.count())
+
+
+def test_rf2_heal_still_dedups_and_rf1_skips(spark, tmp_path):
+    """RF>=2 with heal scans both replicas and collapses the copies; the
+    default read and every RF=1 read must carry NO dedup aggregation in the
+    plan (the skip that removes the round-4 federated premium)."""
+    df = _samples(spark, names=("http",), n=10)
+
+    fed2 = FederatedStore(spark, str(tmp_path / "fed2"), n_nodes=2,
+                          replication_factor=2)
+    fed2.write(df)
+    healed = fed2.select_samples("http", heal=True)
+    # both replicas hold every row; without the dedup agg this would be 2x
+    assert healed.count() == df.count()
+    assert "Aggregate" in healed._jdf.queryExecution().optimizedPlan().toString()
+
+    plain = fed2.select_samples("http")
+    assert plain.count() == df.count()
+    assert "Aggregate" not in plain._jdf.queryExecution().optimizedPlan().toString()
+
+    fed1 = FederatedStore(spark, str(tmp_path / "fed1"), n_nodes=3,
+                          replication_factor=1)
+    fed1.write(df)
+    got = fed1.select_samples("http", heal=True)  # RF=1: heal is a no-op
+    assert got.count() == df.count()
+    assert "Aggregate" not in got._jdf.queryExecution().optimizedPlan().toString()
 
 
 def test_handoff_queue_and_replay(spark, tmp_path):
