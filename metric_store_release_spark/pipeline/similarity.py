@@ -71,6 +71,26 @@ def _sq_dist(vec: Column, centroid: list[float]) -> Column:
     )
 
 
+def _double_array_sql(vals: list[float]) -> str:
+    """SQL text for a double-array literal. repr() is the shortest
+    round-trip form and Spark's string→double cast (Double.parseDouble)
+    restores the exact bits, so values are identical to F.lit floats."""
+    return "array(" + ", ".join(f"cast('{float(x)!r}' as double)" for x in vals) + ")"
+
+
+def _sq_dist_sql(vec_sql: str, centroid: list[float]) -> str:
+    """SQL text equivalent of :func:`_sq_dist` — same zip_with + fold, same
+    left-to-right order, so results are bit-identical. Exists because the
+    Column route costs one py4j round-trip PER literal element (~0.4 ms
+    each): a k=8 × dim=64 centroid matrix is ~0.45 s of driver time per
+    plan build, vs ONE F.expr parse for the whole expression."""
+    return (
+        f"aggregate(zip_with({vec_sql}, {_double_array_sql(centroid)}, "
+        "(x, y) -> (x - y) * (x - y)), cast(0.0 as double), "
+        "(acc, v) -> acc + v)"
+    )
+
+
 def kmeans(
     df: DataFrame,
     vec_col: str = "embedding",
@@ -102,19 +122,20 @@ def kmeans(
         F.col(id_col), F.col(vec_col).cast("array<double>").alias("__v")
     )
     cents = kmeans_centroids(df, vec_col, id_col, k, iters)
-    return base.select(id_col, _assign_cluster(F.col("__v"), cents).alias("cluster"))
+    return base.select(id_col, _assign_cluster("__v", cents).alias("cluster"))
 
 
-def _assign_cluster(col: Column, cents: list[list[float]]) -> Column:
+def _assign_cluster(vec_sql: str, cents: list[list[float]]) -> Column:
     """Argmin cluster over literal centroids: least() over (dist, cid)
-    structs — ties break to the lower cluster id, deterministically. The
-    cast names the struct fields positionally — inner aliases don't
-    survive inside least()."""
-    structs = [
-        F.struct(_sq_dist(col, c), F.lit(i)).cast("struct<d:double,cid:int>")
+    structs — ties break to the lower cluster id, deterministically. Built
+    as ONE F.expr (the k×dim literal matrix would otherwise cost a py4j
+    round-trip per element — see _sq_dist_sql). ``vec_sql`` is the vector
+    column's SQL name in the frame this Column is selected from."""
+    structs = ", ".join(
+        f"named_struct('d', {_sq_dist_sql(vec_sql, c)}, 'cid', {i})"
         for i, c in enumerate(cents)
-    ]
-    return F.least(*structs)["cid"]
+    )
+    return F.expr(f"least({structs}).cid")
 
 
 def kmeans_centroids(
@@ -164,7 +185,7 @@ def kmeans_centroids(
         # per pass at 200k x 64). The Generate boundary keeps the
         # assignment in the lower project.
         agg = (
-            base.select(_assign_cluster(F.col("__v"), cents).alias("cluster"), "__v")
+            base.select(_assign_cluster("__v", cents).alias("cluster"), "__v")
             .select("cluster", F.posexplode("__v").alias("pos", "val"))
             .groupBy("cluster", "pos")
             .agg(F.avg("val").alias("m"))
@@ -365,7 +386,7 @@ def ivf_index(
     )
     return c.withColumns(
         {
-            "list_id": _nearest_lists(F.col("cvec"), centroids, 1)[0].getField(
+            "list_id": _nearest_lists("cvec", centroids, 1)[0].getField(
                 "list_id"
             ),
             "__cn": _norm(F.col("cvec")),
@@ -373,14 +394,16 @@ def ivf_index(
     )
 
 
-def _nearest_lists(vec: Column, centroids: list[list[float]], n: int) -> Column:
-    dists = F.array(
-        *[
-            F.struct(_sq_dist(vec, ctr).alias("d2"), F.lit(i).alias("list_id"))
-            for i, ctr in enumerate(centroids)
-        ]
+def _nearest_lists(vec_sql: str, centroids: list[list[float]], n: int) -> Column:
+    """n nearest centroids as an array of (d2, list_id) structs, built as
+    ONE F.expr so the k×dim literal matrix costs one py4j call, not one
+    per element (see _sq_dist_sql). ``vec_sql`` is the vector column's SQL
+    name in the frame this Column is selected from."""
+    structs = ", ".join(
+        f"named_struct('d2', {_sq_dist_sql(vec_sql, ctr)}, 'list_id', {i})"
+        for i, ctr in enumerate(centroids)
     )
-    return F.slice(F.array_sort(dists), 1, n)
+    return F.expr(f"slice(array_sort(array({structs})), 1, {int(n)})")
 
 
 def ivf_probe(
@@ -402,7 +425,7 @@ def ivf_probe(
         {
             "probe": F.explode(
                 F.transform(
-                    _nearest_lists(F.col("qvec"), centroids, n_probe),
+                    _nearest_lists("qvec", centroids, n_probe),
                     lambda s: s.getField("list_id"),
                 )
             ),
