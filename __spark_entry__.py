@@ -448,6 +448,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["embedding_ann_trained"] = _embedding_ann_trained
     q["embedding_ann_probe"] = _embedding_ann_probe
     q["events_sessionize_bucketed"] = _events_sessionize_bucketed
+    q["events_interval_join"] = _events_interval_join
+    q["events_kmv_users"] = _events_kmv_users
+    q["docs_bpe_merges"] = _docs_bpe_merges
     q["dedup_simhash_pairs"] = _dedup_simhash_pairs
     q["text_bm25"] = _text_bm25
     q["docs_quota"] = _docs_quota
@@ -745,6 +748,8 @@ def _tpch_q18(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _SESSION_GAP_MS = 4 * 3600 * 1000
+#: purchase-session gap for the interval-join demo (see _events_interval_join)
+_PURCHASE_GAP_MS = 48 * 3600 * 1000
 
 
 def _events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -798,6 +803,72 @@ def _events_sessionize_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     spark = _prepare(spark)
     ev = read_bucketed(spark, _events_bucketed_table(spark, sf_dir))
     return sessionize(ev, gap_ms=_SESSION_GAP_MS)
+
+
+def _events_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Views inside purchase sessions via pipeline.events.interval_join:
+    the range predicate (view.ts BETWEEN session.start AND session.end)
+    runs as a bucket-decomposed EQUI-join — Catalyst's native plan for a
+    non-equi predicate is BroadcastNestedLoopJoin, the O(n x m) scale-
+    killer; decomposition keeps it on the ordinary shuffle machinery
+    (asserted cartesian-free with every other query by
+    tests/test_all_query_plans.py)."""
+    from metric_store_release_spark.pipeline.events import (
+        interval_join,
+        sessionize,
+    )
+    from metric_store_release_spark.sources.events_adapter import ts_ms
+
+    ev = _prepare(spark).read.parquet(f"{sf_dir}/events.parquet")
+    ev = ev.withColumn("ts_ms", ts_ms(ev)).drop("ts")
+    # 48 h purchase-session gap: the fixture's ~2-day inter-purchase cadence
+    # makes 4 h sessions all singletons (zero-length intervals); day-wide
+    # buckets keep the interval fan-out at span/1d + 1
+    sessions = sessionize(
+        ev.filter(F.col("event_type") == "purchase"),
+        gap_ms=_PURCHASE_GAP_MS,
+    ).select("user_id", "session_seq", "session_start_ms", "session_end_ms")
+    views = ev.filter(F.col("event_type") == "view").select(
+        "user_id", "ts_ms", "event_id"
+    )
+    return (
+        interval_join(
+            views,
+            sessions,
+            point_col="ts_ms",
+            start_col="session_start_ms",
+            end_col="session_end_ms",
+            on="user_id",
+            bucket_width=86_400_000,
+        )
+        .groupBy("user_id", "session_seq")
+        .agg(F.count(F.lit(1)).alias("n_views"))
+    )
+
+
+def _docs_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First 8 BPE merges trained on the documents corpus
+    (pipeline.tokenizer.bpe_train_merges — Sennrich et al. 2016): each
+    round is one explode + pair hash-agg (word-count shape, map-side
+    combined) and a 1-row argmax collect; the merge applies as a map-side
+    replace on the persisted encoded-word table. The DuckDB oracle replays
+    the full training loop, proving the merge sequence engine-independent."""
+    from metric_store_release_spark.pipeline.tokenizer import bpe_merge_table
+
+    return bpe_merge_table(
+        _prepare(spark), _docs(spark, sf_dir), text_col="text", n_merges=8
+    )
+
+
+def _events_kmv_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct users per event type via the KMV sketch
+    (pipeline.sketches.kmv_distinct, k=32): a fixed-size mergeable
+    distinct-count estimator whose md5 hash makes the ESTIMATE itself
+    engine-portable — unlike HLL, the oracle reproduces it exactly."""
+    from metric_store_release_spark.pipeline.sketches import kmv_distinct
+
+    ev = _prepare(spark).read.parquet(f"{sf_dir}/events.parquet")
+    return kmv_distinct(ev, "user_id", ("event_type",), k=32)
 
 
 def _events_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2119,6 +2190,44 @@ SELECT user_id, session_seq, MIN(ts_ms) AS session_start_ms,
 FROM seq GROUP BY user_id, session_seq
 """
     o["events_sessionize_bucketed"] = o["events_sessionize"]
+
+    o["events_interval_join"] = f"""
+WITH e AS (
+  SELECT user_id, event_id, epoch_ms(ts) AS ts_ms, event_type FROM events
+),
+p AS (SELECT * FROM e WHERE event_type = 'purchase'),
+flagged AS (
+  SELECT *, CASE WHEN lag(ts_ms) OVER w IS NULL
+                  OR ts_ms - lag(ts_ms) OVER w > {_PURCHASE_GAP_MS}
+             THEN 1 ELSE 0 END AS b
+  FROM p WINDOW w AS (PARTITION BY user_id ORDER BY ts_ms, event_id)
+),
+seq AS (
+  SELECT *, CAST(SUM(b) OVER (PARTITION BY user_id ORDER BY ts_ms, event_id
+                              ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_seq
+  FROM flagged
+),
+s AS (
+  SELECT user_id, session_seq, MIN(ts_ms) AS session_start_ms,
+         MAX(ts_ms) AS session_end_ms
+  FROM seq GROUP BY user_id, session_seq
+),
+v AS (SELECT user_id, ts_ms FROM e WHERE event_type = 'view')
+SELECT s.user_id, s.session_seq, COUNT(*) AS n_views
+FROM s JOIN v ON s.user_id = v.user_id
+            AND v.ts_ms BETWEEN s.session_start_ms AND s.session_end_ms
+GROUP BY s.user_id, s.session_seq
+"""
+
+    from metric_store_release_spark.pipeline.sketches import kmv_distinct_sql
+
+    o["events_kmv_users"] = kmv_distinct_sql(
+        "events", "user_id", ("event_type",), k=32
+    )
+
+    from metric_store_release_spark.pipeline.tokenizer import bpe_oracle_sql
+
+    o["docs_bpe_merges"] = bpe_oracle_sql("documents", "text", n_merges=8)
 
     o["events_asof_join"] = """
 WITH e AS (SELECT user_id, event_id, epoch_ms(ts) AS ts_ms, value, event_type

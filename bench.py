@@ -78,6 +78,11 @@ def main() -> None:
         # events_sessionize for the bucketing payoff.
         "embedding_ann_probe",
         "events_sessionize_bucketed",
+        # round-5 additions: bucket-decomposed range join, KMV distinct
+        # sketch, 8-round distributed BPE merge training
+        "events_interval_join",
+        "events_kmv_users",
+        "docs_bpe_merges",
     ]
     # warm the JVM + parquet footers with one tiny action
     spark.read.parquet(f"{SF_DIR}/region.parquet").count()

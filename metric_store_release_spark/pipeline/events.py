@@ -179,3 +179,66 @@ def asof_join(
     return out.filter(F.col("__side") == 1).drop(
         "__side", *[f"__r_{c}" for c in carried]
     )
+
+
+def interval_join(
+    points: DataFrame,
+    intervals: DataFrame,
+    point_col: str = "ts_ms",
+    start_col: str = "start_ms",
+    end_col: str = "end_ms",
+    on: str | None = "user_id",
+    bucket_width: int = 3_600_000,
+    how: str = "inner",
+) -> DataFrame:
+    """Range join (point IN [start, end], both ends inclusive) as a plain
+    equi-join via bucket decomposition.
+
+    The declarative form (``p.ts BETWEEN i.start AND i.end``) gives Spark
+    only a non-equi predicate, so Catalyst plans BroadcastNestedLoopJoin —
+    O(|points| x |intervals|) work and an unbounded broadcast: a
+    scale-killer for any real interval table. Decomposition restores an
+    equi-key: each interval explodes to the buckets of width
+    ``bucket_width`` it covers (fan-out = len/width + 1, bounded by
+    construction), each point maps to its single bucket, and the join runs
+    on (key..., bucket) through the ordinary shuffle/broadcast machinery —
+    AQE free to pick, skew-splittable, no nested loop. The exact BETWEEN
+    predicate then filters the per-bucket candidates.
+
+    ``on``: optional extra equi-key (e.g. user) — with it the bucket is a
+    refinement of an already-equi join key and the fan-out just trims the
+    per-key cross product. ``bucket_width`` tunes fan-out vs selectivity:
+    ~the typical interval length is right (1 explode row per interval,
+    candidates within one bucket of the match).
+
+    ``how``: 'inner' or 'left' (left keeps unmatched points with null
+    interval columns; matched-in-several-intervals points duplicate, as a
+    range join must).
+    """
+    if how not in ("inner", "left"):
+        raise ValueError(f"how must be 'inner' or 'left', got {how!r}")
+    w = int(bucket_width)
+    iv = intervals.withColumn(
+        "__bucket",
+        F.explode(
+            F.sequence(
+                F.floor(F.col(start_col) / w).cast("long"),
+                F.floor(F.col(end_col) / w).cast("long"),
+            )
+        ),
+    )
+    pt = points.withColumn("__bucket", F.floor(F.col(point_col) / w).cast("long"))
+    keys = ["__bucket"] if on is None else [on, "__bucket"]
+    joined = pt.join(iv, keys, "inner").filter(
+        F.col(point_col).between(F.col(start_col), F.col(end_col))
+    )
+    if how == "left":
+        matched = joined.drop("__bucket")
+        iv_cols = [c for c in matched.columns if c not in points.columns]
+        misses = pt.drop("__bucket").join(
+            joined.select(*points.columns).distinct(), points.columns, "left_anti"
+        )
+        for c in iv_cols:
+            misses = misses.withColumn(c, F.lit(None).cast(dict(matched.dtypes)[c]))
+        return matched.unionByName(misses)
+    return joined.drop("__bucket")

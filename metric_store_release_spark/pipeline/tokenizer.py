@@ -1,0 +1,186 @@
+"""Distributed BPE (byte-pair-encoding) merge training.
+
+Sennrich, Haddow & Birch 2016 ("Neural Machine Translation of Rare Words
+with Subword Units"): start from characters, repeatedly merge the most
+frequent adjacent token pair inside word boundaries. This is the training
+loop behind GPT-2/SentencePiece-style tokenizers, here expressed as
+Spark's classic word-count shape: each round is ONE explode + hash
+aggregation over adjacent pairs (map-side combine does the heavy
+lifting), a 1-row argmax collect to the driver, and a map-side string
+replace applying the merge. Corpus never leaves the executors; the
+driver sees one (pair, count) row per round — the same orchestration
+shape as pipeline.similarity.kmeans_centroids.
+
+Determinism: the argmax tie-breaks by (count DESC, left ASC, right ASC),
+so the merge sequence is a pure function of the corpus and a DuckDB
+oracle can replay it (see bpe_oracle_sql below).
+
+Encoding trick: a word's token sequence is one string with every token
+wrapped in \\x1f markers — "\\x1f t1 \\x1f\\x1f t2 \\x1f..." — so applying a
+merge is a single non-overlapping left-to-right `replace` of
+"\\x1f l \\x1f\\x1f r \\x1f" by "\\x1f lr \\x1f" (exactly BPE's greedy
+left-to-right application, and identical in Spark and DuckDB). A bare
+token-joined-by-space form fails on consecutive occurrences ("x y x y"
+shares the middle space, replace skips the second pair); the wrapped
+form keeps every boundary intact. Input containing \\x1f itself is
+stripped first (it is a C0 control char, not meaningful text).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+#: token boundary marker (ASCII unit separator)
+SEP = "\x1f"
+
+
+def _encode_words(df: DataFrame, text_col: str) -> DataFrame:
+    """One row per DISTINCT word with its corpus frequency, the word's
+    character sequence in wrapped form. Training on the word-frequency
+    vocabulary instead of raw word occurrences is the standard BPE recipe
+    (Sennrich et al. train on a freq dict): pair counts are EXACTLY equal
+    (sum of freq == raw occurrence count), but every per-round scan and
+    merge rewrite touches |vocab| rows instead of |corpus words| —
+    the ratio that makes 100 TB training tractable."""
+    words = df.select(
+        F.explode(
+            F.split(
+                F.regexp_replace(F.col(text_col), SEP, ""), r"\s+"
+            )
+        ).alias("w")
+    ).filter(F.length("w") > 0)
+    vocab = words.groupBy("w").agg(F.count(F.lit(1)).alias("freq"))
+    # (.) -> SEP $1 SEP : "abc" becomes "|a||b||c|" (| = SEP)
+    return vocab.select(
+        F.regexp_replace(F.col("w"), "(.)", f"{SEP}$1{SEP}").alias("enc"),
+        "freq",
+    )
+
+
+def _apply_merge(enc: Column, left: str, right: str) -> Column:
+    return F.replace(
+        enc,
+        F.lit(f"{SEP}{left}{SEP}{SEP}{right}{SEP}"),
+        F.lit(f"{SEP}{left}{right}{SEP}"),
+    )
+
+
+def _pair_counts(enc_df: DataFrame) -> DataFrame:
+    """Adjacent-pair counts across the corpus: explode the vocab's token
+    pairs, weight by word frequency, one hash agg."""
+    toks = enc_df.select(
+        F.split(
+            F.expr("substring(enc, 2, length(enc) - 2)"), SEP + SEP
+        ).alias("t"),
+        "freq",
+    ).filter(F.size("t") >= 2)
+    pairs = toks.select(
+        F.explode(
+            F.arrays_zip(
+                F.slice("t", 1, F.size("t") - 1),
+                F.slice("t", 2, F.size("t") - 1),
+            )
+        ).alias("p"),
+        "freq",
+    )
+    return pairs.groupBy(
+        F.col("p").getField("0").alias("left"),
+        F.col("p").getField("1").alias("right"),
+    ).agg(F.sum("freq").alias("cnt"))
+
+
+def bpe_train_merges(
+    df: DataFrame, text_col: str = "text", n_merges: int = 8
+) -> list[tuple[int, str, str, int]]:
+    """Train ``n_merges`` BPE merges; returns [(rank, left, right, count)].
+
+    The encoded word table is persisted once (eagerly — the per-round
+    scans would otherwise race to fill the cache and re-run the split
+    lineage); each round's merge stacks one map-side replace on top, so
+    round r scans the cached table through r cheap replaces instead of
+    rewriting the corpus.
+    """
+    base = _encode_words(df, text_col).persist()
+    base.count()
+    try:
+        enc = base
+        merges: list[tuple[int, str, str, int]] = []
+        for rank in range(1, n_merges + 1):
+            best = (
+                _pair_counts(enc)
+                .orderBy(F.col("cnt").desc(), F.col("left"), F.col("right"))
+                .limit(1)
+                .collect()
+            )
+            if not best:
+                break
+            b = best[0]
+            merges.append((rank, b["left"], b["right"], b["cnt"]))
+            enc = enc.select(
+                _apply_merge(F.col("enc"), b["left"], b["right"]).alias("enc"),
+                "freq",
+            )
+        return merges
+    finally:
+        base.unpersist()
+
+
+def bpe_merge_table(
+    spark, df: DataFrame, text_col: str = "text", n_merges: int = 8
+) -> DataFrame:
+    """DataFrame form of :func:`bpe_train_merges`:
+    (merge_rank, left, right, pair_count)."""
+    rows = bpe_train_merges(df, text_col, n_merges)
+    return spark.createDataFrame(
+        rows, "merge_rank int, left string, right string, pair_count bigint"
+    )
+
+
+def bpe_oracle_sql(table_sql: str, text_sql: str, n_merges: int = 8) -> str:
+    """DuckDB SQL replaying the exact training loop — chained CTEs, one
+    (pairs → argmax → apply) block per round. Used as the entry oracle so
+    the merge sequence is proven engine-independent."""
+    sep = "chr(31)"
+    blocks = [
+        f"""
+enc0 AS (
+  SELECT regexp_replace(w, '(.)', {sep} || '\\1' || {sep}, 'g') AS enc,
+         COUNT(*) AS freq
+  FROM (
+    SELECT unnest(string_split_regex(replace({text_sql}, chr(31), ''), '\\s+')) AS w
+    FROM {table_sql}
+  ) WHERE len(w) > 0
+  GROUP BY w
+)"""
+    ]
+    for r in range(1, n_merges + 1):
+        p = r - 1
+        blocks.append(
+            f"""
+pairs{r} AS (
+  -- CAST: DuckDB SUM(BIGINT) -> HUGEINT -> pandas float64 breaks the
+  -- exact-hash compare against Spark's bigint
+  SELECT t[i] AS l, t[i + 1] AS r, CAST(SUM(freq) AS BIGINT) AS cnt
+  FROM (
+    SELECT string_split(trim(enc, {sep}), {sep} || {sep}) AS t, freq
+    FROM enc{p}
+  ), unnest(generate_series(1, len(t) - 1)) AS u(i)
+  GROUP BY 1, 2
+),
+best{r} AS (
+  SELECT {r} AS merge_rank, l, r, cnt FROM pairs{r}
+  ORDER BY cnt DESC, l, r LIMIT 1
+),
+enc{r} AS (
+  SELECT replace(enc, {sep} || b.l || {sep} || {sep} || b.r || {sep},
+                 {sep} || b.l || b.r || {sep}) AS enc, freq
+  FROM enc{p}, best{r} b
+)"""
+        )
+    union = "\nUNION ALL\n".join(
+        f'SELECT merge_rank, l AS "left", r AS "right", cnt AS pair_count '
+        f"FROM best{r}"
+        for r in range(1, n_merges + 1)
+    )
+    return "WITH " + ",".join(blocks) + "\n" + union

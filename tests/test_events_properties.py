@@ -165,3 +165,79 @@ def test_funnel_matches_python_reference(spark):
             if r["n_users"] > 0
         }
         assert got == _funnel_ref(rows, steps, window), f"trial {trial}"
+
+
+def _interval_ref(points, intervals):
+    """Naive O(n*m) range-join reference."""
+    out = []
+    for (u, ts, pid) in points:
+        for (iu, lo, hi, iid) in intervals:
+            if u == iu and lo <= ts <= hi:
+                out.append((u, ts, pid, lo, hi, iid))
+    return sorted(out)
+
+
+def test_interval_join_matches_naive_reference(spark):
+    from metric_store_release_spark.pipeline.events import interval_join
+
+    rng = random.Random(7)
+    points = [
+        (rng.randrange(4), rng.randrange(0, 10_000), pid) for pid in range(300)
+    ]
+    intervals = []
+    for iid in range(60):
+        lo = rng.randrange(0, 9_000)
+        intervals.append((rng.randrange(4), lo, lo + rng.randrange(0, 2_000), iid))
+    p = spark.createDataFrame(points, "user_id int, ts_ms long, pid int")
+    iv = spark.createDataFrame(
+        intervals, "user_id int, start_ms long, end_ms long, iid int"
+    )
+    # bucket width deliberately much smaller than interval spans: correctness
+    # must not depend on the fan-out tuning
+    for width in (100, 1_000, 50_000):
+        got = sorted(
+            (r["user_id"], r["ts_ms"], r["pid"], r["start_ms"], r["end_ms"], r["iid"])
+            for r in interval_join(p, iv, bucket_width=width).collect()
+        )
+        assert got == _interval_ref(points, intervals)
+
+
+def test_interval_join_left_keeps_unmatched_points(spark):
+    from metric_store_release_spark.pipeline.events import interval_join
+
+    p = spark.createDataFrame(
+        [(1, 50, 0), (1, 500, 1), (2, 50, 2)], "user_id int, ts_ms long, pid int"
+    )
+    iv = spark.createDataFrame(
+        [(1, 0, 100, 10), (1, 40, 60, 11)],
+        "user_id int, start_ms long, end_ms long, iid int",
+    )
+    out = interval_join(p, iv, bucket_width=64, how="left").collect()
+    by_pid: dict = {}
+    for r in out:
+        by_pid.setdefault(r["pid"], []).append(r["iid"])
+    # pid 0 matches BOTH overlapping intervals (a range join must duplicate)
+    assert sorted(by_pid[0]) == [10, 11]
+    # pids 1 and 2 keep one null-extended row each
+    assert by_pid[1] == [None] and by_pid[2] == [None]
+    # boundary inclusivity: point exactly at start and at end both match
+    edge = spark.createDataFrame([(1, 0, 0), (1, 100, 1)], "user_id int, ts_ms long, pid int")
+    got = interval_join(edge, iv.filter("iid = 10"), bucket_width=64).collect()
+    assert sorted(r["pid"] for r in got) == [0, 1]
+
+
+def test_interval_join_plans_no_nested_loop(spark):
+    from metric_store_release_spark.pipeline.events import interval_join
+
+    p = spark.createDataFrame([(1, 5, 0)], "user_id int, ts_ms long, pid int")
+    iv = spark.createDataFrame(
+        [(1, 0, 10, 0)], "user_id int, start_ms long, end_ms long, iid int"
+    )
+    plan = (
+        interval_join(p, iv, bucket_width=4)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan

@@ -1011,3 +1011,28 @@ def test_simhash_pairs_bucket_cap_star_pairs(spark):
     # without the cap: the full c*(c-1)/2 pair list
     full = simhash_hamming_pairs(df).count()
     assert full == c * (c - 1) // 2
+
+
+def test_kmv_distinct_accuracy_and_exact_regime(spark):
+    from metric_store_release_spark.pipeline.sketches import kmv_distinct
+
+    # 2000 distinct keys, heavy duplication: estimate within the ~1/sqrt(k)
+    # KMV error envelope; duplication must not affect the sketch at all
+    rows = [(f"k{i % 2000}",) for i in range(10_000)]
+    df = spark.createDataFrame(rows, "key string")
+    out = kmv_distinct(df, "key", (), k=256).collect()
+    assert len(out) == 1
+    est = out[0]["est_distinct"]
+    assert out[0]["n_kept"] == 256
+    assert abs(est - 2000) / 2000 < 0.25  # 4 sigma at k=256
+    # below k the sketch holds everything: exact answer
+    small = spark.createDataFrame([(f"k{i}",) for i in range(40)], "key string")
+    got = kmv_distinct(small, "key", (), k=64).collect()[0]
+    assert got["n_kept"] == 40 and got["est_distinct"] == 40.0
+    # grouped: per-group estimates independent
+    g = spark.createDataFrame(
+        [("a", f"x{i}") for i in range(30)] + [("b", f"y{i}") for i in range(10)],
+        "grp string, key string",
+    )
+    per = {r["grp"]: r["est_distinct"] for r in kmv_distinct(g, "key", ("grp",), k=64).collect()}
+    assert per == {"a": 30.0, "b": 10.0}

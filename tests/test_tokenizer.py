@@ -1,0 +1,71 @@
+"""BPE merge training semantics (pipeline.tokenizer)."""
+
+from __future__ import annotations
+
+from metric_store_release_spark.pipeline.tokenizer import (
+    bpe_oracle_sql,
+    bpe_train_merges,
+)
+
+
+def _py_bpe(texts: list[str], n_merges: int):
+    """Straight-line reference: list-of-token words, greedy left-to-right
+    merge application, (count DESC, left, right) argmax."""
+    words = [list(w) for t in texts for w in t.split() if w]
+    merges = []
+    for rank in range(1, n_merges + 1):
+        counts: dict = {}
+        for w in words:
+            for a, b in zip(w, w[1:]):
+                counts[(a, b)] = counts.get((a, b), 0) + 1
+        if not counts:
+            break
+        (l, r), c = min(counts.items(), key=lambda kv: (-kv[1], kv[0]))
+        merges.append((rank, l, r, c))
+        out = []
+        for w in words:
+            nw, i = [], 0
+            while i < len(w):
+                if i + 1 < len(w) and w[i] == l and w[i + 1] == r:
+                    nw.append(l + r)
+                    i += 2
+                else:
+                    nw.append(w[i])
+                    i += 1
+            out.append(nw)
+        words = out
+    return merges
+
+
+def test_bpe_matches_python_reference(spark):
+    texts = [
+        "aaaa aaa aa",              # consecutive-pair stress: aa aa inside aaaa
+        "banana bandana ban",       # shared prefixes, an/na competition
+        "the cat sat on the mat",
+        "zz zz zz",                 # tie-break determinism with equal counts
+    ]
+    df = spark.createDataFrame([(t,) for t in texts], "text string")
+    got = bpe_train_merges(df, n_merges=6)
+    assert got == _py_bpe(texts, 6)
+
+
+def test_bpe_oracle_replays_training(spark):
+    import duckdb
+
+    texts = ["mississippi miss sip", "pip pip hooray"]
+    df = spark.createDataFrame([(t,) for t in texts], "text string")
+    got = bpe_train_merges(df, n_merges=5)
+    con = duckdb.connect()
+    vals = ", ".join("('" + t + "')" for t in texts)
+    con.execute(f"CREATE VIEW d AS SELECT * FROM (VALUES {vals}) v(text)")
+    want = [
+        (int(r[0]), r[1], r[2], int(r[3]))
+        for r in con.execute(bpe_oracle_sql("d", "text", 5)).fetchall()
+    ]
+    assert got == want
+
+
+def test_bpe_exhausts_gracefully(spark):
+    # single-char words have no pairs at all -> zero merges, no crash
+    df = spark.createDataFrame([("a b c",)], "text string")
+    assert bpe_train_merges(df, n_merges=3) == []
