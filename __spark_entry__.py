@@ -451,6 +451,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["events_interval_join"] = _events_interval_join
     q["events_kmv_users"] = _events_kmv_users
     q["docs_bpe_merges"] = _docs_bpe_merges
+    q["docs_bpe_tokens"] = _docs_bpe_tokens
+    q["docs_temperature_mix"] = _docs_temperature_mix
+    q["text_bigram_logprob"] = _text_bigram_logprob
     q["dedup_simhash_pairs"] = _dedup_simhash_pairs
     q["text_bm25"] = _text_bm25
     q["docs_quota"] = _docs_quota
@@ -846,17 +849,51 @@ def _events_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: sf_dir → trained BPE merge list (training is the expensive half; the
+#: tokenize-apply entry reuses it the way a production pipeline ships a
+#: frozen merges file)
+_BPE_MERGES: dict[str, list] = {}
+
+
+def _bpe_merges_for(
+    spark: SparkSession, sf_dir: str, force_train: bool = False
+) -> list:
+    from metric_store_release_spark.pipeline.tokenizer import bpe_train_merges
+
+    merges = None if force_train else _BPE_MERGES.get(sf_dir)
+    if merges is None:
+        merges = bpe_train_merges(_docs(spark, sf_dir), "text", n_merges=8)
+        _BPE_MERGES[sf_dir] = merges
+    return merges
+
+
 def _docs_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     """First 8 BPE merges trained on the documents corpus
     (pipeline.tokenizer.bpe_train_merges — Sennrich et al. 2016): each
     round is one explode + pair hash-agg (word-count shape, map-side
     combined) and a 1-row argmax collect; the merge applies as a map-side
-    replace on the persisted encoded-word table. The DuckDB oracle replays
+    replace on the persisted encoded-vocab table. The DuckDB oracle replays
     the full training loop, proving the merge sequence engine-independent."""
-    from metric_store_release_spark.pipeline.tokenizer import bpe_merge_table
+    spark = _prepare(spark)
+    # force_train: this entry MEASURES training — the session cache is only
+    # for the tokenize-apply entry (which ships a frozen merges file in
+    # production); without it a benchmark repeat would time a dict lookup
+    return spark.createDataFrame(
+        _bpe_merges_for(spark, sf_dir, force_train=True),
+        "merge_rank int, left string, right string, pair_count bigint",
+    )
 
-    return bpe_merge_table(
-        _prepare(spark), _docs(spark, sf_dir), text_col="text", n_merges=8
+
+def _docs_bpe_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenize every document with the trained merges
+    (pipeline.tokenizer.bpe_token_counts): merges apply once per DISTINCT
+    word, documents join the vocab's token counts — the train-then-apply
+    second half of the tokenizer pipeline."""
+    from metric_store_release_spark.pipeline.tokenizer import bpe_token_counts
+
+    spark = _prepare(spark)
+    return bpe_token_counts(
+        _docs(spark, sf_dir), _bpe_merges_for(spark, sf_dir)
     )
 
 
@@ -1351,6 +1388,30 @@ def _docs_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
     return mixture_sample(_docs(spark, sf_dir), _MIX).select(
         "doc_id", "source"
     )
+
+
+def _text_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interpolated-bigram LM surprisal per doc
+    (pipeline.text.bigram_logprob, lam=0.75): the order-sensitive
+    perplexity filter one rung up from text_unigram_logprob."""
+    from metric_store_release_spark.pipeline.text import bigram_logprob
+
+    return bigram_logprob(_docs(spark, sf_dir))
+
+
+def _docs_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """alpha=0.5 temperature mixture over LANGUAGES (the skewed stratum in
+    the fixture: en dominates) — the multilingual-training rebalancing
+    recipe (pipeline.text.temperature_mixture_sample), quotas in the
+    Z-free floor(sqrt(n_s * n_min)) form so the oracle reproduces them
+    bit-exactly."""
+    from metric_store_release_spark.pipeline.text import (
+        temperature_mixture_sample,
+    )
+
+    return temperature_mixture_sample(
+        _docs(spark, sf_dir), alpha=0.5, strata_col="lang"
+    ).select("doc_id", "lang")
 
 
 def _docs_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2225,9 +2286,68 @@ GROUP BY s.user_id, s.session_seq
         "events", "user_id", ("event_type",), k=32
     )
 
-    from metric_store_release_spark.pipeline.tokenizer import bpe_oracle_sql
+    from metric_store_release_spark.pipeline.tokenizer import (
+        bpe_oracle_sql,
+        bpe_token_counts_oracle_sql,
+    )
 
     o["docs_bpe_merges"] = bpe_oracle_sql("documents", "text", n_merges=8)
+    o["docs_bpe_tokens"] = bpe_token_counts_oracle_sql(
+        "documents", "text", "doc_id", n_merges=8
+    )
+
+    o["text_bigram_logprob"] = r"""
+WITH base AS (
+  SELECT doc_id, list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '') AS t
+  FROM documents
+),
+tt AS (SELECT * FROM base WHERE len(t) > 0),
+occ AS (SELECT doc_id, unnest(t) AS tok FROM tt),
+tf AS (SELECT doc_id, tok, COUNT(*) AS tf FROM occ GROUP BY 1, 2),
+vocab AS (SELECT tok, SUM(tf) AS cf FROM tf GROUP BY 1),
+tot AS (SELECT SUM(cf) AS T FROM vocab),
+pairs AS (
+  SELECT doc_id, t[i] AS prev, t[i + 1] AS cur
+  FROM tt, unnest(generate_series(1, len(t) - 1)) AS u(i)
+),
+ptf AS (SELECT doc_id, prev, cur, COUNT(*) AS ptf FROM pairs GROUP BY 1, 2, 3),
+bigc AS (SELECT prev, cur, SUM(ptf) AS cpair FROM ptf GROUP BY 1, 2),
+ctx AS (SELECT prev, SUM(cpair) AS cctx FROM bigc GROUP BY 1),
+pair_s AS (
+  SELECT p.doc_id,
+         SUM(p.ptf * -ln(0.75 * (b.cpair / c.cctx) + 0.25 * (v.cf / tot.T)))
+           AS s_pairs
+  FROM ptf p
+  JOIN bigc b ON p.prev = b.prev AND p.cur = b.cur
+  JOIN ctx c ON p.prev = c.prev
+  JOIN vocab v ON p.cur = v.tok, tot
+  GROUP BY p.doc_id
+),
+first_s AS (
+  SELECT doc_id, -ln(cf / T) AS s_first
+  FROM (SELECT doc_id, t[1] AS tok FROM tt) f JOIN vocab USING (tok), tot
+),
+n AS (SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS n_tokens FROM tf GROUP BY 1)
+SELECT n.doc_id, n.n_tokens,
+       ROUND((first_s.s_first + COALESCE(pair_s.s_pairs, 0.0)) / n.n_tokens, 6)
+         AS mean_surprisal
+FROM n JOIN first_s USING (doc_id) LEFT JOIN pair_s USING (doc_id)
+"""
+
+    o["docs_temperature_mix"] = """
+WITH c AS (SELECT lang AS k, COUNT(*) AS n FROM documents GROUP BY lang),
+m AS (SELECT MIN(n) AS m FROM c),
+q AS (SELECT k, CAST(floor(sqrt(CAST(n * m AS DOUBLE))) AS BIGINT) AS q
+      FROM c, m)
+SELECT doc_id, lang FROM (
+  SELECT d.doc_id, d.lang, q.q,
+         row_number() OVER (
+           PARTITION BY d.lang
+           ORDER BY ('0x' || substr(md5(d.doc_id::VARCHAR), 1, 8))::BIGINT,
+                    d.doc_id) AS rn
+  FROM documents d JOIN q ON d.lang = q.k
+) WHERE rn <= q
+"""
 
     o["events_asof_join"] = """
 WITH e AS (SELECT user_id, event_id, epoch_ms(ts) AS ts_ms, value, event_type

@@ -305,6 +305,91 @@ def unigram_logprob(
     )
 
 
+def bigram_logprob(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    lam: float = 0.75,
+) -> DataFrame:
+    """Per-document mean surprisal under an INTERPOLATED BIGRAM LM trained
+    on the corpus itself — the CCNet/KenLM-style perplexity filter one
+    rung up from [[unigram_logprob]]:
+
+        P(w | v) = lam * c(v,w)/c(v·) + (1-lam) * cf(w)/T
+
+    with the first token scored by the unigram term alone. High mean
+    surprisal ⇒ incoherent token soup, low ⇒ boilerplate; the bigram term
+    adds local-order sensitivity a unigram filter cannot see (a shuffled
+    document keeps its unigram score but not its bigram score).
+
+    Plan shape: bigram occurrences come from arrays_zip over the per-doc
+    token array — MAP-SIDE pairing, no per-doc window/sort; the model
+    tables (bigram counts, context totals, vocab, 1-row grand total) are
+    plain aggregates joined back by token equi-keys — AQE broadcasts them
+    while small, degrades to shuffle joins at vocab scale. Per-doc sums
+    are tf-weighted over the doc's DISTINCT pairs, strictly fewer rows
+    than raw positions. Docs with zero tokens yield no row.
+    """
+    base = df.select(F.col(id_col), tokens(F.col(text_col)).alias("t")).filter(
+        F.size("t") > 0
+    )
+    occ = base.select(F.col(id_col), F.explode("t").alias("tok"))
+    tf = occ.groupBy(id_col, "tok").agg(F.count(F.lit(1)).alias("tf"))
+    vocab = tf.groupBy("tok").agg(F.sum("tf").alias("cf"))
+    total = vocab.agg(F.sum("cf").alias("T"))
+
+    pairs = base.filter(F.size("t") >= 2).select(
+        F.col(id_col),
+        F.explode(
+            F.arrays_zip(
+                F.slice("t", 1, F.size("t") - 1),
+                F.slice("t", 2, F.size("t") - 1),
+            )
+        ).alias("p"),
+    ).select(
+        id_col,
+        F.col("p").getField("0").alias("prev"),
+        F.col("p").getField("1").alias("cur"),
+    )
+    ptf = pairs.groupBy(id_col, "prev", "cur").agg(
+        F.count(F.lit(1)).alias("ptf")
+    )
+    bigc = ptf.groupBy("prev", "cur").agg(F.sum("ptf").alias("cpair"))
+    ctx = bigc.groupBy("prev").agg(F.sum("cpair").alias("cctx"))
+
+    p_interp = F.lit(float(lam)) * F.col("cpair") / F.col("cctx") + F.lit(
+        1.0 - float(lam)
+    ) * F.col("cf") / F.col("T")
+    pair_s = (
+        ptf.join(bigc, ["prev", "cur"])
+        .join(ctx, "prev")
+        .join(vocab.select(F.col("tok").alias("cur"), "cf"), "cur")
+        .join(F.broadcast(total))
+        .groupBy(id_col)
+        .agg(F.sum(F.col("ptf") * -F.log(p_interp)).alias("s_pairs"))
+    )
+    first_s = (
+        base.select(F.col(id_col), F.col("t").getItem(0).alias("tok"))
+        .join(vocab, "tok")
+        .join(F.broadcast(total))
+        .select(id_col, (-F.log(F.col("cf") / F.col("T"))).alias("s_first"))
+    )
+    n = tf.groupBy(id_col).agg(F.sum("tf").alias("n_tokens"))
+    return (
+        n.join(first_s, id_col)
+        .join(pair_s, id_col, "left")
+        .select(
+            id_col,
+            "n_tokens",
+            F.round(
+                (F.col("s_first") + F.coalesce(F.col("s_pairs"), F.lit(0.0)))
+                / F.col("n_tokens"),
+                6,
+            ).alias("mean_surprisal"),
+        )
+    )
+
+
 def hash_bucket(id_col: Column, salt: str = "") -> Column:
     """The engine-portable deterministic sampling key: first 8 hex digits
     of md5(salt ∥ id) as a long in [0, 2³²). The ONE definition shared by
@@ -444,8 +529,6 @@ def mixture_sample(
     sized ~margin·n_s, and the exact rank over survivors. Strata not in
     ``proportions`` are dropped.
     """
-    from pyspark.sql import Window
-
     if not proportions or any(p <= 0 for p in proportions.values()):
         raise ValueError("proportions must be non-empty and positive")
     p_col = F.lit(None).cast("double")
@@ -463,6 +546,23 @@ def mixture_sample(
         "__n",
         F.floor(F.col("__p") * F.col("__scale")).cast("long").alias("__q"),
     )
+    return _take_lowest_hash(df, quotas, strata_col, id_col, salt, margin)
+
+
+def _take_lowest_hash(
+    df: DataFrame,
+    quotas: DataFrame,
+    strata_col: str,
+    id_col: str,
+    salt: str,
+    margin: int,
+) -> DataFrame:
+    """Exactly __q lowest-hash rows per stratum, given a tiny quotas frame
+    (__k, __n, __q): hash-threshold pre-prune sized ~margin·q, then the
+    exact rank over survivors (shared by mixture_sample and
+    temperature_mixture_sample)."""
+    from pyspark.sql import Window
+
     bucket = hash_bucket(F.col(id_col), salt)
     # expected survivors per source = margin*q + 64: the additive floor
     # keeps the under-fill probability ~exp(-64) even when the derived
@@ -482,6 +582,47 @@ def mixture_sample(
         .filter(F.col("__rn") <= F.col("__q"))
         .drop("__rn", "__k", "__n", "__q")
     )
+
+
+def temperature_mixture_sample(
+    df: DataFrame,
+    alpha: float = 0.5,
+    strata_col: str = "source",
+    id_col: str = "doc_id",
+    salt: str = "",
+    margin: int = 8,
+) -> DataFrame:
+    """Temperature-scaled mixture (the multilingual-training rebalancing
+    recipe, e.g. XLM-R / mC4): sampling probability p_s ∝ n_s^alpha with
+    alpha in (0, 1], which upweights small sources relative to their
+    natural share. Returns the LARGEST corpus realizing those proportions
+    exactly, lowest-hash first per stratum.
+
+    Quota form: p_s = n_s^a / Z and scale = min_s n_s/p_s give
+    q_s = floor(n_s^a · n_min^(1-a)) — the normalizer Z cancels
+    ANALYTICALLY, so no cross-engine float-summation-order dependence can
+    creep into the floor; at a = 0.5 the quota is computed as
+    floor(sqrt(n_s · n_min)) (exact integer product under 2^53 + the
+    correctly-rounded IEEE sqrt), bit-reproducible in any engine. a = 1
+    keeps every stratum whole (natural proportions).
+    """
+    if not 0.0 < alpha <= 1.0:
+        raise ValueError(f"alpha must be in (0, 1], got {alpha}")
+    counts = df.groupBy(F.col(strata_col).alias("__k")).agg(
+        F.count(F.lit(1)).alias("__n")
+    )
+    nmin = counts.agg(F.min("__n").alias("__m"))
+    if alpha == 0.5:
+        q = F.floor(F.sqrt((F.col("__n") * F.col("__m")).cast("double")))
+    else:
+        q = F.floor(
+            F.pow(F.col("__n").cast("double"), F.lit(float(alpha)))
+            * F.pow(F.col("__m").cast("double"), F.lit(1.0 - float(alpha)))
+        )
+    quotas = counts.join(F.broadcast(nmin)).select(
+        "__k", "__n", q.cast("long").alias("__q")
+    )
+    return _take_lowest_hash(df, quotas, strata_col, id_col, salt, margin)
 
 
 def weighted_sample(

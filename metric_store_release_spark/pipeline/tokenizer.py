@@ -137,15 +137,14 @@ def bpe_merge_table(
     )
 
 
-def bpe_oracle_sql(table_sql: str, text_sql: str, n_merges: int = 8) -> str:
-    """DuckDB SQL replaying the exact training loop — chained CTEs, one
-    (pairs → argmax → apply) block per round. Used as the entry oracle so
-    the merge sequence is proven engine-independent."""
+def _bpe_chain_sql(table_sql: str, text_sql: str, n_merges: int) -> str:
+    """The WITH-clause replaying the training loop (shared by both
+    oracles): enc0..encN vocab states, pairs/best per round."""
     sep = "chr(31)"
     blocks = [
         f"""
 enc0 AS (
-  SELECT regexp_replace(w, '(.)', {sep} || '\\1' || {sep}, 'g') AS enc,
+  SELECT w, regexp_replace(w, '(.)', {sep} || '\\1' || {sep}, 'g') AS enc,
          COUNT(*) AS freq
   FROM (
     SELECT unnest(string_split_regex(replace({text_sql}, chr(31), ''), '\\s+')) AS w
@@ -173,14 +172,95 @@ best{r} AS (
   ORDER BY cnt DESC, l, r LIMIT 1
 ),
 enc{r} AS (
-  SELECT replace(enc, {sep} || b.l || {sep} || {sep} || b.r || {sep},
-                 {sep} || b.l || b.r || {sep}) AS enc, freq
+  SELECT w, replace(enc, {sep} || b.l || {sep} || {sep} || b.r || {sep},
+                    {sep} || b.l || b.r || {sep}) AS enc, freq
   FROM enc{p}, best{r} b
 )"""
         )
+    return "WITH " + ",".join(blocks)
+
+
+def bpe_oracle_sql(table_sql: str, text_sql: str, n_merges: int = 8) -> str:
+    """DuckDB SQL replaying the exact training loop — chained CTEs, one
+    (pairs → argmax → apply) block per round. Used as the entry oracle so
+    the merge sequence is proven engine-independent."""
     union = "\nUNION ALL\n".join(
         f'SELECT merge_rank, l AS "left", r AS "right", cnt AS pair_count '
         f"FROM best{r}"
         for r in range(1, n_merges + 1)
     )
-    return "WITH " + ",".join(blocks) + "\n" + union
+    return _bpe_chain_sql(table_sql, text_sql, n_merges) + "\n" + union
+
+
+def bpe_token_counts(
+    df: DataFrame,
+    merges: list[tuple[int, str, str, int]],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Apply trained merges and count BPE tokens per document:
+    (id, n_bpe_tokens).
+
+    Tokenization happens once per DISTINCT word (the vocabulary table),
+    then the per-(doc, word) table joins the vocab's token count — at
+    100 TB the merge replaces run over |vocab| rows, not |corpus words|,
+    and the join is a plain equi-join AQE can broadcast while the vocab
+    is small. Documents with no words are absent (inner-join semantics,
+    mirrored by the oracle)."""
+    words = df.select(
+        F.col(id_col),
+        F.explode(
+            F.split(F.regexp_replace(F.col(text_col), SEP, ""), r"\s+")
+        ).alias("w"),
+    ).filter(F.length("w") > 0)
+    enc = F.regexp_replace(F.col("w"), "(.)", f"{SEP}$1{SEP}")
+    for _, left, right, _ in merges:
+        enc = _apply_merge(enc, left, right)
+    vocab = (
+        words.select("w")
+        .distinct()
+        .withColumn("__enc", enc)
+        .select(
+            "w",
+            F.size(
+                F.split(
+                    F.expr("substring(__enc, 2, length(__enc) - 2)"), SEP + SEP
+                )
+            ).alias("n"),
+        )
+    )
+    return (
+        words.join(vocab, "w")
+        .groupBy(id_col)
+        .agg(F.sum("n").alias("n_bpe_tokens"))
+    )
+
+
+def bpe_token_counts_oracle_sql(
+    table_sql: str,
+    text_sql: str,
+    id_sql: str = "doc_id",
+    n_merges: int = 8,
+) -> str:
+    """DuckDB oracle for train-then-apply: replays the merge training
+    (bpe_oracle_sql's chain — its enc CTEs carry the source word), then
+    tokenizes every document with the final vocabulary and returns
+    (id, n_bpe_tokens)."""
+    sep = "chr(31)"
+    with_part = _bpe_chain_sql(table_sql, text_sql, n_merges)
+    return f"""{with_part},
+docwords AS (
+  SELECT {id_sql}, w FROM (
+    SELECT {id_sql},
+           unnest(string_split_regex(replace({text_sql}, chr(31), ''), '\\s+')) AS w
+    FROM {table_sql}
+  ) WHERE len(w) > 0
+),
+vocabtok AS (
+  SELECT w, len(string_split(trim(enc, {sep}), {sep} || {sep})) AS n
+  FROM enc{n_merges}
+)
+SELECT {id_sql}, CAST(SUM(n) AS BIGINT) AS n_bpe_tokens
+FROM docwords JOIN vocabtok USING (w)
+GROUP BY {id_sql}
+"""
