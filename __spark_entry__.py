@@ -454,6 +454,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["docs_bpe_tokens"] = _docs_bpe_tokens
     q["docs_temperature_mix"] = _docs_temperature_mix
     q["text_bigram_logprob"] = _text_bigram_logprob
+    q["dedup_incremental"] = _dedup_incremental
     q["dedup_simhash_pairs"] = _dedup_simhash_pairs
     q["text_bm25"] = _text_bm25
     q["docs_quota"] = _docs_quota
@@ -1274,6 +1275,50 @@ def _dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     return minhash_lsh_candidates(
         _docs(spark, sf_dir), num_hashes=8, bands=4, shingle_n=3
+    )
+
+
+#: sf_dir → bucketed minhash band-index table written this session (the
+#: incremental-dedup corpus artifact; batches join it, corpus never re-bands)
+_MH_INDEX: dict[str, str] = {}
+
+
+def _dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Crawl-update dedup (pipeline.dedup.minhash_match): the corpus's LSH
+    band index is written ONCE as a bh-bucketed table; the new batch (an
+    id-shifted copy of every 25th doc — each must rediscover its source)
+    bands map-side and equi-joins the index. Cost scales with the batch,
+    never the corpus."""
+    import re as _re
+
+    from metric_store_release_spark.pipeline.dedup import (
+        minhash_band_table,
+        minhash_match,
+    )
+    from metric_store_release_spark.sources.bucketed import (
+        read_bucketed,
+        write_bucketed,
+    )
+
+    spark = _prepare(spark)
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    table = _MH_INDEX.get(sf_dir)
+    if table is None or not spark.catalog.tableExists(table):
+        table = "msr_mh_index_" + _re.sub(
+            r"[^A-Za-z0-9_]", "_", sf_dir.rstrip("/").rsplit("/", 1)[-1]
+        )
+        write_bucketed(
+            minhash_band_table(docs, num_hashes=8, bands=4, shingle_n=3),
+            table,
+            "bh",
+            8,
+        )
+        _MH_INDEX[sf_dir] = table
+    batch = docs.filter(F.col("doc_id") % _PLANT_EVERY == 0).withColumn(
+        "doc_id", F.col("doc_id") + F.lit(_PLANT_OFFSET)
+    )
+    return minhash_match(
+        batch, read_bucketed(spark, table), num_hashes=8, bands=4, shingle_n=3
     )
 
 
@@ -2714,6 +2759,8 @@ FROM ch
 
     o["dedup_minhash_lsh"] = _minhash_oracle()
 
+    o["dedup_incremental"] = _incremental_oracle()
+
     o["dedup_components"] = _components_oracle()
 
     # deterministic hash-threshold sampling: bucket/2^32 is an exact
@@ -3160,11 +3207,17 @@ SELECT query_id, vec_id, cos_sim, rank FROM (
 """
 
 
-def _minhash_pairs_ctes(
-    num_hashes: int = 8, bands: int = 4, shingle_n: int = 3
+def _minhash_stacked_ctes(
+    src_sql: str = "documents",
+    prefix: str = "",
+    num_hashes: int = 8,
+    bands: int = 4,
+    shingle_n: int = 3,
 ) -> str:
-    """CTE chain ending in `pairs` (banded LSH candidate pairs) — shared by
-    the minhash oracle and the connected-components oracle."""
+    """CTE chain ending in `{prefix}stacked` — the (doc_id, band_id, bh)
+    LSH band table of ``src_sql``, matching pipeline.dedup's construction.
+    The prefix lets one query band two sources (incremental dedup)."""
+    p = prefix
     rows = num_hashes // bands
     # hash i = (h1 + i*h2) mod 2^32, h1/h2 = md5 words (matches pipeline.dedup)
     mins = ",\n         ".join(
@@ -3179,33 +3232,58 @@ def _minhash_pairs_ctes(
         )
         band_exprs.append(f"STRUCT_PACK(band_id := {b}, bh := md5({parts}))")
     bands_sql = ", ".join(band_exprs)
-    ctes = f"""toks AS (
+    return f"""{p}toks AS (
   SELECT doc_id, list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS ws
-  FROM documents
+  FROM {src_sql}
 ),
-sh AS (
+{p}sh AS (
   SELECT doc_id,
          CASE WHEN len(ws) >= {shingle_n}
               THEN list_distinct([array_to_string(ws[i:i+{shingle_n - 1}], ' ')
                     for i in range(1, len(ws) - {shingle_n - 1} + 1)])
               ELSE [array_to_string(ws, ' ')] END AS shingles
-  FROM toks
+  FROM {p}toks
 ),
-flat AS (SELECT doc_id, unnest(shingles) AS sh FROM sh),
-sigs AS (
+{p}flat AS (SELECT doc_id, unnest(shingles) AS sh FROM {p}sh),
+{p}sigs AS (
   SELECT doc_id, {mins}
-  FROM flat GROUP BY doc_id
+  FROM {p}flat GROUP BY doc_id
 ),
-banded AS (
-  SELECT doc_id, unnest([{bands_sql}]) AS e FROM sigs
+{p}banded AS (
+  SELECT doc_id, unnest([{bands_sql}]) AS e FROM {p}sigs
 ),
-stacked AS (SELECT doc_id, e.band_id AS band_id, e.bh AS bh FROM banded),
+{p}stacked AS (SELECT doc_id, e.band_id AS band_id, e.bh AS bh FROM {p}banded)"""
+
+
+def _minhash_pairs_ctes(
+    num_hashes: int = 8, bands: int = 4, shingle_n: int = 3
+) -> str:
+    """CTE chain ending in `pairs` (banded LSH candidate pairs) — shared by
+    the minhash oracle and the connected-components oracle."""
+    return f"""{_minhash_stacked_ctes("documents", "", num_hashes, bands, shingle_n)},
 pairs AS (
   SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
   FROM stacked a JOIN stacked b
     ON a.band_id = b.band_id AND a.bh = b.bh AND a.doc_id < b.doc_id
 )"""
-    return ctes
+
+
+def _incremental_oracle(
+    num_hashes: int = 8, bands: int = 4, shingle_n: int = 3
+) -> str:
+    """Batch-vs-index candidates: band the corpus and the planted batch
+    independently, join on (band_id, bh)."""
+    batch_src = (
+        f"(SELECT doc_id + {_PLANT_OFFSET} AS doc_id, text FROM documents "
+        f"WHERE doc_id % {_PLANT_EVERY} = 0)"
+    )
+    return f"""
+WITH {_minhash_stacked_ctes("documents", "", num_hashes, bands, shingle_n)},
+{_minhash_stacked_ctes(batch_src, "b_", num_hashes, bands, shingle_n)}
+SELECT DISTINCT b.doc_id AS batch_id, s.doc_id AS index_id
+FROM b_stacked b JOIN stacked s
+  ON b.band_id = s.band_id AND b.bh = s.bh
+"""
 
 
 def _minhash_oracle(num_hashes: int = 8, bands: int = 4, shingle_n: int = 3) -> str:

@@ -120,6 +120,73 @@ def minhash_signatures(
     return hashed.groupBy(id_col).agg(*mins)
 
 
+def minhash_band_table(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 16,
+    bands: int = 4,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """The LSH band index of a corpus: (id, band_id, bh), `bands` rows per
+    document. This IS the persistable artifact of minhash dedup — write it
+    once (e.g. `sources.bucketed.write_bucketed(..., "bh", n)`) and every
+    future batch dedups against it via :func:`minhash_match` without ever
+    touching the corpus text again."""
+    rows_per_band = num_hashes // bands
+    sigs = minhash_signatures(df, text_col, id_col, num_hashes, shingle_n)
+    band_structs = [
+        F.struct(
+            F.lit(b).alias("band_id"),
+            F.md5(
+                F.concat_ws(
+                    "_",
+                    *[
+                        F.col(f"mh{b * rows_per_band + r}").cast("string")
+                        for r in range(rows_per_band)
+                    ],
+                )
+            ).alias("bh"),
+        )
+        for b in range(bands)
+    ]
+    return sigs.select(
+        F.col(id_col), F.explode(F.array(*band_structs)).alias("e")
+    ).select(id_col, F.col("e.band_id"), F.col("e.bh"))
+
+
+def minhash_match(
+    batch: DataFrame,
+    index_bands: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 16,
+    bands: int = 4,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """INCREMENTAL dedup: LSH candidates (batch_id, index_id) between a new
+    batch and a prebuilt corpus band index (see :func:`minhash_band_table`)
+    — the crawl-update scenario, where re-banding a 100 TB corpus per
+    ingest batch is a non-starter.
+
+    Cost is proportional to the BATCH, never the corpus: the batch bands
+    map-side, then one equi-join against the index on (band_id, bh) — with
+    the index bucketed on bh the join is Exchange-free on the corpus side;
+    AQE broadcasts the batch side while it is small. Band parameters must
+    match the ones the index was built with (same num_hashes/bands/
+    shingle_n), or recall silently collapses — keep them WITH the index.
+    """
+    nb = minhash_band_table(batch, text_col, id_col, num_hashes, bands, shingle_n)
+    idx = index_bands.select(
+        F.col(id_col).alias("index_id"), "band_id", "bh"
+    )
+    return (
+        nb.join(idx, ["band_id", "bh"])
+        .select(F.col(id_col).alias("batch_id"), "index_id")
+        .distinct()
+    )
+
+
 def minhash_lsh_candidates(
     df: DataFrame,
     text_col: str = "text",
@@ -148,26 +215,9 @@ def minhash_lsh_candidates(
     ``spark.catalog.clearCache()``) to release executor storage in
     long-lived sessions.
     """
-    rows_per_band = num_hashes // bands
-    sigs = minhash_signatures(df, text_col, id_col, num_hashes, shingle_n)
-    band_structs = [
-        F.struct(
-            F.lit(b).alias("band_id"),
-            F.md5(
-                F.concat_ws(
-                    "_",
-                    *[
-                        F.col(f"mh{b * rows_per_band + r}").cast("string")
-                        for r in range(rows_per_band)
-                    ],
-                )
-            ).alias("bh"),
-        )
-        for b in range(bands)
-    ]
-    stacked = sigs.select(
-        F.col(id_col), F.explode(F.array(*band_structs)).alias("e")
-    ).select(id_col, F.col("e.band_id"), F.col("e.bh"))
+    stacked = minhash_band_table(
+        df, text_col, id_col, num_hashes, bands, shingle_n
+    )
     # self-join would recompute the signature lineage twice; persist the
     # (tiny) band table — at warehouse scale this is a signatures table write.
     # Materialize EAGERLY: with a lazy persist the big-bucket broadcast job

@@ -1036,3 +1036,43 @@ def test_kmv_distinct_accuracy_and_exact_regime(spark):
     )
     per = {r["grp"]: r["est_distinct"] for r in kmv_distinct(g, "key", ("grp",), k=64).collect()}
     assert per == {"a": 30.0, "b": 10.0}
+
+
+def test_minhash_incremental_match_finds_sources(spark):
+    from metric_store_release_spark.pipeline.dedup import (
+        minhash_band_table,
+        minhash_match,
+        minhash_lsh_candidates,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, f"alpha beta gamma delta epsilon doc{i} zeta eta theta") for i in range(40)]
+        + [(100, "totally different text with no overlap at all here")],
+        "doc_id long, text string",
+    )
+    index = minhash_band_table(docs, num_hashes=8, bands=4)
+    # batch = exact copies of docs 0..4 under new ids: each MUST match its source
+    batch = spark.createDataFrame(
+        [(1000 + i, f"alpha beta gamma delta epsilon doc{i} zeta eta theta") for i in range(5)],
+        "doc_id long, text string",
+    )
+    got = {
+        (r["batch_id"], r["index_id"])
+        for r in minhash_match(batch, index, num_hashes=8, bands=4).collect()
+    }
+    for i in range(5):
+        assert (1000 + i, i) in got
+    # the unrelated doc never appears as a match for the batch
+    assert not any(idx == 100 for _, idx in got)
+    # parity: matching a corpus against its own index reproduces the
+    # self-join candidates of minhash_lsh_candidates (modulo direction)
+    self_pairs = {
+        (r["id_a"], r["id_b"])
+        for r in minhash_lsh_candidates(docs, num_hashes=8, bands=4).collect()
+    }
+    self_match = {
+        (min(r["batch_id"], r["index_id"]), max(r["batch_id"], r["index_id"]))
+        for r in minhash_match(docs, index, num_hashes=8, bands=4).collect()
+        if r["batch_id"] != r["index_id"]
+    }
+    assert self_match == self_pairs
