@@ -393,6 +393,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["tpch_q18"] = _tpch_q18
     q["tpch_q7"] = _tpch_q7
     q["tpch_q19"] = _tpch_q19
+    q["tpch_q8"] = _tpch_q8
+    q["tpch_q17"] = _tpch_q17
+    q["tpch_q22"] = _tpch_q22
     q["tpch_q13"] = _tpch_q13
     q["tpch_q15"] = _tpch_q15
     q["events_sessionize"] = _events_sessionize
@@ -1013,6 +1016,102 @@ def _tpch_q19(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(
                 F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4
             ).alias("revenue")
+        )
+    )
+
+
+def _tpch_q8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H q8 (national market share): the deepest join tree in the
+    suite — lineitem⋈orders shuffle on the fact keys, part/customer/
+    supplier/region broadcast, and nation joined TWICE under different
+    roles (customer's region filter vs supplier's nationality), which
+    exercises self-aliased dimension reuse. Conditional share aggregate
+    per order year."""
+    spark = _prepare(spark)
+    rd = lambda t: spark.read.parquet(f"{sf_dir}/{t}.parquet")
+    li, orders, cust = rd("lineitem"), rd("orders"), rd("customer")
+    part, supp = rd("part"), rd("supplier")
+    n1 = rd("nation").alias("n1")
+    n2 = rd("nation").alias("n2")
+    region = rd("region")
+    vol = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(n1), cust.c_nationkey == F.col("n1.n_nationkey"))
+        .join(F.broadcast(region), F.col("n1.n_regionkey") == region.r_regionkey)
+        .join(F.broadcast(n2), supp.s_nationkey == F.col("n2.n_nationkey"))
+        .filter(
+            (F.col("r_name") == "AMERICA")
+            & (F.col("p_type") == "ECONOMY")
+            & F.col("o_orderdate").between("1995-01-01", "1996-12-31")
+        )
+        .select(
+            F.year("o_orderdate").alias("o_year"),
+            vol.alias("volume"),
+            F.col("n2.n_name").alias("nation"),
+        )
+        .groupBy("o_year")
+        .agg(
+            F.round(
+                F.sum(F.when(F.col("nation") == "NATION_5", F.col("volume")).otherwise(0.0))
+                / F.sum("volume"),
+                6,
+            ).alias("mkt_share")
+        )
+    )
+
+
+def _tpch_q17(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H q17 shape (small-quantity-order revenue): the correlated
+    scalar subquery — each lineitem compares against ITS part's average
+    quantity. Spark-first: the per-part average is a plain aggregate over
+    the (filtered) part's lineitems joined back on partkey — exactly what
+    Catalyst de-correlates the subquery into; the oracle keeps the
+    correlated form to prove the rewrite equivalence. (p_type stands in
+    for the reduced schema's missing p_container.)"""
+    spark = _prepare(spark)
+    rd = lambda t: spark.read.parquet(f"{sf_dir}/{t}.parquet")
+    li, part = rd("lineitem"), rd("part")
+    sel = part.filter(
+        (F.col("p_brand") == "Brand#1") & (F.col("p_type") == "SMALL")
+    ).select("p_partkey")
+    li_sel = li.join(F.broadcast(sel), li.l_partkey == sel.p_partkey)
+    avg_q = li_sel.groupBy("l_partkey").agg(
+        (F.lit(0.2) * F.avg("l_quantity")).alias("__qcap")
+    )
+    return (
+        li_sel.join(avg_q, "l_partkey")
+        .filter(F.col("l_quantity") < F.col("__qcap"))
+        .agg(F.round(F.sum("l_extendedprice") / 7.0, 4).alias("avg_yearly"))
+    )
+
+
+def _tpch_q22(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H q22 shape (global sales opportunity): customers with
+    above-average positive balance and no RECENT orders — a 1-row
+    scalar-average broadcast plus a LEFT ANTI join against the filtered
+    orders (Catalyst's plan for NOT EXISTS; the date filter pushes into
+    the anti-join's build side), grouped by a derived country code
+    (nationkey%5 stands in for the reduced schema's missing phone
+    prefix; 'never ordered' is vacuous on the dense fixture)."""
+    spark = _prepare(spark)
+    rd = lambda t: spark.read.parquet(f"{sf_dir}/{t}.parquet")
+    cust, orders = rd("customer"), rd("orders")
+    avg_bal = cust.filter(F.col("c_acctbal") > 0.0).agg(
+        F.avg("c_acctbal").alias("__avg_bal")
+    )
+    recent = orders.filter(F.col("o_orderdate") >= "1999-01-01")
+    return (
+        cust.join(F.broadcast(avg_bal))
+        .filter(F.col("c_acctbal") > F.col("__avg_bal"))
+        .join(recent, cust.c_custkey == recent.o_custkey, "left_anti")
+        .groupBy((F.col("c_nationkey") % 5).cast("int").alias("cntrycode"))
+        .agg(
+            F.count(F.lit(1)).alias("numcust"),
+            F.round(F.sum("c_acctbal"), 4).alias("totacctbal"),
         )
     )
 
@@ -2651,6 +2750,55 @@ WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 10
        AND l_quantity BETWEEN 10 AND 20)
    OR (p_brand = 'Brand#3' AND p_size BETWEEN 15 AND 40
        AND l_quantity BETWEEN 20 AND 30)
+"""
+
+    o["tpch_q8"] = """
+SELECT o_year,
+       ROUND(SUM(CASE WHEN nation = 'NATION_5' THEN volume ELSE 0 END)
+             / SUM(volume), 6) AS mkt_share
+FROM (
+  SELECT EXTRACT(year FROM o_orderdate) AS o_year,
+         l_extendedprice * (1 - l_discount) AS volume,
+         n2.n_name AS nation
+  FROM lineitem
+  JOIN orders   ON l_orderkey = o_orderkey
+  JOIN part     ON l_partkey = p_partkey
+  JOIN supplier ON l_suppkey = s_suppkey
+  JOIN customer ON o_custkey = c_custkey
+  JOIN nation n1 ON c_nationkey = n1.n_nationkey
+  JOIN region   ON n1.n_regionkey = r_regionkey
+  JOIN nation n2 ON s_nationkey = n2.n_nationkey
+  WHERE r_name = 'AMERICA' AND p_type = 'ECONOMY'
+    AND o_orderdate BETWEEN '1995-01-01' AND '1996-12-31'
+)
+GROUP BY o_year
+"""
+
+    # correlated form on purpose: proves Catalyst's de-correlated join
+    # rewrite computes the same answer as the textbook subquery
+    o["tpch_q17"] = """
+SELECT ROUND(SUM(l_extendedprice) / 7.0, 4) AS avg_yearly
+FROM lineitem JOIN part ON p_partkey = l_partkey
+WHERE p_brand = 'Brand#1' AND p_type = 'SMALL'
+  AND l_quantity < (
+    SELECT 0.2 * AVG(l2.l_quantity) FROM lineitem l2
+    WHERE l2.l_partkey = part.p_partkey
+  )
+"""
+
+    o["tpch_q22"] = """
+SELECT CAST(c_nationkey % 5 AS INT) AS cntrycode,
+       COUNT(*) AS numcust,
+       ROUND(SUM(c_acctbal), 4) AS totacctbal
+FROM customer
+WHERE c_acctbal > (
+        SELECT AVG(c_acctbal) FROM customer WHERE c_acctbal > 0.0
+      )
+  AND NOT EXISTS (
+        SELECT 1 FROM orders
+        WHERE o_custkey = c_custkey AND o_orderdate >= '1999-01-01'
+      )
+GROUP BY cntrycode
 """
 
     o["tpch_q4"] = """
