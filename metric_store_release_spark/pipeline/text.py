@@ -615,9 +615,15 @@ def temperature_mixture_sample(
     if alpha == 0.5:
         q = F.floor(F.sqrt((F.col("__n") * F.col("__m")).cast("double")))
     else:
-        q = F.floor(
-            F.pow(F.col("__n").cast("double"), F.lit(float(alpha)))
-            * F.pow(F.col("__m").cast("double"), F.lit(1.0 - float(alpha)))
+        # pow() is not correctly-rounded: n^a * n^(1-a) can land a ulp
+        # under n and floor() then shaves a row (observed: 25^0.3 * 25^0.7
+        # -> 24). The bottleneck stratum is whole BY DEFINITION, so pin it
+        # exactly; other strata tolerate the +-1-row ulp boundary.
+        q = F.when(F.col("__n") == F.col("__m"), F.col("__m")).otherwise(
+            F.floor(
+                F.pow(F.col("__n").cast("double"), F.lit(float(alpha)))
+                * F.pow(F.col("__m").cast("double"), F.lit(1.0 - float(alpha)))
+            )
         )
     quotas = counts.join(F.broadcast(nmin)).select(
         "__k", "__n", q.cast("long").alias("__q")

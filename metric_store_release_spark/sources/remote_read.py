@@ -68,26 +68,87 @@ def _read_uvarint(buf: bytes, pos: int) -> tuple[int, int]:
             raise ValueError("uvarint too long")
 
 
-def snappy_compress(data: bytes) -> bytes:
-    """Spec-valid snappy block: preamble + literal-only chunks."""
-    out = bytearray(_uvarint(len(data)))
-    pos = 0
+def _emit_literal(out: bytearray, data: bytes, start: int, end: int) -> None:
+    ln = end - start
+    if ln <= 0:
+        return
+    v = ln - 1
+    if v < 60:
+        out.append(v << 2)
+    elif v <= 0xFF:
+        out.append(60 << 2)
+        out.append(v)
+    elif v <= 0xFFFF:
+        out.append(61 << 2)
+        out += struct.pack("<H", v)
+    elif v <= 0xFFFFFF:
+        out.append(62 << 2)
+        out += v.to_bytes(3, "little")
+    else:
+        out.append(63 << 2)
+        out += struct.pack("<I", v)
+    out += data[start:end]
+
+
+def _emit_copy(out: bytearray, offset: int, length: int) -> None:
+    # long matches split into <=64-byte copy elements; peeling 60 first
+    # guarantees the final element is still >= 4 (1-byte-offset minimum)
+    while length >= 68:
+        out.append(0x02 | (63 << 2))
+        out += struct.pack("<H", offset)
+        length -= 64
+    if length > 64:
+        out.append(0x02 | (59 << 2))
+        out += struct.pack("<H", offset)
+        length -= 60
+    if 4 <= length <= 11 and offset < 2048:
+        out.append(0x01 | ((length - 4) << 2) | ((offset >> 8) << 5))
+        out.append(offset & 0xFF)
+    else:
+        out.append(0x02 | ((length - 1) << 2))
+        out += struct.pack("<H", offset)
+
+
+def _compress_fragment(data: bytes, out: bytearray) -> None:
+    """Greedy 4-byte-hash matcher over one <=64 KiB fragment (the
+    reference snappy compressor's structure: matches never cross fragment
+    boundaries, so every offset fits the 2-byte copy form)."""
     n = len(data)
-    while pos < n or n == 0:
-        chunk = data[pos : pos + 65536]
-        ln = len(chunk)
-        if ln == 0:
-            break
-        if ln <= 60:
-            out.append((ln - 1) << 2)
-        elif ln <= 0xFF:
-            out.append(60 << 2)
-            out.append(ln - 1)
-        else:  # <= 0xFFFF
-            out.append(61 << 2)
-            out += struct.pack("<H", ln - 1)
-        out += chunk
-        pos += ln
+    if n < 8:
+        _emit_literal(out, data, 0, n)
+        return
+    table: dict[bytes, int] = {}
+    ip = 0
+    lit_start = 0
+    limit = n - 4
+    while ip <= limit:
+        key = data[ip : ip + 4]
+        cand = table.get(key)
+        table[key] = ip
+        if cand is None:
+            ip += 1
+            continue
+        # extend the match as far as it goes
+        m, c = ip + 4, cand + 4
+        while m < n and data[m] == data[c]:
+            m += 1
+            c += 1
+        _emit_literal(out, data, lit_start, ip)
+        _emit_copy(out, ip - cand, m - ip)
+        ip = m
+        lit_start = m
+    _emit_literal(out, data, lit_start, n)
+
+
+def snappy_compress(data: bytes) -> bytes:
+    """Snappy block-format compressor: uncompressed-length preamble, then
+    literal and copy elements from a greedy 4-byte-hash matcher per 64 KiB
+    fragment — the reference compressor's algorithm (format per the
+    public format_description.txt), in pure Python. Output decodes with
+    any snappy implementation; `snappy_decompress` round-trips it."""
+    out = bytearray(_uvarint(len(data)))
+    for pos in range(0, len(data), 65536):
+        _compress_fragment(data[pos : pos + 65536], out)
     return bytes(out)
 
 

@@ -1076,3 +1076,32 @@ def test_minhash_incremental_match_finds_sources(spark):
         if r["batch_id"] != r["index_id"]
     }
     assert self_match == self_pairs
+
+
+def test_temperature_mixture_quota_properties(spark):
+    from metric_store_release_spark.pipeline.text import temperature_mixture_sample
+    import math
+
+    rows = (
+        [("big", i) for i in range(400)]
+        + [("mid", 1000 + i) for i in range(100)]
+        + [("small", 2000 + i) for i in range(25)]
+    )
+    df = spark.createDataFrame(rows, "source string, doc_id long")
+    # alpha=1: natural proportions — every stratum kept whole
+    assert temperature_mixture_sample(df, alpha=1.0).count() == 525
+    # alpha=0.5: q_s = floor(sqrt(n_s * n_min)); smallest stratum whole
+    out = temperature_mixture_sample(df, alpha=0.5)
+    got = {r["source"]: r["count"] for r in out.groupBy("source").count().collect()}
+    assert got == {
+        "big": math.floor(math.sqrt(400 * 25)),    # 100
+        "mid": math.floor(math.sqrt(100 * 25)),    # 50
+        "small": 25,
+    }
+    # upweighting is monotone: smaller alpha flattens harder
+    flatter = temperature_mixture_sample(df, alpha=0.3)
+    g2 = {r["source"]: r["count"] for r in flatter.groupBy("source").count().collect()}
+    assert g2["big"] <= got["big"] and g2["small"] == 25
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        temperature_mixture_sample(df, alpha=1.5)

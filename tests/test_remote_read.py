@@ -213,3 +213,29 @@ def test_multi_query_request(served):
     assert len(decoded.results) == 2
     assert len(decoded.results[0]) == 2  # two 'up' series
     assert decoded.results[1] == []  # empty QueryResult still present
+
+
+def test_snappy_compressor_emits_copies_and_roundtrips():
+    """Round 5: the encoder is a real greedy-match compressor, not
+    literal-only framing — repetitive payloads must shrink hard and
+    round-trip through the independent decoder."""
+    import random
+
+    rng = random.Random(7)
+    repetitive = b"cpu_seconds_total{instance=\"10.0.0.1\"} " * 2000
+    blob = snappy_compress(repetitive)
+    assert snappy_decompress(blob) == repetitive
+    assert len(blob) < len(repetitive) // 10  # copies, not literals
+    # spans a fragment boundary (>64 KiB) with the period not dividing 65536
+    long = (b"abcdefg" * 20_000)[:140_003]
+    assert snappy_decompress(snappy_compress(long)) == long
+    # incompressible data must still be spec-valid (and barely grow)
+    noise = bytes(rng.randrange(256) for _ in range(50_000))
+    blob2 = snappy_compress(noise)
+    assert snappy_decompress(blob2) == noise
+    assert len(blob2) <= len(noise) + len(noise) // 1000 + 16
+    # RLE shape: offset < length overlapping copy
+    # ~3 bytes per 64-byte copy element (the spec's max copy length)
+    run = b"x" * 10_000
+    blob3 = snappy_compress(run)
+    assert snappy_decompress(blob3) == run and len(blob3) < 600
