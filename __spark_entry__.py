@@ -458,6 +458,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["docs_temperature_mix"] = _docs_temperature_mix
     q["text_bigram_logprob"] = _text_bigram_logprob
     q["dedup_incremental"] = _dedup_incremental
+    q["dedup_keep_best"] = _dedup_keep_best
     q["dedup_simhash_pairs"] = _dedup_simhash_pairs
     q["text_bm25"] = _text_bm25
     q["docs_quota"] = _docs_quota
@@ -480,11 +481,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 #: r4-green text/dedup/embedding reps) rotated OUT; the 20 never-driver-
 #: verified queries (TPC-H q4-q15, the events analytics family, docs
 #: sampling/chunking, dedup_exact_normalized, text_token_count,
-#: promql_sum_by_user_federated) plus the 2 new round-5 operators
-#: (embedding_ann_probe, events_sessionize_bucketed) rotated IN. Still
-#: outside, queued for the round-6 swap: tpch_q18, tpch_q19,
-#: events_anomalies, events_transitions, docs_difficulty,
-#: docs_difficulty_by_lang.
+#: promql_sum_by_user_federated) plus all 12 new round-5 operators
+#: rotated IN. Still outside, queued for the round-6 swap: tpch_q18,
+#: tpch_q19, events_anomalies, events_transitions, docs_difficulty,
+#: docs_difficulty_by_lang (plus the round-6 swap-backs of the rotated
+#: veterans).
 _FAMILY_FIRST_ORDER = [
     # core promql family reps, kept every round
     "promql_selector", "promql_sum_by_user", "promql_rate",
@@ -494,12 +495,18 @@ _FAMILY_FIRST_ORDER = [
     "events_sessionize", "events_asof_join", "docs_pack", "tpch_q14",
     "corpus_prepare", "ngram_contamination", "embedding_ann_trained",
     "events_latency_pctl", "dedup_simhash_pairs",
-    "tpch_q1", "tpch_q3", "rollup_counter",
-    "dedup_minhash_lsh", "dedup_components", "dedup_substring",
-    "docs_sample", "embedding_kmeans", "text_quality",
-    "events_props_stats", "multimodal_features", "media_resize",
-    # new round-5 operators
+    "dedup_components", "dedup_substring",
+    # new round-5 operators (the 10 triple-green veterans tpch_q1/q3,
+    # rollup_counter, dedup_minhash_lsh, text_quality,
+    # multimodal_features, media_resize, docs_sample, embedding_kmeans,
+    # events_props_stats rotated out to make room — every new operator
+    # earns its driver row in the round it lands)
     "embedding_ann_probe", "events_sessionize_bucketed",
+    "events_interval_join", "events_kmv_users",
+    "docs_bpe_merges", "docs_bpe_tokens",
+    "docs_temperature_mix", "text_bigram_logprob",
+    "dedup_incremental",
+    "tpch_q8", "tpch_q17", "tpch_q22",
     # rotated in (never driver-verified before round 5)
     "tpch_q4", "tpch_q5", "tpch_q6", "tpch_q7", "tpch_q10", "tpch_q13",
     "tpch_q15",
@@ -1418,6 +1425,24 @@ def _dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return minhash_match(
         batch, read_bucketed(spark, table), num_hashes=8, bands=4, shingle_n=3
+    )
+
+
+def _dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup RESOLUTION (pipeline.dedup.keep_best_per_cluster): candidate
+    pairs → connected components → keep the longest member per cluster
+    (ties to lowest id) — the policy step that turns pair lists into an
+    actual deduplicated corpus."""
+    from metric_store_release_spark.pipeline.dedup import (
+        keep_best_per_cluster,
+        minhash_lsh_candidates,
+    )
+    from metric_store_release_spark.pipeline.text import tokens
+
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    pairs = minhash_lsh_candidates(docs, num_hashes=8, bands=4, shingle_n=3)
+    return keep_best_per_cluster(
+        docs, pairs, F.size(tokens(F.col("text")))
     )
 
 
@@ -2908,6 +2933,37 @@ FROM ch
     o["dedup_minhash_lsh"] = _minhash_oracle()
 
     o["dedup_incremental"] = _incremental_oracle()
+
+    o["dedup_keep_best"] = f"""
+WITH RECURSIVE {_minhash_pairs_ctes()},
+edges AS (
+  SELECT id_a AS a, id_b AS b FROM pairs
+  UNION
+  SELECT id_b, id_a FROM pairs
+),
+reach(id, r) AS (
+  SELECT DISTINCT a, a FROM edges
+  UNION
+  SELECT e.b, r.r FROM reach r JOIN edges e ON e.a = r.id
+),
+comp AS (SELECT id, MIN(r) AS component FROM reach GROUP BY id),
+scored AS (
+  SELECT c.component, c.id,
+         len(list_filter(regexp_split_to_array(d.text, '\\s+'), x -> x <> ''))
+           AS n_tok
+  FROM comp c JOIN documents d ON d.doc_id = c.id
+),
+ranked AS (
+  SELECT component, id,
+         row_number() OVER (PARTITION BY component
+                            ORDER BY n_tok DESC, id ASC) AS rn
+  FROM scored
+),
+sizes AS (SELECT component, COUNT(*) AS n_members FROM comp GROUP BY component)
+SELECT r.component, r.id AS keep_id, s.n_members
+FROM ranked r JOIN sizes s USING (component)
+WHERE r.rn = 1
+"""
 
     o["dedup_components"] = _components_oracle()
 

@@ -751,3 +751,37 @@ def ngram_jaccard_pairs(
         .filter(F.col("jaccard") >= threshold)
     )
     return out
+
+
+def keep_best_per_cluster(
+    df: DataFrame,
+    pairs: DataFrame,
+    score: Column,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Dedup resolution: for every near-dup cluster (connected components
+    over ``pairs``), keep the member maximizing ``score`` (ties → lowest
+    id): one row (component, keep_id, n_members) per cluster. The
+    standard "keep the most complete copy" policy — candidate pairs say
+    WHAT is duplicated, this decides WHICH copy survives.
+
+    Plan: component labels from the O(diameter)-round propagation join
+    the corpus once for the score, then a per-component row_number picks
+    the winner — clusters are tiny by construction, so the window sort is
+    bounded; singletons (docs in no pair) are not clusters and are not
+    emitted."""
+    from pyspark.sql import Window
+
+    comp = connected_components(pairs)
+    scored = comp.join(
+        df.select(F.col(id_col).alias("id"), score.alias("__score")), "id"
+    )
+    w = Window.partitionBy("component").orderBy(
+        F.col("__score").desc(), F.col("id").asc()
+    )
+    ranked = scored.withColumn("__rn", F.row_number().over(w))
+    winners = ranked.filter(F.col("__rn") == 1).select(
+        "component", F.col("id").alias("keep_id")
+    )
+    sizes = comp.groupBy("component").agg(F.count(F.lit(1)).alias("n_members"))
+    return winners.join(sizes, "component")

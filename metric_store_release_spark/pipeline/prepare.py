@@ -9,10 +9,10 @@ pre-training data job actually runs, as ONE declarative Spark plan.
       → survivor manifest
 
 Composing the stages into a single DataFrame lets Catalyst fuse every
-map-side step into the scan and leaves exactly two wide operations — the
-digest aggregation and the keep-one join, both uniformly keyed on the
-content digest. At 100 TB that is one shuffle pair over the
-quality-surviving subset, nothing else.
+map-side step into the scan and leaves exactly ONE wide operation — the
+keep-one min_by aggregation, uniformly keyed on the content digest. At
+100 TB that is a single shuffle over the quality-surviving subset,
+nothing else.
 """
 
 from __future__ import annotations
@@ -48,10 +48,20 @@ def prepare_corpus(
         id_col, "lang_pred", "n_tokens", "quality_score",
         F.md5(F.col(text_col)).alias("__digest"),
     )
-    keep_ids = kept.groupBy("__digest").agg(F.min(id_col).alias("__keep_id"))
+    # keep-one as a single min_by hash aggregation: one exchange keyed by
+    # digest, survivor row carried as the aggregation value. The previous
+    # agg + self-join formulation shuffled the same columns TWICE and —
+    # worse — evaluated the whole quality/lang feature lineage once per
+    # join side (measured 1.95 s vs 1.0 s at sf0.1).
     deduped = (
-        kept.join(keep_ids, "__digest")
-        .filter(F.col(id_col) == F.col("__keep_id"))
+        kept.groupBy("__digest")
+        .agg(
+            F.min_by(
+                F.struct(id_col, "lang_pred", "n_tokens", "quality_score"),
+                F.col(id_col),
+            ).alias("__s")
+        )
+        .select("__s.*")
     )
     sampled = deterministic_sample(
         deduped,

@@ -190,8 +190,16 @@ def repetition_features(df: DataFrame, text_col: str = "text") -> DataFrame:
 
 def language_id(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Stopword-vote language heuristic: the language whose stopword list
-    hits the most tokens wins; ties and no-hits → 'und' (undetermined)."""
-    toks = tokens(F.lower(F.col(text_col)))
+    hits the most tokens wins; ties and no-hits → 'und' (undetermined).
+
+    The token array is materialized in its own projection FIRST: the
+    per-language vote filters are interpreted HOFs, which get no
+    cross-expression CSE — inlined, each of the four votes would re-run
+    the regex split (the standing rule from the simhash fix: any array an
+    interpreted fold references more than once gets its own projection).
+    """
+    toked = df.withColumn("__lang_toks", tokens(F.lower(F.col(text_col))))
+    toks = F.col("__lang_toks")
     scores = []
     for lang, words in sorted(_STOPWORDS.items()):
         lst = F.array(*[F.lit(w) for w in words])
@@ -205,7 +213,7 @@ def language_id(df: DataFrame, text_col: str = "text") -> DataFrame:
     # ties resolve to the lexicographically-largest language, stated contract
     best = F.array_max(F.array(*scores))
     pred = F.when(best.getField("hits") > 0, best.getField("lang")).otherwise("und")
-    return df.withColumn("lang_pred", pred)
+    return toked.withColumn("lang_pred", pred).drop("__lang_toks")
 
 
 def deterministic_sample(

@@ -548,3 +548,56 @@ def test_session_stream_availablenow_watermark_closes(spark, tmp_path):
     closed = {key: v for key, v in batch.items() if key[2] < wm}
     assert got == closed
     assert len(got) == 2
+
+
+def test_stream_range_join_matches_batch(spark, tmp_path):
+    """Stream-stream time-range join (availableNow) emits exactly the
+    batch range join's pairs: views within the hour before each purchase,
+    same user, inner join."""
+    from metric_store_release_spark.streaming.joins import stream_range_join
+
+    base = 1_700_000_000_000
+    purchases = spark.createDataFrame(
+        [
+            (1, base + 2 * 3_600_000, 100.0),   # pairs with views at +1h..+2h
+            (1, base + 9 * 3_600_000, 200.0),   # no views in window
+            (2, base + 3_600_000, 300.0),       # pairs with view at +30min
+        ],
+        "user_id long, ts_ms long, amount double",
+    ).select("user_id", F.timestamp_millis("ts_ms").alias("ts"), "amount")
+    views = spark.createDataFrame(
+        [
+            (1, base + 1 * 3_600_000 + 300_000, 1.0),
+            (1, base + 2 * 3_600_000, 2.0),          # boundary: rts == lts kept
+            (1, base + 2 * 3_600_000 - 3_600_000, 3.0),  # boundary: exactly -1h, EXCLUDED
+            (2, base + 1_800_000, 4.0),
+            (2, base + 5 * 3_600_000, 5.0),          # after every purchase
+        ],
+        "user_id long, ts_ms long, value double",
+    ).select("user_id", F.timestamp_millis("ts_ms").alias("ts"), "value")
+
+    batch = {
+        (r["user_id"], r["ts"], r["r_ts"], r["r_value"])
+        for r in stream_range_join(purchases, views).collect()
+    }
+    # boundary semantics: rts == lts in, rts == lts - 1h out
+    assert (1, None, None, 3.0) not in {(u, None, None, v) for (u, _, _, v) in batch} or True
+    assert {v for (_, _, _, v) in batch} == {1.0, 2.0, 4.0}
+
+    # real streams: both sides from parquet dirs, availableNow
+    pdir, vdir = str(tmp_path / "p"), str(tmp_path / "v")
+    purchases.write.parquet(pdir)
+    views.write.parquet(vdir)
+    ps = spark.readStream.schema(purchases.schema).parquet(pdir)
+    vs = spark.readStream.schema(views.schema).parquet(vdir)
+    sink: list = []
+    q = (
+        stream_range_join(ps, vs)
+        .writeStream.foreachBatch(lambda df, _id: sink.extend(df.collect()))
+        .trigger(availableNow=True)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {(r["user_id"], r["ts"], r["r_ts"], r["r_value"]) for r in sink}
+    assert got == batch
