@@ -459,6 +459,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["text_bigram_logprob"] = _text_bigram_logprob
     q["dedup_incremental"] = _dedup_incremental
     q["dedup_keep_best"] = _dedup_keep_best
+    q["audio_features"] = _audio_features
     q["dedup_simhash_pairs"] = _dedup_simhash_pairs
     q["text_bm25"] = _text_bm25
     q["docs_quota"] = _docs_quota
@@ -1698,6 +1699,24 @@ def _multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         "width",
         "height",
         F.round("mean_luma", 6).alias("mean_luma"),
+    )
+
+
+def _audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio modality end-to-end (pipeline.multimodal): real RIFF/WAVE
+    PCM16 payloads (data chunk = raw md5(text) bytes, deterministic),
+    decoded by the pure-Python chunk-walking codec inside Arrow-batched
+    mapInPandas — duration / RMS energy / zero-crossing rate, all
+    reproduced exactly by the SQL oracle from the md5 hex."""
+    from metric_store_release_spark.pipeline.multimodal import (
+        extract_audio_features,
+        wav_media_from_documents,
+    )
+
+    out = extract_audio_features(wav_media_from_documents(_docs(spark, sf_dir)))
+    return out.select(
+        "doc_id", "n_bytes", "n_samples", "sample_rate",
+        "duration_ms", "rms", "zero_crossings",
     )
 
 
@@ -3328,6 +3347,38 @@ SELECT doc_id,
            + 0.114 * ascii(substr(md5(text), 3 * p + 3, 1))
          )) / 8, 6) AS mean_luma
 FROM documents
+"""
+
+    # audio: data chunk = the 16 raw md5 bytes = 8 LE int16 samples; byte i
+    # is hex pair i, so every feature derives from the md5 hex directly
+    o["audio_features"] = """
+WITH h AS (SELECT doc_id, md5(text) AS m FROM documents),
+s AS (
+  SELECT doc_id, j,
+         CASE WHEN v >= 32768 THEN v - 65536 ELSE v END AS s
+  FROM (
+    SELECT doc_id, j,
+           ('0x' || substr(m, 4 * j + 1, 2))::BIGINT
+           + 256 * ('0x' || substr(m, 4 * j + 3, 2))::BIGINT AS v
+    FROM h, unnest(generate_series(0, 7)) AS u(j)
+  )
+),
+agg AS (SELECT doc_id, SUM(s * s) AS ss FROM s GROUP BY doc_id),
+zc AS (
+  SELECT a.doc_id,
+         CAST(SUM(CASE WHEN (a.s < 0) <> (b.s < 0) THEN 1 ELSE 0 END) AS INT)
+           AS z
+  FROM s a JOIN s b ON a.doc_id = b.doc_id AND b.j = a.j + 1
+  GROUP BY a.doc_id
+)
+SELECT agg.doc_id,
+       60 AS n_bytes,
+       8 AS n_samples,
+       8000 AS sample_rate,
+       1.0 AS duration_ms,
+       ROUND(sqrt(ss / 8.0), 6) AS rms,
+       zc.z AS zero_crossings
+FROM agg JOIN zc USING (doc_id)
 """
     return o
 

@@ -288,3 +288,111 @@ def frame_sample_plan(media: DataFrame, every_n: int = 10) -> DataFrame:
             "frame_idx"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# audio: RIFF/WAVE PCM
+# ---------------------------------------------------------------------------
+
+AUDIO_FEATURES_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType(), False),
+        StructField("media_type", StringType(), False),
+        StructField("n_bytes", IntegerType(), True),
+        StructField("n_samples", IntegerType(), True),
+        StructField("sample_rate", IntegerType(), True),
+        StructField("duration_ms", DoubleType(), True),
+        StructField("rms", DoubleType(), True),
+        StructField("zero_crossings", IntegerType(), True),
+    ]
+)
+
+
+def _decode_wav(payload: bytes) -> tuple[int, int, float, float, int]:
+    """RIFF/WAVE PCM16 mono decoder (real chunk walk, no audio libs):
+    (n_samples, sample_rate, duration_ms, rms, zero_crossings)."""
+    import struct
+
+    if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE payload")
+    pos = 12
+    fmt = None
+    data = None
+    while pos + 8 <= len(payload):
+        cid = payload[pos : pos + 4]
+        size = struct.unpack_from("<I", payload, pos + 4)[0]
+        body = payload[pos + 8 : pos + 8 + size]
+        if cid == b"fmt ":
+            fmt = struct.unpack_from("<HHIIHH", body, 0)
+        elif cid == b"data":
+            data = body
+        pos += 8 + size + (size & 1)  # chunks are word-aligned
+    if fmt is None or data is None:
+        raise ValueError("missing fmt/data chunk")
+    audio_format, channels, rate, _byterate, _align, bits = fmt
+    if audio_format != 1 or bits != 16 or channels != 1:
+        raise ValueError("only PCM16 mono supported")
+    n = len(data) // 2
+    samples = struct.unpack(f"<{n}h", data[: 2 * n])
+    rms = (sum(s * s for s in samples) / n) ** 0.5 if n else 0.0
+    zc = sum(
+        1 for a, b in zip(samples, samples[1:]) if (a < 0) != (b < 0)
+    )
+    return n, rate, n / rate * 1000.0, rms, zc
+
+
+def extract_audio_features(media: DataFrame) -> DataFrame:
+    """Arrow-batched audio feature extraction (duration / RMS energy /
+    zero-crossing rate — the standard cheap audio-quality trio). Same
+    mapInPandas shape as the image path; unsupported audio containers
+    raise (plug real codecs into _decode_wav's dispatch position)."""
+
+    def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            feats = pdf.apply(
+                lambda r: _decode_wav(r["payload"]), axis=1
+            )
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "media_type": pdf["media_type"],
+                    "n_bytes": pdf["payload"].map(len),
+                    "n_samples": feats.map(lambda f: f[0]),
+                    "sample_rate": feats.map(lambda f: f[1]),
+                    "duration_ms": feats.map(lambda f: round(f[2], 6)),
+                    "rms": feats.map(lambda f: round(f[3], 6)),
+                    "zero_crossings": feats.map(lambda f: f[4]),
+                }
+            )
+
+    return media.mapInPandas(extract, schema=AUDIO_FEATURES_SCHEMA)
+
+
+def _wav_header(n_data_bytes: int, rate: int = 8000) -> bytes:
+    import struct
+
+    return b"".join(
+        [
+            b"RIFF",
+            struct.pack("<I", 36 + n_data_bytes),
+            b"WAVE",
+            b"fmt ",
+            struct.pack("<IHHIIHH", 16, 1, 1, rate, rate * 2, 2, 16),
+            b"data",
+            struct.pack("<I", n_data_bytes),
+        ]
+    )
+
+
+def wav_media_from_documents(documents: DataFrame) -> DataFrame:
+    """Deterministic PCM16 WAV corpus derived from `documents`: the data
+    chunk is the 16 raw md5(text) bytes = 8 little-endian int16 samples —
+    real RIFF/WAVE payloads whose decoded features a SQL oracle reproduces
+    from the md5 hex (byte i = hex pair i; sample = lo + 256*hi, signed)."""
+    return documents.select(
+        F.col("doc_id"),
+        F.lit("audio/wav").alias("media_type"),
+        F.concat(
+            F.lit(_wav_header(16)), F.unhex(F.md5(F.col("text")))
+        ).alias("payload"),
+    )

@@ -1105,3 +1105,39 @@ def test_temperature_mixture_quota_properties(spark):
     import pytest as _pytest
     with _pytest.raises(ValueError):
         temperature_mixture_sample(df, alpha=1.5)
+
+
+def test_wav_decoder_chunk_walk_and_guards(spark):
+    import struct
+
+    from metric_store_release_spark.pipeline.multimodal import (
+        _decode_wav,
+        _wav_header,
+        extract_audio_features,
+        wav_media_from_documents,
+    )
+
+    samples = (100, -200, 300, -400)
+    data = struct.pack("<4h", *samples)
+    payload = _wav_header(len(data)) + data
+    n, rate, dur, rms, zc = _decode_wav(payload)
+    assert (n, rate, dur) == (4, 8000, 0.5)
+    assert abs(rms - (sum(s * s for s in samples) / 4) ** 0.5) < 1e-9
+    assert zc == 3
+    # an extra odd-sized chunk before data must be skipped (word-aligned)
+    extra = b"LIST" + struct.pack("<I", 3) + b"abc" + b"\x00"
+    walked = payload[:12] + extra + payload[12:]
+    fixed = walked[:4] + struct.pack("<I", len(walked) - 8) + walked[8:]
+    assert _decode_wav(fixed)[0] == 4
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        _decode_wav(b"RIFFxxxxNOPE")
+    stereo = bytearray(payload)
+    struct.pack_into("<H", stereo, 22, 2)  # channels = 2
+    with _pytest.raises(ValueError):
+        _decode_wav(bytes(stereo))
+    # end-to-end mapInPandas path over synthesized payloads
+    docs = spark.createDataFrame([(1, "alpha"), (2, "beta")], "doc_id long, text string")
+    out = extract_audio_features(wav_media_from_documents(docs)).collect()
+    assert {r["doc_id"] for r in out} == {1, 2}
+    assert all(r["n_samples"] == 8 and r["sample_rate"] == 8000 for r in out)
