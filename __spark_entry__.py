@@ -460,6 +460,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["dedup_incremental"] = _dedup_incremental
     q["dedup_keep_best"] = _dedup_keep_best
     q["audio_features"] = _audio_features
+    q["video_frame_features"] = _video_frame_features
     q["dedup_simhash_pairs"] = _dedup_simhash_pairs
     q["text_bm25"] = _text_bm25
     q["docs_quota"] = _docs_quota
@@ -1716,7 +1717,28 @@ def _audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = extract_audio_features(wav_media_from_documents(_docs(spark, sf_dir)))
     return out.select(
         "doc_id", "n_bytes", "n_samples", "sample_rate",
-        "duration_ms", "rms", "zero_crossings",
+        F.round("duration_ms", 6).alias("duration_ms"),
+        F.round("rms", 6).alias("rms"),
+        "zero_crossings",
+    )
+
+
+def _video_frame_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video modality end-to-end (pipeline.multimodal.sample_video_frames):
+    4-frame concatenated-P6 payloads, every 2nd frame decoded — the real
+    frame-sampling pipeline (container walk + selective decode), features
+    oracle-reproduced from the per-frame md5 construction."""
+    from metric_store_release_spark.pipeline.multimodal import (
+        ppm_video_from_documents,
+        sample_video_frames,
+    )
+
+    out = sample_video_frames(
+        ppm_video_from_documents(_docs(spark, sf_dir)), every_n=2
+    )
+    return out.select(
+        "doc_id", "frame_idx", "width", "height",
+        F.round("mean_luma", 6).alias("mean_luma"),
     )
 
 
@@ -3379,6 +3401,22 @@ SELECT agg.doc_id,
        ROUND(sqrt(ss / 8.0), 6) AS rms,
        zc.z AS zero_crossings
 FROM agg JOIN zc USING (doc_id)
+"""
+
+    # video: frame k raster = first 24 hex chars of md5(k || ':' || text);
+    # sampled frames are 0 and 2 (every_n=2 of 4)
+    o["video_frame_features"] = """
+SELECT doc_id, frame_idx, 4 AS width, 2 AS height,
+       ROUND(
+         list_sum(list_transform(range(0, 8), p ->
+             0.299 * ascii(substr(m, 3 * p + 1, 1))
+           + 0.587 * ascii(substr(m, 3 * p + 2, 1))
+           + 0.114 * ascii(substr(m, 3 * p + 3, 1))
+         )) / 8, 6) AS mean_luma
+FROM (
+  SELECT doc_id, k AS frame_idx, md5(CAST(k AS VARCHAR) || ':' || text) AS m
+  FROM documents, unnest([0, 2]) AS u(k)
+)
 """
     return o
 

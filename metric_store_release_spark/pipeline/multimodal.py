@@ -359,8 +359,10 @@ def extract_audio_features(media: DataFrame) -> DataFrame:
                     "n_bytes": pdf["payload"].map(len),
                     "n_samples": feats.map(lambda f: f[0]),
                     "sample_rate": feats.map(lambda f: f[1]),
-                    "duration_ms": feats.map(lambda f: round(f[2], 6)),
-                    "rms": feats.map(lambda f: round(f[3], 6)),
+                    # raw doubles out; presentation rounding happens
+                    # JVM-side (F.round = HALF_UP, matching SQL oracles)
+                    "duration_ms": feats.map(lambda f: f[2]),
+                    "rms": feats.map(lambda f: f[3]),
                     "zero_crossings": feats.map(lambda f: f[4]),
                 }
             )
@@ -395,4 +397,87 @@ def wav_media_from_documents(documents: DataFrame) -> DataFrame:
         F.concat(
             F.lit(_wav_header(16)), F.unhex(F.md5(F.col("text")))
         ).alias("payload"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# video: concatenated-netpbm frame stream
+# ---------------------------------------------------------------------------
+
+FRAME_FEATURES_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType(), False),
+        StructField("frame_idx", IntegerType(), False),
+        StructField("width", IntegerType(), True),
+        StructField("height", IntegerType(), True),
+        StructField("mean_luma", DoubleType(), True),
+    ]
+)
+
+
+def _walk_ppm_frames(payload: bytes):
+    """Iterate (frame_idx, frame_bytes) over a concatenated-P6 stream —
+    the MJPEG-style container shape: each frame is a self-describing
+    netpbm image, frame boundaries come from each header's own
+    dimensions."""
+    pos = 0
+    idx = 0
+    while pos < len(payload):
+        magic, w, h, maxval, data_off = _ppm_header(payload[pos:])
+        if magic != b"P6":
+            raise ValueError(f"unsupported frame magic {magic!r}")
+        end = pos + data_off + w * h * 3
+        if end > len(payload):
+            raise ValueError("truncated video frame")
+        yield idx, payload[pos:end]
+        pos = end
+        idx += 1
+
+
+def sample_video_frames(media: DataFrame, every_n: int = 2) -> DataFrame:
+    """Decode every ``every_n``-th frame of a concatenated-netpbm video
+    payload: (doc_id, frame_idx, width, height, mean_luma) rows. The real
+    frame-sampling shape — the codec walks the container ONCE per payload
+    and only decodes sampled frames; Arrow batches bound memory to one
+    batch of payloads per task."""
+
+    def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for _, r in pdf.iterrows():
+                for idx, frame in _walk_ppm_frames(r["payload"]):
+                    if idx % every_n:
+                        continue
+                    w, h, luma = _decode_ppm(frame)
+                    # raw double out; presentation rounding happens JVM-side
+                    # (F.round = HALF_UP, matching SQL oracles — Python's
+                    # round() is banker's and could diverge at boundaries)
+                    rows.append((r["doc_id"], idx, w, h, luma))
+            yield pd.DataFrame(
+                rows,
+                columns=["doc_id", "frame_idx", "width", "height", "mean_luma"],
+            )
+
+    return media.mapInPandas(extract, schema=FRAME_FEATURES_SCHEMA)
+
+
+def ppm_video_from_documents(
+    documents: DataFrame, n_frames: int = 4
+) -> DataFrame:
+    """Deterministic 4-frame 4x2 'video' per document: frame k's raster is
+    the first 24 hex chars of md5(k || ':' || text) — real concatenated-P6
+    payloads whose per-frame features a SQL oracle reproduces exactly."""
+    frames = [
+        F.concat(
+            F.lit("P6\n4 2\n255\n"),
+            F.substring(
+                F.md5(F.concat(F.lit(f"{k}:"), F.col("text"))), 1, 24
+            ),
+        )
+        for k in range(n_frames)
+    ]
+    return documents.select(
+        F.col("doc_id"),
+        F.lit("video/x-netpbm-stream").alias("media_type"),
+        F.concat(*frames).cast("binary").alias("payload"),
     )

@@ -1141,3 +1141,27 @@ def test_wav_decoder_chunk_walk_and_guards(spark):
     out = extract_audio_features(wav_media_from_documents(docs)).collect()
     assert {r["doc_id"] for r in out} == {1, 2}
     assert all(r["n_samples"] == 8 and r["sample_rate"] == 8000 for r in out)
+
+
+def test_video_frame_walk_and_sampling(spark):
+    from metric_store_release_spark.pipeline.multimodal import (
+        _walk_ppm_frames,
+        ppm_video_from_documents,
+        sample_video_frames,
+    )
+
+    docs = spark.createDataFrame([(1, "alpha"), (2, "beta")], "doc_id long, text string")
+    media = ppm_video_from_documents(docs, n_frames=4)
+    payload = bytes(media.filter("doc_id = 1").collect()[0]["payload"])
+    frames = list(_walk_ppm_frames(payload))
+    assert [i for i, _ in frames] == [0, 1, 2, 3]
+    assert all(f.startswith(b"P6\n4 2\n255\n") and len(f) == 35 for _, f in frames)
+    out = sample_video_frames(media, every_n=2).collect()
+    assert sorted((r["doc_id"], r["frame_idx"]) for r in out) == [
+        (1, 0), (1, 2), (2, 0), (2, 2),
+    ]
+    assert all(r["width"] == 4 and r["height"] == 2 for r in out)
+    # truncated container raises, not silently drops
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        list(_walk_ppm_frames(payload[:-5]))
