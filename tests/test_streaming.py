@@ -601,3 +601,56 @@ def test_stream_range_join_matches_batch(spark, tmp_path):
     q.awaitTermination(120)
     got = {(r["user_id"], r["ts"], r["r_ts"], r["r_value"]) for r in sink}
     assert got == batch
+
+
+def test_streaming_checkpoint_restart_exactly_once(spark, tmp_path):
+    """Kill-and-restart recovery: a second query started on the SAME
+    checkpoint (a) skips every file the first run already committed —
+    exactly-once over the source — and (b) RESTORES the dedup state
+    store, so duplicates of pre-restart rows arriving after the restart
+    are still dropped. This is the recovery contract the ingest pipeline
+    leans on (checkpoint = source offsets + state + sink commit log)."""
+    import os
+
+    from metric_store_release_spark.sources.storage import dedup_points_stream
+
+    schema = "ts long, name string, value double, labels map<string,string>"
+    src = str(tmp_path / "src")
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    os.makedirs(src)
+
+    def run_once():
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(src)
+        )
+        q = (
+            dedup_points_stream(stream, watermark_delay="1 hour")
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    spark.createDataFrame(
+        [(1_000, "m", 1.0, {"a": "1"}), (2_000, "m", 2.0, {"a": "1"})], schema
+    ).coalesce(1).write.mode("append").parquet(src)
+    run_once()  # "crash" = clean stop after draining the first file
+    assert spark.read.parquet(out).count() == 2
+
+    # after the restart: one duplicate of a PRE-restart row (ts=1000, new
+    # value — must be dropped by the restored state) and one new row
+    spark.createDataFrame(
+        [(1_000, "m", 9.0, {"a": "1"}), (3_000, "m", 3.0, {"a": "1"})], schema
+    ).coalesce(1).write.mode("append").parquet(src)
+    run_once()  # restart from the same checkpoint
+
+    got = sorted(
+        (r["ts"], r["value"]) for r in spark.read.parquet(out).collect()
+    )
+    # first-write-wins across the restart, old rows not re-emitted
+    assert got == [(1_000, 1.0), (2_000, 2.0), (3_000, 3.0)]
