@@ -486,8 +486,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 #: promql_sum_by_user_federated) plus all 12 new round-5 operators
 #: rotated IN. Still outside, queued for the round-6 swap: tpch_q18,
 #: tpch_q19, events_anomalies, events_transitions, docs_difficulty,
-#: docs_difficulty_by_lang (plus the round-6 swap-backs of the rotated
-#: veterans).
+#: docs_difficulty_by_lang, and the late-round-5 operators
+#: dedup_keep_best, audio_features, video_frame_features (plus the
+#: round-6 swap-backs of the rotated veterans).
 _FAMILY_FIRST_ORDER = [
     # core promql family reps, kept every round
     "promql_selector", "promql_sum_by_user", "promql_rate",

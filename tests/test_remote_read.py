@@ -239,3 +239,30 @@ def test_snappy_compressor_emits_copies_and_roundtrips():
     run = b"x" * 10_000
     blob3 = snappy_compress(run)
     assert snappy_decompress(blob3) == run and len(blob3) < 600
+
+
+def test_snappy_property_roundtrip_hypothesis():
+    from hypothesis import given, settings, strategies as st
+
+    @settings(max_examples=200, deadline=None)
+    @given(st.binary(max_size=5_000))
+    def check(data):
+        assert snappy_decompress(snappy_compress(data)) == data
+
+    check()
+
+    # structured repetition: random tilings of a small alphabet stress the
+    # matcher's copy/literal boundaries harder than uniform bytes
+    @settings(max_examples=100, deadline=None)
+    @given(
+        st.lists(
+            st.sampled_from([b"ab", b"abc", b"x", b"hello ", b"\x00\x00"]),
+            min_size=0,
+            max_size=400,
+        )
+    )
+    def check_tiled(parts):
+        data = b"".join(parts)
+        assert snappy_decompress(snappy_compress(data)) == data
+
+    check_tiled()
