@@ -63,7 +63,7 @@ def main() -> None:
         "corpus_prepare",
         "ngram_contamination",
         "embedding_ann_trained",
-        # added round 5
+        # added driver round 4 (commits mislabeled "round-5" then)
         "dedup_simhash_pairs",
         "text_bm25",
         "text_top_ngrams",
@@ -71,15 +71,15 @@ def main() -> None:
         "events_sessionize",
         "events_asof_join",
         "events_funnel",
-        # added round 6: steady-state serving paths — the one-time index /
-        # bucketed-table writes are untimed setup below, so these measure
-        # the amortized per-query cost (probe-only ANN; Exchange-free
-        # sessionize). Compare events_sessionize_bucketed directly against
-        # events_sessionize for the bucketing payoff.
+        # added driver round 5: steady-state serving paths — the one-time
+        # index / bucketed-table writes are untimed setup below, so these
+        # measure the amortized per-query cost (probe-only ANN;
+        # Exchange-free sessionize). Compare events_sessionize_bucketed
+        # against events_sessionize for the bucketing payoff.
         "embedding_ann_probe",
         "events_sessionize_bucketed",
-        # round-5 additions: bucket-decomposed range join, KMV distinct
-        # sketch, 8-round distributed BPE merge training
+        # also round 5: bucket-decomposed range join, KMV distinct sketch,
+        # 8-round distributed BPE merge training (force-trains per call)
         "events_interval_join",
         "events_kmv_users",
         "docs_bpe_merges",

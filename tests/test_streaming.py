@@ -580,8 +580,8 @@ def test_stream_range_join_matches_batch(spark, tmp_path):
         (r["user_id"], r["ts"], r["r_ts"], r["r_value"])
         for r in stream_range_join(purchases, views).collect()
     }
-    # boundary semantics: rts == lts in, rts == lts - 1h out
-    assert (1, None, None, 3.0) not in {(u, None, None, v) for (u, _, _, v) in batch} or True
+    # boundary semantics: rts == lts kept (2.0), rts == lts - 1h excluded
+    # (3.0), post-purchase views never pair (5.0)
     assert {v for (_, _, _, v) in batch} == {1.0, 2.0, 4.0}
 
     # real streams: both sides from parquet dirs, availableNow
