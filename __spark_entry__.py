@@ -461,6 +461,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["dedup_keep_best"] = _dedup_keep_best
     q["audio_features"] = _audio_features
     q["video_frame_features"] = _video_frame_features
+    q["text_classifier_score"] = _text_classifier_score
     q["dedup_simhash_pairs"] = _dedup_simhash_pairs
     q["text_bm25"] = _text_bm25
     q["docs_quota"] = _docs_quota
@@ -1571,6 +1572,24 @@ def _text_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bigram_logprob(_docs(spark, sf_dir))
 
 
+def _text_classifier_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """fastText-style hashed-feature linear classifier serving
+    (pipeline.classifier): unigram+bigram hashing trick into 2^18 slots,
+    sparse dot against a weight table (md5-derived demo weights — the
+    trained-model stand-in with the same storage/join shape), sigmoid
+    score per doc."""
+    from metric_store_release_spark.pipeline.classifier import (
+        classify_documents,
+        md5_demo_weights,
+    )
+
+    spark = _prepare(spark)
+    out = classify_documents(
+        _docs(spark, sf_dir), md5_demo_weights(spark)
+    )
+    return out.select("doc_id", F.round("score", 6).alias("score"))
+
+
 def _docs_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     """alpha=0.5 temperature mixture over LANGUAGES (the skewed stratum in
     the fixture: en dominates) — the multilingual-training rebalancing
@@ -2543,6 +2562,38 @@ SELECT n.doc_id, n.n_tokens,
        ROUND((first_s.s_first + COALESCE(pair_s.s_pairs, 0.0)) / n.n_tokens, 6)
          AS mean_surprisal
 FROM n JOIN first_s USING (doc_id) LEFT JOIN pair_s USING (doc_id)
+"""
+
+    o["text_classifier_score"] = r"""
+WITH base AS (
+  SELECT doc_id, list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '') AS t
+  FROM documents
+),
+tt AS (SELECT * FROM base WHERE len(t) > 0),
+unis AS (SELECT doc_id, unnest(t) AS g FROM tt),
+bis AS (
+  SELECT doc_id, t[i] || ' ' || t[i + 1] AS g
+  FROM tt, unnest(generate_series(1, len(t) - 1)) AS u(i)
+  WHERE len(t) >= 2
+),
+grams AS (SELECT * FROM unis UNION ALL SELECT * FROM bis),
+feats AS (
+  SELECT doc_id,
+         ('0x' || substr(md5('feat' || g), 1, 8))::BIGINT % 262144 AS feature,
+         COUNT(*) AS tf
+  FROM grams GROUP BY 1, 2
+),
+w AS (
+  SELECT feature,
+         ('0x' || substr(md5('w' || CAST(feature AS VARCHAR)), 1, 8))::BIGINT
+           / 4294967296.0 - 0.5 AS weight
+  FROM (SELECT DISTINCT feature FROM feats)
+),
+z AS (
+  SELECT doc_id, SUM(tf * weight) AS z
+  FROM feats JOIN w USING (feature) GROUP BY 1
+)
+SELECT doc_id, ROUND(1.0 / (1.0 + exp(-z)), 6) AS score FROM z
 """
 
     o["docs_temperature_mix"] = """

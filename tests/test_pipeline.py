@@ -1165,3 +1165,32 @@ def test_video_frame_walk_and_sampling(spark):
     import pytest as _pytest
     with _pytest.raises(ValueError):
         list(_walk_ppm_frames(payload[:-5]))
+
+
+def test_hashed_classifier_shapes_and_determinism(spark):
+    from metric_store_release_spark.pipeline.classifier import (
+        classify_documents,
+        hashed_ngram_features,
+        linear_scores,
+        md5_demo_weights,
+    )
+    from pyspark.sql import functions as F
+
+    docs = spark.createDataFrame(
+        [(1, "good clean text here"), (2, "good clean text here"), (3, "spam")],
+        "doc_id long, text string",
+    )
+    feats = hashed_ngram_features(docs, n_features=64)
+    # unigrams + bigrams: doc 1 has 4 + 3 grams (collisions may merge tf)
+    assert feats.filter("doc_id = 1").agg(F.sum("tf")).collect()[0][0] == 7
+    assert feats.agg(F.max("feature")).collect()[0][0] < 64
+    w = md5_demo_weights(spark, n_features=64)
+    scores = {r["doc_id"]: r["score"] for r in classify_documents(
+        docs, w, n_features=64).collect()}
+    # identical text -> identical score; scores in (0, 1)
+    assert scores[1] == scores[2]
+    assert all(0.0 < s < 1.0 for s in scores.values())
+    # bias shifts scores monotonically
+    up = {r["doc_id"]: r["score"] for r in linear_scores(
+        feats, w, bias=5.0).collect()}
+    assert all(up[k] > scores[k] for k in scores)
