@@ -488,8 +488,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 #: rotated IN. Still outside, queued for the round-6 swap: tpch_q18,
 #: tpch_q19, events_anomalies, events_transitions, docs_difficulty,
 #: docs_difficulty_by_lang, and the late-round-5 operators
-#: dedup_keep_best, audio_features, video_frame_features (plus the
-#: round-6 swap-backs of the rotated veterans).
+#: dedup_keep_best, audio_features, video_frame_features,
+#: text_classifier_score (plus the round-6 swap-backs of the rotated
+#: veterans).
 _FAMILY_FIRST_ORDER = [
     # core promql family reps, kept every round
     "promql_selector", "promql_sum_by_user", "promql_rate",
