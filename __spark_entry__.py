@@ -58,6 +58,19 @@ def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _prepare(spark).read.parquet(f"{sf_dir}/documents.parquet")
 
 
+def _table_suffix(sf_dir: str) -> str:
+    """Identifier-safe suffix for session-cached warehouse tables: the
+    sf_dir basename for readability PLUS a hash of the FULL path — two
+    different data dirs sharing a basename (e.g. /a/sf1 and /b/sf1) must
+    never collide onto one table, or the second write would silently
+    serve the first dir's cached readers the wrong data."""
+    import hashlib
+    import re as _re
+
+    base = _re.sub(r"[^A-Za-z0-9_]", "_", sf_dir.rstrip("/").rsplit("/", 1)[-1])
+    return f"{base}_{hashlib.md5(sf_dir.rstrip('/').encode()).hexdigest()[:8]}"
+
+
 def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _prepare(spark).read.parquet(f"{sf_dir}/embeddings.parquet")
 
@@ -789,7 +802,6 @@ _EVENTS_BUCKETED: dict[str, str] = {}
 
 
 def _events_bucketed_table(spark: SparkSession, sf_dir: str) -> str:
-    import re as _re
 
     from metric_store_release_spark.sources.events_adapter import ts_ms
     from metric_store_release_spark.sources.bucketed import write_bucketed
@@ -797,9 +809,7 @@ def _events_bucketed_table(spark: SparkSession, sf_dir: str) -> str:
     table = _EVENTS_BUCKETED.get(sf_dir)
     if table is not None and spark.catalog.tableExists(table):
         return table
-    table = "msr_events_by_user_" + _re.sub(
-        r"[^A-Za-z0-9_]", "_", sf_dir.rstrip("/").rsplit("/", 1)[-1]
-    )
+    table = "msr_events_by_user_" + _table_suffix(sf_dir)
     ev = spark.read.parquet(f"{sf_dir}/events.parquet")
     ev = ev.withColumn("ts_ms", ts_ms(ev)).drop("ts")
     write_bucketed(
@@ -1400,7 +1410,6 @@ def _dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     id-shifted copy of every 25th doc — each must rediscover its source)
     bands map-side and equi-joins the index. Cost scales with the batch,
     never the corpus."""
-    import re as _re
 
     from metric_store_release_spark.pipeline.dedup import (
         minhash_band_table,
@@ -1415,9 +1424,7 @@ def _dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _docs(spark, sf_dir).select("doc_id", "text")
     table = _MH_INDEX.get(sf_dir)
     if table is None or not spark.catalog.tableExists(table):
-        table = "msr_mh_index_" + _re.sub(
-            r"[^A-Za-z0-9_]", "_", sf_dir.rstrip("/").rsplit("/", 1)[-1]
-        )
+        table = "msr_mh_index_" + _table_suffix(sf_dir)
         write_bucketed(
             minhash_band_table(docs, num_hashes=8, bands=4, shingle_n=3),
             table,
@@ -1899,7 +1906,6 @@ _ANN_INDEX: dict[str, tuple[str, list]] = {}
 
 
 def _ann_index_for(spark: SparkSession, sf_dir: str):
-    import re as _re
 
     from metric_store_release_spark.pipeline.similarity import (
         ivf_index,
@@ -1920,7 +1926,7 @@ def _ann_index_for(spark: SparkSession, sf_dir: str):
     cents = kmeans_centroids(
         corpus, k=8, iters=2, sample_fraction=_ANN_TRAIN_FRACTION
     )
-    table = "msr_ann_ivf_" + _re.sub(r"[^A-Za-z0-9_]", "_", sf_dir.rstrip("/").rsplit("/", 1)[-1])
+    table = "msr_ann_ivf_" + _table_suffix(sf_dir)
     write_bucketed(
         ivf_index(corpus, cents, id_col="vec_id", vec_col="embedding"),
         table,

@@ -417,17 +417,17 @@ def shared_ngram_pairs(
     # minhash band table). Eager materialization: lazily-persisted, the
     # three consumers race to fill the cache and each re-runs the window
     # fold from the scan (measured 48 s vs 12 s cold at 50k docs)
-    grams = grams.persist()
-    grams.count()
+    cached_grams = grams.persist()
+    cached_grams.count()
     hot = (
-        grams.groupBy("h1", "h2").count().filter(F.col("count") > hot_cap)
+        cached_grams.groupBy("h1", "h2").count().filter(F.col("count") > hot_cap)
     )
     # No broadcast hint: the hot-window guard's worst-case cardinality grows
     # ~linearly with the corpus (occurrences / hot_cap), so a forced broadcast
     # is an OOM at 10^9+ docs. AQE broadcasts the left-anti equi-join whenever
     # the aggregate is genuinely small, and degrades to a uniform shuffle join
     # otherwise (same shape as the simhash big-bucket path).
-    grams = grams.join(hot.select("h1", "h2"), ["h1", "h2"], "left_anti")
+    grams = cached_grams.join(hot.select("h1", "h2"), ["h1", "h2"], "left_anti")
     a, b = grams.alias("a"), grams.alias("b")
     out = (
         a.join(
@@ -442,8 +442,10 @@ def shared_ngram_pairs(
         .agg(F.count(F.lit(1)).alias("shared_windows"))
     )
     # caller-owned persisted gram table: unpersist via out._index_cache after
-    # materializing (cf. minhash_lsh_candidates docstring)
-    out._index_cache = grams
+    # materializing (cf. minhash_lsh_candidates docstring). NB must be the
+    # PERSISTED frame, not the left-anti join derived from it — unpersist on
+    # a non-cached child is a silent no-op and the cache would leak.
+    out._index_cache = cached_grams
     return out
 
 

@@ -616,6 +616,11 @@ def temperature_mixture_sample(
     """
     if not 0.0 < alpha <= 1.0:
         raise ValueError(f"alpha must be in (0, 1], got {alpha}")
+    # NULL is not a stratum: rows without a stratum value are excluded
+    # (a NULL-keyed quota would match via the take-step's null-safe join
+    # while any SQL oracle's equality join drops it — declare the
+    # semantics instead of leaving them engine-dependent)
+    df = df.filter(F.col(strata_col).isNotNull())
     counts = df.groupBy(F.col(strata_col).alias("__k")).agg(
         F.count(F.lit(1)).alias("__n")
     )

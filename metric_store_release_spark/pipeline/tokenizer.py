@@ -34,6 +34,13 @@ from pyspark.sql import functions as F
 #: token boundary marker (ASCII unit separator)
 SEP = "\x1f"
 
+#: characters stripped before encoding: the boundary marker itself, plus
+#: the Unicode line separators Java's regex '.' does NOT match while RE2's
+#: does (U+2028, U+2029, U+0085) — left in place, a word containing one
+#: would encode differently in Spark vs DuckDB (the char would survive
+#: UNWRAPPED in Spark, corrupting the token boundaries)
+_STRIP_RE = "[\\x1f\\u2028\\u2029\\u0085]"
+
 
 def _encode_words(df: DataFrame, text_col: str) -> DataFrame:
     """One row per DISTINCT word with its corpus frequency, the word's
@@ -46,7 +53,7 @@ def _encode_words(df: DataFrame, text_col: str) -> DataFrame:
     words = df.select(
         F.explode(
             F.split(
-                F.regexp_replace(F.col(text_col), SEP, ""), r"\s+"
+                F.regexp_replace(F.col(text_col), _STRIP_RE, ""), r"\s+"
             )
         ).alias("w")
     ).filter(F.length("w") > 0)
@@ -147,7 +154,7 @@ enc0 AS (
   SELECT w, regexp_replace(w, '(.)', {sep} || '\\1' || {sep}, 'g') AS enc,
          COUNT(*) AS freq
   FROM (
-    SELECT unnest(string_split_regex(replace({text_sql}, chr(31), ''), '\\s+')) AS w
+    SELECT unnest(string_split_regex(regexp_replace({text_sql}, '[\\x1f\\x{{2028}}\\x{{2029}}\\x{{85}}]', '', 'g'), '\\s+')) AS w
     FROM {table_sql}
   ) WHERE len(w) > 0
   GROUP BY w
@@ -172,9 +179,15 @@ best{r} AS (
   ORDER BY cnt DESC, l, r LIMIT 1
 ),
 enc{r} AS (
-  SELECT w, replace(enc, {sep} || b.l || {sep} || {sep} || b.r || {sep},
-                    {sep} || b.l || b.r || {sep}) AS enc, freq
-  FROM enc{p}, best{r} b
+  -- LEFT JOIN ON TRUE: when training exhausts early, best{r} is EMPTY and
+  -- a plain cross join would wipe the vocab (and every later CTE); the
+  -- Spark loop just stops merging, so an empty best must be a no-op here
+  SELECT w,
+         CASE WHEN b.l IS NULL THEN enc
+              ELSE replace(enc, {sep} || b.l || {sep} || {sep} || b.r || {sep},
+                           {sep} || b.l || b.r || {sep}) END AS enc,
+         freq
+  FROM enc{p} LEFT JOIN best{r} b ON TRUE
 )"""
         )
     return "WITH " + ",".join(blocks)
@@ -210,7 +223,7 @@ def bpe_token_counts(
     words = df.select(
         F.col(id_col),
         F.explode(
-            F.split(F.regexp_replace(F.col(text_col), SEP, ""), r"\s+")
+            F.split(F.regexp_replace(F.col(text_col), _STRIP_RE, ""), r"\s+")
         ).alias("w"),
     ).filter(F.length("w") > 0)
     enc = F.regexp_replace(F.col("w"), "(.)", f"{SEP}$1{SEP}")
@@ -252,7 +265,7 @@ def bpe_token_counts_oracle_sql(
 docwords AS (
   SELECT {id_sql}, w FROM (
     SELECT {id_sql},
-           unnest(string_split_regex(replace({text_sql}, chr(31), ''), '\\s+')) AS w
+           unnest(string_split_regex(regexp_replace({text_sql}, '[\\x1f\\x{{2028}}\\x{{2029}}\\x{{85}}]', '', 'g'), '\\s+')) AS w
     FROM {table_sql}
   ) WHERE len(w) > 0
 ),

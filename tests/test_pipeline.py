@@ -1194,3 +1194,32 @@ def test_hashed_classifier_shapes_and_determinism(spark):
     up = {r["doc_id"]: r["score"] for r in linear_scores(
         feats, w, bias=5.0).collect()}
     assert all(up[k] > scores[k] for k in scores)
+
+
+def test_temperature_mixture_excludes_null_stratum(spark):
+    from metric_store_release_spark.pipeline.text import temperature_mixture_sample
+
+    df = spark.createDataFrame(
+        [(1, "en"), (2, "en"), (3, None), (4, "fr")],
+        "doc_id long, lang string",
+    )
+    out = temperature_mixture_sample(df, alpha=0.5, strata_col="lang").collect()
+    assert all(r["lang"] is not None for r in out)
+    assert 3 not in {r["doc_id"] for r in out}
+
+
+def test_shared_ngram_index_cache_is_the_persisted_frame(spark):
+    from metric_store_release_spark.pipeline.dedup import shared_ngram_pairs
+
+    docs = spark.createDataFrame(
+        [(i, "one two three four five six seven eight") for i in range(6)],
+        "doc_id long, text string",
+    )
+    out = shared_ngram_pairs(docs, window_n=3)
+    out.count()
+    cache = out._index_cache
+    # the handle must point at the frame that actually holds storage —
+    # unpersist on a derived child would be a silent no-op leak
+    assert cache.storageLevel.useMemory
+    cache.unpersist(blocking=True)
+    assert not cache.storageLevel.useMemory

@@ -69,3 +69,53 @@ def test_bpe_exhausts_gracefully(spark):
     # single-char words have no pairs at all -> zero merges, no crash
     df = spark.createDataFrame([("a b c",)], "text string")
     assert bpe_train_merges(df, n_merges=3) == []
+
+
+def test_bpe_unicode_line_separators_match_oracle(spark):
+    """Java's regex '.' skips U+2028/U+2029/U+0085 while RE2's matches
+    them; both sides now STRIP those chars pre-encoding so the merge
+    sequence stays engine-identical on text containing them."""
+    import duckdb
+
+    texts = ["aa\u2028aa bb", "aa\u0085bb\u2029aa", "aa aa bb"]
+    df = spark.createDataFrame([(t,) for t in texts], "text string")
+    got = bpe_train_merges(df, n_merges=3)
+    con = duckdb.connect()
+    con.execute("CREATE TABLE d (text VARCHAR)")
+    con.executemany("INSERT INTO d VALUES (?)", [(t,) for t in texts])
+    want = [
+        (int(r[0]), r[1], r[2], int(r[3]))
+        for r in con.execute(bpe_oracle_sql("d", "text", 3)).fetchall()
+    ]
+    assert got == want
+
+
+def test_bpe_token_counts_survive_exhausted_training(spark):
+    """Training that exhausts before n_merges must not wipe the oracle's
+    vocab chain (empty best rounds are no-ops on both sides)."""
+    import duckdb
+
+    from metric_store_release_spark.pipeline.tokenizer import (
+        bpe_token_counts,
+        bpe_token_counts_oracle_sql,
+    )
+
+    texts = [(1, "ab ab"), (2, "ab")]
+    df = spark.createDataFrame(texts, "doc_id long, text string")
+    merges = bpe_train_merges(df, n_merges=8)
+    assert len(merges) < 8  # genuinely exhausts
+    got = sorted(
+        (r["doc_id"], r["n_bpe_tokens"])
+        for r in bpe_token_counts(df, merges).collect()
+    )
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE d AS SELECT * FROM (VALUES (1, 'ab ab'), (2, 'ab')) v(doc_id, text)"
+    )
+    want = sorted(
+        (int(r[0]), int(r[1]))
+        for r in con.execute(
+            bpe_token_counts_oracle_sql("d", "text", "doc_id", 8)
+        ).fetchall()
+    )
+    assert got == want == [(1, 2), (2, 1)]
