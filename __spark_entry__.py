@@ -475,6 +475,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["audio_features"] = _audio_features
     q["video_frame_features"] = _video_frame_features
     q["text_classifier_score"] = _text_classifier_score
+    q["storage_downsample"] = _storage_downsample
+    q["series_cardinality"] = _series_cardinality
     q["dedup_simhash_pairs"] = _dedup_simhash_pairs
     q["text_bm25"] = _text_bm25
     q["docs_quota"] = _docs_quota
@@ -921,6 +923,39 @@ def _docs_bpe_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bpe_token_counts(
         _docs(spark, sf_dir), _bpe_merges_for(spark, sf_dir)
     )
+
+
+def _storage_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """5-minute continuous-aggregate downsampling over the samples table
+    (sources.storage.downsample_samples): avg/min/max/count per (series,
+    bucket) — the retention-tier rollup a 100 TB store uses to keep old
+    data queryable at 1/N cost."""
+    from metric_store_release_spark.sources.storage import downsample_samples
+
+    out = downsample_samples(_samples(spark, sf_dir), 300_000)
+    return out.select(
+        "ts",
+        "name",
+        F.col("labels").getItem("user").alias("usr"),
+        F.round("avg_value", 6).alias("avg_value"),
+        F.round("min_value", 6).alias("min_value"),
+        F.round("max_value", 6).alias("max_value"),
+        "n_samples",
+    )
+
+
+def _series_cardinality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-metric series-cardinality accounting — the TSDB ops question
+    ("which metric is exploding my index?") — via the KMV sketch over the
+    canonical label signature (sources.storage.series_signature +
+    pipeline.sketches.kmv_distinct): fixed-size, mergeable, and exactly
+    reproducible by the oracle, unlike HLL-based head stats."""
+    from metric_store_release_spark.pipeline.sketches import kmv_distinct
+    from metric_store_release_spark.sources.storage import series_signature
+
+    samples = _samples(spark, sf_dir)
+    keyed = samples.withColumn("__series", series_signature(F.col("labels")))
+    return kmv_distinct(keyed, "__series", ("name",), k=8)
 
 
 def _events_kmv_users(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2522,6 +2557,28 @@ GROUP BY s.user_id, s.session_seq
     o["events_kmv_users"] = kmv_distinct_sql(
         "events", "user_id", ("event_type",), k=32
     )
+
+    o["series_cardinality"] = kmv_distinct_sql(
+        "(SELECT event_type AS name, "
+        "'user=' || CAST(user_id % 10 AS VARCHAR) AS series FROM events)",
+        "series",
+        ("name",),
+        k=8,
+    )
+
+    o["storage_downsample"] = """
+WITH s AS (
+  SELECT epoch_ms(ts) AS ts, event_type AS name, value,
+         CAST(user_id % 10 AS VARCHAR) AS usr
+  FROM events
+)
+SELECT CAST(ts // 300000 * 300000 AS BIGINT) AS ts, name, usr,
+       ROUND(AVG(value), 6) AS avg_value,
+       ROUND(MIN(value), 6) AS min_value,
+       ROUND(MAX(value), 6) AS max_value,
+       COUNT(*) AS n_samples
+FROM s GROUP BY 1, 2, 3
+"""
 
     from metric_store_release_spark.pipeline.tokenizer import (
         bpe_oracle_sql,

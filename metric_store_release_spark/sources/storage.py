@@ -14,7 +14,7 @@ import shutil
 from collections.abc import Callable
 from pathlib import Path
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 PARTITION_COL = "date"
@@ -194,3 +194,49 @@ def compact_shards(
         Path(tmp).rename(part)
         n += 1
     return n
+
+
+def downsample_samples(samples: DataFrame, step_ms: int) -> DataFrame:
+    """Continuous-aggregate downsampling (the Thanos-compact / TimescaleDB
+    rollup analog the reference delegates to retention — here a first-class
+    storage operator): per (series, step bucket), avg/min/max/count, with
+    ts = bucket start.
+
+    One hash aggregation keyed by (name, label-signature, bucket) —
+    uniform, map-side combined; labels rebuilt from the sorted entry array
+    (maps aren't groupable, same contract as the replica heal). Writing
+    the result per retention tier is how a 100 TB store keeps year-old
+    data queryable at 1/N the cost; PromQL evaluates unchanged over the
+    downsampled table at coarser step."""
+    sig = F.array_sort(F.map_entries(F.col("labels")))
+    bucket = (F.floor(F.col("ts") / step_ms) * step_ms).cast("long")
+    return (
+        samples.withColumn("__sig", sig)
+        .groupBy(bucket.alias("ts"), F.col("name"), F.col("__sig"))
+        .agg(
+            F.avg("value").alias("avg_value"),
+            F.min("value").alias("min_value"),
+            F.max("value").alias("max_value"),
+            F.count(F.lit(1)).alias("n_samples"),
+        )
+        .withColumn("labels", F.map_from_entries(F.col("__sig")))
+        .drop("__sig")
+        .select(
+            "ts", "name", "labels",
+            "avg_value", "min_value", "max_value", "n_samples",
+        )
+    )
+
+
+def series_signature(labels: Column) -> Column:
+    """Canonical string form of a label set: sorted 'k=v' pairs joined by
+    commas — the engine-portable series identity for cardinality
+    accounting (datamodel.sig's layout, flattened to one hashable
+    string)."""
+    return F.array_join(
+        F.transform(
+            F.array_sort(F.map_entries(labels)),
+            lambda e: F.concat(e.getField("key"), F.lit("="), e.getField("value")),
+        ),
+        ",",
+    )

@@ -281,3 +281,34 @@ def test_engine_prunes_date_partitions(spark, engine):
         assert "PartitionFilters" in plan
         assert "date" in plan.split("PartitionFilters")[1][:400]
         assert [r["value"] for r in out.collect()] == [5.0]
+
+
+def test_downsample_and_series_signature(spark):
+    from metric_store_release_spark.sources.storage import (
+        downsample_samples,
+        series_signature,
+    )
+    from pyspark.sql import functions as F
+
+    rows = [
+        (0, "m", 1.0, {"b": "2", "a": "1"}),
+        (100, "m", 3.0, {"a": "1", "b": "2"}),   # same series, key order differs
+        (10_000, "m", 5.0, {"a": "1", "b": "2"}),  # next bucket
+        (50, "m", 7.0, {"a": "9"}),               # different series
+    ]
+    df = spark.createDataFrame(
+        rows, "ts long, name string, value double, labels map<string,string>"
+    )
+    out = {
+        (r["ts"], tuple(sorted(r["labels"].items()))): (
+            r["avg_value"], r["min_value"], r["max_value"], r["n_samples"]
+        )
+        for r in downsample_samples(df, 10_000).collect()
+    }
+    key = (0, (("a", "1"), ("b", "2")))
+    assert out[key] == (2.0, 1.0, 3.0, 2)          # buckets [0,10000)
+    assert out[(10_000, (("a", "1"), ("b", "2")))] == (5.0, 5.0, 5.0, 1)
+    assert out[(0, (("a", "9"),))] == (7.0, 7.0, 7.0, 1)
+    # canonical signature: insertion order never matters
+    sigs = df.select(series_signature(F.col("labels")).alias("s")).collect()
+    assert sigs[0]["s"] == sigs[1]["s"] == "a=1,b=2"
