@@ -477,6 +477,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["text_classifier_score"] = _text_classifier_score
     q["storage_downsample"] = _storage_downsample
     q["series_cardinality"] = _series_cardinality
+    q["promql_over_downsampled"] = _promql_over_downsampled
     q["dedup_simhash_pairs"] = _dedup_simhash_pairs
     q["text_bm25"] = _text_bm25
     q["docs_quota"] = _docs_quota
@@ -941,6 +942,30 @@ def _storage_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("min_value", 6).alias("min_value"),
         F.round("max_value", 6).alias("max_value"),
         "n_samples",
+    )
+
+
+def _promql_over_downsampled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The tiered-storage composition proof: the SAME PromQL engine
+    evaluates unchanged over the 5-minute downsampled rollup (avg as the
+    sample value) — old retention tiers stay queryable, only resolution
+    changes. Oracle recomputes the rollup + instant-vector pick in SQL."""
+    from metric_store_release_spark.sources.storage import downsample_samples
+
+    ds = downsample_samples(_samples(spark, sf_dir), 300_000)
+    samples = ds.select(
+        "ts",
+        "name",
+        F.col("avg_value").alias("value"),
+        "labels",
+        F.col("labels").getItem("user").alias("user"),
+    )
+    eng = _engine(spark)
+    out = eng.query_range(samples, "sum by (user) (click)", START, END, STEP)
+    return out.select(
+        "t",
+        F.col("labels").getItem("user").alias("usr"),
+        F.round("value", 6).alias("value"),
     )
 
 
@@ -2565,6 +2590,22 @@ GROUP BY s.user_id, s.session_seq
         ("name",),
         k=8,
     )
+
+    o["promql_over_downsampled"] = f"""
+WITH raw AS (
+  SELECT epoch_ms(ts) AS ts, event_type AS name, value,
+         CAST(user_id % 10 AS VARCHAR) AS usr
+  FROM events
+),
+samples AS (
+  SELECT CAST(ts // 300000 * 300000 AS BIGINT) AS ts, name,
+         AVG(value) AS value, usr
+  FROM raw GROUP BY 1, 2, 4
+),
+steps AS (SELECT unnest(generate_series({START}, {END}, {STEP})) AS t),
+{_inst_cte("p.name = 'click'")}
+SELECT t, usr, ROUND(SUM(value), 6) AS value FROM inst GROUP BY t, usr
+"""
 
     o["storage_downsample"] = """
 WITH s AS (
