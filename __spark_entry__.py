@@ -505,7 +505,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 #: tpch_q19, events_anomalies, events_transitions, docs_difficulty,
 #: docs_difficulty_by_lang, and the late-round-5 operators
 #: dedup_keep_best, audio_features, video_frame_features,
-#: text_classifier_score (plus the round-6 swap-backs of the rotated
+#: text_classifier_score, storage_downsample, series_cardinality,
+#: promql_over_downsampled (plus the round-6 swap-backs of the rotated
 #: veterans).
 _FAMILY_FIRST_ORDER = [
     # core promql family reps, kept every round
