@@ -478,6 +478,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["storage_downsample"] = _storage_downsample
     q["series_cardinality"] = _series_cardinality
     q["promql_over_downsampled"] = _promql_over_downsampled
+    q["series_correlation"] = _series_correlation
     q["dedup_simhash_pairs"] = _dedup_simhash_pairs
     q["text_bm25"] = _text_bm25
     q["docs_quota"] = _docs_quota
@@ -967,6 +968,26 @@ def _promql_over_downsampled(spark: SparkSession, sf_dir: str) -> DataFrame:
         "t",
         F.col("labels").getItem("user").alias("usr"),
         F.round("value", 6).alias("value"),
+    )
+
+
+def _series_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Similarity search across metric series
+    (sources.storage.correlate_series): Pearson correlation of every
+    series against click{user=3} over aligned 5-minute buckets — the
+    incident-triage "what moved with this metric?" query. No per-pair
+    work: one rollup, one broadcast join on the bucket key, one corr()
+    agg per series."""
+    from metric_store_release_spark.sources.storage import correlate_series
+
+    out = correlate_series(
+        _samples(spark, sf_dir), "click", {"user": "3"}, step_ms=300_000
+    )
+    return out.select(
+        "name",
+        F.col("labels").getItem("user").alias("usr"),
+        "n_buckets",
+        "corr",
     )
 
 
@@ -2606,6 +2627,37 @@ samples AS (
 steps AS (SELECT unnest(generate_series({START}, {END}, {STEP})) AS t),
 {_inst_cte("p.name = 'click'")}
 SELECT t, usr, ROUND(SUM(value), 6) AS value FROM inst GROUP BY t, usr
+"""
+
+    o["series_correlation"] = """
+WITH raw AS (
+  SELECT epoch_ms(ts) AS ts, event_type AS name, value,
+         CAST(user_id % 10 AS VARCHAR) AS usr
+  FROM events
+),
+ds AS (
+  SELECT CAST(ts // 300000 * 300000 AS BIGINT) AS ts, name, usr,
+         AVG(value) AS v
+  FROM raw GROUP BY 1, 2, 3
+),
+tgt AS (SELECT ts, v AS x FROM ds WHERE name = 'click' AND usr = '3'),
+-- explicit moment sums, mirroring sources/storage.correlate_series
+-- verbatim: engine-native corr() implementations use different streaming
+-- algorithms and would differ in low-order bits
+m AS (
+  SELECT ds.name, ds.usr,
+         CAST(COUNT(*) AS DOUBLE) AS n,
+         SUM(ds.v) AS sv, SUM(tgt.x) AS sx,
+         SUM(ds.v * tgt.x) AS svx,
+         SUM(ds.v * ds.v) AS svv, SUM(tgt.x * tgt.x) AS sxx
+  FROM ds JOIN tgt USING (ts)
+  GROUP BY 1, 2
+)
+SELECT name, usr, CAST(n AS BIGINT) AS n_buckets,
+       ROUND((n * svx - sv * sx)
+             / sqrt((n * svv - sv * sv) * (n * sxx - sx * sx)), 6) AS corr
+FROM m
+WHERE n >= 3 AND (n * svv - sv * sv) > 0 AND (n * sxx - sx * sx) > 0
 """
 
     o["storage_downsample"] = """

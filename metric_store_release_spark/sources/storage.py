@@ -240,3 +240,68 @@ def series_signature(labels: Column) -> Column:
         ),
         ",",
     )
+
+
+def correlate_series(
+    samples: DataFrame,
+    target_name: str,
+    target_labels: dict[str, str],
+    step_ms: int = 300_000,
+    min_points: int = 3,
+) -> DataFrame:
+    """Time-series similarity search: Pearson correlation of EVERY series
+    against one target series over aligned time buckets — the incident-
+    triage query ("what moved with this metric?"; cf. distributed
+    time-series similarity search, EDBT 2019 line of work).
+
+    Alignment first: irregular samples roll up to ``step_ms`` bucket
+    means (one hash agg), then one equi-join on the bucket key against
+    the (tiny, broadcast) target vector and one corr() aggregation per
+    series. No per-pair work, no series pivot/collect: cost is ~2 scans
+    + 2 uniform shuffles regardless of series count. Zero-variance
+    series (corr undefined: NaN in Spark, NULL in SQL engines) and
+    series sharing fewer than ``min_points`` buckets with the target are
+    excluded — both exclusions are part of the contract so oracles agree.
+    Output: (name, labels, n_buckets, corr), target included (corr 1.0).
+    """
+    ds = downsample_samples(samples, step_ms).select(
+        "ts", "name", "labels", F.col("avg_value").alias("v")
+    )
+    tgt_filter = F.col("name") == target_name
+    for k, val in sorted(target_labels.items()):
+        tgt_filter = tgt_filter & (F.col("labels").getItem(k) == val)
+    target = ds.filter(tgt_filter).select("ts", F.col("v").alias("__x"))
+    joined = ds.join(F.broadcast(target), "ts")
+    sig = F.array_sort(F.map_entries(F.col("labels")))
+    # explicit moment sums instead of F.corr: under ANSI mode (Spark 4
+    # default) corr() RAISES DIVIDE_BY_ZERO on a zero-variance group; the
+    # guarded closed form returns null there instead — and, mirrored
+    # verbatim in SQL oracles, computes the identical doubles (corr()'s
+    # internal streaming algorithm differs between engines)
+    n = F.col("n_buckets")
+    dv = n * F.col("__svv") - F.col("__sv") * F.col("__sv")
+    dx = n * F.col("__sxx") - F.col("__sx") * F.col("__sx")
+    cov = n * F.col("__svx") - F.col("__sv") * F.col("__sx")
+    r = F.when((dv > 0) & (dx > 0), cov / F.sqrt(dv * dx))
+    out = (
+        joined.withColumn("__sig", sig)
+        .groupBy("name", "__sig")
+        .agg(
+            F.count(F.lit(1)).cast("double").alias("n_buckets"),
+            F.sum("v").alias("__sv"),
+            F.sum("__x").alias("__sx"),
+            F.sum(F.col("v") * F.col("__x")).alias("__svx"),
+            F.sum(F.col("v") * F.col("v")).alias("__svv"),
+            F.sum(F.col("__x") * F.col("__x")).alias("__sxx"),
+        )
+        .withColumn("__r", r)
+        .filter((n >= min_points) & F.col("__r").isNotNull())
+        .withColumn("labels", F.map_from_entries(F.col("__sig")))
+        .select(
+            "name",
+            "labels",
+            n.cast("long").alias("n_buckets"),
+            F.round("__r", 6).alias("corr"),
+        )
+    )
+    return out

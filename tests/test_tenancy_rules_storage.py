@@ -312,3 +312,26 @@ def test_downsample_and_series_signature(spark):
     # canonical signature: insertion order never matters
     sigs = df.select(series_signature(F.col("labels")).alias("s")).collect()
     assert sigs[0]["s"] == sigs[1]["s"] == "a=1,b=2"
+
+
+def test_correlate_series_known_relationships(spark):
+    from metric_store_release_spark.sources.storage import correlate_series
+
+    rows = []
+    for b in range(6):
+        ts = b * 10_000
+        rows.append((ts, "tgt", float(b), {"s": "t"}))
+        rows.append((ts, "pos", 2.0 * b + 5, {"s": "p"}))     # corr +1
+        rows.append((ts, "neg", -3.0 * b, {"s": "n"}))        # corr -1
+        rows.append((ts, "flat", 7.0, {"s": "f"}))            # zero variance
+    df = spark.createDataFrame(
+        rows, "ts long, name string, value double, labels map<string,string>"
+    )
+    out = {
+        r["name"]: (r["corr"], r["n_buckets"])
+        for r in correlate_series(df, "tgt", {"s": "t"}, step_ms=10_000).collect()
+    }
+    assert out["tgt"] == (1.0, 6)
+    assert out["pos"] == (1.0, 6)
+    assert out["neg"] == (-1.0, 6)
+    assert "flat" not in out  # undefined correlation excluded by contract
