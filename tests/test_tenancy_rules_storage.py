@@ -335,3 +335,44 @@ def test_correlate_series_known_relationships(spark):
     assert out["pos"] == (1.0, 6)
     assert out["neg"] == (-1.0, 6)
     assert "flat" not in out  # undefined correlation excluded by contract
+
+
+def test_downsample_tier_write_read_query_roundtrip(spark, tmp_path):
+    """The retention-tier loop end-to-end: downsample raw samples, WRITE
+    the rollup as a shard table, read it back, and run a PromQL query
+    over it — the answer must equal querying the in-memory rollup
+    directly. Proves the tier is a real storage artifact, not only a
+    DataFrame transformation."""
+    from metric_store_release_spark import EngineConfig, PromQLEngine
+    from metric_store_release_spark.sources.storage import (
+        downsample_samples,
+        read_samples,
+        write_samples,
+    )
+    from pyspark.sql import functions as F
+
+    rows = [
+        (t * 1_000, "m", float(t % 7), {"user": str(t % 3)})
+        for t in range(0, 3_600)
+    ]
+    raw = spark.createDataFrame(
+        rows, "ts long, name string, value double, labels map<string,string>"
+    )
+    rollup = downsample_samples(raw, 300_000).select(
+        "ts", "name", F.col("avg_value").alias("value"), "labels"
+    )
+    path = str(tmp_path / "rollup_tier")
+    write_samples(rollup, path)
+    back = read_samples(spark, path)
+
+    eng = PromQLEngine(spark, EngineConfig(lookback_ms=600_000))
+    q = "sum by (user) (m)"
+    want = {
+        (r["t"], r["labels"]["user"]): round(r["value"], 9)
+        for r in eng.query_range(rollup, q, 0, 3_600_000, 600_000).collect()
+    }
+    got = {
+        (r["t"], r["labels"]["user"]): round(r["value"], 9)
+        for r in eng.query_range(back, q, 0, 3_600_000, 600_000).collect()
+    }
+    assert got == want and len(got) > 0
