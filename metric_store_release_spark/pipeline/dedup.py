@@ -187,6 +187,33 @@ def minhash_match(
     )
 
 
+def release_index_cache(df: DataFrame) -> None:
+    """Unpersist the caller-owned ``_index_cache`` a candidate-pair builder
+    (:func:`minhash_lsh_candidates`, :func:`simhash_hamming_pairs`, the
+    shared-gram builders) attached to ``df``, if any.
+
+    The contract: the builder persists its band/gram index because the
+    returned lazy plan references it from several join branches; only the
+    caller knows when the pairs are materialized, so only the caller can
+    release it. Call this after the pairs (or anything derived from them)
+    have been materialized — forgetting it leaks executor storage in
+    long-lived sessions, one pinned index per builder call. Safe on any
+    DataFrame: the attribute is absent → no-op. Note the attribute lives
+    on the exact returned object — any further DataFrame transformation
+    drops it, so release from the variable the builder returned.
+    Functions that fully materialize their result internally
+    (:func:`connected_components`, and :func:`keep_best_per_cluster`
+    through it) release their input's cache themselves.
+    """
+    cache = getattr(df, "_index_cache", None)
+    if cache is not None:
+        cache.unpersist()
+        try:
+            df._index_cache = None
+        except AttributeError:
+            pass
+
+
 def minhash_lsh_candidates(
     df: DataFrame,
     text_col: str = "text",
@@ -211,9 +238,10 @@ def minhash_lsh_candidates(
     Cache lifetime: the persisted band-index table backs the returned (lazy)
     plan, so this function cannot unpersist it. The caller owns it via the
     ``_index_cache`` attribute on the returned DataFrame — after
-    materializing the pairs, call ``pairs._index_cache.unpersist()`` (or
-    ``spark.catalog.clearCache()``) to release executor storage in
-    long-lived sessions.
+    materializing the pairs, call :func:`release_index_cache` on the
+    returned object (or ``spark.catalog.clearCache()``) to release
+    executor storage in long-lived sessions. :func:`connected_components`
+    (and :func:`keep_best_per_cluster` through it) does this for you.
     """
     stacked = minhash_band_table(
         df, text_col, id_col, num_hashes, bands, shingle_n
@@ -502,6 +530,11 @@ def connected_components(
         if changed == 0:
             break
     edges.unpersist()
+    # labels are localCheckpoint-ed (materialized, lineage truncated), so
+    # the pairs plan — and any index cache backing it — is done for good;
+    # release it here so callers passing builder output straight in don't
+    # leak a pinned band table per call (ADVICE r5).
+    release_index_cache(pairs)
     return labels
 
 

@@ -235,9 +235,18 @@ def interval_join(
     if how == "left":
         matched = joined.drop("__bucket")
         iv_cols = [c for c in matched.columns if c not in points.columns]
-        misses = pt.drop("__bucket").join(
-            joined.select(*points.columns).distinct(), points.columns, "left_anti"
-        )
+        # null-safe anti-join: plain column equality drops NULL point rows
+        # from the anti side (NULL != NULL), emitting a matched row a second
+        # time as a spurious null-extended miss. Rename the match-side keys
+        # and compare with <=> so NULLs pair up.
+        match_keys = joined.select(
+            *[F.col(c).alias(f"__m_{c}") for c in points.columns]
+        ).distinct()
+        anti_cond = None
+        for c in points.columns:
+            eq = F.col(c).eqNullSafe(F.col(f"__m_{c}"))
+            anti_cond = eq if anti_cond is None else (anti_cond & eq)
+        misses = pt.drop("__bucket").join(match_keys, anti_cond, "left_anti")
         for c in iv_cols:
             misses = misses.withColumn(c, F.lit(None).cast(dict(matched.dtypes)[c]))
         return matched.unionByName(misses)

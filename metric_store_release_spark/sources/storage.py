@@ -270,6 +270,22 @@ def correlate_series(
     tgt_filter = F.col("name") == target_name
     for k, val in sorted(target_labels.items()):
         tgt_filter = tgt_filter & (F.col("labels").getItem(k) == val)
+    # label-subset matching can hit several series (one with extra labels);
+    # silently unioning their buckets would duplicate ts keys in the
+    # broadcast join and corrupt every correlation — demand exactly one.
+    n_target = (
+        samples.filter(tgt_filter)
+        .select(series_signature(F.col("labels")).alias("__s"))
+        .distinct()
+        .limit(2)
+        .count()
+    )
+    if n_target != 1:
+        raise ValueError(
+            f"correlate_series target {target_name!r} {target_labels!r} "
+            f"matches {'no series' if n_target == 0 else '2+ series'}; "
+            "pass the full label set so exactly one series resolves"
+        )
     target = ds.filter(tgt_filter).select("ts", F.col("v").alias("__x"))
     joined = ds.join(F.broadcast(target), "ts")
     sig = F.array_sort(F.map_entries(F.col("labels")))

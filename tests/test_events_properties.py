@@ -226,6 +226,26 @@ def test_interval_join_left_keeps_unmatched_points(spark):
     assert sorted(r["pid"] for r in got) == [0, 1]
 
 
+def test_interval_join_left_null_payload_not_duplicated(spark):
+    """ADVICE r5 (medium): a point row with a NULL payload column that DOES
+    match an interval must not also be emitted as a null-extended miss —
+    the anti-join must be null-safe."""
+    from metric_store_release_spark.pipeline.events import interval_join
+
+    p = spark.createDataFrame(
+        [(1, 50, None), (1, 500, None), (2, 50, "x")],
+        "user_id int, ts_ms long, payload string",
+    )
+    iv = spark.createDataFrame(
+        [(1, 0, 100, 10)], "user_id int, start_ms long, end_ms long, iid int"
+    )
+    out = interval_join(p, iv, bucket_width=64, how="left").collect()
+    rows = sorted((r["user_id"], r["ts_ms"], r["payload"], r["iid"]) for r in out)
+    # exactly 3 rows: the NULL-payload match appears ONCE (iid=10), the
+    # other two points appear once each as null-extended misses
+    assert rows == [(1, 50, None, 10), (1, 500, None, None), (2, 50, "x", None)]
+
+
 def test_interval_join_plans_no_nested_loop(spark):
     from metric_store_release_spark.pipeline.events import interval_join
 

@@ -1223,3 +1223,27 @@ def test_shared_ngram_index_cache_is_the_persisted_frame(spark):
     assert cache.storageLevel.useMemory
     cache.unpersist(blocking=True)
     assert not cache.storageLevel.useMemory
+
+
+def test_connected_components_releases_pairs_index_cache(spark):
+    """ADVICE r5: functions that fully materialize internally must release
+    the builder's persisted index so gate runs don't accumulate caches."""
+    from metric_store_release_spark.pipeline.dedup import (
+        connected_components,
+        minhash_lsh_candidates,
+        release_index_cache,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, "alpha beta gamma delta epsilon zeta eta theta") for i in range(6)],
+        "doc_id long, text string",
+    )
+    pairs = minhash_lsh_candidates(docs, num_hashes=8, bands=4, shingle_n=3)
+    cache = pairs._index_cache
+    assert cache.storageLevel.useMemory
+    comp = connected_components(pairs)
+    assert comp.count() == 6  # all byte-identical → one cluster of 6
+    assert not cache.storageLevel.useMemory  # released by connected_components
+    # idempotent / absent-attribute safe
+    release_index_cache(pairs)
+    release_index_cache(comp)

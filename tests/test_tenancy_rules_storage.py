@@ -337,6 +337,33 @@ def test_correlate_series_known_relationships(spark):
     assert "flat" not in out  # undefined correlation excluded by contract
 
 
+def test_correlate_series_ambiguous_target_raises(spark):
+    """ADVICE r5: label-subset matching hitting >1 series (or none) must
+    raise instead of silently unioning buckets into a bogus target."""
+    import pytest
+
+    from metric_store_release_spark.sources.storage import correlate_series
+
+    rows = [
+        (0, "tgt", 1.0, {"s": "t", "host": "a"}),
+        (10_000, "tgt", 3.0, {"s": "t", "host": "a"}),
+        (0, "tgt", 2.0, {"s": "t", "host": "b"}),  # extra-label sibling
+        (10_000, "tgt", 5.0, {"s": "t", "host": "b"}),
+    ]
+    df = spark.createDataFrame(
+        rows, "ts long, name string, value double, labels map<string,string>"
+    )
+    with pytest.raises(ValueError, match="2\\+ series"):
+        correlate_series(df, "tgt", {"s": "t"}, step_ms=10_000)
+    with pytest.raises(ValueError, match="no series"):
+        correlate_series(df, "tgt", {"s": "missing"}, step_ms=10_000)
+    # the full label set resolves uniquely and works
+    out = correlate_series(
+        df, "tgt", {"s": "t", "host": "a"}, step_ms=10_000, min_points=1
+    ).collect()
+    assert len(out) >= 1
+
+
 def test_downsample_tier_write_read_query_roundtrip(spark, tmp_path):
     """The retention-tier loop end-to-end: downsample raw samples, WRITE
     the rollup as a shard table, read it back, and run a PromQL query
