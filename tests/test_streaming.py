@@ -654,3 +654,21 @@ def test_streaming_checkpoint_restart_exactly_once(spark, tmp_path):
     )
     # first-write-wins across the restart, old rows not re-emitted
     assert got == [(1_000, 1.0), (2_000, 2.0), (3_000, 3.0)]
+
+
+def test_ingest_throughput_beats_reference_envelope(spark):
+    """The end-to-end nozzle->rollup->sink streaming path must sustain more
+    than the reference's client batching envelope of 128 points/s
+    (>=64 points per 500 ms micro-batch, ingressclient.go:15-17 via
+    BASELINE.md) — on a small corpus so the test stays quick; bench.py
+    measures the same probe at full size."""
+    from metric_store_release_spark.streaming.ingest_bench import (
+        ENVELOPE_POINTS_PER_SEC,
+        measure_ingest_throughput,
+    )
+
+    out = measure_ingest_throughput(spark, n_envelopes=6_000, n_files=8,
+                                    max_files_per_trigger=4)
+    assert out["batches"] >= 2  # real multi-batch streaming, not one gulp
+    assert out["points"] > 6_000  # gauges fan out 2 points per envelope
+    assert out["points_per_sec"] > ENVELOPE_POINTS_PER_SEC
