@@ -478,6 +478,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["storage_downsample"] = _storage_downsample
     q["series_cardinality"] = _series_cardinality
     q["promql_over_downsampled"] = _promql_over_downsampled
+    q["promql_tiered_read"] = _promql_tiered_read
     q["series_correlation"] = _series_correlation
     q["dedup_simhash_pairs"] = _dedup_simhash_pairs
     q["text_bm25"] = _text_bm25
@@ -535,6 +536,9 @@ _FAMILY_FIRST_ORDER = [
     "text_classifier_score",
     "storage_downsample", "series_cardinality",
     "promql_over_downsampled", "series_correlation",
+    # round-6 NEW operator (debuts in its landing round, per policy;
+    # docs_chunks gives up its slot and moves to the r7 swap-back queue)
+    "promql_tiered_read",
     # round-5 debuts awaiting a second green round
     "embedding_ann_probe", "events_sessionize_bucketed",
     "events_interval_join", "events_kmv_users",
@@ -548,7 +552,7 @@ _FAMILY_FIRST_ORDER = [
     "events_funnel", "events_cube", "events_top_users",
     "events_retention", "events_rolling_7d",
     "events_dau_wau",
-    "docs_weighted_sample", "docs_mixture", "docs_chunks",
+    "docs_weighted_sample", "docs_mixture",
     "dedup_exact_normalized",
 ]
 
@@ -976,6 +980,34 @@ def _promql_over_downsampled(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     eng = _engine(spark)
     out = eng.query_range(samples, "sum by (user) (click)", START, END, STEP)
+    return out.select(
+        "t",
+        F.col("labels").getItem("user").alias("usr"),
+        F.round("value", 6).alias("value"),
+    )
+
+
+def _promql_tiered_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Read-path tier SELECTION (sources.storage.select_tier /
+    tiered_samples — the Thanos step/5 auto-downsampling rule; the
+    query-time counterpart of the reference's retention delete,
+    store.go:158-214): the gate's 6 h step routes this query to the
+    5-minute rollup tier automatically — no caller opt-in — and the
+    engine evaluates unchanged over it. The callable asserts the planner
+    actually chose the rollup, so a routing regression fails the gate
+    rather than silently scanning raw."""
+    from metric_store_release_spark.sources.storage import (
+        downsample_samples,
+        tiered_samples,
+    )
+
+    raw = _samples(spark, sf_dir)
+    tiers = {300_000: downsample_samples(raw, 300_000)}
+    routed, chosen = tiered_samples(raw, tiers, START, END, STEP)
+    assert chosen == 300_000, f"step/5 rule must pick the rollup, got {chosen}"
+    samples = routed.withColumn("user", F.col("labels").getItem("user"))
+    eng = _engine(spark)
+    out = eng.query_range(samples, "max by (user) (click)", START, END, STEP)
     return out.select(
         "t",
         F.col("labels").getItem("user").alias("usr"),
@@ -2639,6 +2671,22 @@ samples AS (
 steps AS (SELECT unnest(generate_series({START}, {END}, {STEP})) AS t),
 {_inst_cte("p.name = 'click'")}
 SELECT t, usr, ROUND(SUM(value), 6) AS value FROM inst GROUP BY t, usr
+"""
+
+    o["promql_tiered_read"] = f"""
+WITH raw AS (
+  SELECT epoch_ms(ts) AS ts, event_type AS name, value,
+         CAST(user_id % 10 AS VARCHAR) AS usr
+  FROM events
+),
+samples AS (
+  SELECT CAST(ts // 300000 * 300000 AS BIGINT) AS ts, name,
+         AVG(value) AS value, usr
+  FROM raw GROUP BY 1, 2, 4
+),
+steps AS (SELECT unnest(generate_series({START}, {END}, {STEP})) AS t),
+{_inst_cte("p.name = 'click'")}
+SELECT t, usr, ROUND(MAX(value), 6) AS value FROM inst GROUP BY t, usr
 """
 
     o["series_correlation"] = """

@@ -228,6 +228,84 @@ def downsample_samples(samples: DataFrame, step_ms: int) -> DataFrame:
     )
 
 
+def select_tier(
+    step_ms: int,
+    start_ms: int,
+    end_ms: int,
+    tier_steps: list[int],
+    raw_retention_ms: int | None = None,
+    now_ms: int | None = None,
+) -> int | None:
+    """Read-path resolution selection over downsample tiers: the query-time
+    counterpart of the reference's retention delete (store.go:158-214 —
+    which makes old data simply vanish; a rollup tier keeps it queryable)
+    and the Thanos auto-downsampling rule (pkg/query: pick the coarsest
+    resolution still giving >=5 samples per step).
+
+    Returns the chosen tier's bucket width (an element of ``tier_steps``)
+    or None for raw. Rules, in order:
+
+    1. Coverage floor: if ``raw_retention_ms`` is set and the range starts
+       before now - retention, raw cannot serve the query — the FINEST
+       tier becomes the fallback even when the step/5 rule prefers raw.
+    2. step/5: among tiers with tier_step * 5 <= step_ms, pick the
+       COARSEST (cheapest scan that still resolves the step); otherwise
+       raw (or the coverage fallback from rule 1).
+
+    Pure driver-side arithmetic over catalog metadata — no data is read
+    to make the choice, so it belongs in the planner, not the scan.
+    """
+    if step_ms <= 0:
+        raise ValueError(f"step_ms must be positive, got {step_ms}")
+    if end_ms < start_ms:
+        raise ValueError(f"empty range: [{start_ms}, {end_ms}]")
+    tiers = sorted(tier_steps)
+    eligible = [t for t in tiers if t * 5 <= step_ms]
+    needs_rollup = (
+        raw_retention_ms is not None
+        and now_ms is not None
+        and start_ms < now_ms - raw_retention_ms
+    )
+    if eligible:
+        return eligible[-1]
+    if needs_rollup and tiers:
+        return tiers[0]
+    return None
+
+
+def tiered_samples(
+    raw: DataFrame,
+    tiers: dict[int, DataFrame],
+    start_ms: int,
+    end_ms: int,
+    step_ms: int,
+    raw_retention_ms: int | None = None,
+    now_ms: int | None = None,
+) -> tuple[DataFrame, int | None]:
+    """Route a query to raw vs rollup by (range, step): returns
+    (samples, chosen_tier_step). ``tiers`` maps bucket width →
+    :func:`downsample_samples` output (in memory or read back from a
+    shard table); a chosen rollup re-presents ``avg_value`` as the sample
+    value, which `promql_over_downsampled` proves evaluates unchanged
+    through the engine. The caller's lookback must be >= the chosen
+    tier's bucket width for the as-of selector to land on a bucket —
+    true by construction here since tiers only win when
+    step >= 5 * bucket width and lookback tracks step.
+    """
+    chosen = select_tier(
+        step_ms, start_ms, end_ms, list(tiers), raw_retention_ms, now_ms
+    )
+    if chosen is None:
+        return raw, None
+    rollup = tiers[chosen]
+    return (
+        rollup.select(
+            "ts", "name", F.col("avg_value").alias("value"), "labels"
+        ),
+        chosen,
+    )
+
+
 def series_signature(labels: Column) -> Column:
     """Canonical string form of a label set: sorted 'k=v' pairs joined by
     commas — the engine-portable series identity for cardinality

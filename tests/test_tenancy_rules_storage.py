@@ -403,3 +403,77 @@ def test_downsample_tier_write_read_query_roundtrip(spark, tmp_path):
         for r in eng.query_range(back, q, 0, 3_600_000, 600_000).collect()
     }
     assert got == want and len(got) > 0
+
+
+def test_select_tier_matrix():
+    """Planner rule: coarse steps pick the coarsest qualifying tier,
+    fine steps pick raw, ranges older than raw retention force the
+    finest tier as the floor."""
+    from metric_store_release_spark.sources.storage import select_tier
+
+    tiers = [300_000, 3_600_000]  # 5 min, 1 h rollups
+    now = 10_000_000_000
+    # step/5 rule: 6 h step -> the 1 h tier qualifies (3.6e6*5 <= 2.16e7)
+    assert select_tier(21_600_000, 0, 1, tiers) == 3_600_000
+    # 30 min step -> only the 5 min tier qualifies
+    assert select_tier(1_800_000, 0, 1, tiers) == 300_000
+    # 1 min step -> no tier qualifies: raw
+    assert select_tier(60_000, 0, 1, tiers) is None
+    # fine step BUT the range predates raw retention: finest tier floor
+    assert (
+        select_tier(60_000, 0, 1_000, tiers, raw_retention_ms=1_000_000, now_ms=now)
+        == 300_000
+    )
+    # fine step, range inside raw retention: raw
+    assert (
+        select_tier(
+            60_000, now - 500_000, now, tiers, raw_retention_ms=1_000_000, now_ms=now
+        )
+        is None
+    )
+    import pytest
+
+    with pytest.raises(ValueError):
+        select_tier(0, 0, 1, tiers)
+    with pytest.raises(ValueError):
+        select_tier(60_000, 10, 0, tiers)
+
+
+def test_tiered_read_query_matches_direct_rollup_query(spark):
+    """End-to-end through the planner: a coarse-step query routed by
+    tiered_samples must produce byte-identical engine output to querying
+    the rollup directly; a fine-step query must route to raw."""
+    from metric_store_release_spark import EngineConfig, PromQLEngine
+    from metric_store_release_spark.sources.storage import (
+        downsample_samples,
+        tiered_samples,
+    )
+
+    rows = []
+    for i in range(0, 7_200_000, 60_000):  # 2 h of 1-min raw samples
+        rows.append((i, "m", float(i % 7), {"u": str(i % 3)}))
+    raw = spark.createDataFrame(
+        rows, "ts long, name string, value double, labels map<string,string>"
+    )
+    tiers = {300_000: downsample_samples(raw, 300_000)}
+    start, end, step = 0, 7_200_000, 1_800_000  # 30 min step -> rollup
+
+    routed, chosen = tiered_samples(raw, tiers, start, end, step)
+    assert chosen == 300_000
+    eng = PromQLEngine(EngineConfig(lookback_ms=step))
+    direct = tiers[300_000].select(
+        "ts", "name", F.col("avg_value").alias("value"), "labels"
+    )
+    got = sorted(
+        (r["t"], r["labels"]["u"], r["value"])
+        for r in eng.query_range(routed, "sum by (u) (m)", start, end, step).collect()
+    )
+    want = sorted(
+        (r["t"], r["labels"]["u"], r["value"])
+        for r in eng.query_range(direct, "sum by (u) (m)", start, end, step).collect()
+    )
+    assert got == want and len(got) > 0
+
+    # fine step: raw passthrough, untouched frame
+    routed_fine, chosen_fine = tiered_samples(raw, tiers, start, end, 60_000)
+    assert chosen_fine is None and routed_fine is raw
