@@ -9,10 +9,11 @@ fastText filters) run over a pre-training corpus.
 
 Scale shape: feature extraction is map-side (explode + hash); scoring is
 one equi-join of the exploded (doc, feature) table against the weight
-table keyed by feature index — AQE broadcasts the weights while they fit
-(a 2^18-slot table is a few MB), and the per-doc sum is a hash
-aggregation with map-side combine. No Python in the loop, no vocabulary
-shuffle, model size independent of corpus size.
+table keyed by feature index — the broadcast is pinned to the weights
+(a 2^18-slot table is a few MB; see linear_scores for why AQE must not
+pick the build side here), and the per-doc sum is a hash aggregation
+with map-side combine. No Python in the loop, no vocabulary shuffle,
+model size independent of corpus size.
 
 Weights come from the caller as a (feature, weight) DataFrame — a real
 deployment loads trained weights; tests and the entry use a
@@ -83,10 +84,17 @@ def linear_scores(
     bias: float = 0.0,
 ) -> DataFrame:
     """(id, score): sigmoid(sum_f tf_f * w_f + bias) per document —
-    sparse dot product as join + hash agg."""
+    sparse dot product as join + hash agg.
+
+    The broadcast is PINNED to the weight table: the model is fixed-size
+    (2^18 slots ≈ a few MB) while the feature side scales with the
+    corpus. Left to AQE, the post-shuffle feature stats can look smaller
+    at bench scale and win the build side (measured: BuildLeft over the
+    exploded gram table at sf0.1) — a choice that inverts catastrophically
+    at corpus scale, so the model side is declared, not inferred."""
     z = F.sum(F.col("tf") * F.col("weight")) + F.lit(float(bias))
     return (
-        features.join(weights, "feature")
+        features.join(F.broadcast(weights), "feature")
         .groupBy(id_col)
         .agg((F.lit(1.0) / (F.lit(1.0) + F.exp(-z))).alias("score"))
     )

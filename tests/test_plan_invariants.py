@@ -333,3 +333,30 @@ def test_top_ngrams_is_take_ordered(spark):
     df = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     plan = _plan(top_ngrams(df, n=3, k=20))
     assert "TakeOrderedAndProject" in plan, plan
+
+
+def test_classifier_broadcast_pinned_to_weight_table(spark):
+    """The classifier join must build on the MODEL side (fixed 2^18-slot
+    weight table), never the corpus-scaling feature table: left to AQE,
+    post-shuffle feature stats can win the build side at bench scale —
+    a choice that inverts catastrophically at corpus scale."""
+    from pyspark.sql import functions as F
+
+    from metric_store_release_spark.pipeline.classifier import (
+        classify_documents,
+        md5_demo_weights,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, "alpha beta gamma delta " * 5) for i in range(50)],
+        "doc_id long, text string",
+    )
+    out = classify_documents(docs, md5_demo_weights(spark))
+    out.count()
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    import re
+
+    m = re.search(r"BroadcastHashJoin .*?Build(Left|Right)", plan)
+    assert m is not None, "classifier scoring must be a broadcast hash join"
+    # weights are the RIGHT side of features.join(broadcast(weights), ...)
+    assert m.group(1) == "Right", plan[:1500]
