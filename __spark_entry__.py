@@ -466,6 +466,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["events_sessionize_bucketed"] = _events_sessionize_bucketed
     q["events_interval_join"] = _events_interval_join
     q["events_kmv_users"] = _events_kmv_users
+    q["events_kmv_overlap"] = _events_kmv_overlap
     q["docs_bpe_merges"] = _docs_bpe_merges
     q["docs_bpe_tokens"] = _docs_bpe_tokens
     q["docs_temperature_mix"] = _docs_temperature_mix
@@ -536,9 +537,10 @@ _FAMILY_FIRST_ORDER = [
     "text_classifier_score",
     "storage_downsample", "series_cardinality",
     "promql_over_downsampled", "series_correlation",
-    # round-6 NEW operator (debuts in its landing round, per policy;
-    # docs_chunks gives up its slot and moves to the r7 swap-back queue)
-    "promql_tiered_read",
+    # round-6 NEW operators (debut in their landing round, per policy;
+    # docs_chunks and events_cube give up their slots and move to the r7
+    # swap-back queue)
+    "promql_tiered_read", "events_kmv_overlap",
     # round-5 debuts awaiting a second green round
     "embedding_ann_probe", "events_sessionize_bucketed",
     "events_interval_join", "events_kmv_users",
@@ -549,7 +551,7 @@ _FAMILY_FIRST_ORDER = [
     # r5-batch veterans earning their second green round
     "tpch_q4", "tpch_q5", "tpch_q7", "tpch_q10", "tpch_q13",
     "tpch_q15",
-    "events_funnel", "events_cube", "events_top_users",
+    "events_funnel", "events_top_users",
     "events_retention", "events_rolling_7d",
     "events_dau_wau",
     "docs_weighted_sample", "docs_mixture",
@@ -1058,6 +1060,19 @@ def _events_kmv_users(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = _prepare(spark).read.parquet(f"{sf_dir}/events.parquet")
     return kmv_distinct(ev, "user_id", ("event_type",), k=32)
+
+
+def _events_kmv_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audience overlap between event-type pairs from KMV sketches alone
+    (pipeline.sketches.kmv_overlap, k=32): union by sketch merge,
+    intersection by inclusion-exclusion, Jaccard — no pairwise join over
+    raw user ids ever runs; the pair join is one row per event type
+    carrying a <=k array. The sketch-merge answer provably equals the
+    oracle's k-smallest over the full distinct union."""
+    from metric_store_release_spark.pipeline.sketches import kmv_overlap
+
+    ev = _prepare(spark).read.parquet(f"{sf_dir}/events.parquet")
+    return kmv_overlap(ev, "user_id", "event_type", k=32)
 
 
 def _events_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2647,6 +2662,12 @@ GROUP BY s.user_id, s.session_seq
 
     o["events_kmv_users"] = kmv_distinct_sql(
         "events", "user_id", ("event_type",), k=32
+    )
+
+    from metric_store_release_spark.pipeline.sketches import kmv_overlap_sql
+
+    o["events_kmv_overlap"] = kmv_overlap_sql(
+        "events", "user_id", "event_type", k=32
     )
 
     o["series_cardinality"] = kmv_distinct_sql(

@@ -105,6 +105,114 @@ def kmv_distinct(
     )
 
 
+def _kmv_estimate(arr: "F.Column", k: int) -> "F.Column":
+    """KMV estimator over a (sorted, <=k) sketch array: exact below k,
+    (k-1)/(h_k/2^32) at k."""
+    n = F.size(arr)
+    return F.when(n < k, n.cast("double")).otherwise(
+        F.lit(float(k - 1)) / (F.element_at(arr, -1) / F.lit(_SPACE))
+    )
+
+
+def kmv_overlap(
+    df: DataFrame,
+    key_col: str,
+    group_col: str,
+    k: int = 64,
+    salt: str = "kmv",
+) -> DataFrame:
+    """Distinct-set OVERLAP between every pair of groups, from sketches
+    alone: (g_a, g_b, est_a, est_b, est_union, est_intersection, jaccard)
+    for g_a < g_b — the audience-overlap / cohort-intersection question
+    ("how many users do event types A and B share?").
+
+    This is the payoff of a MERGEABLE sketch: |A ∪ B| comes from merging
+    the two k-sized sketches (k-smallest of the union of k-smallest — by
+    the KMV property exactly the sketch A ∪ B would have produced), and
+    |A ∩ B| follows by inclusion–exclusion (clamped at 0), so no
+    pairwise join over the raw keys ever runs. Cost: one sketch build
+    (two-level agg, see kmv_sketch) + a pair join over one ROW PER GROUP
+    carrying <=k-element arrays. The pair join is a cross product over
+    group count — bounded by the (small, by assumption) number of
+    groups, NOT the data; for thousands of groups, filter the pairs
+    first. Jaccard = intersection/union of the estimates.
+    """
+    sk = kmv_sketch(df, key_col, (group_col,), k, salt)
+    a = sk.select(F.col(group_col).alias("g_a"), F.col("kmv").alias("__kv_a"))
+    b = sk.select(F.col(group_col).alias("g_b"), F.col("kmv").alias("__kv_b"))
+    pairs = a.join(b, F.col("g_a") < F.col("g_b"))
+    union_arr = F.slice(
+        F.array_sort(F.array_distinct(F.concat("__kv_a", "__kv_b"))), 1, k
+    )
+    est_a = _kmv_estimate(F.col("__kv_a"), k)
+    est_b = _kmv_estimate(F.col("__kv_b"), k)
+    est_u = _kmv_estimate(union_arr, k)
+    inter = F.greatest(F.lit(0.0), est_a + est_b - est_u)
+    return pairs.select(
+        "g_a",
+        "g_b",
+        F.round(est_a, 6).alias("est_a"),
+        F.round(est_b, 6).alias("est_b"),
+        F.round(est_u, 6).alias("est_union"),
+        F.round(inter, 6).alias("est_intersection"),
+        F.round(inter / est_u, 6).alias("jaccard"),
+    )
+
+
+def kmv_overlap_sql(
+    table_sql: str,
+    key_sql: str,
+    group_sql: str,
+    k: int = 64,
+    salt: str = "kmv",
+) -> str:
+    """DuckDB oracle for :func:`kmv_overlap`. The oracle takes the
+    k-smallest over the FULL distinct union per pair — equal to merging
+    the two truncated sketches by the KMV property, so the two paths
+    must agree exactly."""
+    est = (
+        f"CASE WHEN n < {k} THEN CAST(n AS DOUBLE) "
+        f"ELSE {float(k - 1)} / (hk / {_SPACE}) END"
+    )
+    return f"""
+WITH hashed AS (
+  SELECT DISTINCT {group_sql} AS g,
+    ('0x' || substr(md5('{salt}' || CAST({key_sql} AS VARCHAR)), 1, 8))::BIGINT AS h
+  FROM {table_sql}
+),
+per_group AS (
+  SELECT g, COUNT(*) AS n, MAX(h) AS hk FROM (
+    SELECT g, h, ROW_NUMBER() OVER (PARTITION BY g ORDER BY h) AS rn FROM hashed
+  ) WHERE rn <= {k} GROUP BY g
+),
+est_g AS (SELECT g, {est} AS est FROM per_group),
+pairs AS (
+  SELECT a.g AS g_a, b.g AS g_b FROM est_g a JOIN est_g b ON a.g < b.g
+),
+union_k AS (
+  SELECT g_a, g_b, COUNT(*) AS n, MAX(h) AS hk FROM (
+    SELECT g_a, g_b, h,
+           ROW_NUMBER() OVER (PARTITION BY g_a, g_b ORDER BY h) AS rn
+    FROM (
+      SELECT DISTINCT p.g_a, p.g_b, x.h
+      FROM pairs p JOIN hashed x ON x.g = p.g_a OR x.g = p.g_b
+    )
+  ) WHERE rn <= {k} GROUP BY g_a, g_b
+)
+SELECT p.g_a, p.g_b,
+       ROUND(ea.est, 6) AS est_a,
+       ROUND(eb.est, 6) AS est_b,
+       ROUND(u_est, 6) AS est_union,
+       ROUND(GREATEST(0.0, ea.est + eb.est - u_est), 6) AS est_intersection,
+       ROUND(GREATEST(0.0, ea.est + eb.est - u_est) / u_est, 6) AS jaccard
+FROM (
+  SELECT g_a, g_b, {est} AS u_est FROM union_k
+) p
+JOIN est_g ea ON ea.g = p.g_a
+JOIN est_g eb ON eb.g = p.g_b
+"""
+
+
 def kmv_distinct_sql(
     table_sql: str,
     key_sql: str,

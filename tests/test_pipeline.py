@@ -1038,6 +1038,36 @@ def test_kmv_distinct_accuracy_and_exact_regime(spark):
     assert per == {"a": 30.0, "b": 10.0}
 
 
+def test_kmv_overlap_exact_regime_and_merge_property(spark):
+    """Below k the sketches are exhaustive, so union/intersection/jaccard
+    must be EXACT; and the merged-union estimate must be identical no
+    matter how the input is partitioned (k-smallest of two truncated
+    sketches == k-smallest of the full union)."""
+    from metric_store_release_spark.pipeline.sketches import kmv_overlap
+
+    # A = {0..29}, B = {20..49}: |A|=30 |B|=30 |A∪B|=50 |A∩B|=10 J=0.2
+    rows = [("a", i) for i in range(30)] + [("b", i) for i in range(20, 50)]
+    df = spark.createDataFrame(rows * 3, "grp string, key long")  # dup-proof
+    out = kmv_overlap(df, "key", "grp", k=64).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert (r["g_a"], r["g_b"]) == ("a", "b")
+    assert r["est_a"] == 30.0 and r["est_b"] == 30.0
+    assert r["est_union"] == 50.0 and r["est_intersection"] == 10.0
+    assert r["jaccard"] == 0.2
+    # above k: estimates, invariant to partitioning
+    big = spark.createDataFrame(
+        [("a", i) for i in range(500)] + [("b", i) for i in range(250, 750)],
+        "grp string, key long",
+    )
+    ref = kmv_overlap(big, "key", "grp", k=32).collect()[0]
+    got = kmv_overlap(big.repartition(7), "key", "grp", k=32).collect()[0]
+    assert ref.asDict() == got.asDict()
+    # estimator sanity: true union 750, intersection 250
+    assert abs(ref["est_union"] - 750) / 750 < 0.6  # k=32 is coarse
+    assert ref["est_intersection"] >= 0.0
+
+
 def test_kmv_plan_is_mergeable_partial_agg_no_window(spark):
     """Judge r5 ask #4: the executed plan must BE the fixed-size mergeable
     sketch — two-level partial/final aggregation, no Window node sorting a
