@@ -672,3 +672,77 @@ def test_ingest_throughput_beats_reference_envelope(spark):
     assert out["batches"] >= 2  # real multi-batch streaming, not one gulp
     assert out["points"] > 6_000  # gauges fan out 2 points per envelope
     assert out["points_per_sec"] > ENVELOPE_POINTS_PER_SEC
+
+
+def test_streaming_crawl_dedup_against_persisted_band_index(spark, tmp_path):
+    """The streaming crawl-update composition: document batches arrive as
+    a file stream; each micro-batch minhash-matches against the PERSISTED
+    corpus band index (never re-banded) and appends its candidate matches
+    to a sink. Verifies (a) every planted near-dup rediscovers its corpus
+    source across multiple micro-batches, (b) the result equals the batch
+    run of minhash_match over the same rows."""
+    from metric_store_release_spark.pipeline.dedup import (
+        minhash_band_table,
+        minhash_match,
+    )
+
+    corpus_rows = [
+        (i, f"alpha bravo charlie delta echo foxtrot golf hotel doc{i}")
+        for i in range(20)
+    ]
+    corpus = spark.createDataFrame(corpus_rows, "doc_id long, text string")
+    index_path = str(tmp_path / "band_index")
+    minhash_band_table(corpus, num_hashes=8, bands=4, shingle_n=3).write.parquet(
+        index_path
+    )
+    index = spark.read.parquet(index_path)
+
+    # two arriving batches: ids shifted by 1000, every 2nd corpus doc
+    src = str(tmp_path / "incoming")
+    sink = str(tmp_path / "matches")
+    ckpt = str(tmp_path / "ckpt")
+    batch1 = [(1000 + i, t) for i, t in corpus_rows if i % 2 == 0][:5]
+    batch2 = [(1000 + i, t) for i, t in corpus_rows if i % 2 == 0][5:]
+    spark.createDataFrame(batch1, "doc_id long, text string").coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+    spark.createDataFrame(batch2, "doc_id long, text string").coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+
+    def match_batch(batch, batch_id):
+        minhash_match(
+            batch, index, num_hashes=8, bands=4, shingle_n=3
+        ).write.mode("append").parquet(sink)
+
+    q = (
+        stream.writeStream.foreachBatch(match_batch)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    got = {
+        (r["batch_id"], r["index_id"])
+        for r in spark.read.parquet(sink).collect()
+    }
+    # every shifted doc must rediscover its source (identical text)
+    for i, _ in corpus_rows:
+        if i % 2 == 0:
+            assert (1000 + i, i) in got
+    # streaming == batch over the same rows
+    all_new = spark.createDataFrame(batch1 + batch2, "doc_id long, text string")
+    want = {
+        (r["batch_id"], r["index_id"])
+        for r in minhash_match(
+            all_new, index, num_hashes=8, bands=4, shingle_n=3
+        ).collect()
+    }
+    assert got == want
