@@ -174,6 +174,30 @@ class PromQLEngine:
     ) -> DataFrame:
         return self.query_range(samples, promql, time_ms, time_ms, 1)
 
+    def query_range_tiered(
+        self,
+        raw: DataFrame,
+        tiers: dict,
+        promql: str,
+        start_ms: int,
+        end_ms: int,
+        step_ms: int,
+        raw_retention_ms: int | None = None,
+        now_ms: int | None = None,
+    ) -> DataFrame:
+        """Range query routed through read-path tier selection
+        (sources.storage.tiered_samples): coarse steps and ranges older
+        than raw retention are served from the matching downsample rollup
+        tier, everything else from raw — decided at plan time from the
+        (range, step) alone. ``tiers`` maps bucket width (ms) →
+        downsample_samples output."""
+        from metric_store_release_spark.sources.storage import tiered_samples
+
+        samples, _ = tiered_samples(
+            raw, tiers, start_ms, end_ms, step_ms, raw_retention_ms, now_ms
+        )
+        return self.query_range(samples, promql, start_ms, end_ms, step_ms)
+
     def execute(
         self,
         df: DataFrame,

@@ -460,7 +460,7 @@ def test_tiered_read_query_matches_direct_rollup_query(spark):
 
     routed, chosen = tiered_samples(raw, tiers, start, end, step)
     assert chosen == 300_000
-    eng = PromQLEngine(EngineConfig(lookback_ms=step))
+    eng = PromQLEngine(spark, EngineConfig(lookback_ms=step))
     direct = tiers[300_000].select(
         "ts", "name", F.col("avg_value").alias("value"), "labels"
     )
@@ -477,3 +477,12 @@ def test_tiered_read_query_matches_direct_rollup_query(spark):
     # fine step: raw passthrough, untouched frame
     routed_fine, chosen_fine = tiered_samples(raw, tiers, start, end, 60_000)
     assert chosen_fine is None and routed_fine is raw
+
+    # engine-level wrapper routes identically
+    via_engine = sorted(
+        (r["t"], r["labels"]["u"], r["value"])
+        for r in eng.query_range_tiered(
+            raw, tiers, "sum by (u) (m)", start, end, step
+        ).collect()
+    )
+    assert via_engine == want
