@@ -58,9 +58,18 @@ def hashed_ngram_features(
         ).alias("g"),
     )
     grams = unis.unionByName(bis)
-    return grams.select(
-        id_col, (hash_bucket(F.col("g"), salt) % n_features).alias("feature")
-    ).groupBy(id_col, "feature").agg(F.count(F.lit(1)).alias("tf"))
+    # coalesce carries NON-NULLABILITY (semantically a no-op: exploded
+    # grams are never null). Without it, a downstream equi-join on
+    # `feature` infers IsNotNull(feature) and pushes the filter — with
+    # this ENTIRE md5 expression duplicated inside it — below the
+    # aggregation to the per-gram level, evaluating the hash twice per
+    # gram: measured 5.6 s -> 2.0 s for the full classifier at 50k docs.
+    feature = F.coalesce(
+        hash_bucket(F.col("g"), salt) % n_features, F.lit(0)
+    )
+    return grams.select(id_col, feature.alias("feature")).groupBy(
+        id_col, "feature"
+    ).agg(F.count(F.lit(1)).alias("tf"))
 
 
 def md5_demo_weights(
