@@ -97,6 +97,10 @@ def main() -> None:
         "text_classifier_score",
         "audio_features",
         "video_frame_features",
+        # round 6: read-path tier selection — rollup aggregation + PromQL
+        # eval over the 5-min tier the step/5 rule routes to; compare with
+        # promql_sum_by_user (raw) for what the tier saves the engine
+        "promql_tiered_read",
     ]
     # warm the JVM + parquet footers with one tiny action
     spark.read.parquet(f"{SF_DIR}/region.parquet").count()

@@ -1305,3 +1305,38 @@ def test_connected_components_releases_pairs_index_cache(spark):
     # idempotent / absent-attribute safe
     release_index_cache(pairs)
     release_index_cache(comp)
+
+
+def test_kmv_matches_pure_python_reference_on_random_data(spark):
+    """Property check without per-example Spark jobs: 40 random datasets
+    ride one DataFrame as groups; the two-level distributed sketch must
+    equal a pure-Python k-smallest-distinct-md5 reference on every one."""
+    import hashlib
+    import random
+
+    k = 16
+    rng = random.Random(20260814)
+    rows, expected = [], {}
+    for ds in range(40):
+        n = rng.randrange(1, 60)
+        keys = [str(rng.randrange(0, 80)) for _ in range(n)]
+        rows += [(f"d{ds}", key) for key in keys]
+        hashes = sorted(
+            {int(hashlib.md5(("kmv" + key).encode()).hexdigest()[:8], 16)
+             for key in set(keys)}
+        )[:k]
+        n_kept = len(hashes)
+        est = (
+            float(n_kept) if n_kept < k
+            else round((k - 1) / (hashes[-1] / float(1 << 32)), 6)
+        )
+        expected[f"d{ds}"] = (n_kept, est)
+
+    from metric_store_release_spark.pipeline.sketches import kmv_distinct
+
+    df = spark.createDataFrame(rows, "ds string, key string")
+    got = {
+        r["ds"]: (r["n_kept"], r["est_distinct"])
+        for r in kmv_distinct(df, "key", ("ds",), k=k).collect()
+    }
+    assert got == expected
