@@ -476,6 +476,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["audio_features"] = _audio_features
     q["video_frame_features"] = _video_frame_features
     q["text_classifier_score"] = _text_classifier_score
+    q["text_classifier_train"] = _text_classifier_train
     q["storage_downsample"] = _storage_downsample
     q["series_cardinality"] = _series_cardinality
     q["promql_over_downsampled"] = _promql_over_downsampled
@@ -538,9 +539,9 @@ _FAMILY_FIRST_ORDER = [
     "storage_downsample", "series_cardinality",
     "promql_over_downsampled", "series_correlation",
     # round-6 NEW operators (debut in their landing round, per policy;
-    # docs_chunks and events_cube give up their slots and move to the r7
-    # swap-back queue)
-    "promql_tiered_read", "events_kmv_overlap",
+    # docs_chunks, events_cube and tpch_q15 give up their slots and move
+    # to the r7 swap-back queue)
+    "promql_tiered_read", "events_kmv_overlap", "text_classifier_train",
     # round-5 debuts awaiting a second green round
     "embedding_ann_probe", "events_sessionize_bucketed",
     "events_interval_join", "events_kmv_users",
@@ -550,7 +551,6 @@ _FAMILY_FIRST_ORDER = [
     "tpch_q8", "tpch_q17", "tpch_q22",
     # r5-batch veterans earning their second green round
     "tpch_q4", "tpch_q5", "tpch_q7", "tpch_q10", "tpch_q13",
-    "tpch_q15",
     "events_funnel", "events_top_users",
     "events_retention", "events_rolling_7d",
     "events_dau_wau",
@@ -1739,6 +1739,33 @@ def _text_classifier_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("doc_id", F.round("score", 6).alias("score"))
 
 
+def _text_classifier_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed classifier TRAINING + serving end-to-end
+    (pipeline.classifier.train_logistic_hashed): 3 full-batch logistic-GD
+    iterations over the hashed-feature table (labels: lang == 'en' — the
+    CCNet-style language-quality filter shape), then every doc scored
+    with the trained sparse model. Each iteration is two corpus-shaped
+    hash aggs + one model-shaped broadcast join; the oracle replays the
+    whole recurrence as chained SQL CTEs. Completes the train->serve
+    lifecycle alongside BPE (train+apply) and ANN (train+probe)."""
+    from metric_store_release_spark.pipeline.classifier import (
+        hashed_ngram_features,
+        linear_scores,
+        train_logistic_hashed,
+    )
+
+    spark = _prepare(spark)
+    docs = _docs(spark, sf_dir)
+    feats = hashed_ngram_features(docs)
+    labels = docs.select(
+        "doc_id", (F.col("lang") == "en").cast("double").alias("y")
+    )
+    w = train_logistic_hashed(feats, labels, lr=0.5, iters=3)
+    return linear_scores(feats, w).select(
+        "doc_id", F.round("score", 6).alias("score")
+    )
+
+
 def _docs_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     """alpha=0.5 temperature mixture over LANGUAGES (the skewed stratum in
     the fixture: en dominates) — the multilingual-training rebalancing
@@ -2834,6 +2861,17 @@ z AS (
 )
 SELECT doc_id, ROUND(1.0 / (1.0 + exp(-z)), 6) AS score FROM z
 """
+
+    from metric_store_release_spark.pipeline.classifier import (
+        train_and_score_oracle_sql,
+    )
+
+    o["text_classifier_train"] = train_and_score_oracle_sql(
+        "documents",
+        "CASE WHEN lang = 'en' THEN 1.0 ELSE 0.0 END",
+        lr=0.5,
+        iters=3,
+    )
 
     o["docs_temperature_mix"] = """
 WITH c AS (SELECT lang AS k, COUNT(*) AS n FROM documents GROUP BY lang),

@@ -124,3 +124,147 @@ def classify_documents(
         id_col,
         bias,
     )
+
+
+def train_logistic_hashed(
+    features: DataFrame,
+    labels: DataFrame,
+    id_col: str = "doc_id",
+    label_col: str = "y",
+    lr: float = 1.0,
+    iters: int = 3,
+) -> DataFrame:
+    """Distributed full-batch logistic-regression training over hashed
+    features: returns the SPARSE (feature, weight) model table — the
+    train half of the fastText-style pipeline (serve with
+    :func:`linear_scores`). Deterministic: weights start at 0, no
+    shuffling, no minibatches, so any engine replaying the same
+    iterations computes the same model (float-summation order absorbed
+    by presentation rounding downstream, like every scoring oracle
+    here).
+
+    Each iteration is two corpus-shaped shuffles and one model-shaped
+    join — the canonical distributed full-batch GD:
+
+      1. margins: features ⋈ weights (model side broadcast, pinned — see
+         linear_scores) → per-doc z = Σ tf·w (hash agg);
+      2. errors: sigmoid(z) − y per doc (join labels — doc-keyed);
+      3. gradient: features ⋈ errors → per-feature g = Σ tf·err / n_docs
+         (hash agg keyed by feature — bounded by the 2^18 slot space);
+      4. w ← w − lr·g, localCheckpoint-ed to truncate lineage per round
+         (same driver-orchestrated loop shape as k-means and
+         connected_components; every data operation is distributed).
+
+    Iteration 1 is algebraically special-cased nowhere: w₀ is the empty
+    sparse table, z₀ = 0, p₀ = 0.5 — the oracle replays it identically.
+    """
+    n_docs = labels.count()  # one driver action total, not per iteration
+    feats = features.select(
+        id_col, "feature", F.col("tf").cast("double").alias("tf")
+    )
+    y = labels.select(id_col, F.col(label_col).cast("double").alias("__y"))
+    spark = features.sparkSession
+    weights = spark.createDataFrame([], "feature long, weight double")
+    for _ in range(int(iters)):
+        z = (
+            feats.join(F.broadcast(weights), "feature", "left")
+            .withColumn("__w", F.coalesce(F.col("weight"), F.lit(0.0)))
+            .groupBy(id_col)
+            .agg(F.sum(F.col("tf") * F.col("__w")).alias("__z"))
+        )
+        err = z.join(y, id_col).select(
+            id_col,
+            (F.lit(1.0) / (F.lit(1.0) + F.exp(-F.col("__z"))) - F.col("__y")).alias(
+                "__err"
+            ),
+        )
+        grad = (
+            feats.join(err, id_col)
+            .groupBy("feature")
+            .agg((F.sum(F.col("tf") * F.col("__err")) / F.lit(float(n_docs))).alias("__g"))
+        )
+        weights = (
+            weights.join(grad, "feature", "full")
+            .select(
+                "feature",
+                (
+                    F.coalesce(F.col("weight"), F.lit(0.0))
+                    - F.lit(float(lr)) * F.coalesce(F.col("__g"), F.lit(0.0))
+                ).alias("weight"),
+            )
+            .localCheckpoint()
+        )
+    return weights
+
+
+def train_and_score_oracle_sql(
+    doc_table: str,
+    label_sql: str,
+    n_features: int = 1 << 18,
+    lr: float = 0.5,
+    iters: int = 3,
+) -> str:
+    """DuckDB oracle replaying :func:`train_logistic_hashed` +
+    :func:`linear_scores` end-to-end: the full-batch GD iterations as a
+    chained-CTE unroll (w0 = the empty sparse table; each round computes
+    margins, errors, per-feature gradients and the weight update exactly
+    as the Spark loop does), then scores every document with the trained
+    model. Generated so entry modules never hand-copy the recurrence."""
+    ctes = [
+        r"""base AS (
+  SELECT doc_id, list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '') AS t
+  FROM """ + doc_table + r"""
+),
+tt AS (SELECT * FROM base WHERE len(t) > 0),
+unis AS (SELECT doc_id, unnest(t) AS g FROM tt),
+bis AS (
+  SELECT doc_id, t[i] || ' ' || t[i + 1] AS g
+  FROM tt, unnest(generate_series(1, len(t) - 1)) AS u(i)
+  WHERE len(t) >= 2
+),
+grams AS (SELECT * FROM unis UNION ALL SELECT * FROM bis),
+feats AS (
+  SELECT doc_id,
+         ('0x' || substr(md5('feat' || g), 1, 8))::BIGINT % """
+        + str(n_features)
+        + r""" AS feature,
+         CAST(COUNT(*) AS DOUBLE) AS tf
+  FROM grams GROUP BY 1, 2
+),
+y AS (SELECT doc_id, """ + label_sql + f""" AS y FROM {doc_table}),
+n AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM y),
+w0 AS (SELECT CAST(0 AS BIGINT) AS feature, 0.0 AS weight WHERE FALSE)"""
+    ]
+    for t in range(1, int(iters) + 1):
+        p = t - 1
+        ctes.append(
+            f"""z{t} AS (
+  SELECT f.doc_id, SUM(f.tf * COALESCE(w.weight, 0.0)) AS z
+  FROM feats f LEFT JOIN w{p} w USING (feature) GROUP BY 1
+),
+e{t} AS (
+  SELECT z.doc_id, 1.0 / (1.0 + exp(-z.z)) - y.y AS err
+  FROM z{t} z JOIN y USING (doc_id)
+),
+g{t} AS (
+  SELECT feature, SUM(f.tf * e.err) / (SELECT n FROM n) AS g
+  FROM feats f JOIN e{t} e USING (doc_id) GROUP BY 1
+),
+w{t} AS (
+  SELECT COALESCE(w.feature, g.feature) AS feature,
+         COALESCE(w.weight, 0.0) - {float(lr)} * COALESCE(g.g, 0.0) AS weight
+  FROM w{p} w FULL JOIN g{t} g ON w.feature = g.feature
+)"""
+        )
+    ctes.append(
+        f"""zf AS (
+  SELECT f.doc_id, SUM(f.tf * w.weight) AS z
+  FROM feats f JOIN w{int(iters)} w USING (feature) GROUP BY 1
+)"""
+    )
+    body = ",\n".join(ctes)
+    return (
+        "WITH "
+        + body
+        + "\nSELECT doc_id, ROUND(1.0 / (1.0 + exp(-z)), 6) AS score FROM zf"
+    )

@@ -1340,3 +1340,34 @@ def test_kmv_matches_pure_python_reference_on_random_data(spark):
         for r in kmv_distinct(df, "key", ("ds",), k=k).collect()
     }
     assert got == expected
+
+
+def test_logistic_training_separates_planted_classes(spark):
+    """train_logistic_hashed must learn to separate two vocabularies in 3
+    full-batch iterations, and training must be deterministic (identical
+    model on identical input, invariant to partitioning)."""
+    from metric_store_release_spark.pipeline.classifier import (
+        hashed_ngram_features,
+        linear_scores,
+        train_logistic_hashed,
+    )
+
+    rows = [(i, "good clean text quality prose " * 3, 1.0) for i in range(10)]
+    rows += [(100 + i, "spam junk noise garbage filler " * 3, 0.0) for i in range(10)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, y double")
+    feats = hashed_ngram_features(docs)
+    w = train_logistic_hashed(feats, docs.select("doc_id", "y"), lr=0.5, iters=3)
+    scores = {r["doc_id"]: r["score"] for r in linear_scores(feats, w).collect()}
+    assert min(scores[i] for i in range(10)) > max(
+        scores[100 + i] for i in range(10)
+    )
+    # deterministic + partitioning-invariant model
+    w2 = train_logistic_hashed(
+        hashed_ngram_features(docs.repartition(5)),
+        docs.select("doc_id", "y"),
+        lr=0.5,
+        iters=3,
+    )
+    a = {r["feature"]: round(r["weight"], 9) for r in w.collect()}
+    b = {r["feature"]: round(r["weight"], 9) for r in w2.collect()}
+    assert a == b
