@@ -159,9 +159,15 @@ def train_logistic_hashed(
     sparse table, z₀ = 0, p₀ = 0.5 — the oracle replays it identically.
     """
     n_docs = labels.count()  # one driver action total, not per iteration
+    # pin the feature table: every iteration reads it twice (margins +
+    # gradient); without the persist the full tokenize/hash lineage runs
+    # 2*iters times (SCALING.md finding 5 — eager, so consumers don't
+    # race to populate the cache). Weights are localCheckpoint-ed, so the
+    # final unpersist leaves no dangling lineage.
     feats = features.select(
         id_col, "feature", F.col("tf").cast("double").alias("tf")
-    )
+    ).persist()
+    feats.count()
     y = labels.select(id_col, F.col(label_col).cast("double").alias("__y"))
     spark = features.sparkSession
     weights = spark.createDataFrame([], "feature long, weight double")
@@ -194,6 +200,7 @@ def train_logistic_hashed(
             )
             .localCheckpoint()
         )
+    feats.unpersist()
     return weights
 
 
