@@ -228,6 +228,42 @@ def downsample_samples(samples: DataFrame, step_ms: int) -> DataFrame:
     )
 
 
+def redownsample(rollup: DataFrame, step_ms: int) -> DataFrame:
+    """Build a COARSER rollup tier from a finer one without touching raw
+    — the compaction-chain shape (each retention level feeds the next, so
+    year-old raw need never be re-read to build the 1 h tier from the
+    5 min tier).
+
+    Correctness subtlety this function exists to own: a plain
+    avg-of-bucket-avgs is WRONG whenever bucket populations differ
+    (a 2-sample bucket would weigh as much as a 200-sample one); the
+    coarser avg must be re-weighted by ``n_samples`` —
+    sum(avg·n)/sum(n) — which equals downsample_samples(raw, step) up to
+    float summation order. min/max/count fold losslessly. Same one-hash-
+    aggregation shape as downsample_samples."""
+    sig = F.array_sort(F.map_entries(F.col("labels")))
+    bucket = (F.floor(F.col("ts") / step_ms) * step_ms).cast("long")
+    return (
+        rollup.withColumn("__sig", sig)
+        .groupBy(bucket.alias("ts"), F.col("name"), F.col("__sig"))
+        .agg(
+            (
+                F.sum(F.col("avg_value") * F.col("n_samples"))
+                / F.sum("n_samples")
+            ).alias("avg_value"),
+            F.min("min_value").alias("min_value"),
+            F.max("max_value").alias("max_value"),
+            F.sum("n_samples").alias("n_samples"),
+        )
+        .withColumn("labels", F.map_from_entries(F.col("__sig")))
+        .drop("__sig")
+        .select(
+            "ts", "name", "labels",
+            "avg_value", "min_value", "max_value", "n_samples",
+        )
+    )
+
+
 def select_tier(
     step_ms: int,
     start_ms: int,

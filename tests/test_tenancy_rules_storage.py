@@ -486,3 +486,38 @@ def test_tiered_read_query_matches_direct_rollup_query(spark):
         ).collect()
     )
     assert via_engine == want
+
+
+def test_redownsample_chain_equals_direct_rollup(spark):
+    """The compaction chain: 5-min tier -> 1-h tier must equal
+    downsampling raw directly to 1 h — including when bucket populations
+    differ (the case a naive avg-of-avgs gets wrong)."""
+    from metric_store_release_spark.sources.storage import (
+        downsample_samples,
+        redownsample,
+    )
+
+    rows = []
+    # deliberately uneven density: minute samples for the first 10 min,
+    # then one sample per 5-min bucket
+    for i in range(0, 600_000, 60_000):
+        rows.append((i, "m", float(i % 11), {"u": "a"}))
+    for i in range(600_000, 3_600_000, 300_000):
+        rows.append((i, "m", float(i % 13), {"u": "a"}))
+    raw = spark.createDataFrame(
+        rows, "ts long, name string, value double, labels map<string,string>"
+    )
+    fine = downsample_samples(raw, 300_000)
+    chained = redownsample(fine, 3_600_000).collect()
+    direct = downsample_samples(raw, 3_600_000).collect()
+    assert len(chained) == len(direct) == 1
+    c, d = chained[0], direct[0]
+    assert (c["ts"], c["name"], c["min_value"], c["max_value"], c["n_samples"]) == (
+        d["ts"], d["name"], d["min_value"], d["max_value"], d["n_samples"]
+    )
+    assert c["avg_value"] == pytest.approx(d["avg_value"], abs=1e-9)
+    # and the naive unweighted avg-of-avgs would NOT match
+    naive = sum(
+        r["avg_value"] for r in fine.collect()
+    ) / fine.count()
+    assert abs(naive - d["avg_value"]) > 1e-3
