@@ -112,6 +112,8 @@ def main() -> None:
     qs["embedding_ann_probe"](spark, SF_DIR)
     qs["events_sessionize_bucketed"](spark, SF_DIR)
 
+    from metric_store_release_spark.pipeline.dedup import release_index_cache
+
     runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "4"))
     timings: dict[str, list[float]] = {name: [] for name in bench_names}
     for r in range(runs):
@@ -122,6 +124,12 @@ def main() -> None:
             n = df.count()
             took = round(time.perf_counter() - t0, 3)
             timings[name].append(took)
+            # the dedup builders pin a band/gram index per invocation
+            # (caller-owned contract); a 4-run bench is exactly the
+            # long-lived session that accumulates them — release after
+            # each materialization so run N doesn't measure run N-1's
+            # storage pressure
+            release_index_cache(df)
             print(f"# run{r + 1} {name}: {took}s ({n} rows)", file=sys.stderr)
 
     # streaming micro-batch ingest throughput (judge r5 ask #6): points/s
