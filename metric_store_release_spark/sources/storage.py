@@ -264,6 +264,56 @@ def redownsample(rollup: DataFrame, step_ms: int) -> DataFrame:
     )
 
 
+def build_tier_tables(
+    spark: SparkSession,
+    raw_path: str,
+    steps_ms: list[int],
+    out_root: str,
+    mode: str = "overwrite",
+) -> dict[int, str]:
+    """The compaction JOB: materialize the whole rollup-tier chain from a
+    raw shard store. The finest tier downsamples raw once; every coarser
+    tier derives from the previous tier via :func:`redownsample`
+    (weighted, so chained == direct) — raw is read exactly once no matter
+    how many tiers, the Thanos-compact level structure. Each tier writes
+    date-partitioned like the raw store, so shard pruning and
+    retention/expiry (:func:`expire_shards`, :func:`prune_oldest_shards`)
+    apply to tiers unchanged — in production each tier carries its own,
+    longer, retention. Returns {step_ms: tier_path} ready to read back
+    into :func:`tiered_samples`.
+    """
+    steps = sorted(int(s) for s in steps_ms)
+    if not steps:
+        return {}
+    paths: dict[int, str] = {}
+    prev: DataFrame | None = None
+    for i, step in enumerate(steps):
+        if prev is None:
+            tier = downsample_samples(read_samples(spark, raw_path), step)
+        else:
+            tier = redownsample(prev, step)
+        tier_path = f"{out_root.rstrip('/')}/step={step}"
+        out = tier.withColumn(
+            PARTITION_COL, F.to_date(F.timestamp_millis(F.col("ts")))
+        )
+        out.write.partitionBy(PARTITION_COL).mode(mode).parquet(tier_path)
+        paths[step] = tier_path
+        # the next tier derives from what was just WRITTEN (not the
+        # in-memory plan): one raw read total, and each tier's lineage is
+        # its own parquet — the restartable-compaction contract
+        prev = spark.read.parquet(tier_path).drop(PARTITION_COL)
+    return paths
+
+
+def read_tier_samples(spark: SparkSession, tier_paths: dict[int, str]) -> dict[int, DataFrame]:
+    """Read tier tables back into the {step: rollup DataFrame} form
+    :func:`tiered_samples` consumes."""
+    return {
+        step: spark.read.parquet(path).drop(PARTITION_COL)
+        for step, path in tier_paths.items()
+    }
+
+
 def select_tier(
     step_ms: int,
     start_ms: int,

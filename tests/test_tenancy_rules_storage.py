@@ -521,3 +521,57 @@ def test_redownsample_chain_equals_direct_rollup(spark):
         r["avg_value"] for r in fine.collect()
     ) / fine.count()
     assert abs(naive - d["avg_value"]) > 1e-3
+
+
+def test_build_tier_tables_roundtrip_through_tiered_query(spark, tmp_path):
+    """The full compaction-job loop: raw shard store -> chained tier
+    tables on disk (raw read once) -> read back -> tier-routed engine
+    query equals querying the directly-built rollup. Tier tables are
+    date-partitioned so retention applies to them unchanged."""
+    from pathlib import Path
+
+    from metric_store_release_spark import EngineConfig, PromQLEngine
+    from metric_store_release_spark.sources.storage import (
+        build_tier_tables,
+        downsample_samples,
+        read_tier_samples,
+        tiered_samples,
+        write_samples,
+    )
+
+    rows = []
+    for i in range(0, 7_200_000, 60_000):
+        rows.append((i, "m", float(i % 7), {"u": str(i % 3)}))
+    raw = spark.createDataFrame(
+        rows, "ts long, name string, value double, labels map<string,string>"
+    )
+    raw_path = str(tmp_path / "raw")
+    write_samples(raw, raw_path)
+
+    tiers_root = str(tmp_path / "tiers")
+    paths = build_tier_tables(
+        spark, raw_path, [300_000, 3_600_000], tiers_root
+    )
+    assert set(paths) == {300_000, 3_600_000}
+    assert (Path(paths[300_000]) / "date=1970-01-01").exists()  # sharded
+
+    tiers = read_tier_samples(spark, paths)
+    start, end, step = 0, 7_200_000, 1_800_000
+    routed, chosen = tiered_samples(raw, tiers, start, end, step)
+    assert chosen == 300_000
+    eng = PromQLEngine(spark, EngineConfig(lookback_ms=step))
+    got = sorted(
+        (r["t"], r["labels"]["u"], round(r["value"], 9))
+        for r in eng.query_range(routed, "sum by (u) (m)", start, end, step).collect()
+    )
+    direct = downsample_samples(raw, 300_000).select(
+        "ts", "name", F.col("avg_value").alias("value"), "labels"
+    )
+    want = sorted(
+        (r["t"], r["labels"]["u"], round(r["value"], 9))
+        for r in eng.query_range(direct, "sum by (u) (m)", start, end, step).collect()
+    )
+    assert got == want and len(got) > 0
+    # the coarse tier on disk equals redownsampling the fine tier
+    coarse = tiers[3_600_000].collect()
+    assert len(coarse) > 0 and all(r["n_samples"] > 0 for r in coarse)
