@@ -101,6 +101,12 @@ def main() -> None:
         # eval over the 5-min tier the step/5 rule routes to; compare with
         # promql_sum_by_user (raw) for what the tier saves the engine
         "promql_tiered_read",
+        # late round 6: count-min frequency sketch, bounded-sample
+        # quantile sketch, and the O(log n)-round two-star connected
+        # components (compare dedup_components for the hash-min path)
+        "events_cms_topk",
+        "events_quantile_sketch",
+        "dedup_components_star",
     ]
     # warm the JVM + parquet footers with one tiny action
     spark.read.parquet(f"{SF_DIR}/region.parquet").count()

@@ -538,6 +538,105 @@ def connected_components(
     return labels
 
 
+def _large_star(edges: DataFrame) -> DataFrame:
+    """One large-star round (Kiveris et al. 2014, Algorithm 1): for each
+    node u over its full (symmetrized) neighborhood N(u), connect every
+    strictly-larger neighbor to m = min(N(u) ∪ {u}). One groupBy-min +
+    one equi-join back — no windows, no per-group sorts. Output edges
+    are (larger, smaller) by construction."""
+    sym = edges.unionByName(
+        edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    )
+    mins = sym.groupBy("u").agg(F.least(F.col("u"), F.min("v")).alias("m"))
+    return (
+        sym.join(mins, "u")
+        .filter(F.col("v") > F.col("u"))
+        .select(F.col("v").alias("u"), F.col("m").alias("v"))
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+    )
+
+
+def _small_star(edges: DataFrame) -> DataFrame:
+    """One small-star round (Kiveris et al. 2014, Algorithm 2): orient
+    every edge (larger, smaller), group by the larger endpoint u, and
+    re-point u and all its smaller neighbors at m = min(N(u) ∪ {u}).
+    Same bounded per-round shape as :func:`_large_star`."""
+    oriented = edges.select(
+        F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v")
+    )
+    mins = oriented.groupBy("u").agg(F.min("v").alias("m"))
+    joined = oriented.join(mins, "u")
+    repointed = joined.select(F.col("v").alias("u"), F.col("m").alias("v"))
+    centers = mins.select("u", F.col("m").alias("v"))
+    return (
+        repointed.unionByName(centers)
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+    )
+
+
+def connected_components_star(
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_iter: int = 20,
+) -> DataFrame:
+    """Same contract as :func:`connected_components` — (id, component)
+    with component = min reachable id — via alternating large-star /
+    small-star rounds (Kiveris et al. 2014) instead of hash-min label
+    propagation.
+
+    Why a second formulation: hash-min converges in O(diameter) rounds,
+    fine for shallow near-dup clusters but pathological for long chains
+    (a 10^6-link chain of 13-gram overlaps needs 10^6 rounds); the
+    two-star alternation contracts the graph toward stars and provably
+    converges in O(log n) rounds regardless of diameter, and each round
+    is the same bounded shape (groupBy-min + equi-join + distinct).
+    Convergence is detected by an edge-set fingerprint (count + xor of
+    a 64-bit edge hash — edges are distinct, so the xor is a set
+    fingerprint) going stable across one large+small round — two
+    aggregations over the edge frame, no driver-side collect of the
+    edges themselves.
+    """
+    e = pairs.select(F.col(id_a).alias("u"), F.col(id_b).alias("v"))
+    # symmetric, self-loop-free, directed-pair start state
+    edges = (
+        e.unionByName(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+        .localCheckpoint()
+    )
+    nodes = edges.select(F.col("u").alias("id")).distinct().localCheckpoint()
+
+    def _fingerprint(ed: DataFrame) -> tuple:
+        row = ed.select(
+            F.count(F.lit(1)).alias("n"),
+            F.coalesce(
+                F.expr("bit_xor(xxhash64(u, v))"), F.lit(0)
+            ).alias("s"),
+        ).collect()[0]
+        return (row["n"], row["s"])
+
+    fp = _fingerprint(edges)
+    for _ in range(max_iter):
+        edges = _large_star(edges)
+        edges = _small_star(edges).localCheckpoint()
+        new_fp = _fingerprint(edges)
+        if new_fp == fp:
+            break
+        fp = new_fp
+    # steady state: stars — every edge is (member, component-min); the
+    # min node itself carries no outgoing edge and is its own component.
+    labels = (
+        nodes.join(edges, nodes.id == edges.u, "left")
+        .groupBy("id")
+        .agg(F.least(F.min("v"), F.min("id")).alias("component"))
+    )
+    release_index_cache(pairs)
+    return labels
+
+
 def simhash(
     df: DataFrame,
     text_col: str = "text",

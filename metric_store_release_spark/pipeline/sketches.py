@@ -213,6 +213,229 @@ JOIN est_g eb ON eb.g = p.g_b
 """
 
 
+def cms_counters(
+    df: DataFrame,
+    key_col: str,
+    depth: int = 4,
+    width: int = 256,
+    salt: str = "cms",
+) -> DataFrame:
+    """Count-min sketch counters (Cormode & Muthukrishnan 2005): ``depth``
+    independent hash rows of ``width`` buckets each; every input row
+    increments one bucket per hash row. Returns (r, bucket, cnt) with at
+    most depth*width rows — the fixed-size frequency summary a 100 TB
+    pipeline persists per shard and merges by ELEMENTWISE SUM (counters
+    are plain sums, so map-side combine applies and cross-shard merge is
+    a (r, bucket) groupBy-sum — mergeable in the executed plan, like
+    :func:`kmv_sketch`).
+
+    Scale shape: the explode multiplies rows by ``depth`` map-side, but
+    the partial aggregate collapses each partition's slice to <=
+    depth*width counter cells before the shuffle, so shuffle volume is
+    bounded by (partitions x depth x width) regardless of input size.
+    Hash row r uses the repo's portable md5 sampling key with salt
+    ``f"{salt}{r}"`` — every bucket assignment is reproducible by any
+    engine that can compute md5 (see pipeline.text.hash_bucket).
+    """
+    rows = df.select(F.col(key_col).alias("__k"))
+    buckets = [
+        F.struct(
+            F.lit(r).cast("long").alias("r"),
+            (hash_bucket(F.col("__k"), f"{salt}{r}") % width).alias("bucket"),
+        )
+        for r in range(depth)
+    ]
+    return (
+        rows.select(F.explode(F.array(*buckets)).alias("rb"))
+        .select("rb.r", "rb.bucket")
+        .groupBy("r", "bucket")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def cms_estimate(
+    counters: DataFrame,
+    keys: DataFrame,
+    key_col: str,
+    depth: int = 4,
+    width: int = 256,
+    salt: str = "cms",
+) -> DataFrame:
+    """Point-query the count-min sketch for every row of ``keys``:
+    (key_col, est_count) where est_count = min over the ``depth`` hash
+    rows of that key's bucket counter — an overestimate whose error is
+    bounded by the colliding mass (never an underestimate).
+
+    The counter table is at most depth*width rows, so the lookup join is
+    broadcast by AQE; the min over hash rows is a ``depth``-way groupBy
+    on the key. Keys absent from the data still hit initialized buckets
+    when the counters were built from the same table (the entry-point
+    contract here); a standalone serving path would left-join and
+    coalesce missing buckets to 0.
+    """
+    melted = keys.select(
+        F.col(key_col),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(r).cast("long").alias("r"),
+                        (hash_bucket(F.col(key_col), f"{salt}{r}") % width).alias(
+                            "bucket"
+                        ),
+                    )
+                    for r in range(depth)
+                ]
+            )
+        ).alias("rb"),
+    ).select(key_col, "rb.r", "rb.bucket")
+    return (
+        melted.join(F.broadcast(counters), ["r", "bucket"])
+        .groupBy(key_col)
+        .agg(F.min("cnt").alias("est_count"))
+    )
+
+
+def cms_topk_sql(
+    table_sql: str,
+    key_sql: str,
+    k: int,
+    depth: int = 4,
+    width: int = 256,
+    salt: str = "cms",
+) -> str:
+    """DuckDB oracle for a CMS-estimated top-k frequency query: replays
+    the exact bucket assignment (md5 salt-per-row), counter build, and
+    min-over-rows estimate, then takes the top ``k`` keys by
+    (est_count DESC, key ASC)."""
+    bucket = (
+        f"('0x' || substr(md5('{salt}' || CAST(t.r AS VARCHAR) "
+        f"|| CAST({key_sql} AS VARCHAR)), 1, 8))::BIGINT % {width}"
+    )
+    return f"""
+WITH counters AS (
+  SELECT t.r, {bucket} AS bucket, CAST(COUNT(*) AS BIGINT) AS cnt
+  FROM {table_sql}, range(0, {depth}) t(r)
+  GROUP BY t.r, bucket
+),
+keys AS (SELECT DISTINCT {key_sql} AS key FROM {table_sql}),
+key_buckets AS (
+  SELECT k.key, t.r,
+         ('0x' || substr(md5('{salt}' || CAST(t.r AS VARCHAR)
+          || CAST(k.key AS VARCHAR)), 1, 8))::BIGINT % {width} AS bucket
+  FROM keys k, range(0, {depth}) t(r)
+),
+est AS (
+  SELECT kb.key, MIN(c.cnt) AS est_count
+  FROM key_buckets kb JOIN counters c USING (r, bucket)
+  GROUP BY kb.key
+)
+SELECT key AS {key_sql}, est_count FROM est
+ORDER BY est_count DESC, key
+LIMIT {k}
+"""
+
+
+def quantile_sketch(
+    df: DataFrame,
+    value_col: str,
+    id_col: str,
+    group_cols: tuple[str, ...] = (),
+    k: int = 128,
+    quantiles: tuple[float, ...] = (0.5, 0.9, 0.99),
+    salt: str = "qsk",
+) -> DataFrame:
+    """Quantile estimates from a deterministic bounded-size sample:
+    (group..., n_sample, q_50, q_90, ...) where each quantile is the
+    nearest-rank pick from the k rows whose md5 sampling hash is
+    smallest — a uniform-without-replacement sample that is (a)
+    deterministic, so the DuckDB oracle reproduces the ESTIMATE exactly
+    (unlike approx_percentile's engine-specific GK summary), and (b)
+    mergeable in the executed plan with the same two-level k-smallest
+    partial aggregate as :func:`kmv_sketch`: level 1 keeps each input
+    partition's k lowest-hash (hash, value) pairs, level 2 merges the
+    bounded partials — a group with 10^9 rows costs its partitions'
+    k-row samples plus a bounded merge, never a global per-group sort.
+
+    ``id_col`` must identify rows (it seeds the sampling hash); rows
+    whose (hash, value) pair collides exactly are sampled as one, the
+    same rule the oracle applies.
+    """
+    groups = list(group_cols)
+    hashed = df.select(
+        *groups,
+        F.struct(
+            hash_bucket(F.col(id_col), salt).alias("h"),
+            F.col(value_col).cast("double").alias("v"),
+        ).alias("__hv"),
+    )
+    partials = (
+        hashed.withColumn("__p", F.spark_partition_id())
+        .groupBy(*groups, "__p")
+        .agg(F.slice(F.array_sort(F.collect_set("__hv")), 1, k).alias("__arr"))
+    )
+    merged = F.slice(
+        F.array_sort(F.array_distinct(F.flatten(F.collect_list("__arr")))), 1, k
+    ).alias("__sample")
+    sk = partials.groupBy(*groups).agg(merged) if groups else partials.agg(merged)
+    vals = F.array_sort(F.transform("__sample", lambda s: s["v"]))
+    n = F.size(vals)
+    qcols = [
+        F.round(
+            F.element_at(
+                vals, F.greatest(F.lit(1), F.ceil(F.lit(q) * n)).cast("int")
+            ),
+            6,
+        ).alias(f"q_{str(q).replace('0.', '')}")
+        for q in quantiles
+    ]
+    return sk.select(*groups, n.cast("long").alias("n_sample"), *qcols)
+
+
+def quantile_sketch_sql(
+    table_sql: str,
+    value_sql: str,
+    id_sql: str,
+    group_sql: tuple[str, ...] = (),
+    k: int = 128,
+    quantiles: tuple[float, ...] = (0.5, 0.9, 0.99),
+    salt: str = "qsk",
+) -> str:
+    """DuckDB oracle for :func:`quantile_sketch`: k lowest-hash distinct
+    (hash, value) pairs per group via row_number, then nearest-rank picks
+    by conditional aggregation."""
+    groups = ", ".join(group_sql)
+    gsel = f"{groups}, " if groups else ""
+    gby = f"GROUP BY {groups}" if groups else ""
+    part = f"PARTITION BY {groups} " if groups else ""
+    picks = ", ".join(
+        f"ROUND(MAX(CASE WHEN vr = GREATEST(1, CAST(CEIL({q} * cnt) AS BIGINT)) "
+        f"THEN v END), 6) AS q_{str(q).replace('0.', '')}"
+        for q in quantiles
+    )
+    return f"""
+WITH hashed AS (
+  SELECT DISTINCT {gsel}
+    ('0x' || substr(md5('{salt}' || CAST({id_sql} AS VARCHAR)), 1, 8))::BIGINT AS h,
+    CAST({value_sql} AS DOUBLE) AS v
+  FROM {table_sql}
+),
+kept AS (
+  SELECT * FROM (
+    SELECT *, ROW_NUMBER() OVER ({part}ORDER BY h, v) AS rn FROM hashed
+  ) WHERE rn <= {k}
+),
+ranked AS (
+  SELECT {gsel}v,
+         ROW_NUMBER() OVER ({part}ORDER BY v) AS vr,
+         COUNT(*) OVER ({part.rstrip() if part else ''}) AS cnt
+  FROM kept
+)
+SELECT {gsel}CAST(MAX(cnt) AS BIGINT) AS n_sample, {picks}
+FROM ranked {gby}
+"""
+
+
 def kmv_distinct_sql(
     table_sql: str,
     key_sql: str,

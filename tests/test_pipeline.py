@@ -1096,6 +1096,131 @@ def test_kmv_plan_is_mergeable_partial_agg_no_window(spark):
         assert got == ref  # partitioning-invariant merge
 
 
+def test_cms_never_underestimates_and_counters_merge(spark):
+    """Count-min guarantees: estimates are never BELOW the true count
+    (errors only add colliding mass), exact when width is ample, and the
+    counter grids built per shard merge by elementwise sum into exactly
+    the whole-data grid."""
+    from pyspark.sql import functions as F
+
+    from metric_store_release_spark.pipeline.sketches import (
+        cms_counters,
+        cms_estimate,
+    )
+
+    # key i appears i+1 times, 50 keys
+    rows = [(f"k{i}",) for i in range(50) for _ in range(i + 1)]
+    df = spark.createDataFrame(rows, "key string")
+    true = {f"k{i}": i + 1 for i in range(50)}
+    keys = df.select("key").distinct()
+
+    # tight width forces collisions -> only-overestimate property
+    counters = cms_counters(df, "key", depth=4, width=16)
+    est = {
+        r["key"]: r["est_count"]
+        for r in cms_estimate(counters, keys, "key", depth=4, width=16).collect()
+    }
+    assert set(est) == set(true)
+    assert all(est[k] >= v for k, v in true.items())
+
+    # ample width: no collisions among 50 keys is not guaranteed, but
+    # depth=4 rows of 4096 buckets make a 4-way collision vanishingly
+    # unlikely -> exact counts
+    wide = cms_counters(df, "key", depth=4, width=4096)
+    exact = {
+        r["key"]: r["est_count"]
+        for r in cms_estimate(wide, keys, "key", depth=4, width=4096).collect()
+    }
+    assert exact == true
+
+    # mergeability: shard grids sum to the whole-data grid
+    h1 = df.filter(F.crc32(F.col("key")) % 2 == 0)
+    h2 = df.filter(F.crc32(F.col("key")) % 2 == 1)
+    merged = (
+        cms_counters(h1, "key", depth=4, width=16)
+        .unionByName(cms_counters(h2, "key", depth=4, width=16))
+        .groupBy("r", "bucket")
+        .agg(F.sum("cnt").alias("cnt"))
+    )
+    whole = {
+        (r["r"], r["bucket"]): r["cnt"] for r in counters.collect()
+    }
+    got = {(r["r"], r["bucket"]): r["cnt"] for r in merged.collect()}
+    assert got == whole
+
+
+def test_quantile_sketch_exact_below_k_and_partition_invariant(spark):
+    """Below k the deterministic sample is exhaustive, so nearest-rank
+    quantiles are EXACT; above k the estimate must be invariant to input
+    partitioning (two-level merge == global k-smallest), and the plan
+    must be partial/final aggregation with no Window node."""
+    from metric_store_release_spark.pipeline.sketches import quantile_sketch
+
+    # n=100 <= k=128: sample is everything -> exact nearest-rank picks
+    rows = [(i, float(i + 1)) for i in range(100)]
+    df = spark.createDataFrame(rows, "rid long, v double")
+    out = quantile_sketch(df, "v", "rid", (), k=128).collect()[0]
+    assert out["n_sample"] == 100
+    assert out["q_5"] == 50.0  # ceil(0.5*100)=50 -> 50th smallest
+    assert out["q_9"] == 90.0
+    assert out["q_99"] == 99.0
+
+    # above k: partitioning-invariant
+    big = spark.createDataFrame(
+        [(i, float(i % 997)) for i in range(5000)], "rid long, v double"
+    )
+    sk = quantile_sketch(big, "v", "rid", (), k=64)
+    plan = sk._jdf.queryExecution().executedPlan().toString()
+    assert "Window" not in plan
+    ref = sk.collect()[0].asDict()
+    for parts in (1, 7):
+        got = quantile_sketch(
+            big.repartition(parts), "v", "rid", (), k=64
+        ).collect()[0].asDict()
+        assert got == ref
+
+
+def test_connected_components_star_matches_hashmin_and_kills_chains(spark):
+    """The two-star alternation must produce the identical labeling as
+    hash-min propagation on a mixed random graph, and must converge on a
+    long chain in O(log n) rounds — the case where hash-min's
+    O(diameter) rounds become pathological."""
+    import random
+
+    from metric_store_release_spark.pipeline.dedup import (
+        connected_components,
+        connected_components_star,
+    )
+
+    rng = random.Random(7)
+    # 3 clusters: a connecting backbone + random noise edges inside each
+    pairs = []
+    for base in (0, 100, 200):
+        members = list(range(base, base + 30))
+        pairs += [(m, m + 1) for m in members[:-1]]
+        for _ in range(40):
+            a, b = rng.sample(members, 2)
+            pairs.append((a, b))
+    df = spark.createDataFrame(pairs, "id_a long, id_b long")
+    ref = {
+        (r["id"], r["component"]) for r in connected_components(df).collect()
+    }
+    got = {
+        (r["id"], r["component"])
+        for r in connected_components_star(df).collect()
+    }
+    assert got == ref
+    assert {c for _, c in got} == {0, 100, 200}
+
+    # a 400-node chain: diameter 399, log2(400) ~ 9 two-star rounds
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(399)], "id_a long, id_b long"
+    )
+    labels = connected_components_star(chain, max_iter=15).collect()
+    assert len(labels) == 400
+    assert {r["component"] for r in labels} == {0}
+
+
 def test_minhash_incremental_match_finds_sources(spark):
     from metric_store_release_spark.pipeline.dedup import (
         minhash_band_table,
