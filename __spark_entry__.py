@@ -489,6 +489,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["events_cms_topk"] = _events_cms_topk
     q["events_quantile_sketch"] = _events_quantile_sketch
     q["dedup_components_star"] = _dedup_components_star
+    q["events_kmv_dau_wau"] = _events_kmv_dau_wau
 
     # The driver's correctness gate checks entries in insertion order and in
     # round 1 stopped after the first 50: reorder so one representative of
@@ -527,11 +528,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 #: (tpch_q1/q3/q4/q5/q7, rollup_counter, dedup_minhash_lsh, text_quality,
 #: multimodal_features, media_resize, docs_sample, embedding_kmeans,
 #: events_props_stats, then the r4-survivor batch rotated out here).
-#: Late-r6 amendment: three NEW operators (events_cms_topk,
-#: events_quantile_sketch, dedup_components_star) debut per policy;
-#: tpch_q4/q5/q7 (single-green, heavily-represented family — q8/q10/
-#: q13/q17/q18/q19/q22 stay in-window) yield their slots and move to
-#: the r7 swap-back queue above.
+#: Late-r6 amendment: four NEW operators (events_cms_topk,
+#: events_quantile_sketch, dedup_components_star, events_kmv_dau_wau)
+#: debut per policy; tpch_q4/q5/q7/q10 (single-green, heavily-
+#: represented family — q8/q13/q17/q18/q19/q22 stay in-window) yield
+#: their slots and move to the r7 swap-back queue above.
 _FAMILY_FIRST_ORDER = [
     # core promql family reps, pinned every round
     "promql_selector", "promql_sum_by_user", "promql_rate",
@@ -551,6 +552,7 @@ _FAMILY_FIRST_ORDER = [
     # to the r7 swap-back queue)
     "promql_tiered_read", "events_kmv_overlap", "text_classifier_train",
     "events_cms_topk", "events_quantile_sketch", "dedup_components_star",
+    "events_kmv_dau_wau",
     # round-5 debuts awaiting a second green round
     "embedding_ann_probe", "events_sessionize_bucketed",
     "events_interval_join", "events_kmv_users",
@@ -559,7 +561,7 @@ _FAMILY_FIRST_ORDER = [
     "dedup_incremental",
     "tpch_q8", "tpch_q17", "tpch_q22",
     # r5-batch veterans earning their second green round
-    "tpch_q10", "tpch_q13",
+    "tpch_q13",
     "events_funnel", "events_top_users",
     "events_retention", "events_rolling_7d",
     "events_dau_wau",
@@ -1116,6 +1118,26 @@ def _events_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = _prepare(spark).read.parquet(f"{sf_dir}/events.parquet")
     return quantile_sketch(ev, "value", "event_id", ("event_type",), k=128)
+
+
+def _events_kmv_dau_wau(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate DAU/WAU from mergeable per-day KMV sketches
+    (pipeline.sketches.kmv_sketch + kmv_trailing_window, k=32): the
+    trailing-7-day distinct count comes from MERGING seven daily
+    sketches — no rescan of raw events, the sliding-window shape that
+    works when a day of raw data is terabytes (compare events_dau_wau,
+    the exact 7x-fanout form). Same day-coverage semantics as the exact
+    query; md5 hashing makes the estimates oracle-reproducible."""
+    from metric_store_release_spark.pipeline.sketches import (
+        kmv_sketch,
+        kmv_trailing_window,
+    )
+    from metric_store_release_spark.sources.events_adapter import ts_ms
+
+    ev = _prepare(spark).read.parquet(f"{sf_dir}/events.parquet")
+    eday = F.floor(ts_ms(ev) / F.lit(86_400_000)).cast("long")
+    daily = kmv_sketch(ev.select("user_id", eday.alias("eday")), "user_id", ("eday",), k=32)
+    return kmv_trailing_window(daily, "eday", window=7, k=32)
 
 
 def _events_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2766,6 +2788,14 @@ GROUP BY s.user_id, s.session_seq
 
     o["events_cms_topk"] = cms_topk_sql(
         "events", "user_id", k=15, depth=4, width=256
+    )
+
+    from metric_store_release_spark.pipeline.sketches import (
+        kmv_trailing_window_sql,
+    )
+
+    o["events_kmv_dau_wau"] = kmv_trailing_window_sql(
+        "events", "user_id", "epoch_ms(ts) // 86400000", window=7, k=32
     )
 
     o["events_quantile_sketch"] = quantile_sketch_sql(

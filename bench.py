@@ -107,6 +107,7 @@ def main() -> None:
         "events_cms_topk",
         "events_quantile_sketch",
         "dedup_components_star",
+        "events_kmv_dau_wau",
     ]
     # warm the JVM + parquet footers with one tiny action
     spark.read.parquet(f"{SF_DIR}/region.parquet").count()

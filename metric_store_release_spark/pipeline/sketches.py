@@ -213,6 +213,107 @@ JOIN est_g eb ON eb.g = p.g_b
 """
 
 
+def kmv_trailing_window(
+    sketches: DataFrame,
+    day_col: str = "eday",
+    window: int = 7,
+    k: int = 64,
+) -> DataFrame:
+    """Trailing-``window`` sliding distinct counts from per-day sketches
+    alone: (day, current_est, window_est) — the approximate DAU/WAU
+    query. Each day's sketch explodes to the <=``window`` future days it
+    covers (clipped at the observed maximum, the same coverage rule as
+    the exact events_dau_wau) and the per-day partials re-merge with the
+    standard KMV fold; by the KMV property the merge of truncated daily
+    sketches equals the sketch of the window's raw union, so NO raw data
+    is rescanned — at 100 TB the daily sketches are a few-KB-per-day
+    table and every sliding window is a ``window``-way array merge over
+    it. Days inside a window with zero own activity report
+    current_est = 0 (coverage is window-driven, superset of active
+    days)."""
+    bounds = sketches.agg(F.max(day_col).alias("__max_day"))
+    contrib = sketches.join(F.broadcast(bounds)).select(
+        F.explode(
+            F.sequence(
+                F.col(day_col),
+                F.least(F.col(day_col) + (window - 1), F.col("__max_day")),
+            )
+        ).alias(day_col),
+        F.col("kmv").alias("__part"),
+    )
+    merged = contrib.groupBy(day_col).agg(
+        F.slice(
+            F.array_sort(F.array_distinct(F.flatten(F.collect_list("__part")))),
+            1,
+            k,
+        ).alias("__win")
+    )
+    own = sketches.select(day_col, F.col("kmv").alias("__own"))
+    return (
+        merged.join(own, day_col, "left")
+        .select(
+            day_col,
+            F.round(
+                F.coalesce(_kmv_estimate(F.col("__own"), k), F.lit(0.0)), 6
+            ).alias("current_est"),
+            F.round(_kmv_estimate(F.col("__win"), k), 6).alias("window_est"),
+        )
+    )
+
+
+def kmv_trailing_window_sql(
+    table_sql: str,
+    key_sql: str,
+    day_sql: str,
+    window: int = 7,
+    k: int = 64,
+    salt: str = "kmv",
+) -> str:
+    """DuckDB oracle for :func:`kmv_trailing_window`: the k-smallest over
+    each window's full distinct hash set — equal to the Spark side's
+    merge of truncated daily sketches by the KMV property."""
+    est = (
+        f"CASE WHEN n < {k} THEN CAST(n AS DOUBLE) "
+        f"ELSE {float(k - 1)} / (hk / {_SPACE}) END"
+    )
+    return f"""
+WITH hashed AS (
+  SELECT DISTINCT {day_sql} AS eday,
+    ('0x' || substr(md5('{salt}' || CAST({key_sql} AS VARCHAR)), 1, 8))::BIGINT AS h
+  FROM {table_sql}
+),
+mx AS (SELECT MAX(eday) AS max_day FROM hashed),
+days AS (
+  SELECT DISTINCT d AS eday
+  FROM (SELECT DISTINCT eday FROM hashed), mx,
+       unnest(generate_series(eday, LEAST(eday + {window - 1}, max_day))) AS t(d)
+),
+own AS (
+  SELECT eday, COUNT(*) AS n, MAX(h) AS hk FROM (
+    SELECT eday, h, ROW_NUMBER() OVER (PARTITION BY eday ORDER BY h) AS rn
+    FROM hashed
+  ) WHERE rn <= {k} GROUP BY eday
+),
+win_src AS (
+  SELECT DISTINCT d.eday, u.h
+  FROM days d JOIN hashed u
+    ON u.eday BETWEEN d.eday - {window - 1} AND d.eday
+),
+win AS (
+  SELECT eday, COUNT(*) AS n, MAX(h) AS hk FROM (
+    SELECT eday, h, ROW_NUMBER() OVER (PARTITION BY eday ORDER BY h) AS rn
+    FROM win_src
+  ) WHERE rn <= {k} GROUP BY eday
+),
+own_est AS (SELECT eday, {est} AS est FROM own),
+win_est AS (SELECT eday, {est} AS est FROM win)
+SELECT w.eday,
+       ROUND(COALESCE(o.est, 0.0), 6) AS current_est,
+       ROUND(w.est, 6) AS window_est
+FROM win_est w LEFT JOIN own_est o USING (eday)
+"""
+
+
 def cms_counters(
     df: DataFrame,
     key_col: str,
@@ -236,18 +337,27 @@ def cms_counters(
     Hash row r uses the repo's portable md5 sampling key with salt
     ``f"{salt}{r}"`` — every bucket assignment is reproducible by any
     engine that can compute md5 (see pipeline.text.hash_bucket).
+
+    The bucket hashes are PROJECTED TO COLUMNS before the explode:
+    hex_word reads 8 substrings of one md5, and codegen only shares the
+    md5 across those reads inside a plain Project — under a Generate the
+    subexpression is re-evaluated per read, measured 8x slower end-to-end
+    (SCALING.md #13).
     """
     rows = df.select(F.col(key_col).alias("__k"))
-    buckets = [
-        F.struct(
-            F.lit(r).cast("long").alias("r"),
-            (hash_bucket(F.col("__k"), f"{salt}{r}") % width).alias("bucket"),
-        )
-        for r in range(depth)
-    ]
+    proj = rows.select(
+        *[
+            (hash_bucket(F.col("__k"), f"{salt}{r}") % width).alias(f"__b{r}")
+            for r in range(depth)
+        ]
+    )
     return (
-        rows.select(F.explode(F.array(*buckets)).alias("rb"))
-        .select("rb.r", "rb.bucket")
+        proj.select(
+            F.posexplode(
+                F.array(*[F.col(f"__b{r}") for r in range(depth)])
+            ).alias("r", "bucket")
+        )
+        .select(F.col("r").cast("long").alias("r"), "bucket")
         .groupBy("r", "bucket")
         .agg(F.count(F.lit(1)).alias("cnt"))
     )
@@ -273,22 +383,19 @@ def cms_estimate(
     contract here); a standalone serving path would left-join and
     coalesce missing buckets to 0.
     """
-    melted = keys.select(
+    proj = keys.select(
         F.col(key_col),
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(r).cast("long").alias("r"),
-                        (hash_bucket(F.col(key_col), f"{salt}{r}") % width).alias(
-                            "bucket"
-                        ),
-                    )
-                    for r in range(depth)
-                ]
-            )
-        ).alias("rb"),
-    ).select(key_col, "rb.r", "rb.bucket")
+        *[
+            (hash_bucket(F.col(key_col), f"{salt}{r}") % width).alias(f"__b{r}")
+            for r in range(depth)
+        ],
+    )
+    melted = proj.select(
+        key_col,
+        F.posexplode(F.array(*[F.col(f"__b{r}") for r in range(depth)])).alias(
+            "r", "bucket"
+        ),
+    ).select(key_col, F.col("r").cast("long").alias("r"), "bucket")
     return (
         melted.join(F.broadcast(counters), ["r", "bucket"])
         .groupBy(key_col)

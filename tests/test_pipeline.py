@@ -1180,6 +1180,56 @@ def test_quantile_sketch_exact_below_k_and_partition_invariant(spark):
         assert got == ref
 
 
+def test_kmv_trailing_window_exact_regime_and_merge_equivalence(spark):
+    """Below k the daily sketches are exhaustive, so the sliding-window
+    estimates must equal the EXACT trailing-distinct counts; and merging
+    truncated daily sketches must equal sketching each window's raw
+    union directly (the KMV merge property the operator relies on)."""
+    from pyspark.sql import functions as F
+
+    from metric_store_release_spark.pipeline.sketches import (
+        _kmv_estimate,
+        kmv_sketch,
+        kmv_trailing_window,
+    )
+
+    # users 0..9 active on day d if d % (u+1) == 0 — overlapping sets
+    rows = [
+        (u, d) for u in range(10) for d in range(10) if d % (u + 1) == 0
+    ]
+    df = spark.createDataFrame(rows, "user_id long, eday long")
+    daily = kmv_sketch(df, "user_id", ("eday",), k=64)
+    got = {
+        r["eday"]: (r["current_est"], r["window_est"])
+        for r in kmv_trailing_window(daily, "eday", window=3, k=64).collect()
+    }
+    # exact trailing-3-day distincts (k=64 > 10 users: sketch exhaustive)
+    days = sorted({d for _, d in rows})
+    for d in days:
+        dau = len({u for u, dd in rows if dd == d})
+        wau = len({u for u, dd in rows if d - 2 <= dd <= d})
+        assert got[d] == (float(dau), float(wau)), d
+    # merge property above k: merged window sketch == direct union sketch
+    big = spark.createDataFrame(
+        [(i * 7 + d, d) for d in range(4) for i in range(200)],
+        "user_id long, eday long",
+    )
+    daily_b = kmv_sketch(big, "user_id", ("eday",), k=16)
+    merged = {
+        r["eday"]: r["window_est"]
+        for r in kmv_trailing_window(daily_b, "eday", window=3, k=16).collect()
+    }
+    for d in range(2, 4):
+        direct = (
+            kmv_sketch(
+                big.filter(F.col("eday").between(d - 2, d)), "user_id", (), k=16
+            )
+            .select(F.round(_kmv_estimate(F.col("kmv"), 16), 6).alias("e"))
+            .collect()[0]["e"]
+        )
+        assert merged[d] == direct, d
+
+
 def test_connected_components_star_matches_hashmin_and_kills_chains(spark):
     """The two-star alternation must produce the identical labeling as
     hash-min propagation on a mixed random graph, and must converge on a
