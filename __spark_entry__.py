@@ -490,6 +490,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["events_quantile_sketch"] = _events_quantile_sketch
     q["dedup_components_star"] = _dedup_components_star
     q["events_kmv_dau_wau"] = _events_kmv_dau_wau
+    q["dedup_editdist"] = _dedup_editdist
+    q["dedup_containment"] = _dedup_containment
 
     # The driver's correctness gate checks entries in insertion order and in
     # round 1 stopped after the first 50: reorder so one representative of
@@ -532,7 +534,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 #: events_quantile_sketch, dedup_components_star, events_kmv_dau_wau)
 #: debut per policy; tpch_q4/q5/q7/q10 (single-green, heavily-
 #: represented family — q8/q13/q17/q18/q19/q22 stay in-window) yield
-#: their slots and move to the r7 swap-back queue above.
+#: their slots and move to the r7 swap-back queue above. Second
+#: amendment: NEW dedup_editdist and dedup_containment debut;
+#: dedup_exact_normalized and docs_weighted_sample (double-green
+#: veterans of well-covered families) yield their slots and join the
+#: r7 swap-back queue.
 _FAMILY_FIRST_ORDER = [
     # core promql family reps, pinned every round
     "promql_selector", "promql_sum_by_user", "promql_rate",
@@ -552,7 +558,7 @@ _FAMILY_FIRST_ORDER = [
     # to the r7 swap-back queue)
     "promql_tiered_read", "events_kmv_overlap", "text_classifier_train",
     "events_cms_topk", "events_quantile_sketch", "dedup_components_star",
-    "events_kmv_dau_wau",
+    "events_kmv_dau_wau", "dedup_editdist", "dedup_containment",
     # round-5 debuts awaiting a second green round
     "embedding_ann_probe", "events_sessionize_bucketed",
     "events_interval_join", "events_kmv_users",
@@ -565,8 +571,7 @@ _FAMILY_FIRST_ORDER = [
     "events_funnel", "events_top_users",
     "events_retention", "events_rolling_7d",
     "events_dau_wau",
-    "docs_weighted_sample", "docs_mixture",
-    "dedup_exact_normalized",
+    "docs_mixture",
 ]
 
 
@@ -1695,6 +1700,52 @@ def _dedup_components_star(spark: SparkSession, sf_dir: str) -> DataFrame:
         _docs(spark, sf_dir), num_hashes=8, bands=4, shingle_n=3
     )
     return connected_components_star(pairs)
+
+
+def _dedup_editdist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character-level near-dup pairs by thresholded Levenshtein over the
+    normalized 64-char prefix key (k=3), candidates via PassJoin segment
+    signatures (pipeline.editdist — pure equi-joins, never all-pairs).
+    Planted mutants (every 25th doc re-appended with ' zq') land at
+    distance 0–3 after key truncation so the answer is non-empty at every
+    sf. The oracle is deliberately algorithm-free: a brute-force
+    length-band Levenshtein self-join, independently validating the
+    segment scheme's recall at gate scale (the banded-DP pytest does the
+    same at adversarial distances)."""
+    from metric_store_release_spark.pipeline.editdist import editdist_pairs
+
+    docs = _docs(spark, sf_dir).select("doc_id", "text", "lang")
+    copies = docs.filter(F.col("doc_id") % _PLANT_EVERY == 0).withColumns(
+        {
+            "doc_id": F.col("doc_id") + F.lit(_PLANT_OFFSET),
+            "text": F.concat(F.col("text"), F.lit(" zq")),
+        }
+    )
+    return editdist_pairs(docs.unionByName(copies), k=3)
+
+
+def _dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Directional shingle-containment near-dup (Broder '97): catches a
+    short doc quoted inside a long one, invisible to Jaccard/MinHash.
+    Planted containment cases: every 25th doc (≥40 chars) re-added as its
+    first-half character prefix — the truncated copy's shingles are a
+    subset of the original's (modulo the cut-boundary shingle), so its
+    containment is ≈1 while its Jaccard is ≈0.5. Exact inverted-index
+    computation; the oracle replays shingling + both directions in SQL."""
+    from metric_store_release_spark.pipeline.dedup import ngram_containment_pairs
+
+    docs = _docs(spark, sf_dir).select("doc_id", "text", "n_chars")
+    copies = docs.filter(
+        (F.col("doc_id") % _PLANT_EVERY == 0) & (F.col("n_chars") >= 40)
+    ).withColumns(
+        {
+            "doc_id": F.col("doc_id") + F.lit(_PLANT_OFFSET),
+            "text": F.expr("substr(text, 1, n_chars div 2)"),
+        }
+    )
+    return ngram_containment_pairs(
+        docs.unionByName(copies).select("doc_id", "text"), threshold=0.8
+    )
 
 
 def _docs_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3407,6 +3458,71 @@ SELECT doc_id, chunk_id,
        md5(list_aggr(list_slice(t, chunk_id * 30 + 1, chunk_id * 30 + 40),
                      'string_agg', ' ')) AS chunk_digest
 FROM ch
+"""
+
+    o["dedup_editdist"] = f"""
+WITH aug AS (
+  SELECT doc_id, text, lang FROM documents
+  UNION ALL
+  SELECT doc_id + {_PLANT_OFFSET}, text || ' zq', lang FROM documents
+  WHERE doc_id % {_PLANT_EVERY} = 0
+),
+keyed AS (
+  SELECT doc_id, lang, key, length(key) AS n FROM (
+    SELECT doc_id, lang,
+           substr(trim(regexp_replace(regexp_replace(lower(text),
+                  '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')), 1, 64) AS key
+    FROM aug)
+  WHERE length(key) >= 8
+)
+SELECT id_a, id_b, dist FROM (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         CAST(levenshtein(a.key, b.key) AS BIGINT) AS dist
+  FROM keyed a JOIN keyed b
+    ON a.lang = b.lang AND a.doc_id < b.doc_id AND abs(a.n - b.n) <= 3)
+WHERE dist <= 3
+"""
+
+    o["dedup_containment"] = f"""
+WITH aug AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + {_PLANT_OFFSET}, substr(text, 1, n_chars // 2) FROM documents
+  WHERE doc_id % {_PLANT_EVERY} = 0 AND n_chars >= 40
+),
+toks AS (
+  SELECT doc_id, list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS ws
+  FROM aug
+),
+sh AS (
+  SELECT doc_id,
+         CASE WHEN len(ws) >= 3
+              THEN list_distinct([array_to_string(ws[i:i+2], ' ')
+                    for i in range(1, len(ws) - 2 + 1)])
+              ELSE [array_to_string(ws, ' ')] END AS shingles
+  FROM toks
+),
+sizes AS (SELECT doc_id, len(shingles) AS set_size FROM sh),
+inv AS (SELECT doc_id, unnest(shingles) AS shingle FROM sh),
+inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS inter
+  FROM inv a JOIN inv b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+sized AS (
+  SELECT id_a, id_b, inter, sa.set_size AS size_a, sb.set_size AS size_b
+  FROM inter
+  JOIN sizes sa ON sa.doc_id = id_a
+  JOIN sizes sb ON sb.doc_id = id_b
+),
+directed AS (
+  SELECT id_a AS contained_id, id_b AS container_id, inter * 1.0 / size_a AS c
+  FROM sized
+  UNION ALL
+  SELECT id_b, id_a, inter * 1.0 / size_b FROM sized
+)
+SELECT contained_id, container_id, ROUND(c, 6) AS containment
+FROM directed WHERE c >= 0.8 - 5e-7
 """
 
     o["dedup_minhash_lsh"] = _minhash_oracle()

@@ -108,6 +108,12 @@ def main() -> None:
         "events_quantile_sketch",
         "dedup_components_star",
         "events_kmv_dau_wau",
+        # late round 6: PassJoin edit-distance near-dup join (k=3 over the
+        # normalized 64-prefix key) — compare dedup_minhash_lsh for the
+        # token-level candidate path on the same corpus — and directional
+        # shingle containment (subset/quotation dedup)
+        "dedup_editdist",
+        "dedup_containment",
     ]
     # warm the JVM + parquet footers with one tiny action
     spark.read.parquet(f"{SF_DIR}/region.parquet").count()

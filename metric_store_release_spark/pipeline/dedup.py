@@ -887,6 +887,65 @@ def ngram_jaccard_pairs(
     return out
 
 
+def ngram_containment_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_n: int = 3,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """Directional near-dup: shingle containment C(A→B) = |S_A∩S_B|/|S_A|.
+
+    Broder's resemblance-vs-containment distinction (SEQUENCES '97): a
+    short document fully quoted inside a long one has Jaccard |A|/|B|
+    (→ 0 as B grows, invisible to :func:`ngram_jaccard_pairs` and to
+    MinHash, which estimates Jaccard) but containment 1. This is the
+    subset/quotation duplication case — boilerplate inclusion, article +
+    commentary wrappers, chunk-of-another-doc leakage — that a training
+    corpus dedup pass must catch separately.
+
+    Same scale shape as the Jaccard verifier: one inverted-index
+    equi-join on shingle (never n² pairs), hot-shingle skew guard, then
+    BOTH directions emitted from the single undirected intersection count
+    (inter/|S_A| and inter/|S_B|) — the directional expansion is free.
+    Output: (contained_id, container_id, containment ≥ threshold).
+    """
+    sh = _fan_out(df).select(
+        F.col(id_col), _word_shingles(F.col(text_col), shingle_n).alias("sh")
+    )
+    sizes = sh.select(id_col, F.size("sh").alias("set_size"))
+    inv = sh.select(F.col(id_col), F.explode("sh").alias("shingle"))
+    hot = inv.groupBy("shingle").count().filter(F.col("count") > 1000)
+    inv = inv.join(hot.select("shingle"), "shingle", "left_anti")
+    a, b = inv.alias("a"), inv.alias("b")
+    inter = (
+        a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .groupBy(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"))
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    sa = sizes.select(F.col(id_col).alias("id_a"), F.col("set_size").alias("size_a"))
+    sb = sizes.select(F.col(id_col).alias("id_b"), F.col("set_size").alias("size_b"))
+    both = inter.join(sa, "id_a").join(sb, "id_b")
+    directed = both.select(
+        F.col("id_a").alias("contained_id"),
+        F.col("id_b").alias("container_id"),
+        (F.col("inter") / F.col("size_a")).alias("c"),
+    ).unionByName(
+        both.select(
+            F.col("id_b").alias("contained_id"),
+            F.col("id_a").alias("container_id"),
+            (F.col("inter") / F.col("size_b")).alias("c"),
+        )
+    )
+    return directed.filter(F.col("c") >= threshold - 5e-7).select(
+        "contained_id", "container_id", F.round("c", 6).alias("containment")
+    )
+
+
 def keep_best_per_cluster(
     df: DataFrame,
     pairs: DataFrame,

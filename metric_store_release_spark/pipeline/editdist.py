@@ -1,0 +1,206 @@
+"""Edit-distance near-duplicate join (PassJoin-style segment signatures).
+
+The missing member of the dedup family: exact/minhash/simhash/jaccard find
+token-level near-dups, but character-level near-dups (one typo apart, a
+changed date, a re-encoded punctuation run) need edit distance — and an
+all-pairs Levenshtein join is O(n²·L²), impossible at corpus scale.
+
+Scale design (the 100 TB story):
+  - Candidate generation is the segment-signature scheme of PASS-JOIN
+    (Li, Deng, Wang, Feng — PVLDB 5(3), 2011, public paper): partition
+    the indexed string into k+1 contiguous segments; by pigeonhole, any
+    string within edit distance k of it must contain at least one segment
+    VERBATIM (k edits can corrupt at most k of the k+1 segments), and
+    that surviving segment's position can shift by at most k (each
+    insertion/deletion shifts later characters by one).
+  - So the indexed side emits k+1 rows per document and the probe side
+    emits a bounded signature set (substrings at the segment positions
+    for every candidate indexed length within ±k, shifted by ±k) — both
+    map-side array builds, joined with a pure EQUI-join on
+    (block, segment_index, indexed_length, segment_text). No cross join,
+    no theta join; candidate volume is bounded by signature collisions,
+    not n².
+  - Verification is one Levenshtein per CANDIDATE pair with a threshold
+    (early-abandoning banded DP inside the JVM via the 3-arg
+    `levenshtein`), reached through two id-equi-joins back to the keyed
+    table. Work is proportional to candidates, which at corpus scale is
+    ≪ the O(n²) pair space (at sf0.1: ~3.07M same-language length-band
+    pairs vs ~10⁴ segment candidates).
+  - Keys are a fixed-length normalized prefix (default 64 chars of the
+    C4-style canonical form), so per-comparison cost is O(k·key_len),
+    independent of document length.
+
+Skew note: a segment string shared by c documents yields O(c²) candidate
+rows. The join key (block, i, m, 16-char segment) is highly selective for
+natural text; boilerplate-heavy corpora should pre-collapse byte-identical
+keys (exact_duplicates) first — identical keys are distance-0 pairs and
+need no DP. We deliberately do NOT cap hot segments: dropping one could
+drop the only surviving segment of a true pair, breaking the exactness
+guarantee the pigeonhole provides.
+
+Reference parity: the reference engine has no approximate-string join;
+this extends the dedup suite required for training-data preparation
+(SURVEY.md §2.12). Correctness is proven two ways: the DuckDB oracle runs
+an independent brute-force length-band Levenshtein join (no segment logic
+shared with this implementation), and the unit test cross-checks against
+a pure-Python banded DP on adversarially mutated strings at every
+distance 0..k+2.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from metric_store_release_spark.pipeline.dedup import _fan_out
+from metric_store_release_spark.pipeline.text import normalize_text
+
+
+def _seg_sql(key: str, m: str, i: str, k: int, shift: str = "0") -> str:
+    """SQL for segment `i` of an even (k+1)-way split of a length-`m`
+    string, extracted from `key` at its canonical start plus `shift`.
+    Start (1-based) = i·base + min(i, rem) + 1; length = base + (i<rem).
+    """
+    k1 = k + 1
+    base = f"({m} div {k1})"
+    rem = f"({m} % {k1})"
+    start = f"({i} * {base} + least({i}, {rem}) + 1 + ({shift}))"
+    length = f"({base} + if({i} < {rem}, 1, 0))"
+    return f"substr({key}, {start}, {length})", start, length
+
+
+def _keyed(
+    df: DataFrame,
+    k: int,
+    key_len: int,
+    min_key: int,
+    block_col: str,
+    text_col: str,
+    id_col: str,
+) -> DataFrame:
+    """(id, block, key, n) — normalized fixed-prefix key per document.
+    Documents whose normalized key is shorter than `min_key` are excluded
+    (near-empty docs belong to exact/normalized dedup, and segments of a
+    2-char key are single characters — worthless signatures)."""
+    return (
+        _fan_out(
+            df.select(
+                F.col(id_col).alias("id"),
+                F.col(block_col).alias("block"),
+                F.col(text_col).alias("__t"),
+            )
+        )
+        # key computed AFTER the fan-out: the normalization regexes run
+        # over full document text and a small corpus arrives as ONE
+        # parquet split (see dedup._fan_out) — without this the whole
+        # normalize+signature chain runs single-task.
+        .select(
+            "id",
+            "block",
+            F.substring(normalize_text(F.col("__t")), 1, key_len).alias("key"),
+        )
+        .withColumn("n", F.length("key"))
+        .filter(F.col("n") >= min_key)
+    )
+
+
+def editdist_pairs(
+    df: DataFrame,
+    k: int = 3,
+    key_len: int = 64,
+    min_key: int | None = None,
+    block_col: str = "lang",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """All pairs (id_a < id_b) within the same block whose normalized
+    `key_len`-prefix keys are within Levenshtein distance `k`.
+
+    Returns (id_a, id_b, dist) with dist ∈ [0, k]. Exact — candidate
+    generation is a provable superset (PassJoin pigeonhole), verification
+    is exact thresholded Levenshtein.
+    """
+    if min_key is None:
+        min_key = 2 * (k + 1)
+    # Pin the keyed table: four join branches (probe, index, both verify
+    # sides) reference it, and without pinning each re-runs the
+    # normalization regexes over full document text AND hands the
+    # optimizer four copies of the signature expression trees (measured:
+    # 33 s → 8 s at sf0.1, mostly driver-side plan optimization).
+    # Caller-owned via `_index_cache` — see dedup.release_index_cache.
+    keyed = _keyed(df, k, key_len, min_key, block_col, text_col, id_col).persist()
+
+    k1 = k + 1
+    # Indexed side: k+1 (i, m, seg) signatures from the document's own
+    # length. One array build in a Project, exploded bare (codegen CSE
+    # does not cross a Generate — see SCALING.md #13).
+    seg, _, _ = _seg_sql("key", "n", "i", k)
+    idx_sig = F.expr(
+        f"transform(sequence(0, {k}), i -> named_struct('i', i, 'm', n, 'seg', {seg}))"
+    )
+    idx = (
+        keyed.withColumn("__sig", idx_sig)
+        .select("id", "block", "key", F.explode("__sig").alias("s"))
+        .select(
+            F.col("id").alias("id_b"),
+            "block",
+            F.col("s.i").alias("i"),
+            F.col("s.m").alias("m"),
+            F.col("s.seg").alias("seg"),
+        )
+    )
+
+    # Probe side: for every plausible indexed length mv ∈ [n−k, n+k] and
+    # segment index i, the substrings of THIS key at the segment's
+    # canonical position shifted by d ∈ [−k, k] (clipped to the key).
+    # Bounded fan-out: ≤ (2k+1)²·(k+1) structs before dedup (196 at k=3),
+    # typically far fewer after array_distinct.
+    seg_p, start_p, len_p = _seg_sql("key", "mv", "i", k, shift="d")
+    probe_sig = F.expr(
+        f"""array_distinct(flatten(transform(
+              sequence(greatest(n - {k}, {min_key}), least(n + {k}, {key_len})),
+              mv -> flatten(transform(sequence(0, {k}), i ->
+                filter(
+                  transform(sequence(-{k}, {k}), d ->
+                    if({start_p} >= 1 AND {start_p} + {len_p} - 1 <= n,
+                       named_struct('i', i, 'm', mv, 'seg', {seg_p}),
+                       null)),
+                  s -> s is not null))))))"""
+    )
+    probe = (
+        keyed.withColumn("__sig", probe_sig)
+        .select("id", "block", F.explode("__sig").alias("s"))
+        .select(
+            F.col("id").alias("id_a"),
+            "block",
+            F.col("s.i").alias("i"),
+            F.col("s.m").alias("m"),
+            F.col("s.seg").alias("seg"),
+        )
+    )
+
+    # Equi-join on the full signature; probe<index id order is complete
+    # because the pigeonhole holds for EVERY ordered (probe, index) pair.
+    cand = (
+        probe.join(idx, ["block", "i", "m", "seg"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+
+    # Verify candidates only: two id-equi-joins back for the keys, then
+    # thresholded Levenshtein (returns −1 above k — early-abandoning
+    # banded DP in the JVM).
+    ka = keyed.select(F.col("id").alias("id_a"), F.col("key").alias("__ka"))
+    kb = keyed.select(F.col("id").alias("id_b"), F.col("key").alias("__kb"))
+    out = (
+        cand.join(ka, "id_a")
+        .join(kb, "id_b")
+        .withColumn("dist", F.levenshtein("__ka", "__kb", k).cast("long"))
+        .filter(F.col("dist") >= 0)
+        .select("id_a", "id_b", "dist")
+    )
+    # caller-owned pinned key table: release via dedup.release_index_cache
+    # after materializing (same contract as the LSH band tables)
+    out._index_cache = keyed
+    return out
