@@ -492,6 +492,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["events_kmv_dau_wau"] = _events_kmv_dau_wau
     q["dedup_editdist"] = _dedup_editdist
     q["dedup_containment"] = _dedup_containment
+    q["events_range_scan"] = _events_range_scan
+    q["events_range_scan_zordered"] = _events_range_scan_zordered
 
     # The driver's correctness gate checks entries in insertion order and in
     # round 1 stopped after the first 50: reorder so one representative of
@@ -535,10 +537,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 #: debut per policy; tpch_q4/q5/q7/q10 (single-green, heavily-
 #: represented family — q8/q13/q17/q18/q19/q22 stay in-window) yield
 #: their slots and move to the r7 swap-back queue above. Second
-#: amendment: NEW dedup_editdist and dedup_containment debut;
-#: dedup_exact_normalized and docs_weighted_sample (double-green
-#: veterans of well-covered families) yield their slots and join the
-#: r7 swap-back queue.
+#: amendment: NEW dedup_editdist, dedup_containment, and the z-order
+#: range-scan pair (events_range_scan / events_range_scan_zordered)
+#: debut; dedup_exact_normalized, docs_weighted_sample, events_funnel
+#: and events_top_users (double-green veterans of well-covered
+#: families) yield their slots and join the r7 swap-back queue.
 _FAMILY_FIRST_ORDER = [
     # core promql family reps, pinned every round
     "promql_selector", "promql_sum_by_user", "promql_rate",
@@ -559,6 +562,7 @@ _FAMILY_FIRST_ORDER = [
     "promql_tiered_read", "events_kmv_overlap", "text_classifier_train",
     "events_cms_topk", "events_quantile_sketch", "dedup_components_star",
     "events_kmv_dau_wau", "dedup_editdist", "dedup_containment",
+    "events_range_scan", "events_range_scan_zordered",
     # round-5 debuts awaiting a second green round
     "embedding_ann_probe", "events_sessionize_bucketed",
     "events_interval_join", "events_kmv_users",
@@ -568,7 +572,6 @@ _FAMILY_FIRST_ORDER = [
     "tpch_q8", "tpch_q17", "tpch_q22",
     # r5-batch veterans earning their second green round
     "tpch_q13",
-    "events_funnel", "events_top_users",
     "events_retention", "events_rolling_7d",
     "events_dau_wau",
     "docs_mixture",
@@ -838,6 +841,12 @@ def _events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: sf_dir → user-bucketed events table written this session (the write-once
 #: pre-shuffled layout every per-user operator then reads Exchange-free)
 _EVENTS_BUCKETED: dict[str, str] = {}
+_EVENTS_ZORDER: dict[str, str] = {}
+
+#: the 2-D selective scan both range-scan entries run: 30 users × 3 days
+#: (2024-01-10 .. 2024-01-13 UTC, epoch ms) — constants valid at every sf
+_SCAN_USER_LO, _SCAN_USER_HI = 10, 39
+_SCAN_T_LO, _SCAN_T_HI = 1_704_844_800_000, 1_705_104_000_000
 
 
 def _events_bucketed_table(spark: SparkSession, sf_dir: str) -> str:
@@ -856,6 +865,84 @@ def _events_bucketed_table(spark: SparkSession, sf_dir: str) -> str:
     )
     _EVENTS_BUCKETED[sf_dir] = table
     return table
+
+
+def _events_zordered_path(spark: SparkSession, sf_dir: str) -> str:
+    """Session-cached z-ordered events layout (sources.zorder): Morton
+    key over (user_id, ts_ms), range-partitioned into 64 curve splits and
+    sorted within each. One-time setup like the bucketed table — the
+    range shuffle is paid at write time; every selective 2-D scan after
+    amortizes it. The user_id/ts bounds feeding the rank grid come from
+    one tiny min/max aggregate (2 rows driver-side — the stats a real
+    warehouse already keeps in table metadata)."""
+    from metric_store_release_spark.sources.events_adapter import ts_ms
+    from metric_store_release_spark.sources.zorder import (
+        normalize_to_rank,
+        write_zordered,
+        zorder_key,
+    )
+
+    path = _EVENTS_ZORDER.get(sf_dir)
+    if path is not None:
+        return path
+    warehouse = spark.conf.get(
+        "spark.sql.warehouse.dir", "spark-warehouse"
+    ).removeprefix("file:")
+    path = f"{warehouse}/msr_events_zorder_{_table_suffix(sf_dir)}"
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    ev = ev.withColumn("ts_ms", ts_ms(ev)).drop("ts")
+    lo_u, hi_u, lo_t, hi_t = ev.select(
+        F.min("user_id"), F.max("user_id"), F.min("ts_ms"), F.max("ts_ms")
+    ).first()
+    zkey = zorder_key(
+        [
+            normalize_to_rank(F.col("user_id"), lo_u, hi_u, 16),
+            normalize_to_rank(F.col("ts_ms"), lo_t, hi_t, 16),
+        ]
+    )
+    write_zordered(ev, path, zkey, n_files=64)
+    _EVENTS_ZORDER[sf_dir] = path
+    return path
+
+
+def _range_scan_agg(ev: DataFrame) -> DataFrame:
+    return (
+        ev.filter(
+            F.col("user_id").between(_SCAN_USER_LO, _SCAN_USER_HI)
+            & (F.col("ts_ms") >= _SCAN_T_LO)
+            & (F.col("ts_ms") < _SCAN_T_HI)
+        )
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 6).alias("sum_value"),
+        )
+    )
+
+
+def _events_range_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Baseline 2-D selective scan (30 users × 3 days) over the natural
+    ts-ordered events layout: every file spans all users, so min/max
+    stats prune on time only — the scan reads ~10% of the table to
+    return ~0.2% of it (sf0.1). Pair of events_range_scan_zordered."""
+    from metric_store_release_spark.sources.events_adapter import ts_ms
+
+    ev = _prepare(spark).read.parquet(f"{sf_dir}/events.parquet")
+    return _range_scan_agg(ev.withColumn("ts_ms", ts_ms(ev)).drop("ts"))
+
+
+def _events_range_scan_zordered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The same scan over the Morton-clustered layout: each file is
+    narrow in BOTH user_id and ts, so parquet min/max pruning drops most
+    files on the conjunction — multiplicative, not single-dimension,
+    skipping (file_spans quantifies it; tests/test_zorder.py asserts it).
+    Same oracle as events_range_scan: layout must never change answers."""
+    from metric_store_release_spark.sources.zorder import read_zordered
+
+    spark = _prepare(spark)
+    return _range_scan_agg(
+        read_zordered(spark, _events_zordered_path(spark, sf_dir))
+    )
 
 
 def _events_sessionize_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3089,6 +3176,17 @@ SELECT 2, 'click', (SELECT COUNT(*) FROM s2)
 UNION ALL
 SELECT 3, 'purchase', (SELECT COUNT(*) FROM s3)
 """
+
+    _range_scan_sql = f"""
+SELECT event_type, COUNT(*) AS n_events, ROUND(SUM(value), 6) AS sum_value
+FROM events
+WHERE user_id BETWEEN {_SCAN_USER_LO} AND {_SCAN_USER_HI}
+  AND epoch_ms(ts) >= {_SCAN_T_LO} AND epoch_ms(ts) < {_SCAN_T_HI}
+GROUP BY 1
+"""
+    # identical oracle for both layouts: clustering must never change answers
+    o["events_range_scan"] = _range_scan_sql
+    o["events_range_scan_zordered"] = _range_scan_sql
 
     o["events_cube"] = """
 SELECT event_type, dayofweek(ts) + 1 AS dow,

@@ -114,6 +114,12 @@ def main() -> None:
         # shingle containment (subset/quotation dedup)
         "dedup_editdist",
         "dedup_containment",
+        # late round 6: 2-D selective scan over the natural vs the
+        # Morton-clustered (z-ordered) events layout — the pair measures
+        # what multi-column min/max pruning is worth (layout write is
+        # untimed setup, same rule as the bucketed/IVF tables)
+        "events_range_scan",
+        "events_range_scan_zordered",
     ]
     # warm the JVM + parquet footers with one tiny action
     spark.read.parquet(f"{SF_DIR}/region.parquet").count()
@@ -124,6 +130,7 @@ def main() -> None:
     # are production setup amortized across queries — untimed, same rule
     qs["embedding_ann_probe"](spark, SF_DIR)
     qs["events_sessionize_bucketed"](spark, SF_DIR)
+    qs["events_range_scan_zordered"](spark, SF_DIR)
 
     from metric_store_release_spark.pipeline.dedup import release_index_cache
 
