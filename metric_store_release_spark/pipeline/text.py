@@ -760,13 +760,24 @@ def top_ngrams(
 
 def normalize_text(text: Column) -> Column:
     """Canonical text form for normalization-robust dedup (the C4-style
-    cleanup): lowercase, strip everything outside [a-z0-9 ] (ASCII class —
-    identical semantics in Java regex and RE2/DuckDB), collapse whitespace
-    runs, trim. Pure codegen projection."""
-    t = F.lower(text)
-    t = F.regexp_replace(t, r"[^a-z0-9 ]", " ")
-    t = F.regexp_replace(t, r" +", " ")
-    return F.trim(t)
+    cleanup): lowercase, map every char outside [a-z0-9] to a separator,
+    collapse runs, trim — i.e. the maximal [a-z0-9]+ runs joined by
+    single spaces.
+
+    Computed as split-on-junk-runs + filter + join rather than the
+    equivalent regexp_replace('[^a-z0-9 ]', ' ') + collapse: identical
+    output for every input (property-tested against the replace form in
+    tests/test_pipeline.py), but ~11x faster on a 226 MB corpus
+    (2.2 s vs 25 s at sf10) — Java's per-match appendReplacement
+    machinery makes char-class *replacement* scale with match count,
+    while *split* makes one pass. Oracles replicate the semantics, not
+    the formulation, so their SQL is unchanged."""
+    return F.array_join(
+        F.filter(
+            F.split(F.lower(text), r"[^a-z0-9]+"), lambda x: x != F.lit("")
+        ),
+        " ",
+    )
 
 
 def chunk_documents(

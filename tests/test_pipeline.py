@@ -993,6 +993,33 @@ def test_normalize_text_canonicalizes(spark):
     assert out[1] == out[2] == "hello world x1"
 
 
+def test_normalize_text_equals_replace_formulation(spark):
+    """The split+join formulation must match the reference
+    regexp_replace + collapse form (the one the DuckDB oracles replicate)
+    on adversarial and random inputs — see normalize_text's docstring."""
+    import random
+
+    from metric_store_release_spark.pipeline.text import normalize_text
+
+    def reference(t):
+        t = F.lower(t)
+        t = F.regexp_replace(t, r"[^a-z0-9 ]", " ")
+        t = F.regexp_replace(t, r" +", " ")
+        return F.trim(t)
+
+    rng = random.Random(99)
+    alpha = "aB1 \t\n.,-!#ü中"
+    cases = ["", " ", "..", "  a  -- b", "a.b.c", " -x- ", "ümlaut é 中文",
+             "\t\n", "a" * 100]
+    cases += ["".join(rng.choice(alpha) for _ in range(rng.randint(0, 60)))
+              for _ in range(3000)]
+    df = spark.createDataFrame([(c,) for c in cases], "t string")
+    diff = df.select(
+        normalize_text(F.col("t")).alias("a"), reference(F.col("t")).alias("b")
+    ).filter("a <> b OR (a IS NULL) <> (b IS NULL)")
+    assert diff.count() == 0
+
+
 def test_simhash_pairs_bucket_cap_star_pairs(spark):
     """A cluster of c identical docs would emit c^2 pairs from one bucket;
     with the cap it emits hub-star pairs — O(c), connectivity preserved."""
