@@ -81,7 +81,14 @@ def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
 # row) so the answer is non-empty at every sf; the oracle SQL plants the
 # exact same rows.
 _PLANT_EVERY = 25
-_PLANT_OFFSET = 1_000_000
+# Above every id in every fixture INCLUDING the replica-expanded scale
+# dirs: make_scale_data.py strides doc_id/vec_id by 1e6 per replica (up
+# to ~99e6 at sf10), so a 1e6 offset COLLIDED with native scale ids —
+# the planted copy of doc 0 shared doc_id 1_000_000 with replica 1's
+# doc 0, corrupting every size/verify join keyed on id at sf1/sf10
+# (caught by a formulation A/B diff; invisible at sf0.01/sf0.1 where
+# ids stay < 1e6). 1e9 clears every stride with headroom.
+_PLANT_OFFSET = 1_000_000_000
 _EMB_DIM = 64
 
 
@@ -882,8 +889,12 @@ def _events_zordered_path(spark: SparkSession, sf_dir: str) -> str:
         zorder_key,
     )
 
+    import os
+
     path = _EVENTS_ZORDER.get(sf_dir)
-    if path is not None:
+    # same staleness guard as the bucketed table's tableExists check: the
+    # session cache must not outlive the on-disk layout
+    if path is not None and os.path.isdir(path):
         return path
     warehouse = spark.conf.get(
         "spark.sql.warehouse.dir", "spark-warehouse"

@@ -849,15 +849,7 @@ def ngram_jaccard_pairs(
     LSH-verification pattern that scales (skew guard: drop ubiquitous
     shingles appearing in > 1000 docs).
     """
-    sh = _fan_out(df).select(
-        F.col(id_col), _word_shingles(F.col(text_col), shingle_n).alias("sh")
-    )
-    sizes = sh.select(id_col, F.size("sh").alias("set_size"))
-    inv = sh.select(F.col(id_col), F.explode("sh").alias("shingle"))
-    hot = inv.groupBy("shingle").count().filter(F.col("count") > 1000)
-    # No broadcast hint (guard cardinality ~ corpus_size/1000 worst-case);
-    # AQE broadcasts while genuinely small, uniform shuffle join otherwise.
-    inv = inv.join(hot.select("shingle"), "shingle", "left_anti")
+    inv_raw, sizes, inv = _shingle_index(df, text_col, id_col, shingle_n)
     a, b = inv.alias("a"), inv.alias("b")
     inter = (
         a.join(
@@ -884,7 +876,43 @@ def ngram_jaccard_pairs(
         )
         .filter(F.col("jaccard") >= threshold)
     )
+    # caller-owned pinned shingle index — dedup.release_index_cache
+    out._index_cache = inv_raw
     return out
+
+
+def _shingle_index(
+    df: DataFrame, text_col: str, id_col: str, shingle_n: int
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """(pinned positional index, per-doc set sizes, hot-filtered index)
+    shared by the Jaccard and containment verifiers.
+
+    The exploded (id, shingle) table feeds FOUR consumers (set sizes,
+    hot-shingle counts, both self-join sides); unpinned, each re-runs the
+    shingle HOF lineage over the whole corpus (finding 5 in SCALING.md).
+    At sf10 the pin is NOT the dominant cost — the exact intersection
+    count inherently shuffles one row per co-occurring (doc, doc,
+    shingle) triple (~131M rows for 500k docs, measured; hottest shingle
+    df=25, so no skew) — but it keeps the lineage single-evaluation and
+    the cold/warm gap honest. Set sizes come from the exploded table,
+    not a separate F.size projection: shingle arrays are already
+    distinct, and docs with zero shingles cannot join any pair, so the
+    counts agree wherever the output looks. The pinned frame is
+    caller-owned via ``_index_cache`` on the result — release with
+    :func:`release_index_cache`."""
+    sh = _fan_out(df).select(
+        F.col(id_col), _word_shingles(F.col(text_col), shingle_n).alias("sh")
+    )
+    inv_raw = sh.select(F.col(id_col), F.explode("sh").alias("shingle")).persist()
+    # blocking count: without it the four consumers race to populate the
+    # cache and each re-runs the shingle lineage (SCALING.md finding 5)
+    inv_raw.count()
+    sizes = inv_raw.groupBy(id_col).agg(F.count(F.lit(1)).alias("set_size"))
+    hot = inv_raw.groupBy("shingle").count().filter(F.col("count") > 1000)
+    # No broadcast hint (guard cardinality ~ corpus_size/1000 worst-case);
+    # AQE broadcasts while genuinely small, uniform shuffle join otherwise.
+    inv = inv_raw.join(hot.select("shingle"), "shingle", "left_anti")
+    return inv_raw, sizes, inv
 
 
 def ngram_containment_pairs(
@@ -910,13 +938,7 @@ def ngram_containment_pairs(
     (inter/|S_A| and inter/|S_B|) — the directional expansion is free.
     Output: (contained_id, container_id, containment ≥ threshold).
     """
-    sh = _fan_out(df).select(
-        F.col(id_col), _word_shingles(F.col(text_col), shingle_n).alias("sh")
-    )
-    sizes = sh.select(id_col, F.size("sh").alias("set_size"))
-    inv = sh.select(F.col(id_col), F.explode("sh").alias("shingle"))
-    hot = inv.groupBy("shingle").count().filter(F.col("count") > 1000)
-    inv = inv.join(hot.select("shingle"), "shingle", "left_anti")
+    inv_raw, sizes, inv = _shingle_index(df, text_col, id_col, shingle_n)
     a, b = inv.alias("a"), inv.alias("b")
     inter = (
         a.join(
@@ -941,9 +963,12 @@ def ngram_containment_pairs(
             (F.col("inter") / F.col("size_b")).alias("c"),
         )
     )
-    return directed.filter(F.col("c") >= threshold - 5e-7).select(
+    out = directed.filter(F.col("c") >= threshold - 5e-7).select(
         "contained_id", "container_id", F.round("c", 6).alias("containment")
     )
+    # caller-owned pinned shingle index — dedup.release_index_cache
+    out._index_cache = inv_raw
+    return out
 
 
 def keep_best_per_cluster(

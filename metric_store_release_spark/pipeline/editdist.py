@@ -122,13 +122,16 @@ def editdist_pairs(
     """
     if min_key is None:
         min_key = 2 * (k + 1)
-    # Pin the keyed table: four join branches (probe, index, both verify
-    # sides) reference it, and without pinning each re-runs the
-    # normalization regexes over full document text AND hands the
-    # optimizer four copies of the signature expression trees (measured:
-    # 33 s → 8 s at sf0.1, mostly driver-side plan optimization).
-    # Caller-owned via `_index_cache` — see dedup.release_index_cache.
+    # Pin the keyed table EAGERLY: four join branches (probe, index, both
+    # verify sides) reference it — without pinning each re-runs the
+    # normalization over full document text AND hands the optimizer four
+    # copies of the signature expression trees (measured: 33 s → 8 s at
+    # sf0.1, mostly driver-side plan optimization); without the blocking
+    # count() the branches RACE to populate the cache and re-run the
+    # lineage anyway (SCALING.md finding 5 — the race cost ~40 s at
+    # sf10). Caller-owned via `_index_cache` — dedup.release_index_cache.
     keyed = _keyed(df, k, key_len, min_key, block_col, text_col, id_col).persist()
+    keyed.count()
 
     k1 = k + 1
     # Indexed side: k+1 (i, m, seg) signatures from the document's own
@@ -140,13 +143,19 @@ def editdist_pairs(
     )
     idx = (
         keyed.withColumn("__sig", idx_sig)
-        .select("id", "block", "key", F.explode("__sig").alias("s"))
+        .select("id", "block", F.explode("__sig").alias("s"))
         .select(
             F.col("id").alias("id_b"),
-            "block",
-            F.col("s.i").alias("i"),
-            F.col("s.m").alias("m"),
-            F.col("s.seg").alias("seg"),
+            # the whole (block, i, m, seg) signature collapsed to ONE
+            # 8-byte join key: candidates joined on a hash are a SUPERSET
+            # of the exact-signature candidates (collisions only ADD
+            # pairs), and the Levenshtein verify below discards any
+            # false positive — exactness is preserved while the shuffle
+            # carries a long instead of a ~30-byte string tuple
+            # (sf10: 49M probe rows, candidate stage 17.8 s → 13.8 s).
+            F.xxhash64("block", F.col("s.i"), F.col("s.m"), F.col("s.seg")).alias(
+                "h"
+            ),
         )
     )
 
@@ -172,17 +181,16 @@ def editdist_pairs(
         .select("id", "block", F.explode("__sig").alias("s"))
         .select(
             F.col("id").alias("id_a"),
-            "block",
-            F.col("s.i").alias("i"),
-            F.col("s.m").alias("m"),
-            F.col("s.seg").alias("seg"),
+            F.xxhash64("block", F.col("s.i"), F.col("s.m"), F.col("s.seg")).alias(
+                "h"
+            ),
         )
     )
 
-    # Equi-join on the full signature; probe<index id order is complete
+    # Equi-join on the hashed signature; probe<index id order is complete
     # because the pigeonhole holds for EVERY ordered (probe, index) pair.
     cand = (
-        probe.join(idx, ["block", "i", "m", "seg"])
+        probe.join(idx, "h")
         .filter(F.col("id_a") < F.col("id_b"))
         .select("id_a", "id_b")
         .distinct()
