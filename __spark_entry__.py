@@ -3633,7 +3633,6 @@ directed AS (
 SELECT contained_id, container_id, ROUND(c, 6) AS containment
 FROM directed WHERE c >= 0.8 - 5e-7
 """
-
     o["dedup_minhash_lsh"] = _minhash_oracle()
 
     o["dedup_incremental"] = _incremental_oracle()

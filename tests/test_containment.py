@@ -2,8 +2,11 @@
 
 from __future__ import annotations
 
+import random
+
 from metric_store_release_spark.pipeline.dedup import (
     ngram_containment_pairs,
+    ngram_containment_pairs_prefix,
     ngram_jaccard_pairs,
 )
 
@@ -27,6 +30,36 @@ def test_quote_has_full_containment_but_low_jaccard(spark):
     # threshold: |A∩B|/|A∪B| = 18/58
     jac = ngram_jaccard_pairs(df, threshold=0.5)
     assert jac.count() == 0
+
+
+def test_prefix_filter_matches_exact_verifier(spark):
+    """ngram_containment_pairs_prefix must be pair-for-pair identical to
+    the exact verifier: planted full containments, boundary overlaps just
+    above/below the threshold, and random corpora."""
+    rng = random.Random(4242)
+    rows = []
+    for b in range(40):
+        words = [f"w{b}_{i}" for i in range(rng.randint(25, 60))]
+        rows.append((len(rows), " ".join(words)))
+        if b % 3 == 0:  # fully contained prefix chunk
+            cut = rng.randint(10, len(words) - 5)
+            rows.append((len(rows), " ".join(words[:cut])))
+        if b % 4 == 0:  # ~boundary overlap: 80% from base, 20% fresh
+            n = rng.randint(15, 30)
+            mix = words[:n] + [f"z{b}_{i}" for i in range(max(1, n // 4))]
+            rows.append((len(rows), " ".join(mix)))
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    for t in (0.8, 0.5):
+        exact = {
+            (r.contained_id, r.container_id): r.containment
+            for r in ngram_containment_pairs(df, threshold=t).collect()
+        }
+        pref = {
+            (r.contained_id, r.container_id): r.containment
+            for r in ngram_containment_pairs_prefix(df, threshold=t).collect()
+        }
+        assert pref == exact
+        assert len(exact) >= 10  # non-vacuous
 
 
 def test_threshold_excludes_partial_overlap(spark):
