@@ -501,6 +501,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["dedup_containment"] = _dedup_containment
     q["events_range_scan"] = _events_range_scan
     q["events_range_scan_zordered"] = _events_range_scan_zordered
+    q["dedup_spans"] = _dedup_spans
+    q["graph_pagerank"] = _graph_pagerank
+    q["events_latency_pctl_dist"] = _events_latency_pctl_dist
 
     # The driver's correctness gate checks entries in insertion order and in
     # round 1 stopped after the first 50: reorder so one representative of
@@ -570,6 +573,13 @@ _FAMILY_FIRST_ORDER = [
     "events_cms_topk", "events_quantile_sketch", "dedup_components_star",
     "events_kmv_dau_wau", "dedup_editdist", "dedup_containment",
     "events_range_scan", "events_range_scan_zordered",
+    # third r6 amendment: NEW dedup_spans (C4-style boilerplate-span
+    # removal), graph_pagerank (iterative power iteration) and
+    # events_latency_pctl_dist (skew-safe exact percentiles) debut;
+    # events_rolling_7d, docs_mixture and events_retention (r5-green
+    # veterans of the two most-represented families) yield their slots
+    # and join the r7 swap-back queue.
+    "dedup_spans", "graph_pagerank", "events_latency_pctl_dist",
     # round-5 debuts awaiting a second green round
     "embedding_ann_probe", "events_sessionize_bucketed",
     "events_interval_join", "events_kmv_users",
@@ -579,9 +589,7 @@ _FAMILY_FIRST_ORDER = [
     "tpch_q8", "tpch_q17", "tpch_q22",
     # r5-batch veterans earning their second green round
     "tpch_q13",
-    "events_retention", "events_rolling_7d",
     "events_dau_wau",
-    "docs_mixture",
 ]
 
 
@@ -2388,6 +2396,21 @@ def _events_latency_pctl(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _events_latency_pctl_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SKEW-SAFE exact-percentile formulation
+    (`pipeline.events.percentiles_distributed`): identical output to
+    events_latency_pctl, but via a (key, value, count) distribution
+    table instead of buffering every raw value of a hot key in one
+    reducer — the form that survives few-hot-keys aggregation at
+    warehouse scale. Same oracle as the buffered entry."""
+    from metric_store_release_spark.pipeline.events import (
+        percentiles_distributed,
+    )
+
+    ev = _prepare(spark).read.parquet(f"{sf_dir}/events.parquet")
+    return percentiles_distributed(ev, qs=(0.5, 0.9, 0.99))
+
+
 def _corpus_prepare(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Composed training-corpus preparation (pipeline.prepare
     .prepare_corpus): lang-ID → quality filter → exact dedup keep-one →
@@ -2489,6 +2512,105 @@ def _media_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
         "width",
         "height",
         F.round("mean_luma", 6).alias("mean_luma"),
+    )
+
+
+def _dedup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-level boilerplate-span removal (C4/RefinedWeb line-dedup
+    analog, `pipeline.dedup.remove_duplicate_spans`): every 10-word span
+    occurring verbatim in >= 2 distinct docs is deleted and the docs are
+    reassembled from surviving spans in order. Planted half-prefix copies
+    (the dedup_containment planting) make the shared prefix spans reach
+    df = 2, so the ORIGINAL loses its prefix too while keeping its
+    suffix — partial removal + order-preserving reassembly, not just
+    whole-doc drops. Returns only the affected docs."""
+    from metric_store_release_spark.pipeline.dedup import remove_duplicate_spans
+
+    docs = _docs(spark, sf_dir).select("doc_id", "text", "n_chars")
+    copies = docs.filter(
+        (F.col("doc_id") % _PLANT_EVERY == 0) & (F.col("n_chars") >= 40)
+    ).withColumns(
+        {
+            "doc_id": F.col("doc_id") + F.lit(_PLANT_OFFSET),
+            "text": F.expr("substr(text, 1, n_chars div 2)"),
+        }
+    )
+    cleaned = remove_duplicate_spans(
+        docs.unionByName(copies).select("doc_id", "text"),
+        span_words=10,
+        min_df=2,
+    )
+    return cleaned.filter(F.col("n_removed") > 0)
+
+
+def _graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank (5 damped power iterations, `pipeline.graph.pagerank`)
+    over the undirected customer-supplier order graph: an edge links a
+    customer to every supplier that shipped one of its orders. Node ids
+    are parity-encoded (custkey*2 / suppkey*2+1) so the two key spaces
+    can't collide; the oracle unrolls the same 5 iterations as CTEs."""
+    from metric_store_release_spark.pipeline.graph import pagerank
+
+    orders = _prepare(spark).read.parquet(f"{sf_dir}/orders.parquet")
+    li = _prepare(spark).read.parquet(f"{sf_dir}/lineitem.parquet")
+    pairs = orders.join(
+        li, orders["o_orderkey"] == li["l_orderkey"]
+    ).select(
+        (F.col("o_custkey") * 2).alias("src"),
+        (F.col("l_suppkey") * 2 + 1).alias("dst"),
+    )
+    edges = pairs.unionByName(
+        pairs.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    pr = pagerank(edges, iterations=5, damping=0.85)
+    return pr.select(
+        F.when(F.col("node") % 2 == 0, F.lit("customer"))
+        .otherwise(F.lit("supplier"))
+        .alias("node_type"),
+        F.expr("node div 2").alias("key"),
+        F.round("rank", 6).alias("rank"),
+    )
+
+
+def _pagerank_oracle(iterations: int = 5, d: float = 0.85) -> str:
+    """The same 5 damped power iterations as `pipeline.graph.pagerank`,
+    unrolled as one CTE per iteration. The undirected construction means
+    no dangling nodes (every node has out-edges), so the Spark dangling
+    term is exactly 0.0 and the two recurrences are identical; doubles
+    are rounded to 6 dp on both sides (values are O(1/N) with FP
+    summation-order drift ~1e-16)."""
+    ctes = [
+        f"""pairs AS (
+  SELECT DISTINCT o_custkey * 2 AS src, l_suppkey * 2 + 1 AS dst
+  FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+),
+edges AS (SELECT src, dst FROM pairs UNION ALL SELECT dst, src FROM pairs),
+nodes AS (SELECT DISTINCT src AS node FROM edges),
+nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM nodes),
+outdeg AS (SELECT src, CAST(count(*) AS DOUBLE) AS outdeg
+           FROM edges GROUP BY src),
+r0 AS (SELECT node, 1.0 / nn.n AS rank FROM nodes, nn)"""
+    ]
+    for k in range(iterations):
+        ctes.append(
+            f"""r{k + 1} AS (
+  SELECT e.dst AS node,
+         (1 - {d}) / nn.n + {d} * sum(r.rank / o.outdeg) AS rank
+  FROM edges e
+  JOIN r{k} r ON e.src = r.node
+  JOIN outdeg o ON o.src = e.src
+  CROSS JOIN nn
+  GROUP BY e.dst, nn.n
+)"""
+        )
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f"""
+SELECT CASE WHEN node % 2 = 0 THEN 'customer' ELSE 'supplier' END AS node_type,
+       node // 2 AS key, ROUND(rank, 6) AS rank
+FROM r{iterations}
+"""
     )
 
 
@@ -3633,6 +3755,52 @@ directed AS (
 SELECT contained_id, container_id, ROUND(c, 6) AS containment
 FROM directed WHERE c >= 0.8 - 5e-7
 """
+    # Span keys: the Spark side joins on xxhash64(span), the oracle on the
+    # span string itself — identical output absent a 64-bit hash collision
+    # (same contract as dedup_editdist's signature join).
+    o["dedup_spans"] = f"""
+WITH aug AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + {_PLANT_OFFSET}, substr(text, 1, n_chars // 2) FROM documents
+  WHERE doc_id % {_PLANT_EVERY} = 0 AND n_chars >= 40
+),
+toks AS (
+  SELECT doc_id, list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS ws
+  FROM aug
+),
+sp AS (
+  SELECT doc_id,
+         CASE WHEN len(ws) > 0
+              THEN [array_to_string(ws[(i-1)*10+1:(i-1)*10+10], ' ')
+                    for i in range(1, CAST(ceil(len(ws)/10.0) AS BIGINT) + 1)]
+              ELSE []::VARCHAR[] END AS spans
+  FROM toks
+),
+spans AS (
+  SELECT doc_id, generate_subscripts(spans, 1) - 1 AS span_idx,
+         unnest(spans) AS span
+  FROM sp
+),
+banned AS (
+  SELECT span FROM spans GROUP BY span HAVING count(DISTINCT doc_id) >= 2
+),
+flagged AS (
+  SELECT s.doc_id, s.span_idx, s.span, b.span IS NOT NULL AS is_banned
+  FROM spans s LEFT JOIN banned b USING (span)
+)
+SELECT doc_id,
+       coalesce(string_agg(CASE WHEN NOT is_banned THEN span END, ' '
+                           ORDER BY span_idx), '') AS text,
+       count(*) AS n_spans,
+       CAST(sum(CASE WHEN is_banned THEN 1 ELSE 0 END) AS BIGINT) AS n_removed
+FROM flagged
+GROUP BY doc_id
+HAVING n_removed > 0
+"""
+
+    o["graph_pagerank"] = _pagerank_oracle()
+
     o["dedup_minhash_lsh"] = _minhash_oracle()
 
     o["dedup_incremental"] = _incremental_oracle()
@@ -3843,6 +4011,8 @@ SELECT event_type,
        ROUND(quantile_cont(value, 0.99), 6) AS p99
 FROM events GROUP BY event_type
 """
+    # the distribution-table formulation must produce IDENTICAL results
+    o["events_latency_pctl_dist"] = o["events_latency_pctl"]
 
     o["tpch_q14"] = """
 SELECT ROUND(100.0 * SUM(CASE WHEN p_type = 'PROMO'

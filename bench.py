@@ -108,18 +108,34 @@ def main() -> None:
         "events_quantile_sketch",
         "dedup_components_star",
         "events_kmv_dau_wau",
-        # late round 6: PassJoin edit-distance near-dup join (k=3 over the
-        # normalized 64-prefix key) — compare dedup_minhash_lsh for the
-        # token-level candidate path on the same corpus — and directional
-        # shingle containment (subset/quotation dedup)
-        "dedup_editdist",
-        "dedup_containment",
         # late round 6: 2-D selective scan over the natural vs the
         # Morton-clustered (z-ordered) events layout — the pair measures
         # what multi-column min/max pruning is worth (layout write is
         # untimed setup, same rule as the bucketed/IVF tables)
         "events_range_scan",
         "events_range_scan_zordered",
+        # late round 6: C4-style boilerplate-span removal and 5-iteration
+        # PageRank over the customer-supplier order graph (the iterative-
+        # algorithm representative: k bounded shuffles for k iterations)
+        "dedup_spans",
+        "graph_pagerank",
+        # skew-safe exact percentiles vs the buffered F.percentile form
+        # (pair: same oracle, distribution-table plan)
+        "events_latency_pctl",
+        "events_latency_pctl_dist",
+    ]
+    # Offline-pass entries, benched in their own trailing loop: the
+    # PassJoin edit-distance join and the exact containment verifier
+    # cycle 10⁷–10⁸-row shuffles per run, and queries measured in their
+    # WAKE run up to 3x slow for the next ~15 s (reproduced at sf1:
+    # minhash 6.4/4.4/2.3 s immediately after them vs 2.2 s isolated —
+    # survives System.gc() and a 1 GB code cache, so it is OS/page-cache
+    # state, not JVM state). Benching them after the serving loop keeps
+    # every serving median out of their wake while still reporting warm
+    # medians + spreads for both under the same 4-run methodology.
+    offline_names = [
+        "dedup_editdist",
+        "dedup_containment",
     ]
     # warm the JVM + parquet footers with one tiny action
     spark.read.parquet(f"{SF_DIR}/region.parquet").count()
@@ -135,22 +151,25 @@ def main() -> None:
     from metric_store_release_spark.pipeline.dedup import release_index_cache
 
     runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "4"))
-    timings: dict[str, list[float]] = {name: [] for name in bench_names}
-    for r in range(runs):
-        for name in bench_names:
-            fn = qs[name]
-            t0 = time.perf_counter()
-            df = fn(spark, SF_DIR)
-            n = df.count()
-            took = round(time.perf_counter() - t0, 3)
-            timings[name].append(took)
-            # the dedup builders pin a band/gram index per invocation
-            # (caller-owned contract); a 4-run bench is exactly the
-            # long-lived session that accumulates them — release after
-            # each materialization so run N doesn't measure run N-1's
-            # storage pressure
-            release_index_cache(df)
-            print(f"# run{r + 1} {name}: {took}s ({n} rows)", file=sys.stderr)
+    timings: dict[str, list[float]] = {
+        name: [] for name in bench_names + offline_names
+    }
+    for group in (bench_names, offline_names):
+        for r in range(runs):
+            for name in group:
+                fn = qs[name]
+                t0 = time.perf_counter()
+                df = fn(spark, SF_DIR)
+                n = df.count()
+                took = round(time.perf_counter() - t0, 3)
+                timings[name].append(took)
+                # the dedup builders pin a band/gram index per invocation
+                # (caller-owned contract); a 4-run bench is exactly the
+                # long-lived session that accumulates them — release after
+                # each materialization so run N doesn't measure run N-1's
+                # storage pressure
+                release_index_cache(df)
+                print(f"# run{r + 1} {name}: {took}s ({n} rows)", file=sys.stderr)
 
     # streaming micro-batch ingest throughput (judge r5 ask #6): points/s
     # through nozzle→rollup→sink vs the reference's batch envelope

@@ -1108,3 +1108,99 @@ def keep_best_per_cluster(
     )
     sizes = comp.groupBy("component").agg(F.count(F.lit(1)).alias("n_members"))
     return winners.join(sizes, "component")
+
+
+def remove_duplicate_spans(
+    df: DataFrame,
+    span_words: int = 10,
+    min_df: int = 2,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Corpus-level boilerplate removal (the C4 / RefinedWeb line-dedup
+    pass): delete every text SPAN that occurs verbatim in >= ``min_df``
+    DISTINCT documents, and reassemble each document from its surviving
+    spans in original order.
+
+    Real web corpora segment on newlines/sentences; this fixture's
+    documents are flat word streams, so a span is a fixed
+    ``span_words``-word chunk (the C4 "three-sentence span" analog with a
+    deterministic segmentation). Whitespace is canonicalized to single
+    spaces on reassembly.
+
+    Returns (id, text, n_spans, n_removed) for every document with at
+    least one word (zero-word docs have no spans and are dropped) —
+    untouched docs come back with n_removed = 0 and text equal to the
+    single-space rejoin of their words.
+
+    Scale design: three bounded shuffles, no self-join —
+      1. span df count: hash-aggregate keyed by xxhash64(span) (uniform;
+         map-side partial countDistinct first);
+      2. banned-spans filter + LEFT join back to the span table on the
+         8-byte hash (banned side is df-filtered and usually tiny — AQE
+         broadcasts it when it fits, but it is NOT force-broadcast:
+         a degenerate corpus where most spans are boilerplate must
+         degrade to a uniform shuffle join, not an executor OOM);
+      3. per-doc reassembly: hash-aggregate keyed by doc id.
+    Joining on the 64-bit hash instead of the span string keeps shuffle
+    keys at 8 bytes; a false merge needs an xxhash64 collision between
+    two spans (~1e-9 at 1e5 distinct spans, birthday bound) — the same
+    contract as [[dedup_editdist]]'s signature join.
+    """
+    words = F.filter(F.split(F.col(text_col), r"\s+"), lambda w: w != "")
+    n_spans_col = F.ceil(F.size("__words") / F.lit(span_words)).cast("int")
+    # span array in its own Project, exploded as a bare column (the
+    # Generate-boundary rule, SCALING.md finding 13).
+    spans = (
+        df.select(F.col(id_col).alias("id"), words.alias("__words"))
+        .select(
+            "id",
+            # sequence(0, -1) DESCENDS in Spark — a zero-word doc must
+            # yield no spans, not spans [0, -1].
+            F.when(
+                F.size("__words") > 0,
+                F.transform(
+                    F.sequence(F.lit(0), n_spans_col - 1),
+                    lambda i: F.array_join(
+                        F.slice("__words", i * span_words + 1, span_words), " "
+                    ),
+                ),
+            ).otherwise(F.expr("array()").cast("array<string>")).alias(
+                "__spans"
+            ),
+        )
+        .select("id", F.posexplode("__spans").alias("span_idx", "span"))
+        .withColumn("span_hash", F.xxhash64("span"))
+    )
+    banned = (
+        spans.groupBy("span_hash")
+        .agg(F.count_distinct("id").alias("df"))
+        .filter(F.col("df") >= min_df)
+        .select("span_hash", F.lit(True).alias("__banned"))
+    )
+    flagged = spans.join(banned, "span_hash", "left")
+    kept_in_order = F.array_join(
+        F.transform(
+            F.array_sort(
+                F.collect_list(
+                    F.when(
+                        ~F.coalesce(F.col("__banned"), F.lit(False)),
+                        F.struct(F.col("span_idx"), F.col("span")),
+                    )
+                )
+            ),
+            lambda s: s["span"],
+        ),
+        " ",
+    )
+    return (
+        flagged.groupBy("id")
+        .agg(
+            kept_in_order.alias("text"),
+            F.count(F.lit(1)).alias("n_spans"),
+            F.sum(
+                F.coalesce(F.col("__banned"), F.lit(False)).cast("bigint")
+            ).alias("n_removed"),
+        )
+        .select(F.col("id").alias(id_col), "text", "n_spans", "n_removed")
+    )

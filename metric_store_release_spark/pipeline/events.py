@@ -251,3 +251,72 @@ def interval_join(
             misses = misses.withColumn(c, F.lit(None).cast(dict(matched.dtypes)[c]))
         return matched.unionByName(misses)
     return joined.drop("__bucket")
+
+
+def percentiles_distributed(
+    df: DataFrame,
+    qs: tuple[float, ...] = (0.5, 0.9, 0.99),
+    key_col: str = "event_type",
+    value_col: str = "value",
+) -> DataFrame:
+    """EXACT interpolated percentiles (ANSI quantile_cont) per key via a
+    value-DISTRIBUTION table — the skew-safe form of the buffered
+    `F.percentile` aggregation.
+
+    Why: `F.percentile` is a buffering TypedImperativeAggregate — every
+    raw value of a group ends up in one reducer's buffer. With few, hot
+    keys (this table: ~10 event types) that is the textbook skew/OOM
+    shape at warehouse scale: a 100 TB corpus puts billions of doubles
+    in one buffer. Metric values are finite-precision (this fixture:
+    2 dp), so the distribution table (key, value, count) SATURATES at
+    |keys| x |value grid| rows no matter how large the corpus grows:
+
+      1. hash-aggregate to (key, value, n) — map-side combine collapses
+         duplicate values before the shuffle, keys are (key, value) so
+         hot keys spread across reducers;
+      2. one window pass per key over the BOUNDED distribution table
+         (running count + total — a per-key sort of <= |value grid|
+         rows, not of raw data);
+      3. the q-th percentile reads the two straddling values of rank
+         q*(N-1): v_lo + frac * (v_hi - v_lo), the same interpolation
+         `F.percentile` and DuckDB `quantile_cont` use, so results are
+         identical to the buffered form.
+
+    Output: one row per key with a ROUND(.., 6) column per q named
+    p50/p90/p99-style (`p{int(q*100)}`).
+    """
+    d = df.groupBy(key_col, value_col).agg(F.count(F.lit(1)).alias("n"))
+    w_cum = (
+        Window.partitionBy(key_col)
+        .orderBy(value_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_all = Window.partitionBy(key_col)
+    dd = d.select(
+        key_col,
+        value_col,
+        F.sum("n").over(w_cum).alias("cum"),
+        F.sum("n").over(w_all).alias("total"),
+    )
+    # 0-based fractional rank of quantile q over N sorted values is
+    # q*(N-1); the value covering 0-based positions [cum-n, cum-1] is
+    # the straddle-min with cum >= pos+1.
+    cols = [key_col, value_col, "cum", "total"]
+    marks = {}
+    for q in qs:
+        rank0 = F.lit(q) * (F.col("total") - 1).cast("double")
+        marks[q] = (
+            F.col("cum") >= F.floor(rank0) + 1,
+            F.col("cum") >= F.ceil(rank0) + 1,
+        )
+    aggs = []
+    for q in qs:
+        lo_flag, hi_flag = marks[q]
+        v_lo = F.min(F.when(lo_flag, F.col(value_col)))
+        v_hi = F.min(F.when(hi_flag, F.col(value_col)))
+        rank0 = F.lit(q) * (F.max("total") - 1).cast("double")
+        frac = rank0 - F.floor(rank0)
+        aggs.append(
+            F.round(v_lo + frac * (v_hi - v_lo), 6).alias(f"p{int(q * 100)}")
+        )
+    return dd.select(*cols).groupBy(key_col).agg(*aggs)

@@ -1,0 +1,134 @@
+"""Iterative graph ranking: PageRank by distributed power iteration.
+
+Complements the connected-components operators in [[pipeline/dedup.py]]
+(hash-min propagation, large-star/small-star): components answer "which
+docs form one duplicate cluster"; PageRank answers "which nodes are
+central" — e.g. which template doc a near-dup cluster radiates from, or
+which suppliers anchor a customer-order graph.
+
+Scale design (the 100 TB story):
+  - The edge table is built ONCE, distinct-ed and persisted: each power
+    iteration re-reads the cached edges instead of re-running the
+    upstream joins.
+  - One iteration = one equi-join (edges ⋈ rank on src — rank is
+    node-cardinality, AQE broadcasts it only when it actually fits) and
+    one hash aggregation keyed by dst (map-side partial sums first), so
+    k iterations cost k bounded shuffles — there is no per-iteration
+    driver collect except the O(1) dangling-mass scalar.
+  - Ranks are re-persisted per iteration and the previous iteration is
+    unpersisted, so lineage stays O(1) deep (the kmeans pattern,
+    [[pipeline/similarity.py]]).
+
+Reference parity: the reference has no graph operators — this extends
+the LLM-data-pipeline section (SURVEY.md §2.12) where cluster-centrality
+ranking is a standard post-dedup step (pick the canonical doc of a
+cluster by link centrality rather than first-seen).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.storagelevel import StorageLevel
+
+
+def pagerank(
+    edges: DataFrame,
+    iterations: int = 5,
+    damping: float = 0.85,
+    src_col: str = "src",
+    dst_col: str = "dst",
+) -> DataFrame:
+    """PageRank over a directed edge list by fixed-iteration power
+    iteration. Returns (node, rank) for every node appearing as a source
+    or destination.
+
+    Semantics (the classic formulation, Brin & Page 1998):
+        r_0(n)     = 1/N
+        r_{k+1}(n) = (1-d)/N  +  d * ( Σ_{(m,n)∈E} r_k(m)/outdeg(m)
+                                       + dangling_mass_k / N )
+    where dangling mass is the total rank sitting on nodes with no
+    out-edges, redistributed uniformly — total rank is conserved at
+    exactly 1.0 every iteration.
+
+    A FIXED iteration count (not a convergence test) keeps the result
+    deterministic and lets a SQL oracle unroll the same k steps; 5
+    damped iterations is within ~1e-3 of the fixpoint on small-diameter
+    graphs. Undirected graphs: pass each edge in both directions.
+    """
+    e = (
+        edges.select(
+            F.col(src_col).alias("src"), F.col(dst_col).alias("dst")
+        )
+        .distinct()
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .unionByName(e.select(F.col("dst").alias("node")))
+        .distinct()
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    n_nodes = nodes.count()  # also pins both caches before the loop
+    outdeg = (
+        e.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    outdeg.count()
+
+    d = float(damping)
+    base = (1.0 - d) / n_nodes
+    rank = nodes.select(
+        "node", (F.lit(1.0) / n_nodes).alias("rank"),
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    rank.count()
+
+    # The SET of dangling nodes is static (no out-edges); only their mass
+    # changes per iteration.
+    sinks = nodes.join(
+        outdeg.select(F.col("src").alias("node")), "node", "left_anti"
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    has_sinks = sinks.count() > 0
+
+    for _ in range(iterations):
+        # O(1)-row driver action per iteration (a scalar, like kmeans'
+        # centroid collect): the uniform share of rank parked on sinks.
+        dangling = (
+            rank.join(sinks, "node", "left_semi")
+            .agg(F.coalesce(F.sum("rank"), F.lit(0.0)))
+            .first()[0]
+            if has_sinks
+            else 0.0
+        )
+        contrib = (
+            e.join(outdeg, "src")
+            .join(rank.withColumnRenamed("node", "src"), "src")
+            .select("dst", (F.col("rank") / F.col("outdeg")).alias("c"))
+        )
+        new_rank = (
+            nodes.join(
+                contrib.groupBy("dst").agg(F.sum("c").alias("inflow")),
+                nodes["node"] == F.col("dst"),
+                "left",
+            )
+            .select(
+                "node",
+                (
+                    F.lit(base)
+                    + F.lit(d)
+                    * (F.coalesce(F.col("inflow"), F.lit(0.0))
+                       + F.lit(dangling / n_nodes))
+                ).alias("rank"),
+            )
+            .persist(StorageLevel.MEMORY_AND_DISK)
+        )
+        new_rank.count()
+        rank.unpersist()
+        rank = new_rank
+
+    out = rank
+    e.unpersist()
+    outdeg.unpersist()
+    sinks.unpersist()
+    nodes.unpersist()
+    return out

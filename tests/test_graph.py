@@ -1,0 +1,131 @@
+"""pipeline.graph.pagerank + pipeline.dedup.remove_duplicate_spans.
+
+PageRank is checked against an exact NumPy replay of the same damped
+recurrence (fixed iterations, dangling redistribution), not against
+magic constants — any drift in the distributed formulation shows up as
+a per-node mismatch at 1e-12.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from metric_store_release_spark.pipeline.dedup import remove_duplicate_spans
+from metric_store_release_spark.pipeline.graph import pagerank
+
+
+def _np_pagerank(edges, iterations=5, d=0.85):
+    nodes = sorted({n for e in edges for n in e})
+    idx = {n: i for i, n in enumerate(nodes)}
+    n = len(nodes)
+    out = {i: [] for i in range(n)}
+    for s, t in set(edges):
+        out[idx[s]].append(idx[t])
+    r = np.full(n, 1.0 / n)
+    for _ in range(iterations):
+        nxt = np.full(n, (1.0 - d) / n)
+        dangling = sum(r[i] for i in range(n) if not out[i])
+        nxt += d * dangling / n
+        for i in range(n):
+            for j in out[i]:
+                nxt[j] += d * r[i] / len(out[i])
+        r = nxt
+    return {nodes[i]: r[i] for i in range(n)}
+
+
+def _ranks(spark, edges, **kw):
+    df = spark.createDataFrame(edges, ["src", "dst"])
+    return {r["node"]: r["rank"] for r in pagerank(df, **kw).collect()}
+
+
+def test_pagerank_matches_numpy_reference(spark):
+    edges = [(1, 2), (2, 3), (3, 1), (1, 3), (4, 1)]
+    got = _ranks(spark, edges, iterations=5)
+    want = _np_pagerank(edges, iterations=5)
+    assert set(got) == set(want)
+    for n in want:
+        assert got[n] == pytest.approx(want[n], abs=1e-12)
+
+
+def test_pagerank_conserves_total_mass_with_dangling(spark):
+    # node 3 is a sink: without redistribution total rank leaks each
+    # iteration; with it the total stays exactly 1.
+    edges = [(1, 3), (2, 3)]
+    got = _ranks(spark, edges, iterations=4)
+    assert sum(got.values()) == pytest.approx(1.0, abs=1e-12)
+    want = _np_pagerank(edges, iterations=4)
+    for n in want:
+        assert got[n] == pytest.approx(want[n], abs=1e-12)
+
+
+def test_pagerank_symmetric_graph_uniform(spark):
+    # undirected 4-cycle: perfect symmetry keeps every rank at 1/4
+    cyc = [(1, 2), (2, 3), (3, 4), (4, 1)]
+    edges = cyc + [(b, a) for a, b in cyc]
+    got = _ranks(spark, edges, iterations=3)
+    for v in got.values():
+        assert v == pytest.approx(0.25, abs=1e-12)
+
+
+def test_pagerank_duplicate_edges_collapse(spark):
+    # the edge list is distinct-ed: repeating an edge must not change
+    # outdeg or contributions
+    edges = [(1, 2), (2, 1)]
+    got = _ranks(spark, edges + edges + edges, iterations=3)
+    assert got[1] == pytest.approx(0.5, abs=1e-12)
+    assert got[2] == pytest.approx(0.5, abs=1e-12)
+
+
+# ------------------------------------------------------------ span dedup
+
+def _clean(spark, docs, **kw):
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+    return {
+        r["doc_id"]: (r["text"], r["n_spans"], r["n_removed"])
+        for r in remove_duplicate_spans(df, **kw).collect()
+    }
+
+
+def test_spans_removes_cross_doc_boilerplate_preserving_order(spark):
+    docs = [
+        (1, "a b c x y z"),
+        (2, "p q r a b c"),
+        (3, "u v w"),
+    ]
+    got = _clean(spark, docs, span_words=3, min_df=2)
+    # "a b c" occurs in docs 1 and 2 -> removed from both; remaining
+    # spans keep their original order
+    assert got[1] == ("x y z", 2, 1)
+    assert got[2] == ("p q r", 2, 1)
+    assert got[3] == ("u v w", 1, 0)
+
+
+def test_spans_within_doc_repeat_is_not_banned(spark):
+    # df counts DISTINCT docs: a span repeated inside one doc stays
+    docs = [(1, "a b a b"), (2, "c d e f")]
+    got = _clean(spark, docs, span_words=2, min_df=2)
+    assert got[1] == ("a b a b", 2, 0)
+    assert got[2] == ("c d e f", 2, 0)
+
+
+def test_spans_tail_span_and_whitespace_canonicalized(spark):
+    # 5 words at span_words=2 -> tail span of 1 word; multi-space input
+    # comes back single-spaced
+    docs = [(1, "a  b c   d e")]
+    got = _clean(spark, docs, span_words=2, min_df=2)
+    assert got[1] == ("a b c d e", 3, 0)
+
+
+def test_spans_full_duplicate_docs_empty_out(spark):
+    docs = [(1, "a b c d"), (2, "a b c d")]
+    got = _clean(spark, docs, span_words=2, min_df=2)
+    assert got[1] == ("", 2, 2)
+    assert got[2] == ("", 2, 2)
+
+
+def test_spans_zero_word_doc_dropped(spark):
+    docs = [(1, "   "), (2, "a b")]
+    got = _clean(spark, docs, span_words=2, min_df=2)
+    assert set(got) == {2}
+    assert got[2] == ("a b", 1, 0)
