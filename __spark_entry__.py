@@ -504,6 +504,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["dedup_spans"] = _dedup_spans
     q["graph_pagerank"] = _graph_pagerank
     q["events_latency_pctl_dist"] = _events_latency_pctl_dist
+    q["docs_wordpiece_vocab"] = _docs_wordpiece_vocab
+    q["docs_wordpiece_tokens"] = _docs_wordpiece_tokens
 
     # The driver's correctness gate checks entries in insertion order and in
     # round 1 stopped after the first 50: reorder so one representative of
@@ -580,6 +582,10 @@ _FAMILY_FIRST_ORDER = [
     # veterans of the two most-represented families) yield their slots
     # and join the r7 swap-back queue.
     "dedup_spans", "graph_pagerank", "events_latency_pctl_dist",
+    # fourth r6 amendment: the MaxMatch/WordPiece tokenizer pair debuts;
+    # tpch_q13 and events_dau_wau (the last r5-batch veterans in-window)
+    # yield their slots and join the r7 swap-back queue.
+    "docs_wordpiece_vocab", "docs_wordpiece_tokens",
     # round-5 debuts awaiting a second green round
     "embedding_ann_probe", "events_sessionize_bucketed",
     "events_interval_join", "events_kmv_users",
@@ -587,9 +593,6 @@ _FAMILY_FIRST_ORDER = [
     "docs_temperature_mix", "text_bigram_logprob",
     "dedup_incremental",
     "tpch_q8", "tpch_q17", "tpch_q22",
-    # r5-batch veterans earning their second green round
-    "tpch_q13",
-    "events_dau_wau",
 ]
 
 
@@ -2572,6 +2575,29 @@ def _graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _docs_wordpiece_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MaxMatch/WordPiece vocabulary training
+    (`pipeline.tokenizer.maxmatch_vocab`): the 64 most frequent
+    2..4-char substrings, occurrence-weighted over the distinct-word
+    table — the one-pass frequency-ranked alternative to the BPE merge
+    loop (docs_bpe_merges)."""
+    from metric_store_release_spark.pipeline.tokenizer import maxmatch_vocab
+
+    return maxmatch_vocab(_docs(spark, sf_dir))
+
+
+def _docs_wordpiece_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy longest-match-first segmentation (WordPiece inference /
+    classic MaxMatch) against the trained vocab ∪ corpus alphabet:
+    per-DISTINCT-word F.aggregate fold, counts re-weighted by word
+    frequency (`pipeline.tokenizer.maxmatch_token_counts`)."""
+    from metric_store_release_spark.pipeline.tokenizer import (
+        maxmatch_token_counts,
+    )
+
+    return maxmatch_token_counts(_docs(spark, sf_dir))
+
+
 def _pagerank_oracle(iterations: int = 5, d: float = 0.85) -> str:
     """The same 5 damped power iterations as `pipeline.graph.pagerank`,
     unrolled as one CTE per iteration. The undirected construction means
@@ -3800,6 +3826,14 @@ HAVING n_removed > 0
 """
 
     o["graph_pagerank"] = _pagerank_oracle()
+
+    from metric_store_release_spark.pipeline.tokenizer import (
+        maxmatch_token_counts_oracle_sql,
+        maxmatch_vocab_oracle_sql,
+    )
+
+    o["docs_wordpiece_vocab"] = maxmatch_vocab_oracle_sql()
+    o["docs_wordpiece_tokens"] = maxmatch_token_counts_oracle_sql()
 
     o["dedup_minhash_lsh"] = _minhash_oracle()
 

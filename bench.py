@@ -123,6 +123,11 @@ def main() -> None:
         # (pair: same oracle, distribution-table plan)
         "events_latency_pctl",
         "events_latency_pctl_dist",
+        # MaxMatch/WordPiece tokenizer: one-pass frequency-ranked vocab
+        # train + greedy longest-match apply (compare docs_bpe_merges for
+        # the merge-loop tokenizer)
+        "docs_wordpiece_vocab",
+        "docs_wordpiece_tokens",
     ]
     # Offline-pass entries, benched in their own trailing loop: the
     # PassJoin edit-distance join and the exact containment verifier

@@ -277,3 +277,248 @@ SELECT {id_sql}, CAST(SUM(n) AS BIGINT) AS n_bpe_tokens
 FROM docwords JOIN vocabtok USING (w)
 GROUP BY {id_sql}
 """
+
+
+# --------------------------------------------------------------- MaxMatch
+# Greedy longest-match-first subword segmentation — the WordPiece
+# INFERENCE algorithm (Devlin et al. 2019's tokenizer applies vocab
+# pieces longest-first; the same MaxMatch scheme is classic CJK word
+# segmentation). Training here is frequency-ranking, not BPE merges:
+# the vocabulary is every character seen plus the k most frequent
+# substrings of length 2..max_piece_len, so train + apply are each ONE
+# aggregation pass — the cheap alternative to the BPE merge loop above
+# when merge-order fidelity isn't needed.
+
+
+def _word_counts(df: DataFrame, text_col: str) -> DataFrame:
+    from metric_store_release_spark.pipeline.text import tokens as _tokens
+
+    return (
+        df.select(F.explode(_tokens(F.col(text_col))).alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("wc"))
+    )
+
+
+def maxmatch_vocab(
+    df: DataFrame,
+    text_col: str = "text",
+    max_piece_len: int = 4,
+    k: int = 64,
+) -> DataFrame:
+    """The k most frequent substrings of length 2..max_piece_len across
+    the corpus (occurrence-weighted: every start position of every word
+    occurrence counts), ties broken (count DESC, piece ASC) so the
+    ranking is a pure function of the corpus.
+
+    One explode + one hash aggregation per piece length over the
+    DISTINCT-WORD table (vocabulary-bounded, not corpus-bounded — word
+    counts are aggregated first, so a 100 TB corpus contributes its
+    distinct words once, weighted). Returns (piece, cnt).
+    """
+    return _vocab_from_wc(_word_counts(df, text_col), max_piece_len, k)
+
+
+def _vocab_from_wc(wc: DataFrame, max_piece_len: int, k: int) -> DataFrame:
+    parts = []
+    for plen in range(2, max_piece_len + 1):
+        parts.append(
+            wc.filter(F.length("w") >= plen).select(
+                "wc",
+                F.explode(
+                    F.transform(
+                        F.sequence(
+                            F.lit(1), F.length("w") - F.lit(plen - 1)
+                        ),
+                        lambda i: F.substr("w", i, F.lit(plen)),
+                    )
+                ).alias("piece"),
+            )
+        )
+    allp = parts[0]
+    for p in parts[1:]:
+        allp = allp.unionByName(p)
+    return (
+        allp.groupBy("piece")
+        .agg(F.sum("wc").alias("cnt"))
+        .orderBy(F.col("cnt").desc(), F.col("piece"))
+        .limit(k)
+    )
+
+
+def maxmatch_token_counts(
+    df: DataFrame,
+    text_col: str = "text",
+    max_piece_len: int = 4,
+    k: int = 64,
+) -> DataFrame:
+    """Corpus token frequencies under greedy longest-match segmentation
+    against `maxmatch_vocab` ∪ {every character seen}: at each position
+    take the longest vocab piece (max_piece_len..2) that fits, else fall
+    back to the single character (always in vocab by construction, so
+    there is no UNK). Returns (token, n).
+
+    Scale shape: segmentation runs once per DISTINCT word (the BPE-apply
+    trick) as an F.aggregate fold of at most max-word-length steps —
+    per-row JVM work, no shuffle; corpus counts then arrive by one
+    hash aggregation over the exploded distinct-word tokens weighted by
+    word frequency. Driver-side collects are BOUNDED BY CONSTRUCTION:
+    the k+|alphabet| vocab pieces (one F.expr literal — the kmeans
+    centroid contract) and the max-word-length scalar.
+    """
+    wc = _word_counts(df, text_col).persist()
+    try:
+        max_len = wc.agg(F.max(F.length("w"))).first()[0] or 0
+        chars = (
+            wc.select(
+                F.explode(
+                    F.transform(
+                        F.sequence(F.lit(1), F.length("w")),
+                        lambda i: F.substr("w", i, F.lit(1)),
+                    )
+                ).alias("piece")
+            )
+            .distinct()
+        )
+        vocab = sorted(
+            {
+                r["piece"]
+                for r in _vocab_from_wc(wc, max_piece_len, k).collect()
+            }
+            | {r["piece"] for r in chars.collect()}
+        )
+        quoted = ", ".join("'" + p.replace("'", "''") + "'" for p in vocab)
+        # the vocab literal is referenced 3x per fold step: projected as
+        # ONE column so the expression tree (and optimizer) sees one
+        # ~100-element array, not max_len*3 copies of it (the
+        # pin-the-big-expression rule, SCALING.md finding 15)
+        vocab_arr = F.col("__vs")
+
+        def step(acc, _):
+            pos = acc["pos"]
+            w = F.col("w")
+            remaining = F.length(w) - pos + 1
+            # longest wins: evaluate from longest down via nested when
+            cond = None
+            for plen in range(max_piece_len, 1, -1):
+                c = (remaining >= plen) & F.array_contains(
+                    vocab_arr, F.substr(w, pos, F.lit(plen))
+                )
+                cond = F.when(c, F.lit(plen)) if cond is None else cond.when(
+                    c, F.lit(plen)
+                )
+            length = cond.otherwise(F.lit(1))
+            return F.when(pos > F.length(w), acc).otherwise(
+                F.struct(
+                    (pos + length).alias("pos"),
+                    F.concat(
+                        acc["toks"],
+                        F.array(F.substr(w, pos, length)),
+                    ).alias("toks"),
+                )
+            )
+
+        enc = wc.withColumn("__vs", F.expr(f"array({quoted})")).select(
+            "wc",
+            F.aggregate(
+                F.sequence(F.lit(1), F.lit(max(max_len, 1))),
+                F.struct(
+                    F.lit(1).alias("pos"),
+                    F.expr("array()").cast("array<string>").alias("toks"),
+                ),
+                step,
+            )["toks"].alias("toks"),
+        )
+        return (
+            enc.select("wc", F.explode("toks").alias("token"))
+            .groupBy("token")
+            .agg(F.sum("wc").alias("n"))
+        )
+    finally:
+        wc.unpersist()
+
+
+def _maxmatch_vocab_ctes(max_piece_len: int, k: int) -> str:
+    """Shared CTE chain: corpus words -> weighted piece counts -> top-k."""
+    piece_parts = "\n    UNION ALL\n".join(
+        f"""    SELECT wc, unnest([substr(w, i, {plen})
+             for i in range(1, len(w) - {plen} + 2)]) AS piece
+    FROM wc WHERE len(w) >= {plen}"""
+        for plen in range(2, max_piece_len + 1)
+    )
+    return f"""w0 AS (
+  SELECT list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS ws
+  FROM corpus
+),
+wc AS (
+  SELECT w, count(*) AS wc FROM (SELECT unnest(ws) AS w FROM w0) GROUP BY w
+),
+topk AS (
+  SELECT piece, CAST(SUM(wc) AS BIGINT) AS cnt FROM (
+{piece_parts}
+  ) GROUP BY piece
+  ORDER BY cnt DESC, piece
+  LIMIT {k}
+)"""
+
+
+def maxmatch_vocab_oracle_sql(
+    corpus_sql: str = "SELECT doc_id, text FROM documents",
+    max_piece_len: int = 4,
+    k: int = 64,
+) -> str:
+    """DuckDB replay of `maxmatch_vocab` over the given corpus query."""
+    return f"""WITH corpus AS ({corpus_sql}),
+{_maxmatch_vocab_ctes(max_piece_len, k)}
+SELECT piece, cnt FROM topk
+"""
+
+
+def maxmatch_token_counts_oracle_sql(
+    corpus_sql: str = "SELECT doc_id, text FROM documents",
+    max_piece_len: int = 4,
+    k: int = 64,
+    unroll: int = 12,
+) -> str:
+    """DuckDB replay of `maxmatch_token_counts`: same vocab CTEs, then
+    the greedy fold unrolled to `unroll` steps (>= the corpus's max word
+    length; surplus steps are no-ops, so Spark's exact-max-length unroll
+    and this fixed unroll agree)."""
+    length_cases = "\n".join(
+        f"""             WHEN len(w) - pos + 1 >= {plen}
+                  AND list_contains(vs, substr(w, pos, {plen})) THEN {plen}"""
+        for plen in range(max_piece_len, 1, -1)
+    )
+    stages = []
+    for s in range(1, unroll + 1):
+        stages.append(
+            f"""s{s} AS (
+  SELECT w, wc,
+         CASE WHEN l = 0 THEN pos ELSE pos + l END AS pos,
+         CASE WHEN l = 0 THEN toks
+              ELSE list_append(toks, substr(w, pos, l)) END AS toks
+  FROM (
+    SELECT w, wc, pos, toks,
+           CASE WHEN pos > len(w) THEN 0
+{length_cases}
+                ELSE 1 END AS l
+    FROM s{s - 1}, vl
+  )
+)"""
+        )
+    stage_sql = ",\n".join(stages)
+    return f"""WITH corpus AS ({corpus_sql}),
+{_maxmatch_vocab_ctes(max_piece_len, k)},
+chars AS (
+  SELECT DISTINCT unnest([substr(w, i, 1) for i in range(1, len(w) + 1)])
+         AS piece
+  FROM wc
+),
+vocab AS (SELECT piece FROM topk UNION SELECT piece FROM chars),
+vl AS (SELECT list(piece) AS vs FROM vocab),
+s0 AS (SELECT w, wc, 1 AS pos, []::VARCHAR[] AS toks FROM wc),
+{stage_sql}
+SELECT token, CAST(SUM(wc) AS BIGINT) AS n
+FROM (SELECT wc, unnest(toks) AS token FROM s{unroll})
+GROUP BY token
+"""

@@ -119,3 +119,55 @@ def test_bpe_token_counts_survive_exhausted_training(spark):
         ).fetchall()
     )
     assert got == want == [(1, 2), (2, 1)]
+
+
+# ------------------------------------------------------------- MaxMatch
+
+def test_maxmatch_hand_example(spark):
+    """Hand-traced greedy segmentation: vocab top-5 of this corpus is
+    {at, he, th, the, ca}; 'there' -> [the, r, e], 'sat' -> [s, at],
+    'scatter' -> [s, ca, t, t, e, r]."""
+    from metric_store_release_spark.pipeline.tokenizer import (
+        maxmatch_token_counts,
+        maxmatch_vocab,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "the cat sat"), (2, "the cats sat there"), (3, "scatter the")],
+        ["doc_id", "text"],
+    )
+    vocab = {r["piece"]: r["cnt"] for r in maxmatch_vocab(docs, k=5).collect()}
+    assert vocab == {"at": 5, "he": 4, "th": 4, "the": 4, "ca": 3}
+    counts = {
+        r["token"]: r["n"]
+        for r in maxmatch_token_counts(docs, k=5).collect()
+    }
+    assert counts == {
+        "the": 4, "ca": 3, "t": 4, "s": 4, "at": 2, "e": 2, "r": 2,
+    }
+
+
+def test_maxmatch_counts_conserve_characters(spark):
+    """Tokens tile each word exactly: total characters across weighted
+    tokens == total characters across corpus words."""
+    from pyspark.sql import functions as F
+
+    from metric_store_release_spark.pipeline.tokenizer import (
+        maxmatch_token_counts,
+    )
+    from metric_store_release_spark.pipeline.text import tokens
+
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(
+            ["aa ab ba", "abab aabb", "zzz aa ab", "q qq qqq abab"]
+        )],
+        ["doc_id", "text"],
+    )
+    tok = maxmatch_token_counts(docs, k=3, max_piece_len=3)
+    got = tok.select(
+        F.sum(F.length("token") * F.col("n")).alias("chars")
+    ).first()["chars"]
+    want = docs.select(
+        F.explode(tokens(F.col("text"))).alias("w")
+    ).select(F.sum(F.length("w"))).first()[0]
+    assert got == want
