@@ -126,7 +126,16 @@ def pagerank(
         rank.unpersist()
         rank = new_rank
 
-    out = rank
+    # Truncate lineage BEFORE releasing the caches: the returned plan
+    # otherwise re-derives every iteration from the (now-uncached)
+    # edge/node tables — measured as an exponential ~5400-Exchange plan
+    # for 5 iterations. localCheckpoint pins the final rank partitions
+    # and makes the result a leaf; at cluster scale the durable
+    # equivalent is writing the rank table out (executor loss discards
+    # a local checkpoint), which is what a production pipeline would do
+    # between iterations anyway.
+    out = rank.localCheckpoint(eager=True)
+    rank.unpersist()
     e.unpersist()
     outdeg.unpersist()
     sinks.unpersist()
