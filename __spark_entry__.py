@@ -506,6 +506,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["events_latency_pctl_dist"] = _events_latency_pctl_dist
     q["docs_wordpiece_vocab"] = _docs_wordpiece_vocab
     q["docs_wordpiece_tokens"] = _docs_wordpiece_tokens
+    q["embedding_hard_negatives"] = _embedding_hard_negatives
 
     # The driver's correctness gate checks entries in insertion order and in
     # round 1 stopped after the first 50: reorder so one representative of
@@ -586,13 +587,17 @@ _FAMILY_FIRST_ORDER = [
     # tpch_q13 and events_dau_wau (the last r5-batch veterans in-window)
     # yield their slots and join the r7 swap-back queue.
     "docs_wordpiece_vocab", "docs_wordpiece_tokens",
+    # fifth r6 amendment: embedding_hard_negatives (bulk kNN join)
+    # debuts; tpch_q22 (single-green, heavily-represented family) yields
+    # its slot and joins the r7 swap-back queue.
+    "embedding_hard_negatives",
     # round-5 debuts awaiting a second green round
     "embedding_ann_probe", "events_sessionize_bucketed",
     "events_interval_join", "events_kmv_users",
     "docs_bpe_merges", "docs_bpe_tokens",
     "docs_temperature_mix", "text_bigram_logprob",
     "dedup_incremental",
-    "tpch_q8", "tpch_q17", "tpch_q22",
+    "tpch_q8", "tpch_q17",
 ]
 
 
@@ -2575,6 +2580,37 @@ def _graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _embedding_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contrastive hard-negative mining
+    (`pipeline.similarity.hard_negative_mining`): for every 25th vector,
+    the 3 highest-cosine DIFFERENT-label neighbors via an IVF-bucketed
+    shuffle kNN join (both sides corpus-scale — the bulk-retrieval shape
+    ivf_probe's broadcast deliberately avoids). Fixed centroids =
+    embeddings of vec_id 5..12, shared with embedding_ivf_topk so the
+    oracle replays the assignment."""
+    from metric_store_release_spark.pipeline.similarity import (
+        hard_negative_mining,
+    )
+
+    emb = _emb(spark, sf_dir)
+    centroids = [
+        [float(x) for x in r.embedding]
+        for r in (
+            emb.filter((F.col("vec_id") >= 5) & (F.col("vec_id") <= 12))
+            .orderBy("vec_id")
+            .select("embedding")
+            .collect()
+        )
+    ]
+    return hard_negative_mining(
+        emb,
+        centroids,
+        k=3,
+        n_probe=2,
+        query_pred=F.col("vec_id") % 25 == 0,
+    )
+
+
 def _docs_wordpiece_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MaxMatch/WordPiece vocabulary training
     (`pipeline.tokenizer.maxmatch_vocab`): the 64 most frequent
@@ -3943,6 +3979,7 @@ SELECT query_id, vec_id, cos_sim, rank FROM (
     o["embedding_dedup"] = _embedding_dedup_oracle()
 
     o["embedding_ivf_topk"] = _ivf_oracle()
+    o["embedding_hard_negatives"] = _hard_negatives_oracle()
 
     o["text_quality"] = _text_quality_oracle()
 
@@ -4357,6 +4394,55 @@ scored AS (
                / (sqrt(list_dot_product(p.qv, p.qv))
                   * sqrt(list_dot_product(a.cv, a.cv))), 6) AS cos_sim
   FROM probe p JOIN assign a ON a.list_id = p.list_id
+)
+SELECT query_id, vec_id, cos_sim, rank FROM (
+  SELECT *, CAST(row_number() OVER (PARTITION BY query_id
+                ORDER BY cos_sim DESC, vec_id ASC) AS INT) AS rank
+  FROM scored
+) WHERE rank <= {k}
+"""
+
+
+def _hard_negatives_oracle(
+    dim: int = _EMB_DIM, n_probe: int = 2, k: int = 3
+) -> str:
+    """`hard_negative_mining` replay: same fixed centroids and L2²
+    assignment as _ivf_oracle, queries = every 25th vector, candidates
+    restricted to the query's n_probe nearest lists, different-label
+    filter, (cos DESC, id) rank."""
+    d2 = (
+        "list_sum(list_transform(generate_series(1, {dim}), "
+        "i -> ({{v}}[i] - ctr.ctv[i]) * ({{v}}[i] - ctr.ctv[i])))"
+    ).format(dim=dim)
+    return f"""
+WITH c AS (SELECT vec_id, label, embedding::DOUBLE[] AS cv FROM embeddings),
+ctr AS (SELECT vec_id - 5 AS list_id, embedding::DOUBLE[] AS ctv
+        FROM embeddings WHERE vec_id BETWEEN 5 AND 12),
+assign AS (
+  SELECT vec_id, label, cv, list_id FROM (
+    SELECT c.vec_id, c.label, c.cv, ctr.list_id,
+           row_number() OVER (PARTITION BY c.vec_id
+                              ORDER BY {d2.format(v="c.cv")}, ctr.list_id) AS rn
+    FROM c CROSS JOIN ctr
+  ) WHERE rn = 1
+),
+q AS (SELECT vec_id AS query_id, label AS qlabel, embedding::DOUBLE[] AS qv
+      FROM embeddings WHERE vec_id % 25 = 0),
+probe AS (
+  SELECT query_id, qlabel, qv, list_id FROM (
+    SELECT q.query_id, q.qlabel, q.qv, ctr.list_id,
+           row_number() OVER (PARTITION BY q.query_id
+                              ORDER BY {d2.format(v="q.qv")}, ctr.list_id) AS rn
+    FROM q CROSS JOIN ctr
+  ) WHERE rn <= {n_probe}
+),
+scored AS (
+  SELECT p.query_id, a.vec_id,
+         ROUND(list_dot_product(p.qv, a.cv)
+               / (sqrt(list_dot_product(p.qv, p.qv))
+                  * sqrt(list_dot_product(a.cv, a.cv))), 6) AS cos_sim
+  FROM probe p JOIN assign a ON a.list_id = p.list_id
+  WHERE a.vec_id <> p.query_id AND a.label <> p.qlabel
 )
 SELECT query_id, vec_id, cos_sim, rank FROM (
   SELECT *, CAST(row_number() OVER (PARTITION BY query_id

@@ -128,6 +128,9 @@ def main() -> None:
         # the merge-loop tokenizer)
         "docs_wordpiece_vocab",
         "docs_wordpiece_tokens",
+        # bulk kNN join (hard-negative mining): both sides corpus-scale,
+        # IVF-bucketed shuffle join — the non-broadcast retrieval shape
+        "embedding_hard_negatives",
     ]
     # Offline-pass entries, benched in their own trailing loop: the
     # PassJoin edit-distance join and the exact containment verifier

@@ -482,3 +482,79 @@ def ivf_topk(
     return ivf_probe(
         index, queries, centroids, k, n_probe, id_col, vec_col, query_id_col
     )
+
+
+def hard_negative_mining(
+    corpus: DataFrame,
+    centroids: list[list[float]],
+    k: int = 3,
+    n_probe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+    query_pred: Column | None = None,
+) -> DataFrame:
+    """Bulk kNN join for contrastive training data: for every query
+    vector, the k highest-cosine neighbors with a DIFFERENT label —
+    the hard-negative mining pass of embedding-model training (each
+    anchor needs the most-confusable wrong examples, not random ones).
+
+    This is the shape `ivf_probe` deliberately avoids: there the query
+    side is small and broadcast; here BOTH sides are corpus-scale, so
+    the candidate join is a plain shuffle equi-join on list_id with NO
+    broadcast hint — AQE still broadcasts when a filtered query side
+    turns out small, and falls back to a shuffle join when it doesn't
+    (the ngram_contamination rule: hints only for sides bounded by
+    construction). list_id has only |centroids| values, so the shuffle
+    is inherently coarse-keyed: production raises nlist with ~sqrt(N)
+    (a fixture-fixed 8 here, for oracle determinism), AQE's skew
+    splitting spreads oversized lists, and the per-query rank uses the
+    salted two-phase `_ranked_topk`, never a single global sort.
+
+    Self-matches are excluded by id; ties break (cos_sim DESC, id ASC)
+    like every top-k in this module.
+    """
+    c = corpus.select(
+        id_col, label_col, F.col(vec_col).cast("array<double>").alias("cvec")
+    )
+    index = c.withColumns(
+        {
+            "list_id": _nearest_lists("cvec", centroids, 1)[0].getField(
+                "list_id"
+            ),
+            "__cn": _norm(F.col("cvec")),
+        }
+    )
+    qsrc = corpus if query_pred is None else corpus.filter(query_pred)
+    q = qsrc.select(
+        F.col(id_col).alias("__qid"),
+        F.col(label_col).alias("__qlabel"),
+        F.col(vec_col).cast("array<double>").alias("qvec"),
+    ).withColumns(
+        {
+            "probe": F.explode(
+                F.transform(
+                    _nearest_lists("qvec", centroids, n_probe),
+                    lambda s: s.getField("list_id"),
+                )
+            ),
+            "__qn": _norm(F.col("qvec")),
+        }
+    )
+    scored = (
+        index.join(q, index["list_id"] == q["probe"])
+        .filter(
+            (F.col("__qid") != F.col(id_col))
+            & (F.col("__qlabel") != F.col(label_col))
+        )
+        .select(
+            F.col("__qid").alias("query_id"),
+            id_col,
+            F.round(
+                _dot(F.col("qvec"), F.col("cvec"))
+                / (F.col("__qn") * F.col("__cn")),
+                6,
+            ).alias("cos_sim"),
+        )
+    )
+    return _ranked_topk(scored, k, id_col, "query_id")
