@@ -138,6 +138,31 @@ def _promql(
     return run
 
 
+def _promql_split(
+    q: str,
+    split_ms: int,
+    label_cols: dict[str, str] | None = None,
+) -> Callable[[SparkSession, str], DataFrame]:
+    """Same range query, evaluated via split-by-interval sharding
+    (engine.query_range_split): the step grid is cut into ~split_ms chunks,
+    each chunk's source scan pruned to its own time slice — the
+    query-frontend shape. Must be bit-identical to the unsplit evaluation,
+    so it shares its oracle with the unsplit query."""
+
+    def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+        eng = _engine(spark)
+        out = eng.query_range_split(
+            _samples(spark, sf_dir), q, START, END, STEP, split_ms
+        )
+        cols = [F.col("t")]
+        for key, alias in (label_cols or {}).items():
+            cols.append(F.col("labels").getItem(key).alias(alias))
+        cols.append(F.round(F.col("value"), 6).alias("value"))
+        return out.select(*cols)
+
+    return run
+
+
 # shared oracle CTE fragments ------------------------------------------------
 _SAMPLES_CTE = """
 samples AS (
@@ -288,6 +313,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "count_over_time(signup[1d])", label_cols={"user": "usr"}, round_value=False
     )
     q["promql_rate"] = _promql('rate(click{user="3"}[1d])')
+    # the same rate query, split-by-interval sharded (7 d chunks → 4
+    # independent time-sliced subplans); shares promql_rate's oracle —
+    # split evaluation must be bit-identical
+    q["promql_split_rate"] = _promql_split(
+        'rate(click{user="3"}[1d])', split_ms=7 * 86_400_000
+    )
     q["promql_increase"] = _promql('increase(click{user="3"}[1d])')
     q["promql_delta"] = _promql('delta(view{user="2"}[1d])')
     q["promql_irate"] = _promql('irate(click{user="3"}[1d])')
@@ -591,13 +622,18 @@ _FAMILY_FIRST_ORDER = [
     # debuts; tpch_q22 (single-green, heavily-represented family) yields
     # its slot and joins the r7 swap-back queue.
     "embedding_hard_negatives",
+    # sixth r6 amendment: promql_split_rate (split-by-interval query
+    # sharding, must be bit-identical to promql_rate) debuts; tpch_q17
+    # (single-green, heavily-represented family — q8/q18/q19 stay
+    # in-window) yields its slot and joins the r7 swap-back queue.
+    "promql_split_rate",
     # round-5 debuts awaiting a second green round
     "embedding_ann_probe", "events_sessionize_bucketed",
     "events_interval_join", "events_kmv_users",
     "docs_bpe_merges", "docs_bpe_tokens",
     "docs_temperature_mix", "text_bigram_logprob",
     "dedup_incremental",
-    "tpch_q8", "tpch_q17",
+    "tpch_q8",
 ]
 
 
@@ -2781,6 +2817,9 @@ GROUP BY s.t, p.usr
         f"WITH {_SAMPLES_CTE}, {_flagged_cte(rate_where)}, {_EXTRAP_AGG}"
         + _extrap_value(counter=True, per_second=True)
     )
+    # split-by-interval sharding is an execution strategy, not a different
+    # query: the oracle is promql_rate's verbatim
+    o["promql_split_rate"] = o["promql_rate"]
     o["promql_increase"] = (
         f"WITH {_SAMPLES_CTE}, {_flagged_cte(rate_where)}, {_EXTRAP_AGG}"
         + _extrap_value(counter=True, per_second=False)

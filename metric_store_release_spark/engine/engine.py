@@ -91,6 +91,7 @@ class PromQLEngine:
         start_ms: int,
         end_ms: int,
         step_ms: int,
+        query_bounds: tuple[int, int] | None = None,
     ) -> DataFrame:
         """Evaluate a PromQL range query.
 
@@ -101,9 +102,14 @@ class PromQLEngine:
         union replica frames through FederatedStore (which dedups) rather
         than raw unionByName; see selectors.DEBUG_ASSERT_UNIQUE_TS for an
         eager check.
+
+        `query_bounds` is for split evaluation (query_range_split): the
+        ORIGINAL query's (start, end), against which `@ start()`/`@ end()`
+        preprocessors resolve; defaults to this call's own bounds.
         """
         if end_ms < start_ms or step_ms <= 0:
             raise ValueError("bad query range")
+        q_start, q_end = query_bounds or (start_ms, end_ms)
         node = parse(promql)
         ctx = EvalContext(
             spark=self.spark,
@@ -113,8 +119,8 @@ class PromQLEngine:
             step_ms=step_ms,
             lookback_ms=self.config.lookback_ms,
             default_subquery_step_ms=self.config.default_subquery_step_ms,
-            query_start_ms=start_ms,
-            query_end_ms=end_ms,
+            query_start_ms=q_start,
+            query_end_ms=q_end,
             check_matching=self.config.check_matching,
             bucketed_range_threshold=self.config.bucketed_range_threshold,
         )
@@ -197,6 +203,90 @@ class PromQLEngine:
             raw, tiers, start_ms, end_ms, step_ms, raw_retention_ms, now_ms
         )
         return self.query_range(samples, promql, start_ms, end_ms, step_ms)
+
+    def query_range_split(
+        self,
+        samples: DataFrame,
+        promql: str,
+        start_ms: int,
+        end_ms: int,
+        step_ms: int,
+        split_ms: int,
+        prune_source: bool = True,
+    ) -> DataFrame:
+        """Split-by-interval horizontal query sharding (the Cortex/Thanos
+        query-frontend shape, applied inside one Spark plan).
+
+        The step grid is cut into contiguous chunks of ~`split_ms`; each
+        chunk is evaluated as an independent subplan whose SOURCE SCAN is
+        pre-filtered to exactly the time slice that chunk can observe
+        (chunk bounds widened by the query's maximum selector scan-back,
+        derived statically from the AST: range + subquery depth + offset,
+        or the lookback window for instant selectors). The union of chunks
+        is bit-identical to the unsplit evaluation — PromQL range results
+        are per-step independent and the subquery grid is epoch-aligned
+        (evaluator.py eval_subquery_frame), so chunking cannot move any
+        evaluation point.
+
+        Why this matters at 100 TB: a month-long range query over a raw
+        store otherwise plans ONE scan spanning the whole month and every
+        downstream exchange carries the full window. Split, each chunk's
+        parquet scan carries its own pushed-down ts range (partition /
+        row-group pruning per chunk), the per-chunk shuffles are bounded by
+        split_ms of data, and Spark schedules the chunk subplans
+        concurrently — the same reason query frontends shard by interval
+        before fanning out to queriers (reference routing analog:
+        src/internal/routing; time-sharding is the missing axis its
+        node-sharding doesn't cover).
+
+        Selectors anchored to a fixed time (`@`, including `@ start()` /
+        `@ end()`) read outside their chunk's slice, so source pruning is
+        disabled for such queries (the split itself remains valid because
+        `query_bounds` pins start()/end() to the parent query).
+        """
+        from metric_store_release_spark.engine.admission import _selector_scans
+        from metric_store_release_spark.promql.ast import walk as _walk
+
+        if split_ms <= 0:
+            raise ValueError("split_ms must be positive")
+        if end_ms < start_ms or step_ms <= 0:
+            raise ValueError("bad query range")
+        node = parse(promql)
+        back_ms, fwd_ms, prune = 0, 0, prune_source
+        for sel, window_ms, extra in _selector_scans(
+            node, self.config.lookback_ms
+        ):
+            back_ms = max(back_ms, window_ms + extra + max(sel.offset_ms, 0))
+            fwd_ms = max(fwd_ms, max(-sel.offset_ms, 0))
+        if any(
+            getattr(n, "at_ms", None) is not None
+            or getattr(n, "at_preprocessor", None)
+            for n in _walk(node)
+        ):
+            prune = False
+
+        n_steps = (end_ms - start_ms) // step_ms + 1
+        steps_per_chunk = max(1, split_ms // step_ms)
+        parts: list[DataFrame] = []
+        for i0 in range(0, n_steps, steps_per_chunk):
+            cs = start_ms + i0 * step_ms
+            ce = start_ms + min(i0 + steps_per_chunk, n_steps) * step_ms - step_ms
+            src = samples
+            if prune:
+                src = samples.filter(
+                    F.col("ts").between(cs - back_ms, ce + fwd_ms)
+                )
+            parts.append(
+                self.query_range(
+                    src, promql, cs, ce, step_ms,
+                    query_bounds=(start_ms, end_ms),
+                )
+            )
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        out._msrs_promql = promql
+        return out
 
     def execute(
         self,

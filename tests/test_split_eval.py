@@ -1,0 +1,126 @@
+"""Split-by-interval query sharding (PromQLEngine.query_range_split).
+
+The Cortex/Thanos query-frontend shape: a long range query is cut into
+contiguous step-grid chunks, each chunk evaluated as an independent subplan
+over a time-sliced source, and the union must be bit-identical to the
+unsplit evaluation — including across chunk boundaries where range windows,
+offsets, epoch-aligned subquery grids, and @-anchored selectors reach
+outside their own chunk.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from metric_store_release_spark.sources import corpus
+from tests.conftest import rows_to_dict
+
+S = 1000
+
+
+@pytest.fixture(scope="module")
+def metric(spark):
+    df = corpus.load(
+        spark,
+        10 * S,
+        [
+            'http_requests{job="api", instance="0"} 0+10x200',
+            'http_requests{job="api", instance="1"} 0+20x200',
+            "metric 1+1x200",
+        ],
+    )
+    df.cache().count()
+    return df
+
+
+def _compare(engine, samples, expr, start, end, step, split, keys=()):
+    want = rows_to_dict(
+        engine.query_range(samples, expr, start, end, step), list(keys)
+    )
+    got = rows_to_dict(
+        engine.query_range_split(samples, expr, start, end, step, split),
+        list(keys),
+    )
+    assert got.keys() == want.keys(), expr
+    for k in want:
+        assert got[k] == pytest.approx(want[k], nan_ok=True), (expr, k)
+
+
+@pytest.mark.parametrize(
+    "expr,keys",
+    [
+        # range window crosses every chunk boundary
+        ("rate(http_requests[50s])", ("instance",)),
+        # instant selector: lookback crosses boundaries
+        ("sum by(job)(http_requests)", ("job",)),
+        # offset shifts the scan window outside the chunk
+        ("sum_over_time(metric[30s] offset 25s)", ()),
+        # binop: both sides chunked identically
+        ("http_requests / ignoring(instance) group_left sum(http_requests)",
+         ("instance",)),
+        # subquery: inner grid is epoch-aligned, not chunk-aligned
+        ("sum_over_time(metric[50s:15s])", ()),
+        ("avg_over_time(rate(http_requests[30s])[40s:10s])", ("instance",)),
+    ],
+)
+def test_split_matches_unsplit(engine, metric, expr, keys):
+    # 0..600 s step 10 s, split into 140 s chunks: boundaries fall mid-window
+    _compare(engine, metric, expr, 0, 600 * S, 10 * S, 140 * S, keys)
+
+
+def test_split_single_step_chunks(engine, metric):
+    # split_ms < step_ms degenerates to one chunk per step — still exact
+    _compare(engine, metric, "rate(metric[30s])", 0, 100 * S, 10 * S, S)
+
+
+def test_split_at_anchors_resolve_against_parent_query(engine, metric):
+    # @ start()/end() must pin to the ORIGINAL query bounds in every chunk
+    for expr in (
+        "sum(http_requests @ end())",
+        "sum(http_requests @ start())",
+        "sum_over_time((metric @ 100)[30s:10s])",
+    ):
+        _compare(engine, metric, expr, 0, 600 * S, 10 * S, 200 * S)
+
+
+def test_split_chunk_count_and_bounds(engine, metric):
+    # 61 steps split 200s/10s → 20-step chunks → 4 parts (20+20+20+1)
+    df = engine.query_range_split(
+        metric, "sum(metric)", 0, 600 * S, 10 * S, 200 * S
+    )
+    n_unions = df._jdf.queryExecution().logical().toString().count("Union")
+    assert n_unions >= 1  # actually unioned, not a single evaluation
+    got = rows_to_dict(df, [])
+    assert len(got) == 61
+
+
+def test_split_prunes_source_scan(engine, spark, tmp_path):
+    # over parquet, each chunk's scan must carry its own pushed ts bounds
+    path = str(tmp_path / "samples.parquet")
+    corpus.load(spark, 10 * S, ["metric 1+1x200"]).write.parquet(path)
+    pq = spark.read.parquet(path)
+    split = engine.query_range_split(
+        pq, "rate(metric[50s])", 0, 600 * S, 10 * S, 200 * S
+    )
+    import re
+
+    plan = split._jdf.queryExecution().executedPlan().toString()
+    # each chunk scan pushes its OWN ts lower bound: 4 chunks, 4 distinct
+    lows = re.findall(r"\(ts#\d+L >= (-?\d+)\)", plan)
+    assert len(set(lows)) >= 4
+    # @-anchored query: split-level chunk pruning is disabled — any ts
+    # bounds left are the selector's own, anchored to the fixed @ time and
+    # therefore IDENTICAL across chunks (never chunk-varying)
+    anchored = engine.query_range_split(
+        pq, "sum(metric @ end())", 0, 600 * S, 10 * S, 200 * S
+    )
+    aplan = anchored._jdf.queryExecution().executedPlan().toString()
+    alows = re.findall(r"\(ts#\d+L >= (-?\d+)\)", aplan)
+    assert len(set(alows)) <= 1
+
+
+def test_split_rejects_bad_args(engine, metric):
+    with pytest.raises(ValueError):
+        engine.query_range_split(metric, "metric", 0, 10 * S, 10 * S, 0)
+    with pytest.raises(ValueError):
+        engine.query_range_split(metric, "metric", 10 * S, 0, 10 * S, S)
