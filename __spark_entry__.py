@@ -499,6 +499,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["corpus_prepare"] = _corpus_prepare
     q["events_latency_pctl"] = _events_latency_pctl
     q["ngram_contamination"] = _ngram_contamination
+    q["docs_bloom_contamination"] = _docs_bloom_contamination
     q["embedding_ann_trained"] = _embedding_ann_trained
     q["embedding_ann_probe"] = _embedding_ann_probe
     q["events_sessionize_bucketed"] = _events_sessionize_bucketed
@@ -627,11 +628,16 @@ _FAMILY_FIRST_ORDER = [
     # (single-green, heavily-represented family — q8/q18/q19 stay
     # in-window) yields its slot and joins the r7 swap-back queue.
     "promql_split_rate",
+    # seventh r6 amendment: docs_bloom_contamination (bloom-bitmap
+    # decontamination, map-side probe) debuts; docs_temperature_mix
+    # (single-green, sampling family keeps docs_difficulty(+by_lang) in
+    # window) yields its slot and joins the r7 swap-back queue.
+    "docs_bloom_contamination",
     # round-5 debuts awaiting a second green round
     "embedding_ann_probe", "events_sessionize_bucketed",
     "events_interval_join", "events_kmv_users",
     "docs_bpe_merges", "docs_bpe_tokens",
-    "docs_temperature_mix", "text_bigram_logprob",
+    "text_bigram_logprob",
     "dedup_incremental",
     "tpch_q8",
 ]
@@ -2429,6 +2435,23 @@ def _ngram_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ngram_contamination(docs, bench, window_n=13)
 
 
+def _docs_bloom_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter decontamination (pipeline.dedup.bloom_contamination):
+    the benchmark's 13-gram set folded into an 8 KiB bitmap, corpus grams
+    tested map-side against the dense literal — the probe side never
+    shuffles its grams, the build side ships m/8 bytes regardless of
+    benchmark size. Same planted benchmark as ngram_contamination; the
+    oracle replays the exact bitmap, so bloom false positives are part of
+    the checked answer."""
+    from metric_store_release_spark.pipeline.dedup import bloom_contamination
+
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    bench = docs.filter(F.col("doc_id") % _PLANT_EVERY == 0).withColumn(
+        "doc_id", F.col("doc_id") + F.lit(_PLANT_OFFSET)
+    )
+    return bloom_contamination(docs, bench, window_n=13)
+
+
 def _events_latency_pctl(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact interpolated percentiles per event type (`F.percentile` ==
     ANSI quantile_cont linear interpolation): single hash aggregation."""
@@ -4108,6 +4131,7 @@ FROM cum
     o["corpus_prepare"] = _prepare_corpus_oracle()
 
     o["ngram_contamination"] = _contamination_oracle()
+    o["docs_bloom_contamination"] = _bloom_contamination_oracle()
 
     o["embedding_ann_trained"] = _ann_trained_oracle()
     # probe-only serving path: same trained quantizer, same answer — the
@@ -5040,19 +5064,13 @@ SELECT query_id, vec_id, cos_sim, rank FROM (
     )
 
 
-def _contamination_oracle(window_n: int = 13, hot_cap: int = 1000) -> str:
-    """Corpus-vs-benchmark window-gram collisions, replaying the same
-    double polynomial hash as _substring_oracle for BOTH sides; benchmark
-    = id-shifted copies of every 25th doc (same plant as the entry)."""
-    from metric_store_release_spark.pipeline.dedup import SUBSTR_P1, SUBSTR_P2
-
-    p1, p2 = SUBSTR_P1, SUBSTR_P2
-    weights = ", ".join(
-        f"({e}, {pow(31, e, p1)}, {pow(31, e, p2)})" for e in range(window_n)
-    )
-
-    def grams_cte(src: str, tag: str) -> str:
-        return f"""
+def _contamination_grams_cte(
+    src: str, tag: str, window_n: int, p1: int, p2: int
+) -> str:
+    """Window-gram CTE replaying _window_gram_table's double polynomial
+    hash — shared by the exact (_contamination_oracle) and bloom
+    (_bloom_contamination_oracle) decontamination oracles."""
+    return f"""
 toks_{tag} AS (
   SELECT doc_id,
          list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS arr
@@ -5081,6 +5099,21 @@ grams_{tag} AS (
     GROUP BY w.doc_id, a.i)
 )"""
 
+
+def _contamination_oracle(window_n: int = 13, hot_cap: int = 1000) -> str:
+    """Corpus-vs-benchmark window-gram collisions, replaying the same
+    double polynomial hash as _substring_oracle for BOTH sides; benchmark
+    = id-shifted copies of every 25th doc (same plant as the entry)."""
+    from metric_store_release_spark.pipeline.dedup import SUBSTR_P1, SUBSTR_P2
+
+    p1, p2 = SUBSTR_P1, SUBSTR_P2
+    weights = ", ".join(
+        f"({e}, {pow(31, e, p1)}, {pow(31, e, p2)})" for e in range(window_n)
+    )
+
+    def grams_cte(src: str, tag: str) -> str:
+        return _contamination_grams_cte(src, tag, window_n, p1, p2)
+
     return f"""
 WITH bench_src AS (
   SELECT doc_id + {_PLANT_OFFSET} AS doc_id, text FROM documents
@@ -5093,6 +5126,60 @@ FROM grams_c c
 JOIN grams_b b ON c.h1 = b.h1 AND c.h2 = b.h2
 ANTI JOIN hot ON c.h1 = hot.h1 AND c.h2 = hot.h2
 GROUP BY 1, 2
+"""
+
+
+def _bloom_contamination_oracle(
+    window_n: int = 13,
+    m_bits: int = 65_536,
+    k: int = 4,
+    salt: str = "bloomdecon",
+) -> str:
+    """Replays bloom_contamination exactly: the same double-poly window
+    grams as _contamination_oracle, each benchmark gram folded to k md5
+    positions mod m (the bitmap as a distinct-position set — membership-
+    equivalent to the packed words), and a corpus gram counts as hit iff
+    ALL k of its positions are set. False positives reproduce identically
+    because every position hash is the shared portable md5 key."""
+    from metric_store_release_spark.pipeline.dedup import SUBSTR_P1, SUBSTR_P2
+
+    p1, p2 = SUBSTR_P1, SUBSTR_P2
+    weights = ", ".join(
+        f"({e}, {pow(31, e, p1)}, {pow(31, e, p2)})" for e in range(window_n)
+    )
+    grams = _contamination_grams_cte
+    pos = (
+        f"('0x' || substr(md5('{salt}' || CAST(t.r AS VARCHAR) || gram), 1, 8))"
+        f"::BIGINT % {m_bits}"
+    )
+    return f"""
+WITH bench_src AS (
+  SELECT doc_id + {_PLANT_OFFSET} AS doc_id, text FROM documents
+  WHERE doc_id % {_PLANT_EVERY} = 0
+),
+wt(e, w1, w2) AS (VALUES {weights}),{grams('documents', 'c', window_n, p1, p2)},{grams('bench_src', 'b', window_n, p1, p2)},
+bkeys AS (
+  SELECT DISTINCT CAST(h1 AS VARCHAR) || ':' || CAST(h2 AS VARCHAR) AS gram
+  FROM grams_b
+),
+bloom AS (
+  SELECT DISTINCT {pos} AS pos FROM bkeys, range(0, {k}) t(r)
+),
+ckeys AS (
+  SELECT DISTINCT doc_id,
+         CAST(h1 AS VARCHAR) || ':' || CAST(h2 AS VARCHAR) AS gram
+  FROM grams_c
+),
+cpos AS (
+  SELECT doc_id, gram, t.r, {pos} AS pos
+  FROM ckeys, range(0, {k}) t(r)
+),
+hitg AS (
+  SELECT doc_id, gram FROM cpos JOIN bloom USING (pos)
+  GROUP BY doc_id, gram HAVING COUNT(*) = {k}
+)
+SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS hit_windows
+FROM hitg GROUP BY doc_id
 """
 
 

@@ -72,6 +72,7 @@ def main() -> None:
         "docs_pack",
         "corpus_prepare",
         "ngram_contamination",
+        "docs_bloom_contamination",
         "embedding_ann_trained",
         # added driver round 4 (commits mislabeled "round-5" then)
         "dedup_simhash_pairs",

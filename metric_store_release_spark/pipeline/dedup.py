@@ -1204,3 +1204,60 @@ def remove_duplicate_spans(
         )
         .select(F.col("id").alias(id_col), "text", "n_spans", "n_removed")
     )
+
+
+def bloom_contamination(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    window_n: int = 13,
+    m_bits: int = 65_536,
+    k: int = 4,
+    salt: str = "bloomdecon",
+) -> DataFrame:
+    """Bloom-filter train/eval decontamination: the at-scale variant of
+    :func:`ngram_contamination`. The benchmark's window grams are folded
+    into a fixed-size bloom bitmap (sketches.bloom_bits, 8 KiB default);
+    the corpus side tests every gram against the dense bitmap embedded as
+    a literal — a pure map-side projection. Returns (``id_col``,
+    hit_windows) for corpus docs with >= 1 bloom-hit gram.
+
+    vs the exact join: ngram_contamination's equi-join keeps the corpus
+    map-side only while AQE can broadcast the benchmark gram table, which
+    grows with the benchmark (row count, not sketch size). Here the probe
+    side NEVER shuffles its grams and the build side ships m/8 bytes
+    regardless of benchmark size; the cost is a bounded false-positive
+    rate ((1-e^(-kn/m))^k — measurable, and acceptable for
+    decontamination where an FP merely drops a clean training doc). The
+    one shuffle left is the per-doc count of the (rare) surviving hits.
+
+    Every position hash is the repo's portable md5 key, so an external
+    oracle can replay the exact bitmap and the exact FP set.
+    """
+    from metric_store_release_spark.pipeline.sketches import (
+        bloom_bits,
+        bloom_dense_words,
+        bloom_member,
+    )
+
+    def gram_keys(df: DataFrame) -> DataFrame:
+        g = _window_gram_table(df, text_col, id_col, window_n)
+        return g.select(
+            id_col,
+            F.concat_ws(":", F.col("h1").cast("string"), F.col("h2").cast("string")).alias(
+                "gram"
+            ),
+        )
+
+    bench_grams = gram_keys(benchmark).select("gram").distinct()
+    words = bloom_dense_words(
+        bloom_bits(bench_grams, "gram", m_bits, k, salt), m_bits
+    )
+    hits = (
+        gram_keys(corpus)
+        .filter(bloom_member(F.col("gram"), words, m_bits, k, salt))
+        .groupBy(id_col)
+        .agg(F.count_distinct(F.col("gram")).alias("hit_windows"))
+    )
+    return hits

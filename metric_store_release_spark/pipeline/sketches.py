@@ -575,3 +575,101 @@ SELECT {gsel}CAST(COUNT(*) AS BIGINT) AS n_kept,
          AS est_distinct
 FROM kept {gby}
 """
+
+
+# --------------------------------------------------------------------- bloom
+def bloom_bits(
+    df: DataFrame,
+    key_col: str,
+    m_bits: int = 65_536,
+    k: int = 4,
+    salt: str = "bloom",
+) -> DataFrame:
+    """Bloom filter build (Bloom 1970): ``k`` md5-derived bit positions per
+    key in an ``m_bits`` space, packed 64 positions per word. Returns
+    (word, bits) with at most m_bits/64 rows — a fixed-size membership
+    summary, mergeable by ELEMENTWISE OR (bit_or is associative and
+    commutative, so map-side combine applies and cross-shard merge is a
+    (word) groupBy-bit_or, the same executed-plan mergeability shape as
+    :func:`kmv_sketch` and :func:`cms_counters`).
+
+    Position r of a key uses the repo's portable md5 sampling key with
+    salt ``f"{salt}{r}"`` — reproducible by any engine that can compute
+    md5. The k position hashes are PROJECTED TO COLUMNS before the
+    explode (SCALING.md #13: codegen CSE does not cross a Generate).
+
+    Positions pack 32 per word: the in-plan mask is pow(2, bit), which is
+    EXACT in a double for bit <= 31 (any power of two is), and
+    F.shiftleft only accepts a literal shift amount.
+
+    Sizing: with n distinct keys the false-positive rate is
+    (1 - e^(-k*n/m))^k; the 8 KiB default (m=65536, k=4) holds ~6k keys
+    at <1% FP and is meant to be swept per deployment.
+    """
+    proj = df.select(
+        *[
+            (hash_bucket(F.col(key_col), f"{salt}{r}") % m_bits).alias(f"__p{r}")
+            for r in range(k)
+        ]
+    )
+    return (
+        proj.select(
+            F.explode(
+                F.array(*[F.col(f"__p{r}") for r in range(k)])
+            ).alias("pos")
+        )
+        .select(
+            (F.col("pos") / 32).cast("long").alias("word"),
+            _bit_mask(F.col("pos") % 32).alias("m"),
+        )
+        .groupBy("word")
+        .agg(F.bit_or("m").alias("bits"))
+    )
+
+
+def _bit_mask(bit: "F.Column") -> "F.Column":
+    """2^bit as a long, for bit in [0, 32) — exact (powers of two are
+    exactly representable in doubles)."""
+    return F.pow(F.lit(2.0), bit.cast("double")).cast("long")
+
+
+def bloom_dense_words(bloom: DataFrame, m_bits: int) -> list[int]:
+    """Collect the (word, bits) bloom table into a dense word list of
+    length m_bits/32 (missing words are 0) — the driver-side artifact a
+    serving layer embeds as a literal/broadcast. The collect is bounded by
+    the FIXED sketch size (m_bits/32 rows — 2048 longs at the default
+    8 KiB), the same bounded-collect class as IVF centroids."""
+    n_words = (m_bits + 31) // 32
+    dense = [0] * n_words
+    for r in bloom.collect():
+        dense[r["word"]] = r["bits"]
+    return dense
+
+
+def bloom_member(
+    key: "F.Column", words: list[int], m_bits: int, k: int, salt: str = "bloom"
+) -> "F.Column":
+    """Map-side bloom membership test: true iff all ``k`` of the key's bit
+    positions are set in the dense ``words`` list (from
+    :func:`bloom_dense_words`).
+
+    The word list is embedded as ONE array literal via F.expr (the py4j
+    per-element-literal trap, SCALING.md #9), so the whole test is a pure
+    projection inside WholeStageCodegen — no join, no shuffle, nothing on
+    the probe side leaves the map task.
+    """
+    arr = F.expr(
+        "array(" + ",".join(f"{w}L" for w in words) + ")"
+    )
+    cond = F.lit(True)
+    for r in range(k):
+        pos = hash_bucket(key, f"{salt}{r}") % m_bits
+        word = (pos / 32).cast("long")
+        hit = (
+            F.element_at(arr, (word + 1).cast("int")).bitwiseAND(
+                _bit_mask(pos % 32)
+            )
+            != 0
+        )
+        cond = cond & hit
+    return cond
