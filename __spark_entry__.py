@@ -5131,16 +5131,18 @@ GROUP BY 1, 2
 
 def _bloom_contamination_oracle(
     window_n: int = 13,
-    m_bits: int = 65_536,
-    k: int = 4,
+    k: int = 8,
     salt: str = "bloomdecon",
 ) -> str:
     """Replays bloom_contamination exactly: the same double-poly window
-    grams as _contamination_oracle, each benchmark gram folded to k md5
-    positions mod m (the bitmap as a distinct-position set — membership-
-    equivalent to the packed words), and a corpus gram counts as hit iff
-    ALL k of its positions are set. False positives reproduce identically
-    because every position hash is the shared portable md5 key."""
+    grams as _contamination_oracle; the bitmap size from the shared
+    integer-exact rule (bloom_size_bits: GREATEST(65536, 2^len(bin(32n)))
+    == 1 << (32n).bit_length()); Kirsch–Mitzenmacher positions
+    (h1 + i*h2odd) % m from ONE md5 per gram (the bitmap as a distinct-
+    position set — membership-equivalent to the packed words); a corpus
+    gram hits iff ALL k of its positions are set. False positives
+    reproduce identically because every hash is the shared portable md5
+    key and the sizing is integer arithmetic in both engines."""
     from metric_store_release_spark.pipeline.dedup import SUBSTR_P1, SUBSTR_P2
 
     p1, p2 = SUBSTR_P1, SUBSTR_P2
@@ -5148,10 +5150,8 @@ def _bloom_contamination_oracle(
         f"({e}, {pow(31, e, p1)}, {pow(31, e, p2)})" for e in range(window_n)
     )
     grams = _contamination_grams_cte
-    pos = (
-        f"('0x' || substr(md5('{salt}' || CAST(t.r AS VARCHAR) || gram), 1, 8))"
-        f"::BIGINT % {m_bits}"
-    )
+    h1 = f"('0x' || substr(md5('{salt}' || gram), 1, 8))::BIGINT"
+    h2 = f"(('0x' || substr(md5('{salt}' || gram), 9, 8))::BIGINT * 2 + 1)"
     return f"""
 WITH bench_src AS (
   SELECT doc_id + {_PLANT_OFFSET} AS doc_id, text FROM documents
@@ -5162,8 +5162,14 @@ bkeys AS (
   SELECT DISTINCT CAST(h1 AS VARCHAR) || ':' || CAST(h2 AS VARCHAR) AS gram
   FROM grams_b
 ),
+msize AS (
+  SELECT GREATEST(65536,
+           CAST(POWER(2, LENGTH(BIN(32 * COUNT(*)))) AS BIGINT)) AS m
+  FROM bkeys
+),
 bloom AS (
-  SELECT DISTINCT {pos} AS pos FROM bkeys, range(0, {k}) t(r)
+  SELECT DISTINCT ({h1} + t.r * {h2}) % (SELECT m FROM msize) AS pos
+  FROM bkeys, range(0, {k}) t(r)
 ),
 ckeys AS (
   SELECT DISTINCT doc_id,
@@ -5171,7 +5177,8 @@ ckeys AS (
   FROM grams_c
 ),
 cpos AS (
-  SELECT doc_id, gram, t.r, {pos} AS pos
+  SELECT doc_id, gram, t.r,
+         ({h1} + t.r * {h2}) % (SELECT m FROM msize) AS pos
   FROM ckeys, range(0, {k}) t(r)
 ),
 hitg AS (

@@ -1212,33 +1212,41 @@ def bloom_contamination(
     text_col: str = "text",
     id_col: str = "doc_id",
     window_n: int = 13,
-    m_bits: int = 65_536,
-    k: int = 4,
+    m_bits: int | None = None,
+    k: int = 8,
     salt: str = "bloomdecon",
 ) -> DataFrame:
     """Bloom-filter train/eval decontamination: the at-scale variant of
     :func:`ngram_contamination`. The benchmark's window grams are folded
-    into a fixed-size bloom bitmap (sketches.bloom_bits, 8 KiB default);
-    the corpus side tests every gram against the dense bitmap embedded as
-    a literal — a pure map-side projection. Returns (``id_col``,
-    hit_windows) for corpus docs with >= 1 bloom-hit gram.
+    into a bloom bitmap (sketches.bloom_bits); the corpus side tests
+    every gram against the dense bitmap — a pure map-side projection
+    (the bitmap arrives as one broadcast row; the probe grams never
+    shuffle). Returns (``id_col``, hit_windows) for corpus docs with
+    >= 1 bloom-hit gram.
+
+    ``m_bits=None`` (default) auto-sizes the bitmap from the benchmark's
+    distinct-gram count at ~32 bits/gram (sketches.bloom_size_bits): a
+    FIXED size saturates the moment the benchmark outgrows it, and
+    because per-DOC false positives compound over the doc's grams, a
+    saturated bloom flags everything. 32 bits/gram + k=8 holds gram-FP
+    at ~6e-6 — per-doc false-flag <~1% at 1000 grams/doc. The sizing
+    count is one job over the SMALL side; the rule replays integer-exact
+    in SQL, so the oracle reproduces the bitmap (and the exact FP set)
+    without being told m.
 
     vs the exact join: ngram_contamination's equi-join keeps the corpus
-    map-side only while AQE can broadcast the benchmark gram table, which
-    grows with the benchmark (row count, not sketch size). Here the probe
-    side NEVER shuffles its grams and the build side ships m/8 bytes
-    regardless of benchmark size; the cost is a bounded false-positive
-    rate ((1-e^(-kn/m))^k — measurable, and acceptable for
-    decontamination where an FP merely drops a clean training doc). The
-    one shuffle left is the per-doc count of the (rare) surviving hits.
-
-    Every position hash is the repo's portable md5 key, so an external
-    oracle can replay the exact bitmap and the exact FP set.
+    map-side only while AQE can broadcast the benchmark gram table,
+    which carries ~32 BYTES/gram (row, not bit): at a 5M-gram eval suite
+    that's a ~160 MB broadcast or a corpus-wide shuffle, vs a 20 MB
+    bitmap here. The one shuffle left is the per-doc count of the (rare)
+    surviving hits.
     """
     from metric_store_release_spark.pipeline.sketches import (
+        _bloom_h1h2,
         bloom_bits,
-        bloom_dense_words,
-        bloom_member,
+        bloom_dense_array,
+        bloom_hit_cond,
+        bloom_size_bits,
     )
 
     def gram_keys(df: DataFrame) -> DataFrame:
@@ -1251,12 +1259,22 @@ def bloom_contamination(
         )
 
     bench_grams = gram_keys(benchmark).select("gram").distinct()
-    words = bloom_dense_words(
+    if m_bits is None:
+        m_bits = bloom_size_bits(bench_grams.count())
+    dense = bloom_dense_array(
         bloom_bits(bench_grams, "gram", m_bits, k, salt), m_bits
     )
+    h1, h2 = _bloom_h1h2(F.col("gram"), salt)
+    probe = gram_keys(corpus).select(
+        id_col, "gram", h1.alias("__h1"), h2.alias("__h2")
+    )
     hits = (
-        gram_keys(corpus)
-        .filter(bloom_member(F.col("gram"), words, m_bits, k, salt))
+        probe.join(F.broadcast(dense))  # 1-row build side: BNLJ, ~free
+        .filter(
+            bloom_hit_cond(
+                F.col("__h1"), F.col("__h2"), F.col("bloom_words"), m_bits, k
+            )
+        )
         .groupBy(id_col)
         .agg(F.count_distinct(F.col("gram")).alias("hit_windows"))
     )

@@ -578,44 +578,74 @@ FROM kept {gby}
 
 
 # --------------------------------------------------------------------- bloom
+#: words above this, bloom_contamination ships the bitmap through a 1-row
+#: broadcast instead of an inline array literal (a multi-MB literal bloats
+#: every copy of the expression tree; a broadcast row exists once)
+BLOOM_LITERAL_WORDS_MAX = 8192
+
+
+def _bloom_h1h2(key: "F.Column", salt: str) -> tuple["F.Column", "F.Column"]:
+    """Kirsch–Mitzenmacher double-hash base pair from ONE md5: h1 = first
+    32 bits, h2 = next 32 bits forced odd (h2=0 would collapse all k
+    positions onto h1). Position i is (h1 + i*h2) mod m — k positions for
+    one hash computation, preserving the bloom FP asymptotics (Kirsch &
+    Mitzenmacher 2006, "Less Hashing, Same Performance")."""
+    from metric_store_release_spark.pipeline.text import hex_word
+
+    md = F.md5(F.concat(F.lit(salt), key.cast("string")))
+    return hex_word(md, 1), hex_word(md, 9) * 2 + 1
+
+
+def _bit_mask(bit: "F.Column") -> "F.Column":
+    """2^bit as a long, for bit in [0, 32) — exact (powers of two are
+    exactly representable in doubles; F.shiftleft only takes a literal
+    shift amount)."""
+    return F.pow(F.lit(2.0), bit.cast("double")).cast("long")
+
+
+def bloom_size_bits(n_keys: int, min_bits: int = 65_536) -> int:
+    """Bitmap sizing rule shared with the SQL oracles: the smallest power
+    of two > 32*n (>= ~32 bits/key — with k=8 probes a gram-level FP of
+    ~6e-6, small enough that a 1000-gram document's per-DOC false-flag
+    probability stays under ~1%; per-doc FP compounds linearly in gram
+    count, which is why the naive ~10 bits/key sizing is wrong for
+    decontamination). Integer-exact replay in DuckDB:
+    GREATEST(min, CAST(POWER(2, LENGTH(BIN(32*n))) AS BIGINT)) — for
+    v >= 1, 1 << v.bit_length() == 2^len(bin(v))."""
+    return max(min_bits, 1 << (32 * max(n_keys, 1)).bit_length())
+
+
 def bloom_bits(
     df: DataFrame,
     key_col: str,
     m_bits: int = 65_536,
-    k: int = 4,
+    k: int = 8,
     salt: str = "bloom",
 ) -> DataFrame:
-    """Bloom filter build (Bloom 1970): ``k`` md5-derived bit positions per
-    key in an ``m_bits`` space, packed 64 positions per word. Returns
-    (word, bits) with at most m_bits/64 rows — a fixed-size membership
-    summary, mergeable by ELEMENTWISE OR (bit_or is associative and
-    commutative, so map-side combine applies and cross-shard merge is a
-    (word) groupBy-bit_or, the same executed-plan mergeability shape as
-    :func:`kmv_sketch` and :func:`cms_counters`).
+    """Bloom filter build (Bloom 1970): ``k`` double-hash-derived bit
+    positions per key in an ``m_bits`` space, packed 32 positions per
+    word. Returns (word, bits) with at most m_bits/32 rows — a fixed-size
+    membership summary, mergeable by ELEMENTWISE OR (bit_or is
+    associative and commutative, so map-side combine applies and
+    cross-shard merge is a (word) groupBy-bit_or, the same executed-plan
+    mergeability shape as :func:`kmv_sketch` and :func:`cms_counters`).
 
-    Position r of a key uses the repo's portable md5 sampling key with
-    salt ``f"{salt}{r}"`` — reproducible by any engine that can compute
-    md5. The k position hashes are PROJECTED TO COLUMNS before the
-    explode (SCALING.md #13: codegen CSE does not cross a Generate).
-
-    Positions pack 32 per word: the in-plan mask is pow(2, bit), which is
-    EXACT in a double for bit <= 31 (any power of two is), and
-    F.shiftleft only accepts a literal shift amount.
-
-    Sizing: with n distinct keys the false-positive rate is
-    (1 - e^(-k*n/m))^k; the 8 KiB default (m=65536, k=4) holds ~6k keys
-    at <1% FP and is meant to be swept per deployment.
+    One md5 per key, k positions (Kirsch–Mitzenmacher; see _bloom_h1h2),
+    projected to columns BEFORE the explode (SCALING.md #13: codegen CSE
+    does not cross a Generate). Every hash is the portable md5 key —
+    reproducible by any engine that can compute md5.
     """
-    proj = df.select(
-        *[
-            (hash_bucket(F.col(key_col), f"{salt}{r}") % m_bits).alias(f"__p{r}")
-            for r in range(k)
-        ]
-    )
+    h1, h2 = _bloom_h1h2(F.col(key_col), salt)
+    proj = df.select(h1.alias("__h1"), h2.alias("__h2"))
     return (
         proj.select(
             F.explode(
-                F.array(*[F.col(f"__p{r}") for r in range(k)])
+                F.array(
+                    *[
+                        (F.col("__h1") + i * F.col("__h2")) % m_bits
+                        for i in range(k)
+                    ]
+                )
             ).alias("pos")
         )
         .select(
@@ -627,18 +657,29 @@ def bloom_bits(
     )
 
 
-def _bit_mask(bit: "F.Column") -> "F.Column":
-    """2^bit as a long, for bit in [0, 32) — exact (powers of two are
-    exactly representable in doubles)."""
-    return F.pow(F.lit(2.0), bit.cast("double")).cast("long")
+def bloom_dense_array(bloom: DataFrame, m_bits: int) -> DataFrame:
+    """The (word, bits) bloom table as ONE row holding the dense word
+    array (missing words 0) — the broadcastable serving artifact, built
+    distributed (no driver collect)."""
+    n_words = (m_bits + 31) // 32
+    return bloom.agg(
+        F.map_from_arrays(
+            F.collect_list("word"), F.collect_list("bits")
+        ).alias("__wmap")
+    ).select(
+        F.expr(
+            f"transform(sequence(0, {n_words - 1}), "
+            f"w -> coalesce(__wmap[CAST(w AS BIGINT)], CAST(0 AS BIGINT)))"
+        ).alias("bloom_words")
+    )
 
 
 def bloom_dense_words(bloom: DataFrame, m_bits: int) -> list[int]:
-    """Collect the (word, bits) bloom table into a dense word list of
-    length m_bits/32 (missing words are 0) — the driver-side artifact a
-    serving layer embeds as a literal/broadcast. The collect is bounded by
-    the FIXED sketch size (m_bits/32 rows — 2048 longs at the default
-    8 KiB), the same bounded-collect class as IVF centroids."""
+    """Collect the (word, bits) bloom table into a dense word list —
+    driver-side variant of :func:`bloom_dense_array` for literal
+    embedding. Bounded by the FIXED sketch size (m_bits/32 rows), the
+    same bounded-collect class as IVF centroids; keep it for bitmaps
+    under BLOOM_LITERAL_WORDS_MAX words."""
     n_words = (m_bits + 31) // 32
     dense = [0] * n_words
     for r in bloom.collect():
@@ -646,24 +687,20 @@ def bloom_dense_words(bloom: DataFrame, m_bits: int) -> list[int]:
     return dense
 
 
-def bloom_member(
-    key: "F.Column", words: list[int], m_bits: int, k: int, salt: str = "bloom"
+def bloom_hit_cond(
+    h1: "F.Column",
+    h2: "F.Column",
+    arr: "F.Column",
+    m_bits: int,
+    k: int,
 ) -> "F.Column":
-    """Map-side bloom membership test: true iff all ``k`` of the key's bit
-    positions are set in the dense ``words`` list (from
-    :func:`bloom_dense_words`).
-
-    The word list is embedded as ONE array literal via F.expr (the py4j
-    per-element-literal trap, SCALING.md #9), so the whole test is a pure
-    projection inside WholeStageCodegen — no join, no shuffle, nothing on
-    the probe side leaves the map task.
-    """
-    arr = F.expr(
-        "array(" + ",".join(f"{w}L" for w in words) + ")"
-    )
+    """Membership condition given the projected double-hash pair and a
+    dense word-array column: true iff all k positions are set. A pure
+    projection — no join, no shuffle; with (h1, h2) projected to real
+    columns the md5 is computed once per row (codegen CSE)."""
     cond = F.lit(True)
-    for r in range(k):
-        pos = hash_bucket(key, f"{salt}{r}") % m_bits
+    for i in range(k):
+        pos = (h1 + i * h2) % m_bits
         word = (pos / 32).cast("long")
         hit = (
             F.element_at(arr, (word + 1).cast("int")).bitwiseAND(
@@ -673,3 +710,20 @@ def bloom_member(
         )
         cond = cond & hit
     return cond
+
+
+def bloom_member(
+    key: "F.Column",
+    words: list[int],
+    m_bits: int,
+    k: int = 8,
+    salt: str = "bloom",
+) -> "F.Column":
+    """Map-side bloom membership test against a LITERAL dense word list
+    (from :func:`bloom_dense_words`), embedded as ONE array literal via
+    F.expr (the py4j per-element-literal trap, SCALING.md #9). For
+    bitmaps above BLOOM_LITERAL_WORDS_MAX words, broadcast
+    :func:`bloom_dense_array` and use :func:`bloom_hit_cond` instead."""
+    arr = F.expr("array(" + ",".join(f"{w}L" for w in words) + ")")
+    h1, h2 = _bloom_h1h2(key, salt)
+    return bloom_hit_cond(h1, h2, arr, m_bits, k)

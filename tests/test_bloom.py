@@ -83,7 +83,7 @@ def test_bloom_contamination_superset_of_exact(spark):
     assert hits[1] >= 1 and hits[3] >= 1
 
 
-def test_bloom_probe_plan_is_join_free(spark):
+def test_bloom_probe_plan_shape(spark):
     from metric_store_release_spark.pipeline.dedup import bloom_contamination
 
     docs = spark.createDataFrame(
@@ -97,5 +97,18 @@ def test_bloom_probe_plan_is_join_free(spark):
         .executedPlan()
         .toString()
     )
-    # the bitmap is a literal: the probe is filter+agg, no join anywhere
-    assert "Join" not in plan
+    # the only join is the 1-row bitmap broadcast; the benchmark GRAM
+    # table itself is never a join side and the probe grams never shuffle
+    assert plan.count("BroadcastNestedLoopJoin") == 1
+    assert "SortMergeJoin" not in plan and "BroadcastHashJoin" not in plan
+
+
+def test_bloom_autosize_grows_with_benchmark():
+    from metric_store_release_spark.pipeline.sketches import bloom_size_bits
+
+    assert bloom_size_bits(10) == 65_536          # floor
+    assert bloom_size_bits(10_000) == 1 << 19      # 320k → 2^19
+    assert bloom_size_bits(5_000_000) == 1 << 28   # 160M → 2^28
+    # the SQL replay identity: 1 << v.bit_length() == 2^len(bin(v))
+    for v in (1, 2, 3, 31, 32, 33, 2**20 - 1, 2**20):
+        assert 1 << v.bit_length() == 2 ** len(bin(v)[2:])
