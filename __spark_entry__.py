@@ -138,6 +138,36 @@ def _promql(
     return run
 
 
+#: per-sf_dir chunk-cache roots for promql_split_cached (session-lifetime,
+#: like _BPE_MERGES: the cache is the artifact under test — fill on first
+#: call, reuse after)
+_SPLIT_CACHE_DIRS: dict[str, str] = {}
+
+
+def _promql_split_cached(
+    q: str, split_ms: int
+) -> Callable[[SparkSession, str], DataFrame]:
+    """Split evaluation through the per-chunk RESULT CACHE
+    (engine.query_range_split_cached): absolute-aligned chunk boundaries,
+    full chunks persisted as parquet and reused across queries. Must be
+    bit-identical to the unsplit evaluation, so it shares the unsplit
+    query's oracle."""
+
+    def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+        import tempfile
+
+        root = _SPLIT_CACHE_DIRS.setdefault(
+            sf_dir, tempfile.mkdtemp(prefix="msrs-splitcache-")
+        )
+        eng = _engine(spark)
+        out = eng.query_range_split_cached(
+            _samples(spark, sf_dir), q, START, END, STEP, split_ms, root
+        )
+        return out.select("t", F.round(F.col("value"), 6).alias("value"))
+
+    return run
+
+
 def _promql_split(
     q: str,
     split_ms: int,
@@ -317,6 +347,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # independent time-sliced subplans); shares promql_rate's oracle —
     # split evaluation must be bit-identical
     q["promql_split_rate"] = _promql_split(
+        'rate(click{user="3"}[1d])', split_ms=7 * 86_400_000
+    )
+    # the same again through the per-chunk result cache (absolute-aligned
+    # boundaries, full chunks persisted + reused)
+    q["promql_split_cached"] = _promql_split_cached(
         'rate(click{user="3"}[1d])', split_ms=7 * 86_400_000
     )
     q["promql_increase"] = _promql('increase(click{user="3"}[1d])')
@@ -633,13 +668,17 @@ _FAMILY_FIRST_ORDER = [
     # (single-green, sampling family keeps docs_difficulty(+by_lang) in
     # window) yields its slot and joins the r7 swap-back queue.
     "docs_bloom_contamination",
+    # eighth r6 amendment: promql_split_cached (per-chunk result cache
+    # over split evaluation) debuts; tpch_q8 (single-green, q18/q19 keep
+    # the family covered) yields its slot and joins the r7 swap-back
+    # queue.
+    "promql_split_cached",
     # round-5 debuts awaiting a second green round
     "embedding_ann_probe", "events_sessionize_bucketed",
     "events_interval_join", "events_kmv_users",
     "docs_bpe_merges", "docs_bpe_tokens",
     "text_bigram_logprob",
     "dedup_incremental",
-    "tpch_q8",
 ]
 
 
@@ -2841,8 +2880,10 @@ GROUP BY s.t, p.usr
         + _extrap_value(counter=True, per_second=True)
     )
     # split-by-interval sharding is an execution strategy, not a different
-    # query: the oracle is promql_rate's verbatim
+    # query: the oracle is promql_rate's verbatim (likewise the cached
+    # variant — the chunk cache must be invisible in the answer)
     o["promql_split_rate"] = o["promql_rate"]
+    o["promql_split_cached"] = o["promql_rate"]
     o["promql_increase"] = (
         f"WITH {_SAMPLES_CTE}, {_flagged_cte(rate_where)}, {_EXTRAP_AGG}"
         + _extrap_value(counter=True, per_second=False)

@@ -53,6 +53,7 @@ def main() -> None:
         "promql_sum_by_user_federated",
         "promql_rate",
         "promql_split_rate",
+        "promql_split_cached",
         "promql_topk",
         "promql_binop_add",
         "promql_histogram_quantile",

@@ -244,26 +244,11 @@ class PromQLEngine:
         disabled for such queries (the split itself remains valid because
         `query_bounds` pins start()/end() to the parent query).
         """
-        from metric_store_release_spark.engine.admission import _selector_scans
-        from metric_store_release_spark.promql.ast import walk as _walk
-
         if split_ms <= 0:
             raise ValueError("split_ms must be positive")
         if end_ms < start_ms or step_ms <= 0:
             raise ValueError("bad query range")
-        node = parse(promql)
-        back_ms, fwd_ms, prune = 0, 0, prune_source
-        for sel, window_ms, extra in _selector_scans(
-            node, self.config.lookback_ms
-        ):
-            back_ms = max(back_ms, window_ms + extra + max(sel.offset_ms, 0))
-            fwd_ms = max(fwd_ms, max(-sel.offset_ms, 0))
-        if any(
-            getattr(n, "at_ms", None) is not None
-            or getattr(n, "at_preprocessor", None)
-            for n in _walk(node)
-        ):
-            prune = False
+        back_ms, fwd_ms, prune, _ = self._scan_bounds(promql, prune_source)
 
         n_steps = (end_ms - start_ms) // step_ms + 1
         steps_per_chunk = max(1, split_ms // step_ms)
@@ -282,6 +267,126 @@ class PromQLEngine:
                     query_bounds=(start_ms, end_ms),
                 )
             )
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        out._msrs_promql = promql
+        return out
+
+    def _scan_bounds(
+        self, promql: str, prune_source: bool = True
+    ) -> tuple[int, int, bool, bool]:
+        """Static AST analysis for split evaluation: (max scan-back ms,
+        max scan-forward ms, source pruning allowed, uses @ start()/end()).
+        Pruning is disallowed when any selector is @-anchored (it reads a
+        fixed time outside its chunk's slice)."""
+        from metric_store_release_spark.engine.admission import _selector_scans
+        from metric_store_release_spark.promql.ast import walk as _walk
+
+        node = parse(promql)
+        back_ms, fwd_ms, prune = 0, 0, prune_source
+        for sel, window_ms, extra in _selector_scans(
+            node, self.config.lookback_ms
+        ):
+            back_ms = max(back_ms, window_ms + extra + max(sel.offset_ms, 0))
+            fwd_ms = max(fwd_ms, max(-sel.offset_ms, 0))
+        has_at_pre = any(
+            getattr(n, "at_preprocessor", None) for n in _walk(node)
+        )
+        if has_at_pre or any(
+            getattr(n, "at_ms", None) is not None for n in _walk(node)
+        ):
+            prune = False
+        return back_ms, fwd_ms, prune, has_at_pre
+
+    def query_range_split_cached(
+        self,
+        samples: DataFrame,
+        promql: str,
+        start_ms: int,
+        end_ms: int,
+        step_ms: int,
+        split_ms: int,
+        cache_dir: str,
+        prune_source: bool = True,
+    ) -> DataFrame:
+        """Split evaluation with a per-chunk RESULT CACHE — the second half
+        of the query-frontend shape (Cortex results cache): chunk
+        boundaries are aligned to ABSOLUTE multiples of ``split_ms`` (not
+        to the query's start), so a dashboard re-issuing the same query
+        over a sliding window reuses every previously-computed full chunk
+        and only evaluates the new tail.
+
+        A chunk is cached only when the query covers it completely
+        (partial head/tail chunks are evaluated fresh, uncached — they
+        would poison reuse). Cache key: (promql, step, grid phase, chunk
+        bounds, lookback, subquery step — plus the query bounds when the
+        promql uses @ start()/end(), whose results legitimately depend on
+        them). Each cached chunk is one parquet directory under
+        ``cache_dir``; fills happen eagerly at plan-build time and the
+        returned frame READS the cache, so repeated queries scan a few
+        small result files instead of the raw store.
+
+        ``cache_dir`` is scoped to ONE logical samples source — callers
+        own invalidation (drop the directory when the store mutates), the
+        same contract as the reference's query windows being immutable
+        once their shard closes (shard analog: sources/storage.py).
+        """
+        import hashlib
+        import os
+
+        if split_ms <= 0:
+            raise ValueError("split_ms must be positive")
+        if end_ms < start_ms or step_ms <= 0:
+            raise ValueError("bad query range")
+        back_ms, fwd_ms, prune, has_at_pre = self._scan_bounds(
+            promql, prune_source
+        )
+        phase = start_ms % step_ms
+
+        def grid_in(chunk: int) -> tuple[int, int]:
+            """First/last step-grid points inside absolute chunk."""
+            lo, hi = chunk * split_ms, (chunk + 1) * split_ms - 1
+            g0 = lo + (phase - lo) % step_ms
+            g1 = hi - (hi - phase) % step_ms
+            return g0, g1
+
+        def eval_chunk(cs: int, ce: int) -> DataFrame:
+            src = samples
+            if prune:
+                src = samples.filter(
+                    F.col("ts").between(cs - back_ms, ce + fwd_ms)
+                )
+            return self.query_range(
+                src, promql, cs, ce, step_ms, query_bounds=(start_ms, end_ms)
+            )
+
+        parts: list[DataFrame] = []
+        c0, c1 = start_ms // split_ms, end_ms // split_ms
+        for c in range(c0, c1 + 1):
+            g0, g1 = grid_in(c)
+            cs, ce = max(g0, start_ms), min(g1, end_ms)
+            if cs > ce:
+                continue  # no grid point of this query in the chunk
+            full = cs == g0 and ce == g1
+            if not full:
+                parts.append(eval_chunk(cs, ce))
+                continue
+            key_src = "|".join(
+                str(x)
+                for x in (
+                    promql, step_ms, phase, cs, ce,
+                    self.config.lookback_ms,
+                    self.config.default_subquery_step_ms,
+                )
+                + ((start_ms, end_ms) if has_at_pre else ())
+            )
+            path = os.path.join(
+                cache_dir, hashlib.md5(key_src.encode()).hexdigest()
+            )
+            if not os.path.isdir(path):
+                eval_chunk(cs, ce).write.mode("overwrite").parquet(path)
+            parts.append(self.spark.read.parquet(path))
         out = parts[0]
         for p in parts[1:]:
             out = out.unionByName(p)

@@ -124,3 +124,101 @@ def test_split_rejects_bad_args(engine, metric):
         engine.query_range_split(metric, "metric", 0, 10 * S, 10 * S, 0)
     with pytest.raises(ValueError):
         engine.query_range_split(metric, "metric", 10 * S, 0, 10 * S, S)
+
+
+# ---------------------------------------------------------------- chunk cache
+def _cache_dirs(root):
+    import os
+
+    return sorted(
+        d for d in os.listdir(root) if os.path.isdir(os.path.join(root, d))
+    )
+
+
+def test_cached_matches_unsplit(engine, metric, tmp_path):
+    expr = "rate(http_requests[50s])"
+    want = rows_to_dict(
+        engine.query_range(metric, expr, 0, 600 * S, 10 * S), ["instance"]
+    )
+    got = rows_to_dict(
+        engine.query_range_split_cached(
+            metric, expr, 0, 600 * S, 10 * S, 200 * S, str(tmp_path)
+        ),
+        ["instance"],
+    )
+    assert got == pytest.approx(want)
+
+
+def test_sliding_window_reuses_full_chunks(engine, metric, tmp_path):
+    import os
+
+    expr = "sum(metric)"
+    root = str(tmp_path)
+    # q1 covers absolute chunks 0..2 fully ([0, 600) at 200 s splits) plus
+    # the single grid point t=600 in chunk 3 (partial -> uncached)
+    engine.query_range_split_cached(
+        metric, expr, 0, 600 * S, 10 * S, 200 * S, root
+    ).collect()
+    first = {
+        d: os.path.getmtime(os.path.join(root, d)) for d in _cache_dirs(root)
+    }
+    assert len(first) == 3
+    # q2 slides forward: chunks 1..3 full, chunk 4 partial. Chunks 1-2 must
+    # be REUSED (same mtime), chunk 3 newly cached.
+    got = rows_to_dict(
+        engine.query_range_split_cached(
+            metric, expr, 200 * S, 810 * S, 10 * S, 200 * S, root
+        ),
+        [],
+    )
+    second = {
+        d: os.path.getmtime(os.path.join(root, d)) for d in _cache_dirs(root)
+    }
+    assert len(second) == 4
+    for d, mt in first.items():
+        assert second[d] == mt, "cached chunk was rewritten"
+    want = rows_to_dict(
+        engine.query_range(metric, expr, 200 * S, 810 * S, 10 * S), []
+    )
+    assert got == pytest.approx(want)
+
+
+def test_cached_at_end_keyed_by_query_bounds(engine, metric, tmp_path):
+    # @ end() results depend on the query's end: the two queries must NOT
+    # share cache entries, and each must match its own direct evaluation
+    expr = "sum(http_requests @ end())"
+    root = str(tmp_path)
+    for start, end in ((0, 600 * S), (0, 400 * S)):
+        got = rows_to_dict(
+            engine.query_range_split_cached(
+                metric, expr, start, end, 10 * S, 200 * S, root
+            ),
+            [],
+        )
+        want = rows_to_dict(
+            engine.query_range(metric, expr, start, end, 10 * S), []
+        )
+        assert got == pytest.approx(want), (start, end)
+
+
+def test_misaligned_grid_not_poisoned(engine, metric, tmp_path):
+    # same chunk, different step-grid phase -> distinct cache keys
+    expr = "sum(metric)"
+    root = str(tmp_path)
+    a = rows_to_dict(
+        engine.query_range_split_cached(
+            metric, expr, 0, 400 * S, 10 * S, 200 * S, root
+        ),
+        [],
+    )
+    b = rows_to_dict(
+        engine.query_range_split_cached(
+            metric, expr, 5 * S, 405 * S, 10 * S, 200 * S, root
+        ),
+        [],
+    )
+    assert set(a) != set(b)
+    want_b = rows_to_dict(
+        engine.query_range(metric, expr, 5 * S, 405 * S, 10 * S), []
+    )
+    assert b == pytest.approx(want_b)
