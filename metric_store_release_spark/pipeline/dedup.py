@@ -1279,3 +1279,92 @@ def bloom_contamination(
         .agg(F.count_distinct(F.col("gram")).alias("hit_windows"))
     )
     return hits
+
+
+def bloom_flag_docs(
+    df: DataFrame,
+    words: list[int],
+    m_bits: int,
+    k: int = 8,
+    text_col: str = "text",
+    window_n: int = 13,
+    salt: str = "bloomdecon",
+    flag_col: str = "contaminated",
+) -> DataFrame:
+    """Per-document bloom contamination flag WITHOUT exploding grams:
+    all original columns plus a boolean ``flag_col`` = does any of the
+    doc's ``window_n``-grams hit the bloom (from
+    sketches.bloom_dense_words — same bitmap contract as
+    :func:`bloom_contamination`, which counts hits instead).
+
+    A single stateless projection chain — no explode, no join, no
+    aggregation — so it runs unchanged inside a STREAMING query (no
+    state store, no watermark; see streaming.decon_stream). Each hash
+    layer is materialized in its own select stage: interpreted HOF
+    lambdas have no cross-expression CSE (the simhash lesson,
+    _window_gram_table), so wh1/wh2 reading one digest array — and the
+    k bit-tests reading one (h1, h2) struct array — must each sit
+    behind a projection boundary or the md5s re-evaluate per reference.
+    """
+    from metric_store_release_spark.pipeline.sketches import (
+        _bit_mask,
+    )
+
+    arr = F.expr("array(" + ",".join(f"{w}L" for w in words) + ")")
+    toks = tokens(F.col(text_col))
+    s1 = df.select(
+        "*", F.transform(toks, lambda w: F.md5(w)).alias("__m")
+    )
+    s2 = s1.select(
+        "*",
+        F.transform(F.col("__m"), lambda m: hex_word(m, 1)).alias("__wh1"),
+        F.transform(F.col("__m"), lambda m: hex_word(m, 9)).alias("__wh2"),
+    ).drop("__m")
+    s3 = s2.select(
+        "*",
+        F.array_distinct(
+            F.arrays_zip(
+                _window_poly_hashes(F.col("__wh1"), window_n, SUBSTR_P1).alias(
+                    "h1"
+                ),
+                _window_poly_hashes(F.col("__wh2"), window_n, SUBSTR_P2).alias(
+                    "h2"
+                ),
+            )
+        ).alias("__g"),
+    ).drop("__wh1", "__wh2")
+    gram_md5 = lambda x: F.md5(  # noqa: E731
+        F.concat(
+            F.lit(salt),
+            F.concat_ws(
+                ":", x["h1"].cast("string"), x["h2"].cast("string")
+            ),
+        )
+    )
+    s4 = s3.select(
+        "*",
+        F.transform(
+            F.col("__g"),
+            lambda x: F.struct(
+                hex_word(gram_md5(x), 1).alias("h1x"),
+                (hex_word(gram_md5(x), 9) * 2 + 1).alias("h2x"),
+            ),
+        ).alias("__hs"),
+    ).drop("__g")
+
+    def _all_bits(h) -> "F.Column":
+        cond = F.lit(True)
+        for i in range(k):
+            pos = (h["h1x"] + i * h["h2x"]) % m_bits
+            word = (pos / 32).cast("long")
+            cond = cond & (
+                F.element_at(arr, (word + 1).cast("int")).bitwiseAND(
+                    _bit_mask(pos % 32)
+                )
+                != 0
+            )
+        return cond
+
+    return s4.select(
+        "*", F.exists(F.col("__hs"), _all_bits).alias(flag_col)
+    ).drop("__hs")
