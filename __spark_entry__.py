@@ -5204,9 +5204,12 @@ bkeys AS (
   FROM grams_b
 ),
 msize AS (
+  -- sizing n = distinct 64-bit (h1, h2) PAIRS, matching the Spark side's
+  -- one-pass pair table (a pair collision between distinct gram strings
+  -- must shrink n identically in both engines)
   SELECT GREATEST(65536,
            CAST(POWER(2, LENGTH(BIN(32 * COUNT(*)))) AS BIGINT)) AS m
-  FROM bkeys
+  FROM (SELECT DISTINCT {h1} AS a, {h2} AS b FROM bkeys)
 ),
 bloom AS (
   SELECT DISTINCT ({h1} + t.r * {h2}) % (SELECT m FROM msize) AS pos
