@@ -5170,20 +5170,17 @@ GROUP BY 1, 2
 """
 
 
-def _bloom_contamination_oracle(
-    window_n: int = 13,
-    k: int = 8,
-    salt: str = "bloomdecon",
-) -> str:
+def _bloom_contamination_oracle(window_n: int = 13, k: int = 8) -> str:
     """Replays bloom_contamination exactly: the same double-poly window
     grams as _contamination_oracle; the bitmap size from the shared
     integer-exact rule (bloom_size_bits: GREATEST(65536, 2^len(bin(32n)))
-    == 1 << (32n).bit_length()); Kirsch–Mitzenmacher positions
-    (h1 + i*h2odd) % m from ONE md5 per gram (the bitmap as a distinct-
-    position set — membership-equivalent to the packed words); a corpus
-    gram hits iff ALL k of its positions are set. False positives
-    reproduce identically because every hash is the shared portable md5
-    key and the sizing is integer arithmetic in both engines."""
+    == 1 << (32n).bit_length()), n = distinct (h1, h2) pairs;
+    Kirsch–Mitzenmacher positions (h1 + i*(2*h2+1)) % m straight off the
+    gram table's own poly-hash pair — no additional hashing anywhere, so
+    the position math is plain integer arithmetic in both engines (the
+    bitmap as a distinct-position set — membership-equivalent to the
+    packed words). A corpus gram hits iff ALL k of its positions are
+    set; false positives reproduce identically."""
     from metric_store_release_spark.pipeline.dedup import SUBSTR_P1, SUBSTR_P2
 
     p1, p2 = SUBSTR_P1, SUBSTR_P2
@@ -5191,8 +5188,6 @@ def _bloom_contamination_oracle(
         f"({e}, {pow(31, e, p1)}, {pow(31, e, p2)})" for e in range(window_n)
     )
     grams = _contamination_grams_cte
-    h1 = f"('0x' || substr(md5('{salt}' || gram), 1, 8))::BIGINT"
-    h2 = f"(('0x' || substr(md5('{salt}' || gram), 9, 8))::BIGINT * 2 + 1)"
     return f"""
 WITH bench_src AS (
   SELECT doc_id + {_PLANT_OFFSET} AS doc_id, text FROM documents
@@ -5200,34 +5195,28 @@ WITH bench_src AS (
 ),
 wt(e, w1, w2) AS (VALUES {weights}),{grams('documents', 'c', window_n, p1, p2)},{grams('bench_src', 'b', window_n, p1, p2)},
 bkeys AS (
-  SELECT DISTINCT CAST(h1 AS VARCHAR) || ':' || CAST(h2 AS VARCHAR) AS gram
-  FROM grams_b
+  SELECT DISTINCT h1, h2 * 2 + 1 AS h2o FROM grams_b
 ),
 msize AS (
-  -- sizing n = distinct 64-bit (h1, h2) PAIRS, matching the Spark side's
-  -- one-pass pair table (a pair collision between distinct gram strings
-  -- must shrink n identically in both engines)
   SELECT GREATEST(65536,
            CAST(POWER(2, LENGTH(BIN(32 * COUNT(*)))) AS BIGINT)) AS m
-  FROM (SELECT DISTINCT {h1} AS a, {h2} AS b FROM bkeys)
+  FROM bkeys
 ),
 bloom AS (
-  SELECT DISTINCT ({h1} + t.r * {h2}) % (SELECT m FROM msize) AS pos
+  SELECT DISTINCT (h1 + t.r * h2o) % (SELECT m FROM msize) AS pos
   FROM bkeys, range(0, {k}) t(r)
 ),
 ckeys AS (
-  SELECT DISTINCT doc_id,
-         CAST(h1 AS VARCHAR) || ':' || CAST(h2 AS VARCHAR) AS gram
-  FROM grams_c
+  SELECT DISTINCT doc_id, h1, h2 * 2 + 1 AS h2o FROM grams_c
 ),
 cpos AS (
-  SELECT doc_id, gram, t.r,
-         ({h1} + t.r * {h2}) % (SELECT m FROM msize) AS pos
+  SELECT doc_id, h1, h2o, t.r,
+         (h1 + t.r * h2o) % (SELECT m FROM msize) AS pos
   FROM ckeys, range(0, {k}) t(r)
 ),
 hitg AS (
-  SELECT doc_id, gram FROM cpos JOIN bloom USING (pos)
-  GROUP BY doc_id, gram HAVING COUNT(*) = {k}
+  SELECT doc_id, h1, h2o FROM cpos JOIN bloom USING (pos)
+  GROUP BY doc_id, h1, h2o HAVING COUNT(*) = {k}
 )
 SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS hit_windows
 FROM hitg GROUP BY doc_id

@@ -1214,15 +1214,16 @@ def bloom_contamination(
     window_n: int = 13,
     m_bits: int | None = None,
     k: int = 8,
-    salt: str = "bloomdecon",
 ) -> DataFrame:
     """Bloom-filter train/eval decontamination: the at-scale variant of
     :func:`ngram_contamination`. The benchmark's window grams are folded
-    into a bloom bitmap (sketches.bloom_bits); the corpus side tests
-    every gram against the dense bitmap — a pure map-side projection
-    (the bitmap arrives as one broadcast row; the probe grams never
-    shuffle). Returns (``id_col``, hit_windows) for corpus docs with
-    >= 1 bloom-hit gram.
+    into a bloom bitmap (sketches.bloom_bits_from_pair); the corpus side
+    tests every gram against the dense bitmap — a pure map-side
+    projection (the bitmap arrives as one broadcast row; the probe grams
+    never shuffle, and positions derive from the gram table's OWN
+    (h1, h2) poly-hash pair — zero extra hashing per probe gram).
+    Returns (``id_col``, hit_windows) for corpus docs with >= 1
+    bloom-hit gram.
 
     ``m_bits=None`` (default) auto-sizes the bitmap from the benchmark's
     distinct-gram count at ~32 bits/gram (sketches.bloom_size_bits): a
@@ -1242,33 +1243,35 @@ def bloom_contamination(
     surviving hits.
     """
     from metric_store_release_spark.pipeline.sketches import (
-        _bloom_h1h2,
         bloom_bits_from_pair,
         bloom_dense_array,
         bloom_hit_cond,
         bloom_size_bits,
     )
 
-    def gram_keys(df: DataFrame) -> DataFrame:
+    # The window grams already ARE a 2x31-bit hash pair (h1, h2 — two
+    # independent poly-hash chains): use them DIRECTLY as the
+    # Kirsch–Mitzenmacher base (h2 forced odd), so the probe side computes
+    # ZERO additional hashes per gram. The first version re-md5'd every
+    # corpus gram string for its positions — the one per-gram cost the
+    # exact join never pays, and exactly the bloom's measured premium over
+    # it (6.2 vs 3.7 s at sf1 before; the probe's bit tests are pure
+    # integer arithmetic on columns the gram table already carries).
+    def gram_pairs(df: DataFrame) -> DataFrame:
         g = _window_gram_table(df, text_col, id_col, window_n)
         return g.select(
             id_col,
-            F.concat_ws(":", F.col("h1").cast("string"), F.col("h2").cast("string")).alias(
-                "gram"
-            ),
+            F.col("h1").alias("__h1"),
+            (F.col("h2") * 2 + 1).alias("__h2"),
         )
 
-    h1, h2 = _bloom_h1h2(F.col("gram"), salt)
-    # ONE materialized pass over the benchmark side: the sizing count, the
-    # bitmap build, and the broadcast each consume this table — without the
-    # pin, the whole benchmark gram lineage re-executes three times
-    # (measured 9.5 s vs ~3 s at sf0.1). Distinctness (and the sizing n)
-    # is on the 64-bit (h1, h2) pair, a rule the oracle replays verbatim.
+    # ONE materialized pass over the benchmark side: the sizing count and
+    # the bitmap build both consume this table — without the pin, the
+    # whole benchmark gram lineage re-executes per consumer (measured
+    # 9.5 s vs ~3 s at sf0.1). Distinctness (and the sizing n) is on the
+    # (h1, h2) pair, a rule the oracle replays verbatim.
     base = (
-        gram_keys(benchmark)
-        .select(h1.alias("__h1"), h2.alias("__h2"))
-        .distinct()
-        .persist()
+        gram_pairs(benchmark).select("__h1", "__h2").distinct().persist()
     )
     try:
         n = base.count()
@@ -1281,9 +1284,7 @@ def bloom_contamination(
         )
     finally:
         base.unpersist()
-    probe = gram_keys(corpus).select(
-        id_col, "gram", h1.alias("__h1"), h2.alias("__h2")
-    )
+    probe = gram_pairs(corpus)
     hits = (
         probe.join(F.broadcast(dense))  # 1-row build side: BNLJ, ~free
         .filter(
@@ -1292,7 +1293,11 @@ def bloom_contamination(
             )
         )
         .groupBy(id_col)
-        .agg(F.count_distinct(F.col("gram")).alias("hit_windows"))
+        .agg(
+            F.count_distinct(F.col("__h1"), F.col("__h2")).alias(
+                "hit_windows"
+            )
+        )
     )
     return hits
 
@@ -1304,14 +1309,14 @@ def bloom_flag_docs(
     k: int = 8,
     text_col: str = "text",
     window_n: int = 13,
-    salt: str = "bloomdecon",
     flag_col: str = "contaminated",
 ) -> DataFrame:
     """Per-document bloom contamination flag WITHOUT exploding grams:
     all original columns plus a boolean ``flag_col`` = does any of the
     doc's ``window_n``-grams hit the bloom (from
-    sketches.bloom_dense_words — same bitmap contract as
-    :func:`bloom_contamination`, which counts hits instead).
+    sketches.bloom_dense_words, built over the benchmark's (h1, h2)
+    gram pairs — same bitmap contract as :func:`bloom_contamination`,
+    which counts hits instead).
 
     A single stateless projection chain — no explode, no join, no
     aggregation — so it runs unchanged inside a STREAMING query (no
@@ -1321,6 +1326,8 @@ def bloom_flag_docs(
     _window_gram_table), so wh1/wh2 reading one digest array — and the
     k bit-tests reading one (h1, h2) struct array — must each sit
     behind a projection boundary or the md5s re-evaluate per reference.
+    Bloom positions are Kirsch–Mitzenmacher over the gram pair itself
+    (h1, 2*h2+1) — zero hashing beyond the window hashes.
     """
     from metric_store_release_spark.pipeline.sketches import (
         _bit_mask,
@@ -1349,29 +1356,12 @@ def bloom_flag_docs(
             )
         ).alias("__g"),
     ).drop("__wh1", "__wh2")
-    gram_md5 = lambda x: F.md5(  # noqa: E731
-        F.concat(
-            F.lit(salt),
-            F.concat_ws(
-                ":", x["h1"].cast("string"), x["h2"].cast("string")
-            ),
-        )
-    )
-    s4 = s3.select(
-        "*",
-        F.transform(
-            F.col("__g"),
-            lambda x: F.struct(
-                hex_word(gram_md5(x), 1).alias("h1x"),
-                (hex_word(gram_md5(x), 9) * 2 + 1).alias("h2x"),
-            ),
-        ).alias("__hs"),
-    ).drop("__g")
 
-    def _all_bits(h) -> "F.Column":
+    def _all_bits(g) -> "F.Column":
+        h1, h2 = g["h1"], g["h2"] * 2 + 1
         cond = F.lit(True)
         for i in range(k):
-            pos = (h["h1x"] + i * h["h2x"]) % m_bits
+            pos = (h1 + i * h2) % m_bits
             word = (pos / 32).cast("long")
             cond = cond & (
                 F.element_at(arr, (word + 1).cast("int")).bitwiseAND(
@@ -1381,6 +1371,6 @@ def bloom_flag_docs(
             )
         return cond
 
-    return s4.select(
-        "*", F.exists(F.col("__hs"), _all_bits).alias(flag_col)
-    ).drop("__hs")
+    return s3.select(
+        "*", F.exists(F.col("__g"), _all_bits).alias(flag_col)
+    ).drop("__g")

@@ -26,14 +26,14 @@ def streaming_bloom_decontaminate(
     k: int = 8,
     text_col: str = "text",
     window_n: int = 13,
-    salt: str = "bloomdecon",
 ) -> DataFrame:
     """Filter a streaming document frame to the docs that do NOT hit the
     benchmark bloom (``words`` from sketches.bloom_dense_words, built once
-    from the benchmark corpus — see pipeline.dedup.bloom_contamination
-    for sizing). Returns the surviving stream, original columns intact."""
+    over the benchmark's gram pairs — see pipeline.dedup
+    .bloom_contamination for sizing). Returns the surviving stream,
+    original columns intact."""
     flagged = bloom_flag_docs(
-        stream, words, m_bits, k, text_col, window_n, salt,
+        stream, words, m_bits, k, text_col, window_n,
         flag_col="__contaminated",
     )
     return flagged.filter(~flagged["__contaminated"]).drop("__contaminated")

@@ -18,9 +18,8 @@ from metric_store_release_spark.pipeline.dedup import (
     bloom_flag_docs,
 )
 from metric_store_release_spark.pipeline.sketches import (
-    bloom_bits,
+    bloom_bits_from_pair,
     bloom_dense_words,
-    bloom_size_bits,
 )
 from metric_store_release_spark.streaming.decon_stream import (
     streaming_bloom_decontaminate,
@@ -38,18 +37,14 @@ def bench_words(spark):
     bench = spark.createDataFrame([(100, _BENCH)], ["doc_id", "text"])
     from metric_store_release_spark.pipeline.dedup import _window_gram_table
 
-    grams = (
+    pairs = (
         _window_gram_table(bench, "text", "doc_id", N)
         .select(
-            F.concat_ws(
-                ":", F.col("h1").cast("string"), F.col("h2").cast("string")
-            ).alias("gram")
+            F.col("h1").alias("__h1"), (F.col("h2") * 2 + 1).alias("__h2")
         )
         .distinct()
     )
-    return bloom_dense_words(
-        bloom_bits(grams, "gram", M, K, "bloomdecon"), M
-    )
+    return bloom_dense_words(bloom_bits_from_pair(pairs, M, K), M)
 
 
 def _docs(spark):
