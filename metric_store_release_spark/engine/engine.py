@@ -362,12 +362,18 @@ class PromQLEngine:
             )
 
         parts: list[DataFrame] = []
-        c0, c1 = start_ms // split_ms, end_ms // split_ms
-        for c in range(c0, c1 + 1):
+        # chunk ids from the grid points themselves — iterating every
+        # absolute chunk in [start//split, end//split] would walk millions
+        # of empty chunks when split_ms << step_ms
+        n_steps = (end_ms - start_ms) // step_ms + 1
+        chunk_ids = sorted(
+            {(start_ms + j * step_ms) // split_ms for j in range(n_steps)}
+        )
+        for c in chunk_ids:
             g0, g1 = grid_in(c)
             cs, ce = max(g0, start_ms), min(g1, end_ms)
             if cs > ce:
-                continue  # no grid point of this query in the chunk
+                continue  # unreachable for grid-derived ids; kept as a guard
             full = cs == g0 and ce == g1
             if not full:
                 parts.append(eval_chunk(cs, ce))
