@@ -622,63 +622,45 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 #: debut; dedup_exact_normalized, docs_weighted_sample, events_funnel
 #: and events_top_users (double-green veterans of well-covered
 #: families) yield their slots and join the r7 swap-back queue.
+#: ROUND-7 WINDOW (executes the r7 swap queue the r6 verdict confirmed,
+#: judge r6 ask #6): the 20 queries that yielded slots during round 6
+#: (tpch_q4/q5/q7/q8/q10/q13/q15/q17/q22, docs_chunks, events_cube,
+#: dedup_exact_normalized, docs_weighted_sample, events_funnel,
+#: events_top_users, events_rolling_7d, docs_mixture, events_retention,
+#: events_dau_wau, docs_temperature_mix) swap back IN, plus the 10
+#: longest-absent veterans (last driver-green in r4 or earlier:
+#: tpch_q1/q3, rollup_counter, dedup_minhash_lsh, text_quality,
+#: multimodal_features, media_resize, docs_sample, embedding_kmeans,
+#: events_props_stats). embedding_hard_negatives and
+#: docs_wordpiece_tokens CHANGED this round (LSH re-bucketing / fold
+#: rewrite per judge asks #2/#4) so they re-debut. The remaining slots
+#: hold the single-green late-r6 debuts; as NEW r7 operators land they
+#: take those slots (amendments below, same pattern as r6). OUT: the 14
+#: early-r6 debuts (now green) and the 8 r5-debut double-greens.
 _FAMILY_FIRST_ORDER = [
     # core promql family reps, pinned every round
     "promql_selector", "promql_sum_by_user", "promql_rate",
     "promql_binop_add", "promql_subquery", "promql_histogram_quantile",
     "promql_federated_selector", "promql_sum_by_user_federated",
-    # round-6 debuts: the 14 never-driver-verified queries (r5 queue)
-    "tpch_q18", "tpch_q19",
-    "events_anomalies", "events_transitions",
-    "docs_difficulty", "docs_difficulty_by_lang",
-    "dedup_keep_best",
-    "audio_features", "video_frame_features",
-    "text_classifier_score",
-    "storage_downsample", "series_cardinality",
-    "promql_over_downsampled", "series_correlation",
-    # round-6 NEW operators (debut in their landing round, per policy;
-    # docs_chunks, events_cube and tpch_q15 give up their slots and move
-    # to the r7 swap-back queue)
-    "promql_tiered_read", "events_kmv_overlap", "text_classifier_train",
-    "events_cms_topk", "events_quantile_sketch", "dedup_components_star",
-    "events_kmv_dau_wau", "dedup_editdist", "dedup_containment",
+    # r7 swap-backs: the 20-query queue accumulated during round 6
+    "tpch_q4", "tpch_q5", "tpch_q7", "tpch_q8", "tpch_q10",
+    "tpch_q13", "tpch_q15", "tpch_q17", "tpch_q22",
+    "docs_chunks", "events_cube", "dedup_exact_normalized",
+    "docs_weighted_sample", "events_funnel", "events_top_users",
+    "events_rolling_7d", "docs_mixture", "events_retention",
+    "events_dau_wau", "docs_temperature_mix",
+    # longest-absent veterans (no driver row since r4 or earlier)
+    "tpch_q1", "tpch_q3", "rollup_counter", "dedup_minhash_lsh",
+    "text_quality", "multimodal_features", "media_resize",
+    "docs_sample", "embedding_kmeans", "events_props_stats",
+    # changed in r7 (judge asks #2/#4) — re-verify in the round they land
+    "embedding_hard_negatives", "docs_wordpiece_tokens",
+    # single-green late-r6 debuts holding the debut slots; these yield
+    # (most-covered family first) as new r7 operators land
+    "promql_split_cached", "docs_bloom_contamination",
+    "promql_split_rate", "dedup_spans", "graph_pagerank",
+    "events_latency_pctl_dist", "dedup_editdist", "dedup_containment",
     "events_range_scan", "events_range_scan_zordered",
-    # third r6 amendment: NEW dedup_spans (C4-style boilerplate-span
-    # removal), graph_pagerank (iterative power iteration) and
-    # events_latency_pctl_dist (skew-safe exact percentiles) debut;
-    # events_rolling_7d, docs_mixture and events_retention (r5-green
-    # veterans of the two most-represented families) yield their slots
-    # and join the r7 swap-back queue.
-    "dedup_spans", "graph_pagerank", "events_latency_pctl_dist",
-    # fourth r6 amendment: the MaxMatch/WordPiece tokenizer pair debuts;
-    # tpch_q13 and events_dau_wau (the last r5-batch veterans in-window)
-    # yield their slots and join the r7 swap-back queue.
-    "docs_wordpiece_vocab", "docs_wordpiece_tokens",
-    # fifth r6 amendment: embedding_hard_negatives (bulk kNN join)
-    # debuts; tpch_q22 (single-green, heavily-represented family) yields
-    # its slot and joins the r7 swap-back queue.
-    "embedding_hard_negatives",
-    # sixth r6 amendment: promql_split_rate (split-by-interval query
-    # sharding, must be bit-identical to promql_rate) debuts; tpch_q17
-    # (single-green, heavily-represented family — q8/q18/q19 stay
-    # in-window) yields its slot and joins the r7 swap-back queue.
-    "promql_split_rate",
-    # seventh r6 amendment: docs_bloom_contamination (bloom-bitmap
-    # decontamination, map-side probe) debuts; docs_temperature_mix
-    # (single-green, sampling family keeps docs_difficulty(+by_lang) in
-    # window) yields its slot and joins the r7 swap-back queue.
-    "docs_bloom_contamination",
-    # eighth r6 amendment: promql_split_cached (per-chunk result cache
-    # over split evaluation) debuts; tpch_q8 (single-green, q18/q19 keep
-    # the family covered) yields its slot and joins the r7 swap-back
-    # queue.
-    "promql_split_cached",
-    # round-5 debuts awaiting a second green round
-    "embedding_ann_probe", "events_sessionize_bucketed",
-    "events_interval_join", "events_kmv_users",
-    "docs_bpe_merges", "docs_bpe_tokens",
-    "text_bigram_logprob",
-    "dedup_incremental",
 ]
 
 
