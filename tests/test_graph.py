@@ -158,6 +158,84 @@ def test_hard_negative_mining_excludes_self_and_same_label(spark):
     assert {got[(4, 1)], got[(4, 2)]} == {5, 6}
 
 
+def test_simhash_bits_scale_with_corpus():
+    from metric_store_release_spark.pipeline.similarity import simhash_bits_for
+
+    # occupancy ~32 at every scale: 2^bits tracks N/32
+    assert simhash_bits_for(500) == 4
+    assert simhash_bits_for(2_000) == 6
+    assert simhash_bits_for(20_000) == 10
+    assert simhash_bits_for(200_000) == 13
+    assert simhash_bits_for(0) == 4  # floor
+    # 10x the corpus adds ~log2(10) ≈ 3.3 bits, so per-bucket occupancy
+    # N / 2^bits stays within [16, 32] once past the floor
+    for n in (10_000, 100_000, 1_000_000, 10_000_000):
+        occ = n / (1 << simhash_bits_for(n))
+        assert 16 <= occ <= 32, (n, occ)
+
+
+def test_simhash_weight_is_int64_safe_and_centered():
+    from metric_store_release_spark.pipeline.similarity import (
+        simhash_plane_weight,
+    )
+
+    ws = [
+        simhash_plane_weight(i, j, 64)
+        for i in range(40)
+        for j in range(1, 65)
+    ]
+    assert all(-1073741823 <= w <= 1073741823 for w in ws)
+    # signs roughly balanced -> buckets roughly balanced
+    pos = sum(1 for w in ws if w >= 0)
+    assert 0.4 < pos / len(ws) < 0.6
+    # nonlinear mix: plane i+1 is not a shifted/offset copy of plane i
+    p0 = [simhash_plane_weight(0, j, 64) for j in range(1, 65)]
+    p1 = [simhash_plane_weight(1, j, 64) for j in range(1, 65)]
+    diffs = {b - a for a, b in zip(p0, p1)}
+    assert len(diffs) > 32
+
+
+def test_hard_negative_mining_simhash_excludes_self_and_same_label(spark):
+    from metric_store_release_spark.pipeline.similarity import (
+        hard_negative_mining_simhash,
+    )
+
+    # same fixture as the IVF test: with only 4 hash bits and 2-d
+    # vectors, near-identical vectors share a bucket
+    rows = [
+        (1, [1.0, 0.0], 0), (2, [0.9, 0.1], 1), (3, [0.95, 0.05], 0),
+        (4, [-1.0, 0.0], 0), (5, [-0.9, -0.1], 1), (6, [-0.95, 0.05], 1),
+    ]
+    emb = spark.createDataFrame(rows, ["vec_id", "embedding", "label"])
+    out = hard_negative_mining_simhash(emb, k=2, n_probe=1, dim=2).collect()
+    for r in out:
+        assert r["query_id"] != r["vec_id"]
+    got = {(r["query_id"], r["rank"]): r["vec_id"] for r in out}
+    # labels always differ between query and its negatives
+    labels = {i: lab for i, _, lab in rows}
+    for (qid, _), vid in got.items():
+        assert labels[qid] != labels[vid]
+
+
+def test_hard_negative_mining_simhash_probe_widens_candidates(spark):
+    from metric_store_release_spark.pipeline.similarity import (
+        hard_negative_mining_simhash,
+    )
+    from pyspark.sql import functions as F
+
+    rows = [(i, [float(i % 7) + 0.1 * i, 1.0 - 0.05 * i, 0.3], i % 2)
+            for i in range(40)]
+    emb = spark.createDataFrame(rows, ["vec_id", "embedding", "label"])
+    pred = F.col("vec_id") % 5 == 0
+    n1 = hard_negative_mining_simhash(
+        emb, k=5, n_probe=1, dim=3, query_pred=pred
+    ).count()
+    n3 = hard_negative_mining_simhash(
+        emb, k=5, n_probe=3, dim=3, query_pred=pred
+    ).count()
+    assert n3 >= n1
+
+
 def test_hard_negative_mining_probe_widens_candidates(spark):
     from metric_store_release_spark.pipeline.similarity import (
         hard_negative_mining,
