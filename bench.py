@@ -171,7 +171,7 @@ def main() -> None:
     qs["events_sessionize_bucketed"](spark, SF_DIR)
     qs["events_range_scan_zordered"](spark, SF_DIR)
 
-    from metric_store_release_spark.pipeline.dedup import release_index_cache
+    from metric_store_release_spark.pipeline.dedup import leased
 
     runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "4"))
     timings: dict[str, list[float]] = {
@@ -182,16 +182,17 @@ def main() -> None:
             for name in group:
                 fn = qs[name]
                 t0 = time.perf_counter()
-                df = fn(spark, SF_DIR)
-                n = df.count()
-                took = round(time.perf_counter() - t0, 3)
-                timings[name].append(took)
                 # the dedup builders pin a band/gram index per invocation
                 # (caller-owned contract); a 4-run bench is exactly the
-                # long-lived session that accumulates them — release after
-                # each materialization so run N doesn't measure run N-1's
-                # storage pressure
-                release_index_cache(df)
+                # long-lived session that accumulates them — the lease
+                # releases after each materialization so run N doesn't
+                # measure run N-1's storage pressure
+                with leased(fn(spark, SF_DIR)) as df:
+                    n = df.count()
+                    # timing stops BEFORE the lease releases the cache,
+                    # keeping the measured region identical to r1-r6
+                    took = round(time.perf_counter() - t0, 3)
+                timings[name].append(took)
                 print(f"# run{r + 1} {name}: {took}s ({n} rows)", file=sys.stderr)
 
     # streaming micro-batch ingest throughput (judge r5 ask #6): points/s

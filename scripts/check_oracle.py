@@ -25,7 +25,11 @@ for name, fn in qs.items():
     if only and name not in only:
         continue
     try:
-        sdf = fn(spark, SF_DIR).toPandas()
+        # lease: a 158-query session would otherwise accumulate one
+        # pinned band/gram index per dedup builder call
+        from metric_store_release_spark.pipeline.dedup import leased
+        with leased(fn(spark, SF_DIR)) as df:
+            sdf = df.toPandas()
     except Exception as e:
         print(f"FAIL {name}: spark error {type(e).__name__}: {str(e)[:300]}")
         fails.append(name); continue

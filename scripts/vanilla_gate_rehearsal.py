@@ -33,7 +33,10 @@ window = list(qs)[:50]
 fails = []
 for name in window:
     try:
-        n = qs[name](spark, SF_DIR).count()
+        from metric_store_release_spark.pipeline.dedup import leased
+
+        with leased(qs[name](spark, SF_DIR)) as df:
+            n = df.count()
     except Exception as e:  # noqa: BLE001 - rehearsal must report, not die
         print(f"FAIL {name}: {type(e).__name__}: {str(e)[:200]}")
         fails.append(name)
