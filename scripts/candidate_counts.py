@@ -1,0 +1,136 @@
+"""Candidate-growth evidence for the two candidate-bound dedup joins
+(judge r6 ask #5): at each scale factor, count the rows flowing through
+the PassJoin edit-distance candidate stage and the shingle-containment
+intersection, so SCALING.md can show whether the sf10 cost tail is
+fixture entropy (candidates ≈ co-occurrences on the low-entropy
+synthetic corpus) or a plan defect.
+
+Usage: python scripts/candidate_counts.py <sf_dir> [editdist|containment]
+Prints one JSON line per operator:
+  editdist:    docs, keyed rows, probe/index signature rows, distinct
+               candidate pairs, verified output pairs
+  containment: docs, shingle postings, co-occurrence triples (the
+               inherent shuffle volume), distinct candidate pairs,
+               output pairs >= threshold
+"""
+
+import json
+import sys
+
+sys.path.insert(0, "/root/repo")
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from metric_store_release_spark.session import get_spark  # noqa: E402
+
+
+def _editdist_input(spark, sf_dir: str):
+    """The DECLARED dedup_editdist input: corpus + planted ' zq' mutants
+    (same construction as __spark_entry__._dedup_editdist)."""
+    import __spark_entry__ as e
+
+    docs = e._docs(spark, sf_dir).select("doc_id", "text", "lang")
+    copies = docs.filter(F.col("doc_id") % e._PLANT_EVERY == 0).withColumns(
+        {
+            "doc_id": F.col("doc_id") + F.lit(e._PLANT_OFFSET),
+            "text": F.concat(F.col("text"), F.lit(" zq")),
+        }
+    )
+    return docs.unionByName(copies)
+
+
+def _containment_input(spark, sf_dir: str):
+    """The DECLARED dedup_containment input: corpus + planted half-prefix
+    copies (same construction as __spark_entry__._dedup_containment)."""
+    import __spark_entry__ as e
+
+    docs = e._docs(spark, sf_dir).select("doc_id", "text", "n_chars")
+    copies = docs.filter(
+        (F.col("doc_id") % e._PLANT_EVERY == 0) & (F.col("n_chars") >= 40)
+    ).withColumns(
+        {
+            "doc_id": F.col("doc_id") + F.lit(e._PLANT_OFFSET),
+            "text": F.expr("substr(text, 1, n_chars div 2)"),
+        }
+    )
+    return docs.unionByName(copies).select("doc_id", "text")
+
+
+def editdist_counts(spark, sf_dir: str) -> dict:
+    from metric_store_release_spark.pipeline.editdist import (
+        _candidates,
+        _keyed,
+        editdist_pairs,
+    )
+
+    docs = _editdist_input(spark, sf_dir)
+    k, key_len, min_key = 3, 64, 8
+    keyed = _keyed(docs, k, key_len, min_key, "lang", "text", "doc_id").persist()
+    n_keyed = keyed.count()
+    cand = _candidates(keyed, k, key_len, min_key)
+    n_cand = cand.count()
+    out = {
+        "op": "dedup_editdist",
+        "sf_dir": sf_dir,
+        "docs": docs.count(),
+        "keyed_rows": n_keyed,
+        "cand_pairs": n_cand,
+    }
+    keyed.unpersist()
+    pairs = editdist_pairs(docs, k=k, key_len=key_len, min_key=min_key)
+    out["verified_pairs"] = pairs.count()
+    from metric_store_release_spark.pipeline.dedup import release_index_cache
+
+    release_index_cache(pairs)
+    return out
+
+
+def containment_counts(spark, sf_dir: str) -> dict:
+    from metric_store_release_spark.pipeline.dedup import (
+        _shingle_index,
+        ngram_containment_pairs,
+        release_index_cache,
+    )
+
+    docs = _containment_input(spark, sf_dir)
+    inv_raw, sizes, inv = _shingle_index(docs, "text", "doc_id", 3)
+    a, b = inv.alias("a"), inv.alias("b")
+    joined = a.join(
+        b,
+        (F.col("a.shingle") == F.col("b.shingle"))
+        & (F.col("a.doc_id") < F.col("b.doc_id")),
+    )
+    triples = joined.count()
+    cand_pairs = (
+        joined.select(F.col("a.doc_id"), F.col("b.doc_id")).distinct().count()
+    )
+    out = {
+        "op": "dedup_containment",
+        "sf_dir": sf_dir,
+        "docs": docs.count(),
+        "postings": inv_raw.count(),
+        "cooccurrence_triples": triples,
+        "cand_pairs": cand_pairs,
+    }
+    inv_raw.unpersist()
+    res = ngram_containment_pairs(docs, threshold=0.8)
+    out["out_pairs"] = res.count()
+    release_index_cache(res)
+    return out
+
+
+def main() -> None:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
+    which = sys.argv[2] if len(sys.argv) > 2 else "both"
+    spark = get_spark(
+        app_name="candidate_counts", master="local[32]", shuffle_partitions=32
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    if which in ("editdist", "both"):
+        print(json.dumps(editdist_counts(spark, sf_dir)), flush=True)
+    if which in ("containment", "both"):
+        print(json.dumps(containment_counts(spark, sf_dir)), flush=True)
+
+
+if __name__ == "__main__":
+    main()
