@@ -541,6 +541,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["events_interval_join"] = _events_interval_join
     q["events_kmv_users"] = _events_kmv_users
     q["events_kmv_overlap"] = _events_kmv_overlap
+    q["events_hll_users"] = _events_hll_users
+    q["events_hll_dau_wau"] = _events_hll_dau_wau
     q["docs_bpe_merges"] = _docs_bpe_merges
     q["docs_bpe_tokens"] = _docs_bpe_tokens
     q["docs_temperature_mix"] = _docs_temperature_mix
@@ -655,12 +657,17 @@ _FAMILY_FIRST_ORDER = [
     "docs_sample", "embedding_kmeans", "events_props_stats",
     # changed in r7 (judge asks #2/#4) — re-verify in the round they land
     "embedding_hard_negatives", "docs_wordpiece_tokens",
+    # r7 amendment 1: deterministic HyperLogLog pair debuts
+    # (events_hll_users per-day distinct, events_hll_dau_wau lossless
+    # register-merge sliding window); events_range_scan and
+    # events_range_scan_zordered (single-green, events family heavily
+    # covered in-window) yield their slots per policy.
+    "events_hll_users", "events_hll_dau_wau",
     # single-green late-r6 debuts holding the debut slots; these yield
     # (most-covered family first) as new r7 operators land
     "promql_split_cached", "docs_bloom_contamination",
     "promql_split_rate", "dedup_spans", "graph_pagerank",
     "events_latency_pctl_dist", "dedup_editdist", "dedup_containment",
-    "events_range_scan", "events_range_scan_zordered",
 ]
 
 
@@ -1253,6 +1260,46 @@ def _events_kmv_users(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = _prepare(spark).read.parquet(f"{sf_dir}/events.parquet")
     return kmv_distinct(ev, "user_id", ("event_type",), k=32)
+
+
+def _events_hll_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct users per day via a deterministic HyperLogLog
+    (pipeline.sketches.hll_distinct, p=10 → 1024 registers): registers
+    derived from the shared md5 hash with pure int64 math, max-merged in
+    a two-level aggregation, estimator over an exact integer register
+    sum — so unlike engine-internal HLLs (approx_count_distinct) the
+    oracle reproduces every register and the estimate bit-for-bit
+    (modulo one ln() in the linear-counting branch, rounded to 6).
+    Compare events_kmv_users for the KMV flavor of the same question."""
+    from metric_store_release_spark.pipeline.sketches import hll_distinct
+    from metric_store_release_spark.sources.events_adapter import ts_ms
+
+    ev = _prepare(spark).read.parquet(f"{sf_dir}/events.parquet")
+    eday = F.floor(ts_ms(ev) / F.lit(86_400_000)).cast("long")
+    return hll_distinct(
+        ev.select("user_id", eday.alias("eday")), "user_id", ("eday",), p=10
+    ).select("eday", "hll_est")
+
+
+def _events_hll_dau_wau(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate DAU/WAU from mergeable per-day HLL REGISTER tables
+    (pipeline.sketches.hll_registers + hll_trailing_window): the
+    trailing-7-day distinct count max-merges seven days of registers —
+    LOSSLESSLY equal to the registers of the raw union (the property KMV
+    truncation only approximates), no raw rescan. Same day-coverage rule
+    as events_kmv_dau_wau."""
+    from metric_store_release_spark.pipeline.sketches import (
+        hll_registers,
+        hll_trailing_window,
+    )
+    from metric_store_release_spark.sources.events_adapter import ts_ms
+
+    ev = _prepare(spark).read.parquet(f"{sf_dir}/events.parquet")
+    eday = F.floor(ts_ms(ev) / F.lit(86_400_000)).cast("long")
+    daily = hll_registers(
+        ev.select("user_id", eday.alias("eday")), "user_id", ("eday",), p=10
+    )
+    return hll_trailing_window(daily, "eday", window=7, p=10)
 
 
 def _events_kmv_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3209,6 +3256,18 @@ GROUP BY s.user_id, s.session_seq
 
     o["events_kmv_dau_wau"] = kmv_trailing_window_sql(
         "events", "user_id", "epoch_ms(ts) // 86400000", window=7, k=32
+    )
+
+    from metric_store_release_spark.pipeline.sketches import (
+        hll_distinct_sql,
+        hll_trailing_window_sql,
+    )
+
+    o["events_hll_users"] = hll_distinct_sql(
+        "events", "user_id", "epoch_ms(ts) // 86400000", p=10
+    )
+    o["events_hll_dau_wau"] = hll_trailing_window_sql(
+        "events", "user_id", "epoch_ms(ts) // 86400000", window=7, p=10
     )
 
     o["events_quantile_sketch"] = quantile_sketch_sql(

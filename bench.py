@@ -118,6 +118,10 @@ def main() -> None:
         "events_cms_topk",
         "events_quantile_sketch",
         "events_kmv_dau_wau",
+        # round 7: deterministic HLL pair — per-day distinct and the
+        # lossless register-merge sliding window (compare the KMV pair)
+        "events_hll_users",
+        "events_hll_dau_wau",
         # late round 6: 2-D selective scan over the natural vs the
         # Morton-clustered (z-ordered) events layout — the pair measures
         # what multi-column min/max pruning is worth (layout write is

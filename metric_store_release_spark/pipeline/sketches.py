@@ -314,6 +314,265 @@ FROM win_est w LEFT JOIN own_est o USING (eday)
 """
 
 
+# --------------------------------------------------------------- HyperLogLog
+#
+# Flajolet et al. 2007 ("HyperLogLog: the analysis of a near-optimal
+# cardinality estimation algorithm"). The module docstring's objection to
+# HLL applies to ENGINE-INTERNAL implementations (Spark's
+# approx_count_distinct is not reproducible outside Spark); this one
+# derives every register from the repo's shared md5 hash with pure int64
+# math, so a DuckDB oracle replays the registers bit-for-bit and the only
+# floating point is the final estimator formula (same literals, same
+# operation order both sides).
+#
+# Register rule, p bits → m = 2^p registers, from a 60-bit hash
+# (15 md5 hex digits — non-negative in signed int64):
+#   h = int64 of md5(salt ∥ key)[0:15]
+#   j = h % m                      (register index)
+#   w = h // m                     (the remaining K = 60-p bits)
+#   rank = K - LENGTH(BIN(w)) + 1  (position of the highest set bit,
+#          counted from the top of the K-bit window; w = 0 → K + 1)
+# Registers are MAX-mergeable: max(rank) per (group, j) is a two-level
+# partial/final hash aggregation (mergeable in the executed plan, the
+# kmv_sketch contract), and merged daily registers equal the registers of
+# the raw union EXACTLY — no truncation caveat at all.
+#
+# Estimator: E_raw = α_m · m² / Σ_j 2^(−M_j). The sum is computed as the
+# exact INTEGER Σ_j 2^(K+1−M_j) (max m·2^(K+1) = 2^61 < int64), so both
+# engines divide the same two exact numbers. Small-range correction
+# (linear counting, E_raw ≤ 2.5 m with empty registers) uses ln — the one
+# operation where engines may differ in the last ulp; results are rounded
+# to 6 decimals like every float in this repo. No large-range correction:
+# the 60-bit hash space makes it irrelevant below ~10^17 distinct keys.
+
+_HLL_BITS = 60
+
+
+def _hll_alpha(m: int) -> float:
+    if m >= 128:
+        return 0.7213 / (1.0 + 1.079 / m)
+    return {16: 0.673, 32: 0.697, 64: 0.709}[m]
+
+
+def hll_registers(
+    df: DataFrame,
+    key_col: str,
+    group_cols: tuple[str, ...] = (),
+    p: int = 10,
+    salt: str = "hll",
+) -> DataFrame:
+    """Per-group HLL registers: (group..., j, r) with r = max rank seen
+    in register j — the mergeable artifact a 100 TB pipeline persists
+    per shard/day and folds with max(r) per (group, j). Absent registers
+    mean rank 0 (the estimator accounts for them)."""
+    groups = list(group_cols)
+    m = 1 << p
+    k_bits = _HLL_BITS - p
+    h = F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit(salt), F.col(key_col).cast("string"))), 1, 15
+        ),
+        16,
+        10,
+    ).cast("long")
+    hashed = df.select(*groups, h.alias("__h"))
+    w = F.expr(f"__h div {m}")
+    rank = F.when(w == 0, F.lit(k_bits + 1)).otherwise(
+        F.lit(k_bits) - F.length(F.bin(w)) + 1
+    )
+    return (
+        hashed.withColumn("j", F.pmod("__h", F.lit(m)).cast("int"))
+        .withColumn("__r", rank.cast("int"))
+        .groupBy(*groups, "j")
+        .agg(F.max("__r").alias("r"))
+    )
+
+
+def _hll_estimate(p: int):
+    """Aggregate → estimate column pair over a register table grouped
+    elsewhere: returns (agg_exprs, finisher) where finisher maps the
+    aggregated (present, s) to the rounded estimate."""
+    m = 1 << p
+    k1 = _HLL_BITS - p + 1
+    alpha = _hll_alpha(m)
+    aggs = [
+        F.count(F.lit(1)).alias("__present"),
+        # exact integer Σ 2^(K+1-r); absent registers added below
+        F.sum(F.expr(f"cast(pow(2, {k1} - r) as bigint)")).alias("__s"),
+    ]
+
+    def finish(present: "F.Column", s: "F.Column") -> "F.Column":
+        v = F.lit(m) - present  # empty registers
+        s_full = s + v.cast("long") * F.lit(1 << k1)
+        e_raw = F.lit(alpha * m * m * float(1 << k1)) / s_full.cast("double")
+        linear = F.lit(float(m)) * F.log(F.lit(float(m)) / v.cast("double"))
+        return F.round(
+            F.when((e_raw <= 2.5 * m) & (v > 0), linear).otherwise(e_raw), 6
+        )
+
+    return aggs, finish
+
+
+def hll_distinct(
+    df: DataFrame,
+    key_col: str,
+    group_cols: tuple[str, ...] = (),
+    p: int = 10,
+    salt: str = "hll",
+) -> DataFrame:
+    """Estimated distinct ``key_col`` per group via HLL: (group...,
+    hll_est). Registers are a two-level mergeable aggregation; see the
+    section docstring for the exact register and estimator rules."""
+    groups = list(group_cols)
+    regs = hll_registers(df, key_col, group_cols, p, salt)
+    aggs, finish = _hll_estimate(p)
+    agged = regs.groupBy(*groups).agg(*aggs) if groups else regs.agg(*aggs)
+    return agged.select(
+        *groups, finish(F.col("__present"), F.col("__s")).alias("hll_est")
+    )
+
+
+def hll_trailing_window(
+    daily_regs: DataFrame,
+    day_col: str = "eday",
+    window: int = 7,
+    p: int = 10,
+) -> DataFrame:
+    """Trailing-``window`` sliding distinct counts from per-day HLL
+    registers alone: (day, current_est, window_est) — the approximate
+    DAU/WAU query, same coverage rule as kmv_trailing_window (each day's
+    registers serve the <=window future days, clipped at the observed
+    maximum). Register max-merge is LOSSLESS: the merged registers equal
+    the registers of the window's raw union exactly, so no raw rescans
+    and no truncation error — at 100 TB the daily register table is
+    m rows/day and every sliding window is a max() fold over it."""
+    aggs, finish = _hll_estimate(p)
+    bounds = daily_regs.agg(F.max(day_col).alias("__max_day"))
+    contrib = daily_regs.join(F.broadcast(bounds)).select(
+        F.explode(
+            F.sequence(
+                F.col(day_col),
+                F.least(F.col(day_col) + (window - 1), F.col("__max_day")),
+            )
+        ).alias(day_col),
+        "j",
+        "r",
+    )
+    win = (
+        contrib.groupBy(day_col, "j")
+        .agg(F.max("r").alias("r"))
+        .groupBy(day_col)
+        .agg(*aggs)
+        .select(
+            day_col, finish(F.col("__present"), F.col("__s")).alias("window_est")
+        )
+    )
+    own = (
+        daily_regs.groupBy(day_col)
+        .agg(*aggs)
+        .select(
+            day_col,
+            finish(F.col("__present"), F.col("__s")).alias("current_est"),
+        )
+    )
+    return win.join(own, day_col, "left").select(
+        day_col,
+        F.coalesce("current_est", F.lit(0.0)).alias("current_est"),
+        "window_est",
+    )
+
+
+def _hll_est_sql(p: int, present: str, s: str) -> str:
+    """The estimator as DuckDB SQL over (present-register count, exact
+    integer partial sum) — same literals and operation order as
+    :func:`_hll_estimate`."""
+    m = 1 << p
+    k1 = _HLL_BITS - p + 1
+    alpha = _hll_alpha(m)
+    v = f"({m} - {present})"
+    s_full = f"(CAST({s} AS BIGINT) + {v} * {1 << k1})"
+    e_raw = f"({alpha * m * m * float(1 << k1)!r} / CAST({s_full} AS DOUBLE))"
+    linear = f"({float(m)!r} * ln({float(m)!r} / CAST({v} AS DOUBLE)))"
+    return (
+        f"ROUND(CASE WHEN {e_raw} <= {2.5 * m} AND {v} > 0 "
+        f"THEN {linear} ELSE {e_raw} END, 6)"
+    )
+
+
+def hll_registers_sql(
+    table_sql: str, key_sql: str, day_sql: str, p: int = 10, salt: str = "hll"
+) -> str:
+    """CTE chain ending in ``regs`` (eday, j, r) — the DuckDB replay of
+    :func:`hll_registers` grouped by day."""
+    m = 1 << p
+    k_bits = _HLL_BITS - p
+    return f"""hashed AS (
+  SELECT DISTINCT {day_sql} AS eday,
+    ('0x' || substr(md5('{salt}' || CAST({key_sql} AS VARCHAR)), 1, 15))::BIGINT AS h
+  FROM {table_sql}
+),
+regs AS (
+  SELECT eday, CAST(h % {m} AS INT) AS j,
+         CAST(MAX(CASE WHEN h // {m} = 0 THEN {k_bits + 1}
+                       ELSE {k_bits} - LENGTH(BIN(h // {m})) + 1 END) AS INT) AS r
+  FROM hashed GROUP BY eday, h % {m}
+)"""
+
+
+def hll_distinct_sql(
+    table_sql: str, key_sql: str, day_sql: str, p: int = 10, salt: str = "hll"
+) -> str:
+    """DuckDB oracle for :func:`hll_distinct` grouped by day."""
+    k1 = _HLL_BITS - p + 1
+    return f"""
+WITH {hll_registers_sql(table_sql, key_sql, day_sql, p, salt)},
+agged AS (
+  SELECT eday, COUNT(*) AS present,
+         CAST(SUM(CAST(POWER(2, {k1} - r) AS BIGINT)) AS BIGINT) AS s
+  FROM regs GROUP BY eday
+)
+SELECT eday, {_hll_est_sql(p, "present", "s")} AS hll_est FROM agged
+"""
+
+
+def hll_trailing_window_sql(
+    table_sql: str,
+    key_sql: str,
+    day_sql: str,
+    window: int = 7,
+    p: int = 10,
+    salt: str = "hll",
+) -> str:
+    """DuckDB oracle for :func:`hll_trailing_window` — max-merges the
+    per-day registers over each trailing window, which equals the
+    registers of the window's raw union exactly."""
+    k1 = _HLL_BITS - p + 1
+    agg = (
+        "COUNT(*) AS present, "
+        f"CAST(SUM(CAST(POWER(2, {k1} - r) AS BIGINT)) AS BIGINT) AS s"
+    )
+    return f"""
+WITH {hll_registers_sql(table_sql, key_sql, day_sql, p, salt)},
+mx AS (SELECT MAX(eday) AS max_day FROM regs),
+days AS (
+  SELECT DISTINCT d AS eday
+  FROM (SELECT DISTINCT eday FROM regs), mx,
+       unnest(generate_series(eday, LEAST(eday + {window - 1}, max_day))) AS t(d)
+),
+win_regs AS (
+  SELECT d.eday, r.j, MAX(r.r) AS r
+  FROM days d JOIN regs r ON r.eday BETWEEN d.eday - {window - 1} AND d.eday
+  GROUP BY d.eday, r.j
+),
+own_agg AS (SELECT eday, {agg} FROM regs GROUP BY eday),
+win_agg AS (SELECT eday, {agg} FROM win_regs GROUP BY eday)
+SELECT w.eday,
+       COALESCE({_hll_est_sql(p, "o.present", "o.s")}, 0.0) AS current_est,
+       {_hll_est_sql(p, "w.present", "w.s")} AS window_est
+FROM win_agg w LEFT JOIN own_agg o USING (eday)
+"""
+
+
 def cms_counters(
     df: DataFrame,
     key_col: str,

@@ -1065,6 +1065,68 @@ def test_kmv_distinct_accuracy_and_exact_regime(spark):
     assert per == {"a": 30.0, "b": 10.0}
 
 
+def test_hll_accuracy_and_partition_invariance(spark):
+    """HLL estimates must land inside the ~1.04/sqrt(m) error envelope,
+    be unaffected by duplication, and be invariant to how the input is
+    partitioned (register max-merge is lossless)."""
+    from metric_store_release_spark.pipeline.sketches import hll_distinct
+
+    rows = [(f"k{i % 2000}",) for i in range(10_000)]
+    df = spark.createDataFrame(rows, "key string")
+    est = hll_distinct(df, "key", (), p=10).collect()[0]["hll_est"]
+    assert abs(est - 2000) / 2000 < 0.15  # ~4.6 sigma at m=1024
+    # duplication-free input, same estimate
+    est2 = hll_distinct(
+        spark.createDataFrame([(f"k{i}",) for i in range(2000)], "key string"),
+        "key",
+        (),
+        p=10,
+    ).collect()[0]["hll_est"]
+    assert est == est2
+    # partition invariance
+    est3 = hll_distinct(df.repartition(13), "key", (), p=10).collect()[0][
+        "hll_est"
+    ]
+    assert est == est3
+    # small-cardinality regime (linear counting): near-exact
+    small = hll_distinct(
+        spark.createDataFrame([(f"s{i}",) for i in range(50)], "key string"),
+        "key",
+        (),
+        p=10,
+    ).collect()[0]["hll_est"]
+    assert abs(small - 50) / 50 < 0.1
+
+
+def test_hll_trailing_window_merge_equals_raw_union(spark):
+    """Register max-merge is LOSSLESS: the 7-day window estimate from
+    merged daily registers must equal hll_distinct run on the window's
+    raw rows directly."""
+    from pyspark.sql import functions as F
+
+    from metric_store_release_spark.pipeline.sketches import (
+        hll_distinct,
+        hll_registers,
+        hll_trailing_window,
+    )
+
+    rows = [(d, f"u{(d * 37 + i) % 400}") for d in range(10) for i in range(120)]
+    df = spark.createDataFrame(rows, "eday long, user string")
+    daily = hll_registers(df, "user", ("eday",), p=8)
+    win = {
+        r["eday"]: r["window_est"]
+        for r in hll_trailing_window(daily, "eday", window=7, p=8).collect()
+    }
+    # spot-check day 9: raw union of days 3..9
+    raw = hll_distinct(
+        df.filter((F.col("eday") >= 3) & (F.col("eday") <= 9)), "user", (), p=8
+    ).collect()[0]["hll_est"]
+    assert win[9] == raw
+    # and day 0: only day 0 contributes
+    raw0 = hll_distinct(df.filter(F.col("eday") == 0), "user", (), p=8)
+    assert win[0] == raw0.collect()[0]["hll_est"]
+
+
 def test_kmv_overlap_exact_regime_and_merge_property(spark):
     """Below k the sketches are exhaustive, so union/intersection/jaccard
     must be EXACT; and the merged-union estimate must be identical no
