@@ -513,6 +513,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["embedding_topk"] = _embedding_topk
     q["embedding_dedup"] = _embedding_dedup
     q["text_quality"] = _text_quality
+    q["docs_gopher_rules"] = _docs_gopher_rules
     q["text_lang_id"] = _lang_id
     q["doc_fingerprint"] = _doc_fingerprint
     q["multimodal_features"] = _multimodal_features  # rows-only (mapInPandas)
@@ -663,11 +664,15 @@ _FAMILY_FIRST_ORDER = [
     # events_range_scan_zordered (single-green, events family heavily
     # covered in-window) yield their slots per policy.
     "events_hll_users", "events_hll_dau_wau",
+    # r7 amendment 2: docs_gopher_rules (the published MassiveText
+    # quality battery) debuts; dedup_containment (single-green, dedup
+    # family keeps editdist/spans in-window) yields per policy.
+    "docs_gopher_rules",
     # single-green late-r6 debuts holding the debut slots; these yield
     # (most-covered family first) as new r7 operators land
     "promql_split_cached", "docs_bloom_contamination",
     "promql_split_rate", "dedup_spans", "graph_pagerank",
-    "events_latency_pctl_dist", "dedup_editdist", "dedup_containment",
+    "events_latency_pctl_dist", "dedup_editdist",
 ]
 
 
@@ -1969,6 +1974,36 @@ def _dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return ngram_containment_pairs(
         docs.unionByName(copies).select("doc_id", "text"), threshold=0.8
+    )
+
+
+def _docs_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The published Gopher/MassiveText quality-rule battery
+    (pipeline.text.gopher_quality_rules, Rae et al. 2021 App. A): per-doc
+    rule columns + the conjunction, purely map-side. min_stop_hits
+    relaxed to 1 for the fixture's synthetic vocabulary (the paper's
+    8-word list barely intersects it); every other threshold is the
+    paper default."""
+    from metric_store_release_spark.pipeline.text import gopher_quality_rules
+
+    docs = _docs(spark, sf_dir)
+    return gopher_quality_rules(docs, min_stop_hits=1).select(
+        "doc_id",
+        "n_words",
+        "mean_word_len",
+        "symbol_word_ratio",
+        "bullet_line_frac",
+        "ellipsis_line_frac",
+        "alpha_word_frac",
+        "stop_hits",
+        "r_word_count",
+        "r_mean_word_len",
+        "r_symbol_ratio",
+        "r_bullet_lines",
+        "r_ellipsis_lines",
+        "r_alpha_words",
+        "r_stop_words",
+        "gopher_pass",
     )
 
 
@@ -4122,6 +4157,8 @@ SELECT query_id, vec_id, cos_sim, rank FROM (
 
     o["text_quality"] = _text_quality_oracle()
 
+    o["docs_gopher_rules"] = _gopher_oracle()
+
     o["text_lang_id"] = _lang_id_oracle()
 
     o["doc_fingerprint"] = _fingerprint_oracle()
@@ -4842,6 +4879,79 @@ SELECT doc_id, n_tokens,
          + (CASE WHEN mwl >= 3 AND mwl <= 12 THEN 0.3 ELSE 0.0 END)
          + sr * 2.0, 1.0), 6) AS quality_score
 FROM feat
+"""
+
+
+def _gopher_oracle(
+    min_words: int = 50,
+    max_words: int = 100_000,
+    min_mwl: float = 3.0,
+    max_mwl: float = 10.0,
+    max_sym: float = 0.1,
+    max_bullet: float = 0.1,
+    max_ellipsis: float = 0.3,
+    min_alpha: float = 0.8,
+    min_stops: int = 1,
+) -> str:
+    """`gopher_quality_rules` replay: identical word/line splits, counts
+    via replace-length arithmetic, paper thresholds (stop-hit floor
+    relaxed to 1 like the declared query)."""
+    from metric_store_release_spark.pipeline.text import _GOPHER_STOPWORDS
+
+    stops = "', '".join(_GOPHER_STOPWORDS)
+    return f"""
+WITH toked AS (
+  SELECT doc_id, text,
+         list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS ws,
+         list_filter(string_split_regex(text, '\\n'), l -> trim(l) <> '') AS lines
+  FROM documents
+),
+feat AS (
+  SELECT doc_id,
+    len(ws) AS n_words,
+    CASE WHEN len(ws) > 0
+         THEN CAST(list_sum(list_transform(ws, x -> CAST(length(x) AS BIGINT))) AS DOUBLE) / len(ws)
+         ELSE 0.0 END AS mwl,
+    CASE WHEN len(ws) > 0
+         THEN ((length(text) - length(replace(text, '#', '')))
+               + (length(text) - length(replace(text, '...', ''))) / 3
+               + (length(text) - length(replace(text, '…', '')))) * 1.0 / len(ws)
+         ELSE 0.0 END AS sym,
+    CASE WHEN len(lines) > 0
+         THEN len(list_filter(lines, l -> substr(ltrim(l), 1, 1) IN ('•', '-', '*'))) * 1.0 / len(lines)
+         ELSE 0.0 END AS bullet,
+    CASE WHEN len(lines) > 0
+         THEN len(list_filter(lines, l -> rtrim(l) LIKE '%...' OR rtrim(l) LIKE '%…')) * 1.0 / len(lines)
+         ELSE 0.0 END AS ell,
+    CASE WHEN len(ws) > 0
+         THEN len(list_filter(ws, x -> regexp_matches(x, '[a-zA-Z]'))) * 1.0 / len(ws)
+         ELSE 0.0 END AS alpha,
+    len(list_filter(['{stops}'],
+        s -> len(list_filter(ws, x -> lower(x) = s)) > 0)) AS stop_hits
+  FROM toked
+),
+rules AS (
+  SELECT doc_id,
+    CAST(n_words AS BIGINT) AS n_words,
+    ROUND(mwl, 6) AS mean_word_len,
+    ROUND(sym, 6) AS symbol_word_ratio,
+    ROUND(bullet, 6) AS bullet_line_frac,
+    ROUND(ell, 6) AS ellipsis_line_frac,
+    ROUND(alpha, 6) AS alpha_word_frac,
+    CAST(stop_hits AS BIGINT) AS stop_hits,
+    (n_words >= {min_words} AND n_words <= {max_words}) AS r_word_count,
+    (ROUND(mwl, 6) >= {min_mwl} AND ROUND(mwl, 6) <= {max_mwl}) AS r_mean_word_len,
+    (ROUND(sym, 6) <= {max_sym}) AS r_symbol_ratio,
+    (ROUND(bullet, 6) <= {max_bullet}) AS r_bullet_lines,
+    (ROUND(ell, 6) <= {max_ellipsis}) AS r_ellipsis_lines,
+    (ROUND(alpha, 6) >= {min_alpha}) AS r_alpha_words,
+    (stop_hits >= {min_stops}) AS r_stop_words
+  FROM feat
+)
+SELECT *, (r_word_count AND r_mean_word_len AND r_symbol_ratio
+           AND r_bullet_lines AND r_ellipsis_lines AND r_alpha_words
+           AND r_stop_words) AS gopher_pass
+FROM rules
 """
 
 

@@ -122,6 +122,8 @@ def main() -> None:
         # lossless register-merge sliding window (compare the KMV pair)
         "events_hll_users",
         "events_hll_dau_wau",
+        # round 7: the Gopher/MassiveText rule battery (pure map-side)
+        "docs_gopher_rules",
         # late round 6: 2-D selective scan over the natural vs the
         # Morton-clustered (z-ordered) events layout — the pair measures
         # what multi-column min/max pruning is worth (layout write is

@@ -107,6 +107,127 @@ def quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+#: the Gopher "must contain 2 of" stop words (Rae et al. 2021, App. A)
+_GOPHER_STOPWORDS = ["the", "be", "to", "of", "and", "that", "have", "with"]
+
+
+def gopher_quality_rules(
+    df: DataFrame,
+    text_col: str = "text",
+    min_words: int = 50,
+    max_words: int = 100_000,
+    min_mean_word_len: float = 3.0,
+    max_mean_word_len: float = 10.0,
+    max_symbol_word_ratio: float = 0.1,
+    max_bullet_line_frac: float = 0.1,
+    max_ellipsis_line_frac: float = 0.3,
+    min_alpha_word_frac: float = 0.8,
+    min_stop_hits: int = 2,
+) -> DataFrame:
+    """The Gopher / MassiveText document-quality rules (Rae et al. 2021
+    "Scaling Language Models", Appendix A) — the published heuristic
+    battery most large-corpus pipelines start from: word-count bounds,
+    mean-word-length bounds, symbol-to-word ratio (# and ellipsis),
+    bullet-start and ellipsis-end line fractions, fraction of words with
+    an alphabetic character, and the ≥2-of-8 stop-word containment test.
+
+    Adds one column per rule (so a pipeline can report WHY documents
+    fail, not just that they did) plus the conjunction `gopher_pass`.
+    Purely map-side projections — fuses into the scan at any scale; the
+    word array is materialized once per row (quality_features' stacked-
+    projection rule). Thresholds are the paper's defaults, overridable
+    per corpus. Reference heuristics of the same family:
+    `quality_features` (this repo's simpler score) and `repetition_features`.
+    """
+    text = F.col(text_col)
+    toked = df.select(
+        "*",
+        tokens(text).alias("__ws"),
+        F.filter(
+            F.split(text, r"\n"), lambda ln: F.trim(ln) != ""
+        ).alias("__lines"),
+    )
+    n_words = F.size("__ws")
+    n_lines = F.size("__lines")
+    mean_wl = F.when(
+        n_words > 0,
+        F.aggregate(
+            F.transform("__ws", lambda w: F.length(w).cast("long")),
+            F.lit(0).cast("long"),
+            lambda a, x: a + x,
+        ).cast("double")
+        / n_words,
+    ).otherwise(0.0)
+    n_hash = F.length(text) - F.length(F.replace(text, F.lit("#"), F.lit("")))
+    n_ell = (
+        F.length(text) - F.length(F.replace(text, F.lit("..."), F.lit("")))
+    ) / F.lit(3)
+    n_ell_u = F.length(text) - F.length(F.replace(text, F.lit("…"), F.lit("")))
+    symbol_ratio = F.when(
+        n_words > 0, (n_hash + n_ell + n_ell_u).cast("double") / n_words
+    ).otherwise(0.0)
+    bullet_frac = F.when(
+        n_lines > 0,
+        F.size(
+            F.filter(
+                "__lines",
+                lambda ln: F.substring(F.ltrim(ln), 1, 1).isin("•", "-", "*"),
+            )
+        ).cast("double")
+        / n_lines,
+    ).otherwise(0.0)
+    ellipsis_frac = F.when(
+        n_lines > 0,
+        F.size(
+            F.filter(
+                "__lines",
+                lambda ln: F.rtrim(ln).endswith("...")
+                | F.rtrim(ln).endswith("…"),
+            )
+        ).cast("double")
+        / n_lines,
+    ).otherwise(0.0)
+    alpha_frac = F.when(
+        n_words > 0,
+        F.size(F.filter("__ws", lambda w: w.rlike("[a-zA-Z]"))).cast("double")
+        / n_words,
+    ).otherwise(0.0)
+    stops = F.array(*[F.lit(s) for s in _GOPHER_STOPWORDS])
+    stop_hits = F.size(
+        F.filter(
+            stops,
+            lambda s: F.exists("__ws", lambda w: F.lower(w) == s),
+        )
+    )
+    feats = toked.select(
+        "*",
+        n_words.cast("long").alias("n_words"),
+        F.round(mean_wl, 6).alias("mean_word_len"),
+        F.round(symbol_ratio, 6).alias("symbol_word_ratio"),
+        F.round(bullet_frac, 6).alias("bullet_line_frac"),
+        F.round(ellipsis_frac, 6).alias("ellipsis_line_frac"),
+        F.round(alpha_frac, 6).alias("alpha_word_frac"),
+        stop_hits.cast("long").alias("stop_hits"),
+    )
+    rules = {
+        "r_word_count": (F.col("n_words") >= min_words)
+        & (F.col("n_words") <= max_words),
+        "r_mean_word_len": (F.col("mean_word_len") >= min_mean_word_len)
+        & (F.col("mean_word_len") <= max_mean_word_len),
+        "r_symbol_ratio": F.col("symbol_word_ratio") <= max_symbol_word_ratio,
+        "r_bullet_lines": F.col("bullet_line_frac") <= max_bullet_line_frac,
+        "r_ellipsis_lines": F.col("ellipsis_line_frac")
+        <= max_ellipsis_line_frac,
+        "r_alpha_words": F.col("alpha_word_frac") >= min_alpha_word_frac,
+        "r_stop_words": F.col("stop_hits") >= min_stop_hits,
+    }
+    out = feats.withColumns(rules)
+    passes = None
+    for name in rules:
+        passes = F.col(name) if passes is None else passes & F.col(name)
+    return out.withColumn("gopher_pass", passes).drop("__ws", "__lines")
+
+
 def _mode_count(sorted_arr: Column) -> Column:
     """Occurrence count of the most frequent element of a SORTED array.
 

@@ -1065,6 +1065,39 @@ def test_kmv_distinct_accuracy_and_exact_regime(spark):
     assert per == {"a": 30.0, "b": 10.0}
 
 
+def test_gopher_rules_each_rule_fires(spark):
+    """Every Gopher rule must be independently falsifiable: one crafted
+    document per rule violation, one clean passer."""
+    from metric_store_release_spark.pipeline.text import gopher_quality_rules
+
+    good = "the quick brown fox jumps over the lazy dog again " * 6  # 60 words
+    docs = [
+        (1, good),
+        (2, "the cat sat"),  # too few words
+        (3, ("a " * 60).strip()),  # mean word len < 3
+        (4, "the " + "# " * 30 + "word " * 30),  # symbol ratio > 0.1
+        (5, "• the bullet line one two three\n• and another bullet here now"),
+        (6, "the line trails off...\nand this one does too...\nmore..."),
+        (7, "the " + "123 456 " * 30),  # alpha fraction < 0.8
+        (8, "zq xv qq " * 20),  # no stop words at all
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    out = {
+        r["doc_id"]: r
+        for r in gopher_quality_rules(df, min_stop_hits=1).collect()
+    }
+    assert out[1]["gopher_pass"]
+    assert not out[2]["r_word_count"]
+    assert not out[3]["r_mean_word_len"]
+    assert not out[4]["r_symbol_ratio"]
+    assert not out[5]["r_bullet_lines"] and out[5]["bullet_line_frac"] == 1.0
+    assert not out[6]["r_ellipsis_lines"]
+    assert not out[7]["r_alpha_words"]
+    assert not out[8]["r_stop_words"] and out[8]["stop_hits"] == 0
+    for i in range(2, 9):
+        assert not out[i]["gopher_pass"]
+
+
 def test_hll_accuracy_and_partition_invariance(spark):
     """HLL estimates must land inside the ~1.04/sqrt(m) error envelope,
     be unaffected by duplication, and be invariant to how the input is
