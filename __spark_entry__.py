@@ -571,6 +571,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["dedup_containment"] = _dedup_containment
     q["events_range_scan"] = _events_range_scan
     q["events_range_scan_zordered"] = _events_range_scan_zordered
+    q["events_range_scan_hilbert"] = _events_range_scan_hilbert
     q["dedup_spans"] = _dedup_spans
     q["graph_pagerank"] = _graph_pagerank
     q["events_latency_pctl_dist"] = _events_latency_pctl_dist
@@ -668,11 +669,15 @@ _FAMILY_FIRST_ORDER = [
     # quality battery) debuts; dedup_containment (single-green, dedup
     # family keeps editdist/spans in-window) yields per policy.
     "docs_gopher_rules",
+    # r7 amendment 3: events_range_scan_hilbert (Hilbert-curve layout,
+    # same oracle as the scan pair) debuts; events_latency_pctl_dist
+    # (single-green, events family heavily covered) yields per policy.
+    "events_range_scan_hilbert",
     # single-green late-r6 debuts holding the debut slots; these yield
     # (most-covered family first) as new r7 operators land
     "promql_split_cached", "docs_bloom_contamination",
     "promql_split_rate", "dedup_spans", "graph_pagerank",
-    "events_latency_pctl_dist", "dedup_editdist",
+    "dedup_editdist",
 ]
 
 
@@ -1044,6 +1049,60 @@ def _events_range_scan_zordered(spark: SparkSession, sf_dir: str) -> DataFrame:
     spark = _prepare(spark)
     return _range_scan_agg(
         read_zordered(spark, _events_zordered_path(spark, sf_dir))
+    )
+
+
+_EVENTS_HILBERT: dict[str, str] = {}
+
+
+def _events_hilbert_path(spark: SparkSession, sf_dir: str) -> str:
+    """Session-cached Hilbert-clustered events layout: same grid, bounds
+    and 64-split range-partitioned write as _events_zordered_path, only
+    the curve differs (sources.zorder.hilbert_key) — so the
+    zorder/hilbert file_spans comparison isolates the CURVE's locality,
+    nothing else."""
+    import os
+
+    from metric_store_release_spark.sources.events_adapter import ts_ms
+    from metric_store_release_spark.sources.zorder import (
+        hilbert_key,
+        normalize_to_rank,
+        write_zordered,
+    )
+
+    path = _EVENTS_HILBERT.get(sf_dir)
+    if path is not None and os.path.isdir(path):
+        return path
+    warehouse = spark.conf.get(
+        "spark.sql.warehouse.dir", "spark-warehouse"
+    ).removeprefix("file:")
+    path = f"{warehouse}/msr_events_hilbert_{_table_suffix(sf_dir)}"
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    ev = ev.withColumn("ts_ms", ts_ms(ev)).drop("ts")
+    lo_u, hi_u, lo_t, hi_t = ev.select(
+        F.min("user_id"), F.max("user_id"), F.min("ts_ms"), F.max("ts_ms")
+    ).first()
+    hkey = hilbert_key(
+        normalize_to_rank(F.col("user_id"), lo_u, hi_u, 16),
+        normalize_to_rank(F.col("ts_ms"), lo_t, hi_t, 16),
+    )
+    write_zordered(ev, path, hkey, n_files=64)
+    _EVENTS_HILBERT[sf_dir] = path
+    return path
+
+
+def _events_range_scan_hilbert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The same 2-D selective scan over the HILBERT-clustered layout:
+    the curve has no Z-shaped diagonal jumps, so per-file spans are
+    tighter than Morton's for the same file count and min/max pruning
+    drops more files (tests/test_zorder.py asserts the span comparison;
+    SCALING.md carries the measured scan pair). Same oracle as
+    events_range_scan: layout must never change answers."""
+    from metric_store_release_spark.sources.zorder import read_zordered
+
+    spark = _prepare(spark)
+    return _range_scan_agg(
+        read_zordered(spark, _events_hilbert_path(spark, sf_dir))
     )
 
 
@@ -3556,6 +3615,7 @@ GROUP BY 1
     # identical oracle for both layouts: clustering must never change answers
     o["events_range_scan"] = _range_scan_sql
     o["events_range_scan_zordered"] = _range_scan_sql
+    o["events_range_scan_hilbert"] = _range_scan_sql
 
     o["events_cube"] = """
 SELECT event_type, dayofweek(ts) + 1 AS dow,

@@ -130,6 +130,9 @@ def main() -> None:
         # untimed setup, same rule as the bucketed/IVF tables)
         "events_range_scan",
         "events_range_scan_zordered",
+        # round 7: the same scan over the Hilbert-curve layout — the
+        # three-way compares natural vs Morton vs Hilbert pruning
+        "events_range_scan_hilbert",
         # late round 6: C4-style boilerplate-span removal (graph_pagerank
         # moved to the offline loop in round 7 — iterative job)
         "dedup_spans",
@@ -176,6 +179,7 @@ def main() -> None:
     qs["embedding_ann_probe"](spark, SF_DIR)
     qs["events_sessionize_bucketed"](spark, SF_DIR)
     qs["events_range_scan_zordered"](spark, SF_DIR)
+    qs["events_range_scan_hilbert"](spark, SF_DIR)
 
     from metric_store_release_spark.pipeline.dedup import leased
 

@@ -101,3 +101,75 @@ def test_layout_never_changes_answers(spark, layouts):
         }
 
     assert agg(spark.read.parquet(natural)) == agg(read_zordered(spark, zpath))
+
+
+def test_hilbert_matches_reference_walk(spark):
+    """hilbert_key must equal the classic iterative xy->d reference."""
+    import random
+
+    from metric_store_release_spark.sources.zorder import hilbert_key
+
+    def xy2d(n, x, y):
+        d, s = 0, n // 2
+        while s > 0:
+            rx = 1 if (x & s) > 0 else 0
+            ry = 1 if (y & s) > 0 else 0
+            d += s * s * ((3 * rx) ^ ry)
+            if ry == 0:
+                if rx == 1:
+                    x, y = s - 1 - x, s - 1 - y
+                x, y = y, x
+            s //= 2
+        return d
+
+    random.seed(11)
+    pts = [(random.randrange(256), random.randrange(256)) for _ in range(200)]
+    pts += [(0, 0), (255, 255), (0, 255), (255, 0)]
+    df = spark.createDataFrame(pts, "x long, y long")
+    got = {
+        (r["x"], r["y"]): r["d"]
+        for r in df.select(
+            "x", "y", hilbert_key(F.col("x"), F.col("y"), bits=8).alias("d")
+        ).collect()
+    }
+    assert got == {(x, y): xy2d(256, x, y) for x, y in pts}
+
+
+def test_hilbert_spans_no_worse_than_zorder(spark, layouts, tmp_path):
+    """Same grid, same file count: the Hilbert layout's mean per-file
+    span must be narrow in both dims and its worst-dimension mean span
+    no worse than Morton's (the curve has no diagonal jumps)."""
+    from metric_store_release_spark.sources.zorder import hilbert_key
+
+    natural, zpath = layouts
+    n_users, n_ts = 200, 500
+    df = spark.read.parquet(natural)
+    hpath = f"{tmp_path}/hilbert"
+    hkey = hilbert_key(
+        normalize_to_rank(F.col("user_id"), 0, n_users - 1, 16),
+        normalize_to_rank(F.col("ts_ms"), 0, n_ts - 1, 16),
+    )
+    write_zordered(df, hpath, hkey, n_files=16)
+
+    def mean_span(path, col, width):
+        spans = file_spans(spark.read.parquet(path), [col]).select(
+            ((F.col(f"{col}_max") - F.col(f"{col}_min")) / F.lit(width)).alias("s")
+        )
+        return spans.agg(F.avg("s")).first()[0]
+
+    hu = mean_span(hpath, "user_id", n_users)
+    ht = mean_span(hpath, "ts_ms", n_ts)
+    zu = mean_span(zpath, "user_id", n_users)
+    zt = mean_span(zpath, "ts_ms", n_ts)
+    assert hu < 0.5 and ht < 0.5
+    assert max(hu, ht) <= max(zu, zt) * 1.05  # no worse than Morton
+    # answers identical across all three layouts
+    q = lambda p: {
+        tuple(r)
+        for r in spark.read.parquet(p)
+        .filter(F.col("user_id").between(10, 29) & F.col("ts_ms").between(100, 199))
+        .groupBy("value")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    assert q(hpath) == q(natural)
