@@ -566,6 +566,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["events_cms_topk"] = _events_cms_topk
     q["events_quantile_sketch"] = _events_quantile_sketch
     q["dedup_components_star"] = _dedup_components_star
+    q["docs_leakage_split"] = _docs_leakage_split
     q["events_kmv_dau_wau"] = _events_kmv_dau_wau
     q["dedup_editdist"] = _dedup_editdist
     q["dedup_containment"] = _dedup_containment
@@ -673,10 +674,14 @@ _FAMILY_FIRST_ORDER = [
     # same oracle as the scan pair) debuts; events_latency_pctl_dist
     # (single-green, events family heavily covered) yields per policy.
     "events_range_scan_hilbert",
+    # r7 amendment 4: docs_leakage_split (cluster-consistent train/eval
+    # split) debuts; graph_pagerank (single-green, moved to the offline
+    # bench loop this round) yields per policy.
+    "docs_leakage_split",
     # single-green late-r6 debuts holding the debut slots; these yield
     # (most-covered family first) as new r7 operators land
     "promql_split_cached", "docs_bloom_contamination",
-    "promql_split_rate", "dedup_spans", "graph_pagerank",
+    "promql_split_rate", "dedup_spans",
     "dedup_editdist",
 ]
 
@@ -1969,6 +1974,21 @@ def _dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
         _docs(spark, sf_dir), num_hashes=8, bands=4, shingle_n=3
     )
     return connected_components(pairs)
+
+
+def _docs_leakage_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-safe train/val/test split (pipeline.dedup.
+    leakage_safe_split): the split hash is taken over the near-dup
+    CLUSTER id (minhash LSH pairs → connected components; singletons =
+    own id), so near-duplicates never straddle the train/eval boundary —
+    the eval-contamination mode a per-doc hash split permits. Same
+    minhash parameters as dedup_components, so the oracle reuses its
+    recursive-reachability CTEs."""
+    from metric_store_release_spark.pipeline.dedup import leakage_safe_split
+
+    return leakage_safe_split(
+        _docs(spark, sf_dir), num_hashes=8, bands=4, shingle_n=3
+    )
 
 
 def _dedup_components_star(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3371,6 +3391,8 @@ GROUP BY s.user_id, s.session_seq
     # identical labeling contract to dedup_components — the oracle is
     # algorithm-independent (recursive reachability, min per node)
     o["dedup_components_star"] = _components_oracle()
+
+    o["docs_leakage_split"] = _leakage_split_oracle()
 
     o["series_cardinality"] = kmv_distinct_sql(
         "(SELECT event_type AS name, "
@@ -4795,6 +4817,49 @@ reach(id, r) AS (
   SELECT e.b, r.r FROM reach r JOIN edges e ON e.a = r.id
 )
 SELECT id, MIN(r) AS component FROM reach GROUP BY id
+"""
+
+
+def _leakage_split_oracle(
+    splits: list[tuple[str, float]] | None = None, salt: str = "split"
+) -> str:
+    """`leakage_safe_split` replay: components via the same recursive
+    reachability as _components_oracle, singleton fallback, then the
+    shared md5 hash-threshold rule over the CLUSTER id. Thresholds come
+    from the identical Python accumulation the Spark side runs, so
+    float-literal drift is impossible."""
+    if splits is None:
+        splits = [("train", 0.8), ("val", 0.1), ("test", 0.1)]
+    case = "CASE"
+    acc = 0.0
+    for name, frac in splits[:-1]:
+        acc += frac
+        case += f" WHEN pt < {acc!r} THEN '{name}'"
+    case += f" ELSE '{splits[-1][0]}' END"
+    return f"""
+WITH RECURSIVE {_minhash_pairs_ctes()},
+edges AS (
+  SELECT id_a AS a, id_b AS b FROM pairs
+  UNION
+  SELECT id_b, id_a FROM pairs
+),
+reach(id, r) AS (
+  SELECT DISTINCT a, a FROM edges
+  UNION
+  SELECT e.b, r.r FROM reach r JOIN edges e ON e.a = r.id
+),
+comp AS (SELECT id, MIN(r) AS component FROM reach GROUP BY id),
+clustered AS (
+  SELECT d.doc_id AS id, COALESCE(c.component, d.doc_id) AS cluster
+  FROM documents d LEFT JOIN comp c ON c.id = d.doc_id
+),
+pointed AS (
+  SELECT id, cluster,
+    ('0x' || substr(md5('{salt}' || CAST(cluster AS VARCHAR)), 1, 8))::BIGINT
+      / 4294967296.0 AS pt
+  FROM clustered
+)
+SELECT id, cluster, {case} AS split FROM pointed
 """
 
 

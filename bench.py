@@ -124,6 +124,9 @@ def main() -> None:
         "events_hll_dau_wau",
         # round 7: the Gopher/MassiveText rule battery (pure map-side)
         "docs_gopher_rules",
+        # round 7: cluster-consistent train/val/test assignment (LSH
+        # pairs -> components -> one hash per cluster)
+        "docs_leakage_split",
         # late round 6: 2-D selective scan over the natural vs the
         # Morton-clustered (z-ordered) events layout — the pair measures
         # what multi-column min/max pruning is worth (layout write is

@@ -1145,6 +1145,64 @@ def keep_best_per_cluster(
     return winners.join(sizes, "component")
 
 
+def leakage_safe_split(
+    df: DataFrame,
+    splits: list[tuple[str, float]] | None = None,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 8,
+    bands: int = 4,
+    shingle_n: int = 3,
+    salt: str = "split",
+) -> DataFrame:
+    """Deterministic train/val/test assignment with a LEAKAGE GUARD:
+    split membership is hashed from the near-dup CLUSTER id, not the
+    document id, so two near-duplicate documents can never straddle the
+    train/eval boundary — the contamination mode a plain per-doc hash
+    split silently permits (evaluating on a near-copy of a training
+    doc). ``splits`` is an ordered [(name, fraction)] list summing to 1.
+
+    Plan: LSH candidate pairs → connected components (both bounded, no
+    all-pairs) → singletons fall back to their own id as cluster → one
+    md5 hash per CLUSTER decides the split (the shared hash_bucket rule,
+    so an oracle replays it), broadcast nothing, corpus-side one left
+    join against the (small — only docs in pairs) component table.
+    Deterministic end-to-end: re-running on the same corpus reproduces
+    the exact assignment, and adding documents never moves an existing
+    cluster between splits (hash-threshold stability).
+
+    Returns (id, cluster, split)."""
+    from metric_store_release_spark.pipeline.text import hash_bucket
+
+    if splits is None:
+        splits = [("train", 0.8), ("val", 0.1), ("test", 0.1)]
+    total = sum(f for _, f in splits)
+    if abs(total - 1.0) > 1e-9:
+        raise ValueError(f"split fractions must sum to 1, got {total}")
+    pairs = minhash_lsh_candidates(
+        df, text_col, id_col, num_hashes, bands, shingle_n
+    )
+    comp = connected_components(pairs)  # releases pairs' index itself
+    labeled = df.select(F.col(id_col).alias("id")).join(comp, "id", "left")
+    cluster = F.coalesce(F.col("component"), F.col("id"))
+    point = hash_bucket(cluster, salt) / F.lit(float(1 << 32))
+    expr = None
+    acc = 0.0
+    for name, frac in splits[:-1]:
+        acc += frac
+        cond = point < acc
+        expr = (
+            F.when(cond, F.lit(name))
+            if expr is None
+            else expr.when(cond, F.lit(name))
+        )
+    last = F.lit(splits[-1][0])
+    split = last if expr is None else expr.otherwise(last)
+    return labeled.select(
+        "id", cluster.alias("cluster"), split.alias("split")
+    )
+
+
 def remove_duplicate_spans(
     df: DataFrame,
     span_words: int = 10,

@@ -1065,6 +1065,42 @@ def test_kmv_distinct_accuracy_and_exact_regime(spark):
     assert per == {"a": 30.0, "b": 10.0}
 
 
+def test_leakage_safe_split_keeps_clusters_together(spark):
+    from metric_store_release_spark.pipeline.dedup import leakage_safe_split
+
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    docs = [(i, base + f" tail{i}") for i in range(0, 40, 2)]
+    # near-dup partners of every even doc: same text + one-word mutation
+    docs += [(i + 1, base + f" tail{i} x") for i in range(0, 40, 2)]
+    # plus singletons with disjoint vocabulary
+    docs += [
+        (100 + i, f"unique{i} words{i} only{i} here{i} now{i} more{i} "
+                  f"pad{i} pads{i} padd{i} padds{i}")
+        for i in range(10)
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    out = leakage_safe_split(df, num_hashes=8, bands=4, shingle_n=3)
+    rows = {r["id"]: (r["cluster"], r["split"]) for r in out.collect()}
+    assert len(rows) == len(docs)
+    # every near-dup pair shares cluster AND split
+    for i in range(0, 40, 2):
+        assert rows[i][0] == rows[i + 1][0], i
+        assert rows[i][1] == rows[i + 1][1], i
+    # singletons cluster to themselves
+    for i in range(10):
+        assert rows[100 + i][0] == 100 + i
+    # all three splits named correctly
+    assert {s for _, s in rows.values()} <= {"train", "val", "test"}
+    # determinism: re-run reproduces the exact assignment
+    again = {
+        r["id"]: (r["cluster"], r["split"])
+        for r in leakage_safe_split(
+            df, num_hashes=8, bands=4, shingle_n=3
+        ).collect()
+    }
+    assert again == rows
+
+
 def test_gopher_rules_each_rule_fires(spark):
     """Every Gopher rule must be independently falsifiable: one crafted
     document per rule violation, one clean passer."""
