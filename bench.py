@@ -148,6 +148,9 @@ def main() -> None:
         # the merge-loop tokenizer)
         "docs_wordpiece_vocab",
         "docs_wordpiece_tokens",
+        # round 7: top-PC projection — 4 matrix-free power-iteration
+        # rounds (one distributed agg each) + one map-side projection
+        "embedding_top_pc",
         # bulk kNN join (hard-negative mining): both sides corpus-scale,
         # IVF-bucketed shuffle join — the non-broadcast retrieval shape
         "embedding_hard_negatives",

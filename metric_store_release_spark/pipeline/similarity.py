@@ -663,6 +663,81 @@ def hard_negative_mining_simhash(
     return _ranked_topk(scored, k, id_col, "query_id")
 
 
+def top_pc_loadings(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    iters: int = 4,
+) -> list[float]:
+    """Loadings of the top principal component of CENTERED embeddings by
+    distributed power iteration — the kmeans/BPE loop shape: every
+    iteration is ONE distributed aggregation, and only d values (the
+    iterate) ever reach the driver.
+
+    Matrix-free covariance action: with μ the per-dimension mean,
+    Σᵢ(xᵢ−μ)((xᵢ−μ)·v) = t − μ·s where s = Σᵢ(xᵢ·v) and
+    tⱼ = Σᵢ xᵢⱼ(xᵢ·v) — so the covariance matrix (d², dense) is never
+    materialized; each iteration computes (s, t) in one pass over the
+    corpus (posexplode → per-dimension partial-agg sum: d rows cross the
+    wire) and renormalizes on the driver. Init v₀ = 1/√d (exact 0.125 at
+    d=64); deterministic end-to-end — the engine-noise budget is the
+    usual distributed-float-sum ulp drift, absorbed by the round-6
+    output contract (same class as pagerank / classifier training,
+    both driver-green)."""
+    base = df.select(F.col(vec_col).cast("array<double>").alias("__v"))
+    d = base.select(F.size("__v")).first()[0]
+    mu = [
+        r["m"]
+        for r in base.select(F.posexplode("__v").alias("pos", "x"))
+        .groupBy("pos")
+        .agg(F.avg("x").alias("m"))
+        .orderBy("pos")
+        .collect()
+    ]
+    import math
+
+    v = [1.0 / math.sqrt(d)] * d
+    for _ in range(iters):
+        vlit = F.expr(_double_array_sql(v))
+        scored = base.withColumn("__xv", _dot(F.col("__v"), vlit))
+        s = scored.agg(F.sum("__xv")).first()[0]
+        t = [
+            r["t"]
+            for r in scored.select(
+                F.posexplode("__v").alias("pos", "x"), "__xv"
+            )
+            .groupBy("pos")
+            .agg(F.sum(F.col("x") * F.col("__xv")).alias("t"))
+            .orderBy("pos")
+            .collect()
+        ]
+        w = [t[j] - mu[j] * s for j in range(d)]
+        nm = math.sqrt(sum(x * x for x in w))
+        v = [x / nm for x in w]
+    return v
+
+
+def top_principal_component(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    iters: int = 4,
+) -> DataFrame:
+    """Every vector's projection onto the corpus's top principal
+    component: (id, pc1_score) — the whitening / outlier-detection /
+    1-D visualization projection of an embedding pipeline. Power
+    iteration via :func:`top_pc_loadings` (k single-aggregation rounds),
+    then one map-side projection of the corpus onto the d-element
+    loading literal."""
+    v = top_pc_loadings(df, vec_col, iters)
+    vlit = F.expr(_double_array_sql(v))
+    return df.select(
+        F.col(id_col),
+        F.round(
+            _dot(F.col(vec_col).cast("array<double>"), vlit), 6
+        ).alias("pc1_score"),
+    )
+
+
 def hard_negative_mining(
     corpus: DataFrame,
     centroids: list[list[float]],

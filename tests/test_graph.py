@@ -158,6 +158,34 @@ def test_hard_negative_mining_excludes_self_and_same_label(spark):
     assert {got[(4, 1)], got[(4, 2)]} == {5, 6}
 
 
+def test_top_pc_recovers_dominant_axis(spark):
+    """Power iteration must find the dominant variance direction: on
+    data spread 30x wider along axis 0 than axis 1, the loadings
+    concentrate on axis 0 and scores order by the axis-0 coordinate."""
+    import math
+
+    from metric_store_release_spark.pipeline.similarity import (
+        top_pc_loadings,
+        top_principal_component,
+    )
+
+    rows = [
+        (i, [float(i - 10) * 3.0, math.sin(i) * 0.1, 0.05 * (i % 3), 0.0])
+        for i in range(21)
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    v = top_pc_loadings(emb, iters=6)
+    assert abs(v[0]) > 0.99  # dominant axis
+    assert math.isclose(sum(x * x for x in v), 1.0, rel_tol=1e-9)
+    scores = {
+        r["vec_id"]: r["pc1_score"]
+        for r in top_principal_component(emb, iters=6).collect()
+    }
+    # scores are monotone in the axis-0 coordinate (up to global sign)
+    ordered = [scores[i] for i in range(21)]
+    assert ordered == sorted(ordered) or ordered == sorted(ordered, reverse=True)
+
+
 def test_simhash_bits_scale_with_corpus():
     from metric_store_release_spark.pipeline.similarity import simhash_bits_for
 
