@@ -544,6 +544,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["events_kmv_overlap"] = _events_kmv_overlap
     q["events_hll_users"] = _events_hll_users
     q["events_hll_dau_wau"] = _events_hll_dau_wau
+    q["events_ab_test"] = _events_ab_test
     q["docs_bpe_merges"] = _docs_bpe_merges
     q["docs_bpe_tokens"] = _docs_bpe_tokens
     q["docs_temperature_mix"] = _docs_temperature_mix
@@ -683,10 +684,14 @@ _FAMILY_FIRST_ORDER = [
     # debuts; dedup_spans (single-green, dedup family keeps editdist
     # in-window) yields per policy.
     "embedding_top_pc",
+    # r7 amendment 6: events_ab_test (deterministic-split experiment
+    # readout) debuts; promql_split_rate (single-green, shares
+    # promql_rate's oracle bit-identically and split_cached stays
+    # in-window) yields per policy.
+    "events_ab_test",
     # single-green late-r6 debuts holding the debut slots; these yield
     # (most-covered family first) as new r7 operators land
     "promql_split_cached", "docs_bloom_contamination",
-    "promql_split_rate",
     "dedup_editdist",
 ]
 
@@ -1441,6 +1446,21 @@ def _events_kmv_dau_wau(spark: SparkSession, sf_dir: str) -> DataFrame:
     eday = F.floor(ts_ms(ev) / F.lit(86_400_000)).cast("long")
     daily = kmv_sketch(ev.select("user_id", eday.alias("eday")), "user_id", ("eday",), k=32)
     return kmv_trailing_window(daily, "eday", window=7, k=32)
+
+
+def _events_ab_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-variant experiment readout (pipeline.events.ab_test_conversion):
+    deterministic md5 50/50 user split, converted = any purchase with
+    value >= 150 (~45% of fixture users — every user has SOME purchase,
+    which would make the z-score degenerate), per-variant rates + pooled
+    two-proportion z-score. One per-user hash agg + one single-row
+    conditional agg — no joins, no windows."""
+    from metric_store_release_spark.pipeline.events import ab_test_conversion
+
+    ev = _prepare(spark).read.parquet(f"{sf_dir}/events.parquet")
+    return ab_test_conversion(
+        ev, (F.col("event_type") == "purchase") & (F.col("value") >= 150)
+    )
 
 
 def _events_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3458,6 +3478,47 @@ GROUP BY s.user_id, s.session_seq
     o["dedup_components_star"] = _components_oracle()
 
     o["docs_leakage_split"] = _leakage_split_oracle()
+
+    o["events_ab_test"] = """
+WITH users AS (
+  SELECT user_id,
+         MAX(CASE WHEN event_type = 'purchase' AND value >= 150
+                  THEN 1 ELSE 0 END) AS conv
+  FROM events GROUP BY user_id
+),
+assigned AS (
+  SELECT conv,
+    ('0x' || substr(md5('ab' || CAST(user_id AS VARCHAR)), 1, 8))::BIGINT % 2 AS v
+  FROM users
+),
+agg AS (
+  SELECT
+    CAST(SUM(CASE WHEN v = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+    CAST(SUM(CASE WHEN v = 0 THEN conv ELSE 0 END) AS BIGINT) AS conv_a,
+    CAST(SUM(CASE WHEN v = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_b,
+    CAST(SUM(CASE WHEN v = 1 THEN conv ELSE 0 END) AS BIGINT) AS conv_b
+  FROM assigned
+)
+SELECT n_a, conv_a,
+       ROUND(CAST(conv_a AS DOUBLE) / CAST(n_a AS DOUBLE), 6) AS rate_a,
+       n_b, conv_b,
+       ROUND(CAST(conv_b AS DOUBLE) / CAST(n_b AS DOUBLE), 6) AS rate_b,
+       CASE WHEN sqrt(((CAST(conv_a AS DOUBLE) + CAST(conv_b AS DOUBLE))
+                       / (CAST(n_a AS DOUBLE) + CAST(n_b AS DOUBLE)))
+                      * (1.0 - (CAST(conv_a AS DOUBLE) + CAST(conv_b AS DOUBLE))
+                               / (CAST(n_a AS DOUBLE) + CAST(n_b AS DOUBLE)))
+                      * (1.0 / CAST(n_a AS DOUBLE) + 1.0 / CAST(n_b AS DOUBLE))) > 0.0
+       THEN ROUND((CAST(conv_a AS DOUBLE) / CAST(n_a AS DOUBLE)
+                   - CAST(conv_b AS DOUBLE) / CAST(n_b AS DOUBLE))
+                  / sqrt(((CAST(conv_a AS DOUBLE) + CAST(conv_b AS DOUBLE))
+                          / (CAST(n_a AS DOUBLE) + CAST(n_b AS DOUBLE)))
+                         * (1.0 - (CAST(conv_a AS DOUBLE) + CAST(conv_b AS DOUBLE))
+                                  / (CAST(n_a AS DOUBLE) + CAST(n_b AS DOUBLE)))
+                         * (1.0 / CAST(n_a AS DOUBLE) + 1.0 / CAST(n_b AS DOUBLE))),
+                  6)
+       END AS z_score
+FROM agg
+"""
 
     o["series_cardinality"] = kmv_distinct_sql(
         "(SELECT event_type AS name, "

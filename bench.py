@@ -127,6 +127,8 @@ def main() -> None:
         # round 7: cluster-consistent train/val/test assignment (LSH
         # pairs -> components -> one hash per cluster)
         "docs_leakage_split",
+        # round 7: experiment readout (per-user hash agg + 1-row agg)
+        "events_ab_test",
         # late round 6: 2-D selective scan over the natural vs the
         # Morton-clustered (z-ordered) events layout — the pair measures
         # what multi-column min/max pruning is worth (layout write is

@@ -124,6 +124,62 @@ def funnel(
     return out
 
 
+def ab_test_conversion(
+    df: DataFrame,
+    convert: Column,
+    user_col: str = "user_id",
+    salt: str = "ab",
+) -> DataFrame:
+    """Two-variant experiment readout: deterministic 50/50 user split by
+    the shared md5 hash (so assignment is stable across reruns and
+    engines — the hash_bucket contract), per-variant conversion rates,
+    and the pooled two-proportion z-score — the quantity an A/B decision
+    reads first. ``convert`` is any row-level predicate; a user counts
+    as converted if ANY of their rows satisfies it.
+
+    Plan: ONE hash aggregation per user (map-side partials carry the
+    or-fold), then a single-row conditional aggregation over variants —
+    no joins, no windows, scale-independent output. Returns one row
+    (n_a, conv_a, rate_a, n_b, conv_b, rate_b, z_score), floats rounded
+    6 (z from exact integer counts, so any engine reproduces it)."""
+    from metric_store_release_spark.pipeline.text import hash_bucket
+
+    users = df.groupBy(user_col).agg(
+        F.max(F.when(convert, 1).otherwise(0)).alias("__conv")
+    )
+    assigned = users.withColumn(
+        "__v", F.pmod(hash_bucket(F.col(user_col), salt), F.lit(2))
+    )
+    agg = assigned.agg(
+        F.sum(F.when(F.col("__v") == 0, 1).otherwise(0)).alias("n_a"),
+        F.sum(F.when(F.col("__v") == 0, F.col("__conv")).otherwise(0)).alias(
+            "conv_a"
+        ),
+        F.sum(F.when(F.col("__v") == 1, 1).otherwise(0)).alias("n_b"),
+        F.sum(F.when(F.col("__v") == 1, F.col("__conv")).otherwise(0)).alias(
+            "conv_b"
+        ),
+    )
+    na, ca = F.col("n_a").cast("double"), F.col("conv_a").cast("double")
+    nb, cb = F.col("n_b").cast("double"), F.col("conv_b").cast("double")
+    pa, pb = ca / na, cb / nb
+    pooled = (ca + cb) / (na + nb)
+    se = F.sqrt(pooled * (1.0 - pooled) * (1.0 / na + 1.0 / nb))
+    # a degenerate experiment (everyone or no one converted) has se = 0
+    # and no defined z — NULL, not a division error (ANSI mode raises on
+    # double /0 too)
+    z = F.when(se > 0.0, F.round((pa - pb) / se, 6))
+    return agg.select(
+        F.col("n_a").cast("long").alias("n_a"),
+        F.col("conv_a").cast("long").alias("conv_a"),
+        F.round(pa, 6).alias("rate_a"),
+        F.col("n_b").cast("long").alias("n_b"),
+        F.col("conv_b").cast("long").alias("conv_b"),
+        F.round(pb, 6).alias("rate_b"),
+        z.alias("z_score"),
+    )
+
+
 def asof_join(
     left: DataFrame,
     right: DataFrame,

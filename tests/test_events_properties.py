@@ -261,3 +261,26 @@ def test_interval_join_plans_no_nested_loop(spark):
     )
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_ab_test_conversion_counts_and_degenerate_guard(spark):
+    from pyspark.sql import functions as F
+
+    from metric_store_release_spark.pipeline.events import ab_test_conversion
+
+    rows = [(u, "purchase" if u % 3 == 0 else "view") for u in range(200)]
+    df = spark.createDataFrame(rows, "user_id long, event_type string")
+    out = ab_test_conversion(df, F.col("event_type") == "purchase").collect()[0]
+    # every user lands in exactly one variant
+    assert out["n_a"] + out["n_b"] == 200
+    assert out["conv_a"] + out["conv_b"] == len(
+        {u for u in range(200) if u % 3 == 0}
+    )
+    assert out["z_score"] is not None
+    # deterministic: identical rerun
+    again = ab_test_conversion(df, F.col("event_type") == "purchase").collect()[0]
+    assert again.asDict() == out.asDict()
+    # degenerate (everyone converts): z is NULL, not a division error
+    allconv = ab_test_conversion(df, F.lit(True)).collect()[0]
+    assert allconv["z_score"] is None
+    assert allconv["rate_a"] == 1.0 and allconv["rate_b"] == 1.0
