@@ -14,15 +14,19 @@ def main() -> None:
     paths = sys.argv[1:4]
     b01, b1, b10 = (json.load(open(p)) for p in paths)
     names = list(b01["queries"])
-    offline = [n for n in names if n not in b01.get("spread", {})]
+    # round-7 sidecar format carries the offline-loop list explicitly;
+    # fall back to the old spread-absence heuristic for older artifacts
+    offline = b01.get(
+        "offline", [n for n in names if n not in b01.get("spread", {})]
+    )
 
     def tot(b, keys):
         return sum(b["queries"][k] for k in keys if k in b["queries"])
 
-    serving = [n for n in names if n in b1["queries"]]
+    serving = [n for n in names if n not in offline]
     print(f"entries: {len(names)} (sf0.1) / {len(b1['queries'])} (sf1) "
           f"/ {len(b10['queries'])} (sf10); offline-loop: {offline}")
-    for label, keys in (("all", names),):
+    for label, keys in (("serving", serving), ("all", names)):
         print(
             f"| warm median total, {label} (s) "
             f"| {tot(b01, keys):.1f} | {tot(b1, keys):.1f} "
