@@ -579,6 +579,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["events_latency_pctl_dist"] = _events_latency_pctl_dist
     q["docs_wordpiece_vocab"] = _docs_wordpiece_vocab
     q["docs_wordpiece_tokens"] = _docs_wordpiece_tokens
+    q["docs_unigram_vocab"] = _docs_unigram_vocab
+    q["docs_unigram_tokens"] = _docs_unigram_tokens
     q["embedding_hard_negatives"] = _embedding_hard_negatives
     q["embedding_top_pc"] = _embedding_top_pc
 
@@ -689,10 +691,15 @@ _FAMILY_FIRST_ORDER = [
     # promql_rate's oracle bit-identically and split_cached stays
     # in-window) yields per policy.
     "events_ab_test",
+    # r7 amendment 7: the unigram-LM tokenizer pair (Viterbi-EM train +
+    # apply, full-training-loop oracle) debuts; docs_bloom_contamination
+    # and dedup_editdist (single-green; their families keep
+    # ngram_contamination-adjacent and minhash reps in-window via the
+    # veteran swap-backs) yield per policy.
+    "docs_unigram_vocab", "docs_unigram_tokens",
     # single-green late-r6 debuts holding the debut slots; these yield
     # (most-covered family first) as new r7 operators land
-    "promql_split_cached", "docs_bloom_contamination",
-    "dedup_editdist",
+    "promql_split_cached",
 ]
 
 
@@ -2932,6 +2939,163 @@ FROM c
 """
 
 
+def _docs_unigram_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram-LM (SentencePiece-style) piece vocabulary after 2 rounds
+    of deterministic Viterbi-EM (pipeline.tokenizer.unigram_vocab):
+    integer log-prob scores, ties to the longer piece, +1 char
+    smoothing. The oracle replays the FULL training loop — seed counts,
+    both EM rounds' Viterbi DPs (position-unrolled, recursive-CTE
+    backtrace), usage recounts and re-scoring — in SQL."""
+    from metric_store_release_spark.pipeline.tokenizer import unigram_vocab
+
+    return unigram_vocab(_docs(spark, sf_dir), seed_k=48, rounds=2)
+
+
+def _docs_unigram_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus token frequencies under the trained unigram model
+    (pipeline.tokenizer.unigram_token_counts): train as in
+    docs_unigram_vocab, then one final Viterbi segmentation of the
+    distinct-word table weighted by word frequency."""
+    from metric_store_release_spark.pipeline.tokenizer import (
+        unigram_token_counts,
+    )
+
+    return unigram_token_counts(_docs(spark, sf_dir), seed_k=48, rounds=2)
+
+
+def _unigram_oracle(
+    rounds: int = 2,
+    seed_k: int = 48,
+    mpl: int = 4,
+    maxpos: int = 12,
+    tokens: bool = False,
+) -> str:
+    """`unigram_vocab` / `unigram_token_counts` replay: seed substring
+    counts, then per EM round a position-unrolled Viterbi DP (ROW_NUMBER
+    (best DESC, len DESC) = Spark's greatest(struct(score, len))), a
+    recursive-CTE backtrace, usage recount with +1 char smoothing, and
+    integer re-scoring ROUND(ln(n/total)*1e6). All DP state is int64 so
+    both engines agree exactly; maxpos=12 covers every fixture word
+    (max observed 11 at sf10). MATERIALIZED throughout (the
+    embedding_top_pc lesson: DuckDB inlines chained CTEs per reference)."""
+    neg = -(10**15)
+    seed_parts = "\n    UNION ALL\n".join(
+        f"""    SELECT wc, unnest([substr(w, i, {plen})
+             for i in range(1, len(w) - {plen} + 2)]) AS piece
+    FROM wc WHERE len(w) >= {plen}"""
+        for plen in range(1, mpl + 1)
+    )
+    ctes = [
+        """wc AS MATERIALIZED (
+  SELECT w, CAST(COUNT(*) AS BIGINT) AS wc FROM (
+    SELECT unnest(list_filter(string_split_regex(text, '\\s+'), x -> x <> '')) AS w
+    FROM documents
+  ) GROUP BY w
+)""",
+        f"""seedcnt AS MATERIALIZED (
+  SELECT piece, CAST(SUM(wc) AS BIGINT) AS cnt FROM (
+{seed_parts}
+  ) GROUP BY piece
+)""",
+        f"""topk AS MATERIALIZED (
+  SELECT piece, cnt FROM seedcnt ORDER BY cnt DESC, piece LIMIT {seed_k}
+)""",
+        """chars AS MATERIALIZED (
+  SELECT piece, cnt FROM seedcnt WHERE length(piece) = 1
+)""",
+        """seed AS MATERIALIZED (
+  SELECT piece, MAX(cnt) AS n FROM
+    (SELECT * FROM topk UNION ALL SELECT * FROM chars) GROUP BY piece
+)""",
+        """sc0 AS MATERIALIZED (
+  SELECT piece, CAST(ROUND(ln(n * 1.0 / (SELECT SUM(n) FROM seed))
+                           * 1000000.0) AS BIGINT) AS s
+  FROM seed
+)""",
+    ]
+
+    def dp_chain(r: int) -> list[str]:
+        out = [
+            f"""cand{r} AS MATERIALIZED (
+  SELECT g.w, g.pos, g.len, COALESCE(s.s, {neg}) AS s
+  FROM (SELECT w, p.g AS pos, l.g AS len, substr(w, p.g, l.g) AS piece
+        FROM wc, generate_series(1, {maxpos}) p(g),
+             generate_series(1, {mpl}) l(g)
+        WHERE p.g + l.g - 1 <= length(w)) g
+  LEFT JOIN sc{r} s ON s.piece = g.piece
+)""",
+            f"dp{r}_0 AS (SELECT w, CAST(0 AS BIGINT) AS best, 0 AS bp FROM wc)",
+        ]
+        for i in range(1, maxpos + 1):
+            arms = "\n      UNION ALL\n".join(
+                f"""      SELECT c.w, p.best + c.s AS best, {j} AS bp
+      FROM dp{r}_{i - j} p JOIN cand{r} c
+        ON c.w = p.w AND c.pos = {i - j + 1} AND c.len = {j}"""
+                for j in range(1, min(mpl, i) + 1)
+            )
+            out.append(
+                f"""dp{r}_{i} AS MATERIALIZED (
+  SELECT w, best, bp FROM (
+    SELECT w, best, bp,
+           ROW_NUMBER() OVER (PARTITION BY w ORDER BY best DESC, bp DESC) AS rn
+    FROM (
+{arms}
+    )
+  ) WHERE rn = 1
+)"""
+            )
+        dp_all = "\n  UNION ALL\n".join(
+            f"  SELECT w, {i} AS pos, bp FROM dp{r}_{i}"
+            for i in range(1, maxpos + 1)
+        )
+        out.append(f"dp{r}_all AS MATERIALIZED (\n{dp_all}\n)")
+        out.append(
+            f"""walk{r}(w, pos, tok) AS (
+  SELECT w, CAST(length(w) AS INT), CAST(NULL AS VARCHAR) FROM wc
+  UNION ALL
+  SELECT k.w, k.pos - d.bp, substr(k.w, k.pos - d.bp + 1, d.bp)
+  FROM walk{r} k JOIN dp{r}_all d ON d.w = k.w AND d.pos = k.pos
+  WHERE k.pos > 0
+)"""
+        )
+        return out
+
+    for r in range(rounds):
+        ctes += dp_chain(r)
+        ctes.append(
+            f"""usage{r} AS MATERIALIZED (
+  SELECT tok AS piece, CAST(SUM(wc) AS BIGINT) AS u
+  FROM (SELECT w, tok FROM walk{r} WHERE tok IS NOT NULL) t
+  JOIN wc USING (w) GROUP BY tok
+)"""
+        )
+        ctes.append(
+            f"""n{r} AS MATERIALIZED (
+  SELECT piece, u + CASE WHEN length(piece) = 1 THEN 1 ELSE 0 END AS n
+  FROM (SELECT COALESCE(u.piece, c.piece) AS piece, COALESCE(u.u, 0) AS u
+        FROM usage{r} u FULL JOIN chars c ON c.piece = u.piece)
+  WHERE u + CASE WHEN length(piece) = 1 THEN 1 ELSE 0 END > 0
+)"""
+        )
+        ctes.append(
+            f"""sc{r + 1} AS MATERIALIZED (
+  SELECT piece, CAST(ROUND(ln(n * 1.0 / (SELECT SUM(n) FROM n{r}))
+                           * 1000000.0) AS BIGINT) AS s
+  FROM n{r}
+)"""
+        )
+    if tokens:
+        ctes += dp_chain(rounds)
+        final = f"""SELECT tok AS token, CAST(SUM(wc) AS BIGINT) AS n
+FROM (SELECT w, tok FROM walk{rounds} WHERE tok IS NOT NULL) t
+JOIN wc USING (w) GROUP BY tok"""
+    else:
+        final = f"""SELECT n.piece, CAST(n.n AS BIGINT) AS n, s.s AS score
+FROM n{rounds - 1} n JOIN sc{rounds} s USING (piece)"""
+    joined = ",\n".join(ctes)
+    return f"WITH RECURSIVE {joined}\n{final}\n"
+
+
 def _docs_wordpiece_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MaxMatch/WordPiece vocabulary training
     (`pipeline.tokenizer.maxmatch_vocab`): the 64 most frequent
@@ -4251,6 +4415,9 @@ HAVING n_removed > 0
     )
 
     o["docs_wordpiece_vocab"] = maxmatch_vocab_oracle_sql()
+
+    o["docs_unigram_vocab"] = _unigram_oracle(tokens=False)
+    o["docs_unigram_tokens"] = _unigram_oracle(tokens=True)
     o["docs_wordpiece_tokens"] = maxmatch_token_counts_oracle_sql()
 
     o["dedup_minhash_lsh"] = _minhash_oracle()

@@ -150,6 +150,10 @@ def main() -> None:
         # the merge-loop tokenizer)
         "docs_wordpiece_vocab",
         "docs_wordpiece_tokens",
+        # round 7: unigram-LM (SentencePiece-style) Viterbi-EM pair —
+        # force-trains per call like docs_bpe_merges
+        "docs_unigram_vocab",
+        "docs_unigram_tokens",
         # round 7: top-PC projection — 4 matrix-free power-iteration
         # rounds (one distributed agg each) + one map-side projection
         "embedding_top_pc",

@@ -543,3 +543,261 @@ SELECT token, CAST(SUM(wc) AS BIGINT) AS n
 FROM (SELECT wc, unnest(toks) AS token FROM s{unroll})
 GROUP BY token
 """
+
+
+# ---------------- Unigram LM (SentencePiece-style) tokenizer ----------------
+#
+# Kudo 2018 ("Subword Regularization" / the SentencePiece unigram model):
+# segment by the MOST PROBABLE piece decomposition under per-piece
+# log-probabilities, trained by EM. This implementation is the
+# deterministic hard-EM (Viterbi-EM) variant: the E-step takes each
+# distinct word's single best segmentation (not expectations), the M-step
+# re-estimates piece probabilities from usage counts with +1 smoothing on
+# single characters (which keeps every word segmentable — no UNK).
+#
+# Determinism contract (what lets a SQL oracle replay training exactly):
+# piece scores are INTEGERS — round-half-away(ln(p)·10⁶) — so the Viterbi
+# DP compares exact int64 sums; ties break to the LONGER piece at every
+# cell. The only floating point is the one ln() per piece per M-step,
+# whose last-ulp engine differences sit ~10 orders of magnitude below the
+# integer rounding grain.
+#
+# Scale shape: everything is distinct-word-bounded. Piece lookups happen
+# BEFORE the fold (the maxmatch jump-table rule): the (word, pos, len)
+# candidate grid broadcast-joins the ≤(seed_k + alphabet)-row score table,
+# assembles a dense per-word score array, and the per-word forward DP
+# then costs O(max_piece_len) int ops per position; a second bounded fold
+# backtraces. The driver sees only vocab-sized usage counts per round
+# (the kmeans/BPE orchestration contract).
+
+#: score of a substring that is not in the piece vocabulary — low enough
+#: to always lose, high enough that max_len of them cannot underflow int64
+_UNIGRAM_NEG = -(10**15)
+_UNIGRAM_SCALE = 1_000_000
+
+
+def _unigram_score(n: int, total: int) -> int:
+    """round-half-away-from-zero(ln(n/total)·10⁶) — matches DuckDB/Spark
+    ROUND semantics (Python's built-in round() is banker's)."""
+    import math
+
+    x = math.log(n / total) * _UNIGRAM_SCALE
+    return int(math.copysign(math.floor(abs(x) + 0.5), x))
+
+
+def _viterbi_segmented(
+    wc: DataFrame,
+    scores: dict[str, int],
+    max_piece_len: int,
+    max_len: int,
+) -> DataFrame:
+    """(w, wc, toks): best-score segmentation of every distinct word
+    under integer piece ``scores``. Jump-table join + O(max_piece_len)
+    fold per position + bounded backtrace fold."""
+    spark = wc.sparkSession
+    mpl = max_piece_len
+    vocab_df = spark.createDataFrame(
+        sorted(scores.items()), "piece string, s long"
+    )
+    # COMPLETE (pos, len) grid per word — out-of-bounds and non-vocab
+    # slots carry the sentinel — so the per-word score array is dense
+    # and the fold can element_at((pos-1)*mpl + len)
+    grid = wc.select(
+        "w",
+        F.explode(F.sequence(F.lit(1), F.length("w"))).alias("pos"),
+    ).select(
+        "w",
+        "pos",
+        F.explode(
+            F.array(*[F.lit(n) for n in range(1, mpl + 1)])
+        ).alias("len"),
+    )
+    cand = grid.withColumn(
+        "piece",
+        F.when(
+            F.col("pos") + F.col("len") - 1 <= F.length("w"),
+            F.expr("substr(w, pos, len)"),
+        ),
+    ).join(F.broadcast(vocab_df), "piece", "left")
+    sc = cand.groupBy("w").agg(
+        F.transform(
+            F.sort_array(
+                F.collect_list(
+                    F.struct(
+                        ((F.col("pos") - 1) * mpl + F.col("len")).alias("i"),
+                        F.coalesce("s", F.lit(_UNIGRAM_NEG)).alias("s"),
+                    )
+                )
+            ),
+            lambda x: x["s"],
+        ).alias("__sc")
+    )
+
+    def fwd(acc, i):
+        cands = []
+        for j in range(1, mpl + 1):
+            sj = F.when(
+                F.lit(j) <= i,
+                F.element_at(acc["best"], i - F.lit(j) + 1)
+                + F.element_at(F.col("__sc"), (i - F.lit(j)) * mpl + j),
+            ).otherwise(F.lit(2 * _UNIGRAM_NEG))
+            cands.append(F.struct(sj.alias("s"), F.lit(j).alias("j")))
+        # max (score, piece-length): ties break to the LONGER piece
+        best = F.greatest(*cands)
+        return F.when(i > F.length("w"), acc).otherwise(
+            F.struct(
+                F.concat(acc["best"], F.array(best["s"])).alias("best"),
+                F.concat(acc["bp"], F.array(best["j"])).alias("bp"),
+            )
+        )
+
+    fwd_init = F.struct(
+        F.array(F.lit(0).cast("long")).alias("best"),
+        F.expr("array()").cast("array<int>").alias("bp"),
+    )
+    dp = wc.join(sc, "w").select(
+        "w",
+        "wc",
+        F.aggregate(
+            F.sequence(F.lit(1), F.lit(max(max_len, 1))), fwd_init, fwd
+        )["bp"].alias("__bp"),
+    )
+
+    def back(acc, _):
+        pos = acc["pos"]
+        j = F.element_at(F.col("__bp"), pos)
+        return F.when(pos <= 0, acc).otherwise(
+            F.struct(
+                (pos - j).alias("pos"),
+                F.concat(
+                    acc["toks"], F.array(F.substr(F.col("w"), pos - j + 1, j))
+                ).alias("toks"),
+            )
+        )
+
+    back_init = F.struct(
+        F.length("w").alias("pos"),
+        F.expr("array()").cast("array<string>").alias("toks"),
+    )
+    return dp.select(
+        "w",
+        "wc",
+        F.reverse(
+            F.aggregate(
+                F.sequence(F.lit(1), F.lit(max(max_len, 1))), back_init, back
+            )["toks"]
+        ).alias("toks"),
+    )
+
+
+def _unigram_train(
+    df: DataFrame,
+    text_col: str,
+    max_piece_len: int,
+    seed_k: int,
+    rounds: int,
+):
+    """Shared trainer: returns (pinned wc, max_len, final n-counts dict,
+    final scores dict). Caller unpersists wc."""
+    wc = _word_counts(df, text_col).persist()
+    max_len = wc.agg(F.max(F.length("w"))).first()[0] or 1
+
+    # seed: occurrence-weighted substring counts, len 1..max_piece_len;
+    # vocabulary = top seed_k ∪ every single character (counts kept)
+    parts = []
+    for plen in range(1, max_piece_len + 1):
+        parts.append(
+            wc.filter(F.length("w") >= plen).select(
+                "wc",
+                F.explode(
+                    F.transform(
+                        F.sequence(F.lit(1), F.length("w") - F.lit(plen - 1)),
+                        lambda i: F.substr("w", i, F.lit(plen)),
+                    )
+                ).alias("piece"),
+            )
+        )
+    allp = parts[0]
+    for p in parts[1:]:
+        allp = allp.unionByName(p)
+    seedcnt = allp.groupBy("piece").agg(F.sum("wc").alias("cnt"))
+    topk = {
+        r["piece"]: r["cnt"]
+        for r in seedcnt.orderBy(F.col("cnt").desc(), "piece")
+        .limit(seed_k)
+        .collect()
+    }
+    chars = {
+        r["piece"]: r["cnt"]
+        for r in seedcnt.filter(F.length("piece") == 1).collect()
+    }
+    counts = {**topk, **chars}
+    total = sum(counts.values())
+    scores = {p: _unigram_score(c, total) for p, c in counts.items()}
+
+    n: dict[str, int] = dict(counts)
+    for _ in range(rounds):
+        seg = _viterbi_segmented(wc, scores, max_piece_len, max_len)
+        usage = {
+            r["piece"]: r["u"]
+            for r in seg.select("wc", F.explode("toks").alias("piece"))
+            .groupBy("piece")
+            .agg(F.sum("wc").alias("u"))
+            .collect()
+        }
+        n = {}
+        for p in set(usage) | set(chars):
+            v = usage.get(p, 0) + (1 if len(p) == 1 else 0)
+            if v > 0:
+                n[p] = v
+        total = sum(n.values())
+        scores = {p: _unigram_score(c, total) for p, c in n.items()}
+    return wc, max_len, n, scores
+
+
+def unigram_vocab(
+    df: DataFrame,
+    text_col: str = "text",
+    max_piece_len: int = 4,
+    seed_k: int = 48,
+    rounds: int = 2,
+) -> DataFrame:
+    """Train the unigram piece vocabulary: (piece, n, score) after
+    ``rounds`` of Viterbi-EM — n is the final smoothed usage count,
+    score the integer log-probability the tokenizer segments with."""
+    wc, _, n, scores = _unigram_train(
+        df, text_col, max_piece_len, seed_k, rounds
+    )
+    try:
+        spark = df.sparkSession
+        return spark.createDataFrame(
+            [(p, n[p], scores[p]) for p in sorted(n)],
+            "piece string, n long, score long",
+        )
+    finally:
+        wc.unpersist()
+
+
+def unigram_token_counts(
+    df: DataFrame,
+    text_col: str = "text",
+    max_piece_len: int = 4,
+    seed_k: int = 48,
+    rounds: int = 2,
+) -> DataFrame:
+    """Corpus token frequencies under the trained unigram model:
+    train (rounds of Viterbi-EM), then one final Viterbi segmentation
+    of the distinct-word table, weighted by word frequency: (token, n)."""
+    wc, max_len, _, scores = _unigram_train(
+        df, text_col, max_piece_len, seed_k, rounds
+    )
+    seg = _viterbi_segmented(wc, scores, max_piece_len, max_len)
+    out = (
+        seg.select("wc", F.explode("toks").alias("token"))
+        .groupBy("token")
+        .agg(F.sum("wc").alias("n"))
+    )
+    # the returned LAZY plan references the pinned word table from two
+    # join branches — caller-owned release, the dedup builders' contract
+    out._index_cache = wc
+    return out

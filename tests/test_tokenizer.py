@@ -171,3 +171,48 @@ def test_maxmatch_counts_conserve_characters(spark):
         F.explode(tokens(F.col("text"))).alias("w")
     ).select(F.sum(F.length("w"))).first()[0]
     assert got == want
+
+
+def test_unigram_viterbi_picks_best_scoring_segmentation(spark):
+    """With hand-set scores the DP must take the globally best path,
+    and ties must break to the longer piece."""
+    from pyspark.sql import functions as F
+
+    from metric_store_release_spark.pipeline.tokenizer import (
+        _viterbi_segmented,
+    )
+
+    wc = spark.createDataFrame([("abcd", 1)], "w string, wc long")
+    # "ab"+"cd" (=-2) beats "abc"+"d" (=-11) and chars (=-20)
+    scores = {"a": -5, "b": -5, "c": -5, "d": -5, "ab": -1, "cd": -1,
+              "abc": -1, "abcd": -30}
+    toks = _viterbi_segmented(wc, scores, 4, 4).collect()[0]["toks"]
+    assert toks == ["ab", "cd"]
+    # tie: "ab"+"cd" == "abcd" -> longer piece wins at the last cell
+    scores2 = dict(scores, abcd=-2)
+    toks2 = _viterbi_segmented(wc, scores2, 4, 4).collect()[0]["toks"]
+    assert toks2 == ["abcd"]
+
+
+def test_unigram_em_promotes_frequent_substrings(spark):
+    from metric_store_release_spark.pipeline.tokenizer import (
+        unigram_token_counts,
+        unigram_vocab,
+    )
+    from metric_store_release_spark.pipeline.dedup import release_index_cache
+
+    docs = spark.createDataFrame(
+        [(i, "lowlow lower lowest hello hellos shell") for i in range(4)],
+        "doc_id long, text string",
+    )
+    v = {r["piece"]: r for r in unigram_vocab(docs, seed_k=16, rounds=2).collect()}
+    # the dominant substrings survive training as multi-char pieces
+    assert any(len(p) > 1 for p in v), v.keys()
+    # every char of the corpus words is segmentable (smoothing keeps chars)
+    for ch in set("lowerstshell"):
+        assert ch in v
+    t = unigram_token_counts(docs, seed_k=16, rounds=2)
+    rows = {r["token"]: r["n"] for r in t.collect()}
+    release_index_cache(t)
+    # token counts are occurrence-weighted: every doc contributes
+    assert sum(rows.values()) % 4 == 0
