@@ -2976,8 +2976,11 @@ def _unigram_oracle(
     recursive-CTE backtrace, usage recount with +1 char smoothing, and
     integer re-scoring ROUND(ln(n/total)*1e6). All DP state is int64 so
     both engines agree exactly; maxpos=12 covers every fixture word
-    (max observed 11 at sf10). MATERIALIZED throughout (the
-    embedding_top_pc lesson: DuckDB inlines chained CTEs per reference)."""
+    (max observed 11 at sf10), and a guard CTE calls DuckDB's error()
+    if any word exceeds it — a longer word fails LOUDLY instead of
+    silently dropping its dp rows and blaming the (correct) Spark side.
+    MATERIALIZED throughout (the embedding_top_pc lesson: DuckDB
+    inlines chained CTEs per reference)."""
     neg = -(10**15)
     seed_parts = "\n    UNION ALL\n".join(
         f"""    SELECT wc, unnest([substr(w, i, {plen})
@@ -2991,6 +2994,12 @@ def _unigram_oracle(
     SELECT unnest(list_filter(string_split_regex(text, '\\s+'), x -> x <> '')) AS w
     FROM documents
   ) GROUP BY w
+)""",
+        f"""maxguard AS MATERIALIZED (
+  SELECT CASE WHEN MAX(length(w)) > {maxpos}
+              THEN error('unigram oracle: fixture word longer than maxpos={maxpos}')
+              ELSE 1 END AS ok
+  FROM wc
 )""",
         f"""seedcnt AS MATERIALIZED (
   SELECT piece, CAST(SUM(wc) AS BIGINT) AS cnt FROM (
@@ -3088,10 +3097,13 @@ def _unigram_oracle(
         ctes += dp_chain(rounds)
         final = f"""SELECT tok AS token, CAST(SUM(wc) AS BIGINT) AS n
 FROM (SELECT w, tok FROM walk{rounds} WHERE tok IS NOT NULL) t
-JOIN wc USING (w) GROUP BY tok"""
+JOIN wc USING (w)
+WHERE (SELECT ok FROM maxguard) = 1
+GROUP BY tok"""
     else:
         final = f"""SELECT n.piece, CAST(n.n AS BIGINT) AS n, s.s AS score
-FROM n{rounds - 1} n JOIN sc{rounds} s USING (piece)"""
+FROM n{rounds - 1} n JOIN sc{rounds} s USING (piece)
+WHERE (SELECT ok FROM maxguard) = 1"""
     joined = ",\n".join(ctes)
     return f"WITH RECURSIVE {joined}\n{final}\n"
 
@@ -3662,26 +3674,25 @@ agg AS (
     CAST(SUM(CASE WHEN v = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_b,
     CAST(SUM(CASE WHEN v = 1 THEN conv ELSE 0 END) AS BIGINT) AS conv_b
   FROM assigned
+),
+stats AS (
+  SELECT n_a, conv_a, n_b, conv_b,
+    CASE WHEN n_a > 0 THEN CAST(conv_a AS DOUBLE) / CAST(n_a AS DOUBLE) END AS pa,
+    CASE WHEN n_b > 0 THEN CAST(conv_b AS DOUBLE) / CAST(n_b AS DOUBLE) END AS pb,
+    CASE WHEN n_a > 0 AND n_b > 0
+         THEN (CAST(conv_a AS DOUBLE) + CAST(conv_b AS DOUBLE))
+              / (CAST(n_a AS DOUBLE) + CAST(n_b AS DOUBLE)) END AS pooled
+  FROM agg
+),
+stats2 AS (
+  SELECT *, sqrt(pooled * (1.0 - pooled)
+                 * (1.0 / CAST(n_a AS DOUBLE) + 1.0 / CAST(n_b AS DOUBLE))) AS se
+  FROM stats
 )
-SELECT n_a, conv_a,
-       ROUND(CAST(conv_a AS DOUBLE) / CAST(n_a AS DOUBLE), 6) AS rate_a,
-       n_b, conv_b,
-       ROUND(CAST(conv_b AS DOUBLE) / CAST(n_b AS DOUBLE), 6) AS rate_b,
-       CASE WHEN sqrt(((CAST(conv_a AS DOUBLE) + CAST(conv_b AS DOUBLE))
-                       / (CAST(n_a AS DOUBLE) + CAST(n_b AS DOUBLE)))
-                      * (1.0 - (CAST(conv_a AS DOUBLE) + CAST(conv_b AS DOUBLE))
-                               / (CAST(n_a AS DOUBLE) + CAST(n_b AS DOUBLE)))
-                      * (1.0 / CAST(n_a AS DOUBLE) + 1.0 / CAST(n_b AS DOUBLE))) > 0.0
-       THEN ROUND((CAST(conv_a AS DOUBLE) / CAST(n_a AS DOUBLE)
-                   - CAST(conv_b AS DOUBLE) / CAST(n_b AS DOUBLE))
-                  / sqrt(((CAST(conv_a AS DOUBLE) + CAST(conv_b AS DOUBLE))
-                          / (CAST(n_a AS DOUBLE) + CAST(n_b AS DOUBLE)))
-                         * (1.0 - (CAST(conv_a AS DOUBLE) + CAST(conv_b AS DOUBLE))
-                                  / (CAST(n_a AS DOUBLE) + CAST(n_b AS DOUBLE)))
-                         * (1.0 / CAST(n_a AS DOUBLE) + 1.0 / CAST(n_b AS DOUBLE))),
-                  6)
-       END AS z_score
-FROM agg
+SELECT n_a, conv_a, ROUND(pa, 6) AS rate_a,
+       n_b, conv_b, ROUND(pb, 6) AS rate_b,
+       CASE WHEN se > 0.0 THEN ROUND((pa - pb) / se, 6) END AS z_score
+FROM stats2
 """
 
     o["series_cardinality"] = kmv_distinct_sql(

@@ -247,9 +247,13 @@ def main() -> None:
         run1[name] = ts[0]
 
     sf = SF_DIR.rstrip("/").split("sf")[-1]
+    # the sidecar's value matches the stdout line's (serving-only) so the
+    # two artifacts can't be conflated; the offline loop gets its own sum
+    serving_total = round(sum(med[n] for n in bench_names), 3)
     full = {
         "metric": "headline_total",
-        "value": round(sum(med.values()), 3),
+        "value": serving_total,
+        "offline_total": round(sum(med[n] for n in offline_names), 3),
         "unit": "sec",
         "queries": med,
         "sf": float(sf) if sf else None,

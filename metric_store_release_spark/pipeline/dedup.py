@@ -1167,9 +1167,14 @@ def leakage_safe_split(
     md5 hash per CLUSTER decides the split (the shared hash_bucket rule,
     so an oracle replays it), broadcast nothing, corpus-side one left
     join against the (small — only docs in pairs) component table.
-    Deterministic end-to-end: re-running on the same corpus reproduces
-    the exact assignment, and adding documents never moves an existing
-    cluster between splits (hash-threshold stability).
+    Deterministic end-to-end: re-running on the SAME corpus reproduces
+    the exact assignment. Changing ``splits`` fractions only moves the
+    thresholds, so a cluster whose hash point stays inside its fraction
+    keeps its split (hash-threshold stability). Corpus GROWTH is weaker:
+    a new document can merge two clusters or become a component's new
+    min id, changing the cluster id — and hence the hash point — of
+    documents already assigned. Pin the split table (write it out) when
+    the corpus is append-heavy and assignments must not flip.
 
     Returns (id, cluster, split)."""
     from metric_store_release_spark.pipeline.text import hash_bucket

@@ -162,12 +162,16 @@ def ab_test_conversion(
     )
     na, ca = F.col("n_a").cast("double"), F.col("conv_a").cast("double")
     nb, cb = F.col("n_b").cast("double"), F.col("conv_b").cast("double")
-    pa, pb = ca / na, cb / nb
-    pooled = (ca + cb) / (na + nb)
+    # an EMPTY variant (tiny or pre-filtered input can hash everyone to
+    # one arm) has no defined rate — NULL, not an ANSI /0 error; the
+    # same guard shape as the degenerate-se z below
+    pa = F.when(na > 0.0, ca / na)
+    pb = F.when(nb > 0.0, cb / nb)
+    pooled = F.when((na > 0.0) & (nb > 0.0), (ca + cb) / (na + nb))
     se = F.sqrt(pooled * (1.0 - pooled) * (1.0 / na + 1.0 / nb))
     # a degenerate experiment (everyone or no one converted) has se = 0
     # and no defined z — NULL, not a division error (ANSI mode raises on
-    # double /0 too)
+    # double /0 too); an empty variant makes se NULL, same outcome
     z = F.when(se > 0.0, F.round((pa - pb) / se, 6))
     return agg.select(
         F.col("n_a").cast("long").alias("n_a"),

@@ -368,13 +368,15 @@ def hll_registers(
     groups = list(group_cols)
     m = 1 << p
     k_bits = _HLL_BITS - p
-    h = F.conv(
-        F.substring(
-            F.md5(F.concat(F.lit(salt), F.col(key_col).cast("string"))), 1, 15
-        ),
-        16,
-        10,
-    ).cast("long")
+    # 60-bit hash via the repo's fixed-width per-digit hex parse — same
+    # value as conv(substr(md5,1,15),16,10) / the oracle's
+    # ('0x' || substr(md5,..))::BIGINT, minus conv's BigInteger path
+    # (measured ~10 s per 26M rows in the shingle pipeline, SCALING #2)
+    from metric_store_release_spark.pipeline.text import hex_word
+
+    h = hex_word(
+        F.md5(F.concat(F.lit(salt), F.col(key_col).cast("string"))), 1, 15
+    )
     hashed = df.select(*groups, h.alias("__h"))
     w = F.expr(f"__h div {m}")
     rank = F.when(w == 0, F.lit(k_bits + 1)).otherwise(

@@ -28,18 +28,21 @@ def tokens(text: Column) -> Column:
     return F.filter(F.split(text, r"\s+"), lambda w: w != "")
 
 
-def hex_word(hexcol: Column, start: int = 1) -> Column:
-    """8 hex digits of ``hexcol`` starting at 1-based ``start`` as a long.
+def hex_word(hexcol: Column, start: int = 1, n: int = 8) -> Column:
+    """``n`` hex digits of ``hexcol`` from 1-based ``start`` as a long.
 
-    Numerically identical to ``conv(substring(hexcol, start, 8), 16, 10)``
+    Numerically identical to ``conv(substring(hexcol, start, n), 16, 10)``
     (the form the DuckDB oracles use via ``('0x' || substr(..))::BIGINT``)
     but parsed with fixed-width per-digit arithmetic — plain codegen
     ascii/multiply ops instead of ``conv``'s arbitrary-base BigInteger
     path, which profiled ~1.5x slower end-to-end on a 26M-shingle minhash
     run. Callers pass an md5 hex string; codegen subexpression elimination
-    shares the single md5 across the 8 digit reads."""
+    shares the single md5 across the digit reads. ``n`` must be <= 15
+    (60 bits) so the value fits a signed long."""
+    if n > 15:
+        raise ValueError(f"hex_word: n={n} overflows a signed long")
     out = F.lit(0).cast("long")
-    for i in range(8):
+    for i in range(n):
         c = F.ascii(F.substring(hexcol, start + i, 1))
         # '0'-'9' -> 48..57, 'a'-'f' -> 97..102 (md5 hex is lowercase)
         d = (c - 48 - F.when(c >= 97, 39).otherwise(0)).cast("long")

@@ -43,12 +43,21 @@ def merge_hll_batch(
     is about to replace re-reads it mid-write."""
     spark = batch.sparkSession
     regs = hll_registers(batch, key_col, (), p, salt)
-    try:
+    # Explicit first-epoch check (Hadoop FS, so any fs:// scheme works):
+    # only a genuinely missing store falls back to this batch's registers.
+    # A transient READ failure on an existing store must propagate — the
+    # fallback would overwrite accumulated state with one batch, silently
+    # breaking the "store == registers of every row ever ingested"
+    # contract (merge is lossless only if nothing is dropped).
+    jvm = spark._jvm
+    jpath = jvm.org.apache.hadoop.fs.Path(store_path)
+    fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    if fs.exists(jpath):
         old = spark.read.parquet(store_path)
         merged = (
             old.unionByName(regs).groupBy("j").agg(F.max("r").alias("r"))
         )
-    except Exception:  # first epoch: no store yet
+    else:  # first epoch: no store yet
         merged = regs
     pinned = merged.localCheckpoint(eager=True)
     pinned.write.mode("overwrite").parquet(store_path)
