@@ -7,14 +7,28 @@ central" — e.g. which template doc a near-dup cluster radiates from, or
 which suppliers anchor a customer-order graph.
 
 Scale design (the 100 TB story):
-  - The edge table is built ONCE, distinct-ed and persisted: each power
-    iteration re-reads the cached edges instead of re-running the
-    upstream joins.
+  - The edge table is built ONCE, pre-partitioned by src, distinct-ed
+    and persisted: each power iteration re-reads the cached edges
+    instead of re-running the upstream joins, AND the iteration's
+    src-keyed join reuses the cached hash(src) layout — the edge table
+    (the big side) is never shuffled again after the build. The
+    pre-partitioning is free: distinct() only needs src co-location
+    (hash(src) satisfies ClusteredDistribution(src, dst)), so the
+    repartition REPLACES distinct's own shuffle rather than adding one.
+    Plan-asserted in tests/test_graph.py: with broadcasts disabled (the
+    100 TB regime — rank is node-cardinality and does not fit), one
+    iteration plans exactly ONE Exchange, the unavoidable dst-keyed
+    transpose; outdeg (derived from e, same layout) and rank (alias-
+    propagated hash(node)→hash(src)) both reuse their cached layouts.
   - One iteration = one equi-join (edges ⋈ rank on src — rank is
     node-cardinality, AQE broadcasts it only when it actually fits) and
     one hash aggregation keyed by dst (map-side partial sums first), so
     k iterations cost k bounded shuffles — there is no per-iteration
     driver collect except the O(1) dangling-mass scalar.
+  - Across JOBS the same effect comes from persisting the edge list
+    bucketed by src (sources/bucketed.py write_bucketed): the scan then
+    carries hash(src) and every pagerank run skips the build shuffle
+    too. In-session, the repartition+persist below is the equivalent.
   - Ranks are re-persisted per iteration and the previous iteration is
     unpersisted, so lineage stays O(1) deep (the kmeans pattern,
     [[pipeline/similarity.py]]).
@@ -56,10 +70,19 @@ def pagerank(
     damped iterations is within ~1e-3 of the fixpoint on small-diameter
     graphs. Undirected graphs: pass each edge in both directions.
     """
+    # Pre-partition by src BEFORE distinct: hash(src) satisfies
+    # distinct's ClusteredDistribution(src, dst), so this is still one
+    # build shuffle — and the cached layout then satisfies every
+    # iteration's src-keyed join (REPARTITION_BY_NUM pins the count so
+    # AQE can't coalesce it away from the joins' required distribution).
+    n_part = int(
+        edges.sparkSession.conf.get("spark.sql.shuffle.partitions")
+    )
     e = (
         edges.select(
             F.col(src_col).alias("src"), F.col(dst_col).alias("dst")
         )
+        .repartition(n_part, "src")
         .distinct()
         .persist(StorageLevel.MEMORY_AND_DISK)
     )

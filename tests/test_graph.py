@@ -77,6 +77,104 @@ def test_pagerank_duplicate_edges_collapse(spark):
     assert got[2] == pytest.approx(0.5, abs=1e-12)
 
 
+def _exchanges_above_caches(df) -> int:
+    """Count shuffle Exchanges in the AQE-final physical plan, stopping
+    at InMemoryTableScan leaves (their cached build plans don't re-run)."""
+    found = [0]
+
+    def walk(node):
+        name = node.nodeName()
+        if name == "Exchange":
+            found[0] += 1
+        if "InMemoryTableScan" in name:
+            return
+        if name == "AdaptiveSparkPlan":
+            walk(node.executedPlan())
+            return
+        if "QueryStage" in name:
+            walk(node.plan())
+            return
+        for i in range(node.children().length()):
+            walk(node.children().apply(i))
+
+    walk(df._jdf.queryExecution().executedPlan())
+    return found[0]
+
+
+def test_pagerank_iteration_plans_one_exchange(spark):
+    """The 100 TB regime (rank too big to broadcast): one power
+    iteration over the src-partitioned edge cache must plan exactly ONE
+    shuffle — the dst-keyed transpose. The edge table reuses its cached
+    hash(src) layout, outdeg inherits it, and rank's hash(node) alias-
+    propagates to hash(src); without the pre-partitioning the edge table
+    (the big side) re-shuffles every iteration. Mirrors the build in
+    pipeline/graph.py:pagerank."""
+    from pyspark.sql import functions as F
+    from pyspark.storagelevel import StorageLevel
+
+    saved = {
+        k: spark.conf.get(k, None)
+        for k in (
+            "spark.sql.autoBroadcastJoinThreshold",
+            "spark.sql.adaptive.autoBroadcastJoinThreshold",
+        )
+    }
+    for k in saved:
+        spark.conf.set(k, "-1")
+    try:
+        n_part = int(spark.conf.get("spark.sql.shuffle.partitions"))
+        raw = spark.createDataFrame(
+            [(i % 13, (i * 7) % 13) for i in range(200)], ["src", "dst"]
+        )
+        e = (
+            raw.repartition(n_part, "src")
+            .distinct()
+            .persist(StorageLevel.MEMORY_AND_DISK)
+        )
+        e.count()
+        outdeg = (
+            e.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
+            .persist(StorageLevel.MEMORY_AND_DISK)
+        )
+        outdeg.count()
+        nodes = (
+            e.select(F.col("src").alias("node"))
+            .unionByName(e.select(F.col("dst").alias("node")))
+            .distinct()
+            .persist(StorageLevel.MEMORY_AND_DISK)
+        )
+        n = nodes.count()
+        rank = nodes.select(
+            "node", (F.lit(1.0) / n).alias("rank")
+        ).persist(StorageLevel.MEMORY_AND_DISK)
+        rank.count()
+        contrib = (
+            e.join(outdeg, "src")
+            .join(rank.withColumnRenamed("node", "src"), "src")
+            .select("dst", (F.col("rank") / F.col("outdeg")).alias("c"))
+        )
+        new_rank = nodes.join(
+            contrib.groupBy("dst").agg(F.sum("c").alias("inflow")),
+            nodes["node"] == F.col("dst"),
+            "left",
+        ).select(
+            "node",
+            (F.lit(0.1) + F.coalesce(F.col("inflow"), F.lit(0.0))).alias(
+                "rank"
+            ),
+        )
+        new_rank.count()  # materialize so the AQE-final plan exists
+        assert _exchanges_above_caches(new_rank) == 1
+        for df in (e, outdeg, nodes, rank):
+            df.unpersist()
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
+
+
 # ------------------------------------------------------------ span dedup
 
 def _clean(spark, docs, **kw):
