@@ -538,6 +538,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["docs_bloom_contamination"] = _docs_bloom_contamination
     q["embedding_ann_trained"] = _embedding_ann_trained
     q["embedding_ann_probe"] = _embedding_ann_probe
+    q["embedding_ann_pq"] = _embedding_ann_pq
     q["events_sessionize_bucketed"] = _events_sessionize_bucketed
     q["events_interval_join"] = _events_interval_join
     q["events_kmv_users"] = _events_kmv_users
@@ -2635,6 +2636,97 @@ def _embedding_ann_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: IVF-PQ shape shared by the query, the session index cache and the
+#: oracle generator: 8 coarse lists, 8 subspaces x 16 codes (4 bits,
+#: packed in one int64), 2 integer-Lloyd rounds each, trained on the
+#: same deterministic 25% hash sample as the float IVF pair.
+_PQ_M = 8
+_PQ_KSUB = 16
+_PQ_COARSE_K = 8
+_PQ_ITERS = 2
+_PQ_NPROBE = 3
+_PQ_RERANK = 50
+
+#: sf_dir → (bucketed code table, coarse centroids, codebooks) built this
+#: session — the _ANN_INDEX pattern: quantizer training + the clustered
+#: compressed-index write are paid ONCE, every probe reads 16 B/vector
+_PQ_INDEX: dict[str, tuple[str, list, list]] = {}
+
+
+def _pq_index_for(spark: SparkSession, sf_dir: str):
+    from metric_store_release_spark.pipeline.similarity import (
+        int_kmeans_codebooks,
+        pq_index,
+        pq_subspaces,
+    )
+    from metric_store_release_spark.sources.bucketed import (
+        read_bucketed,
+        write_bucketed,
+    )
+
+    cached = _PQ_INDEX.get(sf_dir)
+    if cached is not None:
+        table, coarse, books = cached
+        if spark.catalog.tableExists(table):
+            return read_bucketed(spark, table), coarse, books
+    corpus = _emb(spark, sf_dir).filter(F.col("vec_id") >= 5)
+    subs = pq_subspaces(_EMB_DIM, _PQ_M)
+    coarse = int_kmeans_codebooks(
+        corpus, [(0, _EMB_DIM)], k=_PQ_COARSE_K, iters=_PQ_ITERS,
+        sample_fraction=_ANN_TRAIN_FRACTION,
+    )[0]
+    books = int_kmeans_codebooks(
+        corpus, subs, k=_PQ_KSUB, iters=_PQ_ITERS,
+        sample_fraction=_ANN_TRAIN_FRACTION,
+    )
+    table = "msr_ann_pq_" + _table_suffix(sf_dir)
+    write_bucketed(
+        pq_index(corpus, coarse, books, subs),
+        table,
+        "list_id",
+        _PQ_COARSE_K,
+    )
+    _PQ_INDEX[sf_dir] = (table, coarse, books)
+    return read_bucketed(spark, table), coarse, books
+
+
+def _embedding_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Compressed ANN serving (`pipeline.similarity.pq_probe`): IVF-PQ —
+    the serving index stores ONE int64 of 4-bit codes per vector (~16
+    logical B/row vs 512+ for the raw-vector IVF index: the shape that
+    fits 10^10 vectors in cluster RAM), probes the 3 nearest coarse
+    lists by exact integer distance, ranks candidates by asymmetric-
+    distance LUT sums (all int64 — the oracle replays training, codes,
+    probes, ADC and the shortlist bit-for-bit), and reranks only the
+    50-row shortlist against the raw vectors with exact double cosine.
+    Training (integer Lloyd on the deterministic 25% hash sample) and
+    the bucketed code-table write are session-cached setup, like
+    embedding_ann_probe's."""
+    from metric_store_release_spark.pipeline.similarity import (
+        pq_probe,
+        pq_subspaces,
+    )
+
+    spark = _prepare(spark)
+    index, coarse, books = _pq_index_for(spark, sf_dir)
+    emb = _emb(spark, sf_dir)
+    corpus = emb.filter(F.col("vec_id") >= 5)
+    queries_df = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding")
+    )
+    return pq_probe(
+        index,
+        corpus,
+        queries_df,
+        coarse,
+        books,
+        pq_subspaces(_EMB_DIM, _PQ_M),
+        k=10,
+        n_probe=_PQ_NPROBE,
+        rerank=_PQ_RERANK,
+    )
+
+
 def _ngram_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Train/eval contamination (pipeline.dedup.ngram_contamination):
     13-gram collision of the corpus against a planted benchmark set
@@ -4639,6 +4731,8 @@ FROM cum
     # bucketed index layout must be invisible to results
     o["embedding_ann_probe"] = _ann_trained_oracle()
 
+    o["embedding_ann_pq"] = _ann_pq_oracle()
+
     o["events_latency_pctl"] = """
 SELECT event_type,
        ROUND(quantile_cont(value, 0.5), 6) AS p50,
@@ -5681,6 +5775,172 @@ SELECT query_id, vec_id, cos_sim, rank FROM (
                 ORDER BY cos_sim DESC, vec_id ASC) AS INT) AS rank
   FROM scored
 ) WHERE rank <= {k}
+"""
+    )
+
+
+def _ann_pq_oracle(
+    dim: int = _EMB_DIM,
+    m: int = _PQ_M,
+    ksub: int = _PQ_KSUB,
+    k_lists: int = _PQ_COARSE_K,
+    iters: int = _PQ_ITERS,
+    n_probe: int = _PQ_NPROBE,
+    rerank: int = _PQ_RERANK,
+    k: int = 10,
+) -> str:
+    """IVF-PQ replay — EXACT up to the shortlist, by construction: the
+    Spark side quantizes components as floor(x·2^16) (a power-of-two
+    scale, so the float→int map is unambiguous) and trains both the
+    coarse quantizer and the per-subspace codebooks with INTEGER Lloyd
+    (sums are order-independent int64, means are floor division — NOT
+    DuckDB's //, which truncates toward zero), so code assignment,
+    probes, ADC sums and the shortlist replay bit-for-bit with no float
+    AVG ulp caveat at all (contrast _ann_trained_oracle). Only the final
+    rerank cosine is double, same as every scorer. MATERIALIZED
+    throughout (chained-CTE re-evaluation, the embedding_top_pc
+    lesson)."""
+    ds = dim // m
+
+    def cdist(a: str, b: str) -> str:
+        return (
+            f"CAST(list_sum(list_transform(range(1, {dim + 1}), "
+            f"i -> ({a}[i]-{b}[i])*({a}[i]-{b}[i]))) AS BIGINT)"
+        )
+
+    def sdist(a: str, b: str) -> str:
+        return (
+            f"CAST(list_sum(list_transform(range(1, {ds + 1}), "
+            f"i -> ({a}[i]-{b}[i])*({a}[i]-{b}[i]))) AS BIGINT)"
+        )
+
+    sub = f"q[s.g*{ds}+1 : s.g*{ds}+{ds}]"
+    ctes = [
+        "emb AS MATERIALIZED (SELECT vec_id, embedding::DOUBLE[] AS e "
+        "FROM embeddings WHERE vec_id >= 5)",
+        "qv AS MATERIALIZED (SELECT vec_id, list_transform(e, "
+        "x -> CAST(floor(x * 65536.0) AS BIGINT)) AS q FROM emb)",
+        "tr AS MATERIALIZED (SELECT * FROM qv WHERE"
+        " ('0x' || substr(md5(vec_id::VARCHAR), 1, 8))::BIGINT / 4294967296.0"
+        f" < {_ANN_TRAIN_FRACTION})",
+        f"""cc0 AS MATERIALIZED (
+  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, q AS c
+  FROM (SELECT * FROM tr ORDER BY vec_id LIMIT {k_lists}))""",
+    ]
+    for it in range(iters):
+        ctes.append(
+            f"""ca{it} AS MATERIALIZED (
+  SELECT vec_id, q, cid FROM (
+    SELECT t.vec_id, t.q, c.cid,
+           row_number() OVER (PARTITION BY t.vec_id
+                              ORDER BY {cdist('t.q', 'c.c')}, c.cid) AS rn
+    FROM tr t CROSS JOIN cc{it} c) WHERE rn = 1)"""
+        )
+        ctes.append(
+            f"""cc{it + 1} AS MATERIALIZED (
+  SELECT p.cid, COALESCE(n.c, p.c) AS c
+  FROM cc{it} p LEFT JOIN (
+    SELECT cid, list(m ORDER BY pos) AS c FROM (
+      SELECT cid, pos, CAST(floor(SUM(v) / COUNT(*)) AS BIGINT) AS m FROM (
+        SELECT cid, unnest(q) AS v, generate_subscripts(q, 1) AS pos
+        FROM ca{it})
+      GROUP BY cid, pos) GROUP BY cid
+  ) n ON n.cid = p.cid)"""
+        )
+    ctes.append(
+        f"""trs AS MATERIALIZED (
+  SELECT vec_id, s.g AS s, {sub} AS qs
+  FROM tr, generate_series(0, {m - 1}) s(g))"""
+    )
+    ctes.append(
+        f"""pc0 AS MATERIALIZED (
+  SELECT s.g AS s, t.cid, t.{sub} AS c
+  FROM (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, q
+        FROM (SELECT * FROM tr ORDER BY vec_id LIMIT {ksub})) t,
+       generate_series(0, {m - 1}) s(g))"""
+    )
+    for it in range(iters):
+        ctes.append(
+            f"""pa{it} AS MATERIALIZED (
+  SELECT vec_id, s, qs, cid FROM (
+    SELECT t.vec_id, t.s, t.qs, c.cid,
+           row_number() OVER (PARTITION BY t.vec_id, t.s
+                              ORDER BY {sdist('t.qs', 'c.c')}, c.cid) AS rn
+    FROM trs t JOIN pc{it} c ON c.s = t.s) WHERE rn = 1)"""
+        )
+        ctes.append(
+            f"""pc{it + 1} AS MATERIALIZED (
+  SELECT p.s, p.cid, COALESCE(n.c, p.c) AS c
+  FROM pc{it} p LEFT JOIN (
+    SELECT s, cid, list(m ORDER BY pos) AS c FROM (
+      SELECT s, cid, pos, CAST(floor(SUM(v) / COUNT(*)) AS BIGINT) AS m FROM (
+        SELECT s, cid, unnest(qs) AS v, generate_subscripts(qs, 1) AS pos
+        FROM pa{it})
+      GROUP BY s, cid, pos) GROUP BY s, cid
+  ) n ON n.s = p.s AND n.cid = p.cid)"""
+        )
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f""",
+qvs AS MATERIALIZED (
+  SELECT vec_id, s.g AS s, {sub} AS qs
+  FROM qv, generate_series(0, {m - 1}) s(g)),
+codes AS MATERIALIZED (
+  SELECT vec_id, s, cid FROM (
+    SELECT t.vec_id, t.s, c.cid,
+           row_number() OVER (PARTITION BY t.vec_id, t.s
+                              ORDER BY {sdist('t.qs', 'c.c')}, c.cid) AS rn
+    FROM qvs t JOIN pc{iters} c ON c.s = t.s) WHERE rn = 1),
+cassign AS MATERIALIZED (
+  SELECT vec_id, cid AS list_id FROM (
+    SELECT t.vec_id, c.cid,
+           row_number() OVER (PARTITION BY t.vec_id
+                              ORDER BY {cdist('t.q', 'c.c')}, c.cid) AS rn
+    FROM qv t CROSS JOIN cc{iters} c) WHERE rn = 1),
+qq AS MATERIALIZED (
+  SELECT vec_id AS query_id, embedding::DOUBLE[] AS qe,
+         list_transform(embedding::DOUBLE[],
+                        x -> CAST(floor(x * 65536.0) AS BIGINT)) AS q
+  FROM embeddings WHERE vec_id < 5),
+probes AS (
+  SELECT query_id, list_id FROM (
+    SELECT t.query_id, c.cid AS list_id,
+           row_number() OVER (PARTITION BY t.query_id
+                              ORDER BY {cdist('t.q', 'c.c')}, c.cid) AS rn
+    FROM qq t CROSS JOIN cc{iters} c) WHERE rn <= {n_probe}),
+qqs AS (
+  SELECT query_id, s.g AS s, {sub} AS qs
+  FROM qq, generate_series(0, {m - 1}) s(g)),
+lut AS MATERIALIZED (
+  SELECT t.query_id, c.s, c.cid, {sdist('t.qs', 'c.c')} AS d
+  FROM qqs t JOIN pc{iters} c ON c.s = t.s),
+cand AS (
+  SELECT p.query_id, a.vec_id
+  FROM probes p JOIN cassign a ON a.list_id = p.list_id),
+adc AS MATERIALIZED (
+  SELECT c.query_id, c.vec_id, CAST(SUM(l.d) AS BIGINT) AS adc
+  FROM cand c
+  JOIN codes cd ON cd.vec_id = c.vec_id
+  JOIN lut l ON l.query_id = c.query_id AND l.s = cd.s AND l.cid = cd.cid
+  GROUP BY c.query_id, c.vec_id),
+short AS (
+  SELECT query_id, vec_id FROM (
+    SELECT *, row_number() OVER (PARTITION BY query_id
+                                 ORDER BY adc, vec_id) AS rn
+    FROM adc) WHERE rn <= {rerank}),
+scored AS (
+  SELECT s.query_id, s.vec_id,
+         ROUND(list_dot_product(qq.qe, emb.e)
+               / (sqrt(list_dot_product(qq.qe, qq.qe))
+                  * sqrt(list_dot_product(emb.e, emb.e))), 6) AS cos_sim
+  FROM short s
+  JOIN emb ON emb.vec_id = s.vec_id
+  JOIN qq ON qq.query_id = s.query_id)
+SELECT query_id, vec_id, cos_sim, rank FROM (
+  SELECT *, CAST(row_number() OVER (PARTITION BY query_id
+                ORDER BY cos_sim DESC, vec_id ASC) AS INT) AS rank
+  FROM scored) WHERE rank <= {k}
 """
     )
 

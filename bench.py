@@ -160,6 +160,11 @@ def main() -> None:
         # bulk kNN join (hard-negative mining): both sides corpus-scale,
         # IVF-bucketed shuffle join — the non-broadcast retrieval shape
         "embedding_hard_negatives",
+        # round 8: IVF-PQ compressed serving — the probe scans 16 B/row
+        # packed codes and reranks a 50-row shortlist against the raw
+        # vectors; compare embedding_ann_probe (raw-vector lists) for
+        # what the compression costs/saves at equal coarse geometry
+        "embedding_ann_pq",
     ]
     # Offline-pass entries, benched in their own trailing loop: the
     # PassJoin edit-distance join and the exact containment verifier
@@ -189,6 +194,7 @@ def main() -> None:
     # one-time index/table writes (bucketed IVF index, user-bucketed events)
     # are production setup amortized across queries — untimed, same rule
     qs["embedding_ann_probe"](spark, SF_DIR)
+    qs["embedding_ann_pq"](spark, SF_DIR)
     qs["events_sessionize_bucketed"](spark, SF_DIR)
     qs["events_range_scan_zordered"](spark, SF_DIR)
     qs["events_range_scan_hilbert"](spark, SF_DIR)

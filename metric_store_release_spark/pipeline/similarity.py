@@ -663,6 +663,352 @@ def hard_negative_mining_simhash(
     return _ranked_topk(scored, k, id_col, "query_id")
 
 
+# --------------------------------------------------------------- IVF-PQ
+#
+# Product-quantization compressed ANN serving: the missing piece of a
+# 100 TB embedding store is MEMORY — a 64-dim float64 vector is 512 B
+# where a PQ code is 4 B (M=8 subspaces × 4-bit codes packed in one
+# int), so the serving index for 10^10 vectors fits a cluster's RAM
+# while the raw vectors stay in cold storage and are touched only for
+# the final rerank of a tiny shortlist. Jégou, Douze, Schmid, "Product
+# Quantization for Nearest Neighbor Search", TPAMI 2011 — IVF coarse
+# lists + per-subspace codebooks + asymmetric-distance (ADC) lookup.
+#
+# Determinism contract (stronger than the float-kmeans IVF above): every
+# quantity up to the shortlist is EXACT INT64 — components quantized as
+# floor(v·2^16) (×2^16 is a power of two, so the float→int map has no
+# rounding ambiguity), codebooks trained by integer Lloyd (means taken
+# with floor division; sums of int64 are order-independent, unlike float
+# AVG), distances/LUTs/ADC all integer sums. A SQL oracle replays code
+# assignment, probes, ADC and the shortlist bit-for-bit; only the final
+# rerank cosine runs in doubles (same left-to-right fold both sides,
+# like every scorer in this module).
+
+#: component quantization scale — 2^16 keeps |q| ≤ ~2^17 for unit-ish
+#: embeddings, so a subspace squared distance ≤ ds·2^36 and the ADC sum
+#: ≤ M·ds·2^36 ≈ 2^42: all exact int64, replayable anywhere.
+PQ_SCALE = 65536.0
+
+
+def quantize_sql(vec_sql: str) -> str:
+    """SQL text quantizing a float/double array column to int64:
+    floor(x·2^16). Exact in any engine: the float→double cast is lossless
+    and ×2^16 only shifts the exponent."""
+    return (
+        f"transform(cast({vec_sql} as array<double>), "
+        "x -> cast(floor(x * 65536.0) as bigint))"
+    )
+
+
+def pq_subspaces(dim: int, m: int) -> list[tuple[int, int]]:
+    """Split [0, dim) into m equal contiguous subspaces → [(offset, len)]."""
+    if dim % m != 0:
+        raise ValueError(f"dim={dim} not divisible by m={m} subspaces")
+    ds = dim // m
+    return [(i * ds, ds) for i in range(m)]
+
+
+def _int_assign_udf(subspaces: list[tuple[int, int]], cents):
+    """Arrow-batched per-subspace argmin over integer codebooks: __q
+    (int64 array) → array<int> of cids, one per subspace. numpy int64
+    matmul-free (diff², exact); argmin ties go to the LOWER cid
+    (np.argmin returns the first minimum), matching the oracle's
+    row_number ORDER BY (d2, cid). The dense kernel is the same
+    Python-side shape as the SimHash signature above — the HOF-fold
+    equivalent is M·ksub·ds interpreted lambda steps per row."""
+    from pyspark.sql.pandas.functions import pandas_udf
+
+    C = [np.asarray(cs, dtype=np.int64) for cs in cents]  # per-s: k×len
+
+    @pandas_udf("array<int>")
+    def _assign(v: pd.Series) -> pd.Series:
+        mat = np.vstack(v.to_numpy()).astype(np.int64)  # n×dim
+        out = np.empty((mat.shape[0], len(subspaces)), dtype=np.int32)
+        for s, (off, ln) in enumerate(subspaces):
+            sub = mat[:, off:off + ln]  # n×ln
+            d2 = ((sub[:, None, :] - C[s][None, :, :]) ** 2).sum(axis=2)
+            out[:, s] = np.argmin(d2, axis=1)
+        return pd.Series(list(out))
+
+    return _assign
+
+
+def int_kmeans_codebooks(
+    df: DataFrame,
+    subspaces: list[tuple[int, int]],
+    k: int,
+    iters: int = 2,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    sample_fraction: float | None = None,
+    sample_salt: str = "",
+) -> list[list[list[int]]]:
+    """Integer Lloyd's k-means, one codebook per subspace, all subspaces
+    trained JOINTLY (one shuffle per iteration, not one per subspace).
+    Returns [subspace][cid][component] ints.
+
+    The kmeans_centroids recipe (k-smallest-id init, deterministic
+    hash-threshold sample, empty clusters keep their previous centroid)
+    transplanted to exact integer arithmetic: centroid updates are
+    sum // count (floor division; int64 sums are ORDER-INDEPENDENT, so
+    unlike float AVG there is no last-ulp cross-engine hazard at all).
+    Per iteration: one Arrow-batched assignment pass, one posexplode +
+    (pos, cid) hash aggregation, and a Σ|subspace dims|·k-row collect —
+    bounded, independent of corpus size. ``sample_fraction`` trains on
+    the deterministic md5-threshold sample (text.hash_bucket rule)."""
+    from metric_store_release_spark.pipeline.text import hash_bucket
+    from pyspark.storagelevel import StorageLevel
+
+    base = df.select(
+        F.col(id_col), F.expr(quantize_sql(vec_col)).alias("__q")
+    )
+    if sample_fraction is not None:
+        point = hash_bucket(F.col(id_col), sample_salt) / F.lit(
+            float(1 << 32)
+        )
+        base = base.filter(point < sample_fraction)
+    base = base.persist(StorageLevel.MEMORY_AND_DISK)
+    try:
+        init = base.orderBy(id_col).limit(k).collect()
+        if len(init) < k:
+            raise ValueError(
+                f"PQ training needs at least k={k} vectors, got {len(init)}"
+                + (
+                    f" after sampling at {sample_fraction}"
+                    if sample_fraction is not None
+                    else ""
+                )
+            )
+        cents = [
+            [list(r["__q"][off:off + ln]) for r in init]
+            for (off, ln) in subspaces
+        ]
+        # pos → subspace index, as a literal lookup array (subspaces are
+        # contiguous but this stays correct for any partition of [0, d))
+        pos2s = [None] * sum(ln for _, ln in subspaces)
+        for s, (off, ln) in enumerate(subspaces):
+            for p in range(ln):
+                pos2s[off + p] = s
+        pos2s_sql = "array(" + ",".join(map(str, pos2s)) + ")"
+        for _ in range(iters):
+            assigned = base.select(
+                "__q", _int_assign_udf(subspaces, cents)("__q").alias("__cids")
+            )
+            rows = (
+                assigned.select(
+                    F.posexplode("__q").alias("pos", "val"), "__cids"
+                )
+                .withColumn(
+                    "cid",
+                    F.expr(
+                        f"element_at(__cids, element_at({pos2s_sql}, pos + 1) + 1)"
+                    ),
+                )
+                .groupBy("pos", "cid")
+                .agg(F.sum("val").alias("s"), F.count(F.lit(1)).alias("n"))
+                .collect()
+            )
+            upd: dict[tuple[int, int, int], int] = {}
+            for r in rows:
+                s = pos2s[r["pos"]]
+                off = subspaces[s][0]
+                # Python // floors — the oracle replays it as
+                # CAST(floor(SUM/COUNT) AS BIGINT) (DuckDB's // truncates
+                # toward zero, which differs on negative sums)
+                upd[(s, r["cid"], r["pos"] - off)] = r["s"] // r["n"]
+            cents = [
+                [
+                    [
+                        upd.get((s, c, p), cents[s][c][p])
+                        for p in range(ln)
+                    ]
+                    for c in range(k)
+                ]
+                for s, (off, ln) in enumerate(subspaces)
+            ]
+        return cents
+    finally:
+        base.unpersist()
+
+
+def pq_index(
+    corpus: DataFrame,
+    coarse: list[list[int]],
+    codebooks: list[list[list[int]]],
+    subspaces: list[tuple[int, int]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Build the compressed serving index: (id, list_id, code) — ~16
+    logical bytes per vector vs 512+ for the raw-vector IVF index. One
+    Arrow-batched map pass: integer coarse assignment (argmin over the
+    full-dim integer coarse centroids) + per-subspace PQ codes PACKED
+    into one int64 (code = Σ cid_s · ksub^s; requires ksub ≤ 16 and
+    ≤ 15 subspaces so the pack fits 60 bits)."""
+    from pyspark.sql.pandas.functions import pandas_udf
+
+    ksub = len(codebooks[0])
+    if ksub > 16 or len(subspaces) > 15:
+        raise ValueError(
+            f"packed PQ needs ksub <= 16 and <= 15 subspaces, got "
+            f"ksub={ksub}, m={len(subspaces)}"
+        )
+    CC = np.asarray(coarse, dtype=np.int64)
+    CB = [np.asarray(cs, dtype=np.int64) for cs in codebooks]
+    packs = (np.int64(16) ** np.arange(len(subspaces))).astype(np.int64)
+
+    @pandas_udf("struct<list_id: int, code: long>")
+    def _encode(v: pd.Series) -> pd.DataFrame:
+        mat = np.vstack(v.to_numpy())
+        q = np.floor(mat * PQ_SCALE).astype(np.int64)
+        cd2 = ((q[:, None, :] - CC[None, :, :]) ** 2).sum(axis=2)
+        list_id = np.argmin(cd2, axis=1).astype(np.int32)
+        codes = np.zeros(q.shape[0], dtype=np.int64)
+        for s, (off, ln) in enumerate(subspaces):
+            d2 = ((q[:, None, off:off + ln] - CB[s][None, :, :]) ** 2).sum(
+                axis=2
+            )
+            codes += np.argmin(d2, axis=1).astype(np.int64) * packs[s]
+        return pd.DataFrame({"list_id": list_id, "code": codes})
+
+    base = corpus.select(
+        F.col(id_col), F.col(vec_col).cast("array<double>").alias("__v")
+    )
+    parts = corpus.sparkSession.sparkContext.defaultParallelism
+    if base.rdd.getNumPartitions() < parts:
+        base = base.repartition(parts)
+    return base.withColumn("__e", _encode(F.col("__v"))).select(
+        id_col,
+        F.col("__e.list_id").alias("list_id"),
+        F.col("__e.code").alias("code"),
+    )
+
+
+def _ranked_shortlist(
+    scored: DataFrame,
+    n: int,
+    id_col: str,
+    query_id_col: str,
+    order_col: str,
+) -> DataFrame:
+    """Exact per-query n-smallest by (order_col ASC, id ASC) — the same
+    two-phase salted ranking as _ranked_topk (single-window-per-query is
+    a skewed exchange with few queries), ascending for distances."""
+    salt = F.pmod(F.hash(F.col(id_col)), F.lit(TOPK_SALTS))
+    w1 = Window.partitionBy(query_id_col, "__salt").orderBy(
+        F.col(order_col).asc(), F.col(id_col).asc()
+    )
+    w2 = Window.partitionBy(query_id_col).orderBy(
+        F.col(order_col).asc(), F.col(id_col).asc()
+    )
+    return (
+        scored.withColumn("__salt", salt)
+        .withColumn("__r1", F.row_number().over(w1))
+        .filter(F.col("__r1") <= n)
+        .withColumn("__r2", F.row_number().over(w2))
+        .filter(F.col("__r2") <= n)
+        .select(query_id_col, id_col)
+    )
+
+
+def pq_probe(
+    index: DataFrame,
+    corpus: DataFrame,
+    queries: DataFrame,
+    coarse: list[list[int]],
+    codebooks: list[list[list[int]]],
+    subspaces: list[tuple[int, int]],
+    k: int = 10,
+    n_probe: int = 3,
+    rerank: int = 50,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """Serve top-k from the compressed index by asymmetric distance.
+
+    Per query (one Arrow batch over the small query side): the n_probe
+    nearest coarse lists (integer d2, ties to the lower list) and the
+    ADC lookup table lut[s][c] = int d2 between the query's subvector s
+    and codebook centroid c — M·ksub int64s. Candidates = the probed
+    lists' index rows; each candidate's approximate distance is
+    Σ_s lut[s][code_s], an 8-step fold over the UNPACKED code — the scan
+    reads (id, list_id, code): 16 B/row, never the vectors. The rerank
+    then fetches ONLY the shortlist's raw vectors (a |queries|·rerank-row
+    semi-join against cold storage) and scores exact double cosine,
+    ranked like every top-k here (cos DESC, id ASC, round 6)."""
+    from pyspark.sql.pandas.functions import pandas_udf
+
+    m = len(subspaces)
+    ksub = len(codebooks[0])
+    CC = np.asarray(coarse, dtype=np.int64)
+    CB = [np.asarray(cs, dtype=np.int64) for cs in codebooks]
+
+    @pandas_udf("struct<probes: array<int>, lut: array<array<long>>>")
+    def _qprep(v: pd.Series) -> pd.DataFrame:
+        mat = np.vstack(v.to_numpy())
+        q = np.floor(mat * PQ_SCALE).astype(np.int64)
+        cd2 = ((q[:, None, :] - CC[None, :, :]) ** 2).sum(axis=2)
+        # n_probe nearest coarse lists, ties to the lower list id
+        # (stable argsort on the d2 row)
+        probes = np.argsort(cd2, axis=1, kind="stable")[:, :n_probe]
+        luts = []
+        for r in range(q.shape[0]):
+            lut = np.empty((m, ksub), dtype=np.int64)
+            for s, (off, ln) in enumerate(subspaces):
+                lut[s] = ((q[r, off:off + ln] - CB[s]) ** 2).sum(axis=1)
+            luts.append(list(lut))
+        return pd.DataFrame(
+            {"probes": list(probes.astype(np.int32)), "lut": luts}
+        )
+
+    q = queries.select(
+        F.col(query_id_col),
+        F.col(vec_col).cast("array<double>").alias("qvec"),
+    ).withColumn("__p", _qprep(F.col("qvec")))
+    q = q.select(
+        query_id_col,
+        "qvec",
+        F.col("__p.lut").alias("__lut"),
+        F.explode(F.col("__p.probes")).alias("__probe"),
+    )
+    # unpack the 4-bit codes and fold the per-subspace LUT rows:
+    # element_at is 1-based; pow(2, ·) because shift builtins only take
+    # literal counts (SCALING note)
+    adc = F.expr(
+        f"aggregate(transform(sequence(0, {m - 1}), "
+        f"s -> element_at(element_at(__lut, s + 1), "
+        f"cast((code div cast(pow(2, 4 * s) as bigint)) % {ksub} as int) + 1)), "
+        "0L, (acc, x) -> acc + x)"
+    )
+    cand = index.join(
+        F.broadcast(q.select(query_id_col, "__lut", "__probe")),
+        index["list_id"] == F.col("__probe"),
+    ).select(query_id_col, id_col, adc.alias("__adc"))
+    shortlist = _ranked_shortlist(cand, rerank, id_col, query_id_col, "__adc")
+
+    c = corpus.select(
+        F.col(id_col), F.col(vec_col).cast("array<double>").alias("cvec")
+    ).withColumn("__cn", _norm(F.col("cvec")))
+    qv = q.select(query_id_col, "qvec").distinct().withColumn(
+        "__qn", _norm(F.col("qvec"))
+    )
+    scored = (
+        shortlist.join(c, id_col)
+        .join(F.broadcast(qv), query_id_col)
+        .select(
+            query_id_col,
+            id_col,
+            F.round(
+                _dot(F.col("qvec"), F.col("cvec"))
+                / (F.col("__qn") * F.col("__cn")),
+                6,
+            ).alias("cos_sim"),
+        )
+    )
+    return _ranked_topk(scored, k, id_col, query_id_col)
+
+
 def top_pc_loadings(
     df: DataFrame,
     vec_col: str = "embedding",

@@ -1728,3 +1728,103 @@ def test_logistic_training_separates_planted_classes(spark):
     a = {r["feature"]: round(r["weight"], 9) for r in w.collect()}
     b = {r["feature"]: round(r["weight"], 9) for r in w2.collect()}
     assert a == b
+
+
+def test_ivf_pq_recall_and_compression(spark, tmp_path):
+    """IVF-PQ on a clearly clustered corpus: (1) near-perfect recall vs
+    the exact brute-force answer once the coarse quantizer can separate
+    the clusters and the rerank is exact; (2) recall at least matching
+    the raw-vector IVF probe under the SAME coarse geometry; (3) the
+    compressed index is an order of magnitude smaller on disk than the
+    raw-vector IVF index it replaces (~30x logical: one int64 of packed
+    codes vs 64 doubles + norm)."""
+    import math
+
+    from metric_store_release_spark.pipeline.similarity import (
+        brute_force_topk,
+        int_kmeans_codebooks,
+        ivf_index,
+        ivf_probe,
+        pq_index,
+        pq_probe,
+        pq_subspaces,
+    )
+
+    dim, n_clusters, per = 64, 8, 40
+    rows = []
+    state = 7
+    for c in range(n_clusters):
+        for i in range(per):
+            v = []
+            for j in range(dim):
+                state = (state * 6364136223846793005 + 1442695040888963407) % (
+                    1 << 64
+                )
+                noise = (state >> 11) / float(1 << 53) * 0.08 - 0.04
+                base = 0.5 if (j % n_clusters) == c else -0.1
+                v.append(base + noise)
+            rows.append((c * per + i + 100, v))
+    corpus = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    queries = spark.createDataFrame(
+        [(c, rows[c * per][1]) for c in range(n_clusters)],
+        "query_id long, embedding array<double>",
+    )
+    subs = pq_subspaces(dim, 8)
+    coarse = int_kmeans_codebooks(corpus, [(0, dim)], k=8, iters=3)[0]
+    books = int_kmeans_codebooks(corpus, subs, k=16, iters=2)
+    idx = pq_index(corpus, coarse, books, subs)
+    got = pq_probe(
+        idx, corpus, queries, coarse, books, subs, k=10, n_probe=2, rerank=40
+    )
+    exact = brute_force_topk(corpus, queries, k=10)
+    pq_pairs = {(r["query_id"], r["vec_id"]) for r in got.collect()}
+    exact_pairs = {(r["query_id"], r["vec_id"]) for r in exact.collect()}
+    recall = len(pq_pairs & exact_pairs) / len(exact_pairs)
+    assert recall >= 0.9, recall
+
+    # raw-vector IVF probe under the same (float-valued) coarse geometry
+    cents_f = [[x / 65536.0 for x in ctr] for ctr in coarse]
+    raw_idx = ivf_index(corpus, cents_f)
+    raw = ivf_probe(raw_idx, queries, cents_f, k=10, n_probe=2)
+    raw_pairs = {(r["query_id"], r["vec_id"]) for r in raw.collect()}
+    raw_recall = len(raw_pairs & exact_pairs) / len(exact_pairs)
+    assert recall >= raw_recall - 1e-9, (recall, raw_recall)
+
+    # on-disk compression of the serving index
+    import os
+
+    pq_dir, raw_dir = str(tmp_path / "pq"), str(tmp_path / "raw")
+    idx.write.parquet(pq_dir)
+    raw_idx.write.parquet(raw_dir)
+
+    def _bytes(d):
+        return sum(
+            os.path.getsize(os.path.join(d, f))
+            for f in os.listdir(d)
+            if f.endswith(".parquet")
+        )
+
+    shrink = _bytes(raw_dir) / _bytes(pq_dir)
+    assert shrink >= 8.0, shrink
+
+
+def test_int_kmeans_codebooks_deterministic_and_partition_invariant(spark):
+    """Integer Lloyd must give the SAME codebooks regardless of
+    partitioning (int64 sums are order-independent — the property the
+    PQ oracle's bit-for-bit replay rests on)."""
+    import math
+
+    from metric_store_release_spark.pipeline.similarity import (
+        int_kmeans_codebooks,
+        pq_subspaces,
+    )
+
+    rows = [
+        (i, [math.sin(i * 0.7 + j) for j in range(16)]) for i in range(60)
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    subs = pq_subspaces(16, 4)
+    a = int_kmeans_codebooks(df, subs, k=4, iters=2)
+    b = int_kmeans_codebooks(df.repartition(7), subs, k=4, iters=2)
+    assert a == b
+    assert all(isinstance(x, int) for cb in a for c in cb for x in c)
