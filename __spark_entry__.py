@@ -520,6 +520,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["embedding_ivf_topk"] = _embedding_ivf_topk
     q["text_token_count"] = _text_token_count
     q["media_resize"] = _media_resize
+    q["media_phash_pairs"] = _media_phash_pairs
     q["promql_federated_selector"] = _promql_federated_selector
     q["promql_sum_by_user_federated"] = _promql_sum_by_user_federated
     q["dedup_components"] = _dedup_components
@@ -2888,6 +2889,43 @@ def _media_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _media_phash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual-hash image dedup (`pipeline.multimodal.dhash_codes` +
+    `pipeline.dedup.hamming_code_pairs`): 64-bit dHash per image —
+    integer-exact NN downsample to 9×8, integer luma, horizontal
+    gradient bits — then the same banded-Hamming machinery as
+    dedup_simhash_pairs finds near-duplicate image pairs (distance ≤ 3)
+    without all-pairs. Fixture: the deterministic 18×16 grayscale corpus
+    plus planted near-dup copies of every 25th image whose first two
+    raster bytes are overwritten — byte 0 sits ON the 2×-downsample grid
+    (flips at most the (0,0) gradient bit), byte 1 sits OFF it (proves
+    sub-grid pixel noise never moves the code)."""
+    from metric_store_release_spark.pipeline.dedup import hamming_code_pairs
+    from metric_store_release_spark.pipeline.multimodal import (
+        dhash_codes,
+        gray18x16_media_from_documents,
+    )
+
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    base = gray18x16_media_from_documents(docs)
+    raster = F.concat(
+        *[F.md5(F.concat(F.lit(f"{k}:"), F.col("text"))) for k in range(9)]
+    )
+    plant = docs.filter(F.col("doc_id") % _PLANT_EVERY == 0).select(
+        (F.col("doc_id") + F.lit(_PLANT_OFFSET)).alias("doc_id"),
+        F.lit("image/x-portable-graymap").alias("media_type"),
+        F.concat(
+            F.lit("P5\n18 16\n255\n"),
+            F.lit("~~"),
+            F.substring(raster, 3, 286),
+        ).cast("binary").alias("payload"),
+    )
+    codes = dhash_codes(base.unionByName(plant))
+    return hamming_code_pairs(
+        codes, "phash", "doc_id", bits=64, max_hamming=3
+    )
+
+
 def _dedup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus-level boilerplate-span removal (C4/RefinedWeb line-dedup
     analog, `pipeline.dedup.remove_duplicate_spans`): every 10-word span
@@ -4902,6 +4940,49 @@ FROM documents
 
     # media_resize: nearest-neighbor 4×2 → 2×1 keeps source pixels
     # (0,0) and (2,0) — hex chars 1-3 and 7-9 of md5(text)
+    # dHash replay: the same concatenated-md5 raster string, sampled by
+    # position arithmetic (byte (y,x) of the 2x-downsampled 9x8 grid =
+    # char 36y+2x+1), gradient bits packed into (hi, lo) 32-bit halves so
+    # Hamming = bit_count(xor(hi)) + bit_count(xor(lo)) — the brute-force
+    # all-pairs scan, so it also proves the banding recall is total
+    _phash_ras = "||".join(f"md5('{k}:'||text)" for k in range(9))
+    o["media_phash_pairs"] = f"""
+WITH ras AS (
+  SELECT doc_id, {_phash_ras} AS s FROM documents
+),
+media AS (
+  SELECT doc_id, s FROM ras
+  UNION ALL
+  SELECT doc_id + {_PLANT_OFFSET}, '~~' || substr(s, 3) AS s
+  FROM ras WHERE doc_id % {_PLANT_EVERY} = 0
+),
+g AS (
+  SELECT doc_id, y.g AS y, x.g AS x,
+         ascii(substr(s, 36*y.g + 2*x.g + 1, 1)) AS l
+  FROM media, generate_series(0, 7) y(g), generate_series(0, 8) x(g)
+),
+bits AS (
+  SELECT a.doc_id, a.y * 8 + a.x AS k,
+         CASE WHEN a.l > b.l THEN 1 ELSE 0 END AS bit
+  FROM g a JOIN g b ON b.doc_id = a.doc_id AND b.y = a.y AND b.x = a.x + 1
+  WHERE a.x < 8
+),
+codes AS (
+  SELECT doc_id,
+         CAST(SUM(CASE WHEN k < 32 AND bit = 1
+                       THEN (1::BIGINT << k) ELSE 0 END) AS BIGINT) AS lo,
+         CAST(SUM(CASE WHEN k >= 32 AND bit = 1
+                       THEN (1::BIGINT << (k - 32)) ELSE 0 END) AS BIGINT) AS hi
+  FROM bits GROUP BY doc_id
+)
+SELECT id_a, id_b, hamming FROM (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         CAST(bit_count(xor(a.lo, b.lo))
+              + bit_count(xor(a.hi, b.hi)) AS INT) AS hamming
+  FROM codes a JOIN codes b ON a.doc_id < b.doc_id
+) WHERE hamming <= 3
+"""
+
     o["media_resize"] = """
 SELECT doc_id,
        2 AS width,

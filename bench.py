@@ -165,6 +165,10 @@ def main() -> None:
         # vectors; compare embedding_ann_probe (raw-vector lists) for
         # what the compression costs/saves at equal coarse geometry
         "embedding_ann_pq",
+        # round 8: perceptual-hash image dedup — dHash mapInPandas over
+        # the netpbm corpus, then the dedup_simhash_pairs banded-Hamming
+        # join; multimodal near-dup at corpus scale, never all-pairs
+        "media_phash_pairs",
     ]
     # Offline-pass entries, benched in their own trailing loop: the
     # PassJoin edit-distance join and the exact containment verifier

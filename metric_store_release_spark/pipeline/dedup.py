@@ -778,9 +778,32 @@ def simhash_hamming_pairs(
     cluster size under the cap, AQE skew-join splits the rest. One
     shuffle for the join, one distinct on pairs.
     """
+    fp = simhash(df, text_col, id_col, bits=bits, shingle_n=shingle_n)
+    return hamming_code_pairs(
+        fp, "simhash", id_col, bits=bits, max_hamming=max_hamming,
+        bucket_cap=bucket_cap,
+    )
+
+
+def hamming_code_pairs(
+    codes: DataFrame,
+    code_col: str,
+    id_col: str = "doc_id",
+    bits: int = 64,
+    max_hamming: int = 3,
+    bucket_cap: int | None = None,
+) -> DataFrame:
+    """Banded-Hamming pair join over an ALREADY-COMPUTED integer code
+    column — the band/verify/star machinery of
+    :func:`simhash_hamming_pairs` factored out so any fingerprint fits:
+    text SimHash, perceptual image hashes (multimodal.dhash_codes), or
+    any ≤64-bit locality code. Same contract: exact pairs within
+    ``max_hamming`` (pigeonhole over max_hamming+1 bands → equi-join →
+    bit_count(xor) verify), optional star cap for massive duplicate
+    clusters, caller-released ``_index_cache``."""
     n_bands = max_hamming + 1
     width = bits // n_bands
-    fp = simhash(df, text_col, id_col, bits=bits, shingle_n=shingle_n)
+    fp = codes.select(F.col(id_col), F.col(code_col).alias("simhash"))
     bands = fp.select(
         F.col(id_col),
         F.col("simhash"),

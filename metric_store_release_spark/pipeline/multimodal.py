@@ -291,6 +291,101 @@ def frame_sample_plan(media: DataFrame, every_n: int = 10) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# perceptual image hashing (dHash)
+# ---------------------------------------------------------------------------
+
+PHASH_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType(), False),
+        StructField("phash", LongType(), True),
+    ]
+)
+
+#: BT.601 luma as EXACT integers (77R + 150G + 29B ≈ 256·(R,G,B weights))
+#: — the standard fixed-point approximation; dHash only COMPARES lumas,
+#: so any positive integer scale gives the same bits, and integer math
+#: makes the code replayable bit-for-bit by a SQL oracle.
+_ILUMA = (77, 150, 29)
+
+
+def _dhash(payload: bytes, hash_w: int = 8, hash_h: int = 8) -> int:
+    """Difference hash (dHash) of a netpbm payload: integer-exact
+    nearest-neighbor downsample to (hash_w+1)×hash_h, integer luma, bit
+    (y,x) = L[y][x] > L[y][x+1], packed row-major into a SIGNED 64-bit
+    code (bit 63 contributes -2^63, i.e. two's complement — so the value
+    round-trips through Spark's LongType).
+
+    Every step is exact integer arithmetic: the NN source index is
+    x·w // (hash_w+1) (floor), luma is 77R+150G+29B (or the raw gray
+    byte), comparisons are strict — no float anywhere, so a SQL oracle
+    reproduces the code from the payload bytes exactly. Gradient bits
+    make dHash robust to uniform brightness shifts; sub-sample-grid
+    pixel noise doesn't move the code at all (test-asserted)."""
+    w, h, channels, pixels = _decode_ppm_pixels(payload)
+    arr = np.frombuffer(pixels, dtype=np.uint8)[: w * h * channels]
+    arr = arr.reshape(h, w, channels).astype(np.int64)
+    if channels == 1:
+        luma = arr[:, :, 0]
+    else:
+        luma = _ILUMA[0] * arr[:, :, 0] + _ILUMA[1] * arr[:, :, 1] + _ILUMA[2] * arr[:, :, 2]
+    sy = (np.arange(hash_h, dtype=np.int64) * h) // hash_h
+    sx = (np.arange(hash_w + 1, dtype=np.int64) * w) // (hash_w + 1)
+    L = luma[sy][:, sx]
+    bits = (L[:, :-1] > L[:, 1:]).flatten()
+    nbits = hash_w * hash_h
+    if nbits > 64:
+        raise ValueError(f"dHash code must fit 64 bits, got {nbits}")
+    code = 0
+    for k in range(nbits):
+        if bits[k]:
+            code += -(1 << 63) if k == 63 else (1 << k)
+    return code
+
+
+def dhash_codes(media: DataFrame, hash_w: int = 8, hash_h: int = 8) -> DataFrame:
+    """Perceptual hash per image: (doc_id, phash). Arrow-batched
+    mapInPandas over the binary payloads — the same batch shape as
+    extract_media_features. Feed the result to
+    dedup.hamming_code_pairs for banded near-duplicate image pairs."""
+
+    def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "phash": pdf["payload"].map(
+                        lambda p: _dhash(p, hash_w, hash_h)
+                    ),
+                }
+            )
+
+    return media.mapInPandas(extract, schema=PHASH_SCHEMA)
+
+
+def gray18x16_media_from_documents(documents: DataFrame) -> DataFrame:
+    """Deterministic 18×16 grayscale (P5) corpus from `documents`: the
+    288-byte raster is the concatenation of md5(k ‖ ':' ‖ text) hex for
+    k = 0..8 (9 × 32 chars, each char one byte) — big enough that dHash
+    codes carry the full 64 bits of gradient entropy (the 4×2 fixture
+    above collapses to ~6 informative bits, which would make accidental
+    collisions quadratic), and a SQL oracle reproduces every sampled
+    byte by position arithmetic on the same concatenated hex string."""
+    raster = F.concat(
+        *[
+            F.md5(F.concat(F.lit(f"{k}:"), F.col("text")))
+            for k in range(9)
+        ]
+    )
+    return documents.select(
+        F.col("doc_id"),
+        F.lit("image/x-portable-graymap").alias("media_type"),
+        F.concat(F.lit("P5\n18 16\n255\n"), raster).cast("binary").alias(
+            "payload"
+        ),
+    )
+
+
+# ---------------------------------------------------------------------------
 # audio: RIFF/WAVE PCM
 # ---------------------------------------------------------------------------
 

@@ -1828,3 +1828,79 @@ def test_int_kmeans_codebooks_deterministic_and_partition_invariant(spark):
     b = int_kmeans_codebooks(df.repartition(7), subs, k=4, iters=2)
     assert a == b
     assert all(isinstance(x, int) for cb in a for c in cb for x in c)
+
+
+def _p5(w, h, raster: bytes) -> bytes:
+    return b"P5\n%d %d\n255\n" % (w, h) + raster
+
+
+def test_dhash_gradient_and_grid_properties(spark):
+    """dHash invariants the phash dedup rests on: (1) a uniform
+    brightness shift never changes the code (gradient bits); (2) noise
+    at a pixel OFF the downsample grid never changes the code; (3) one
+    ON-grid pixel change flips at most its two adjacent gradient bits."""
+    from metric_store_release_spark.pipeline.multimodal import _dhash
+
+    base = bytes((i * 37 + (i // 18) * 11) % 200 for i in range(18 * 16))
+    code = _dhash(_p5(18, 16, base))
+    # (1) +20 brightness everywhere
+    shifted = bytes(min(255, b + 20) for b in base)
+    assert _dhash(_p5(18, 16, shifted)) == code
+    # (2) off-grid: the 2x map samples even (row, col) only
+    noisy = bytearray(base)
+    noisy[1] = 255  # (y=0, x=1): odd column, never sampled
+    noisy[19] = 0   # (y=1, x=1): odd row and column
+    assert _dhash(_p5(18, 16, bytes(noisy))) == code
+    # (3) on-grid single-pixel change: Hamming <= 2
+    hit = bytearray(base)
+    hit[2 * 18 + 4] = 255  # sampled as grid (y=1, x=2)
+    diff = _dhash(_p5(18, 16, bytes(hit))) ^ code
+    assert bin(diff & ((1 << 64) - 1)).count("1") <= 2
+
+
+def test_phash_pairs_banding_recall_is_total(spark):
+    """hamming_code_pairs over dHash codes must find EXACTLY the pairs a
+    brute-force all-pairs Hamming scan finds (pigeonhole recall), on a
+    corpus with planted near-identical images."""
+    from metric_store_release_spark.pipeline.dedup import hamming_code_pairs
+    from metric_store_release_spark.pipeline.multimodal import (
+        _dhash,
+        dhash_codes,
+    )
+
+    imgs = []
+    state = 3
+    for i in range(30):
+        px = []
+        for _ in range(18 * 16):
+            state = (state * 48271) % 2147483647
+            px.append(state % 200)
+        imgs.append((i, bytes(px)))
+    # plants: copy of image i with one sampled pixel nudged
+    plants = []
+    for i in (0, 7, 19):
+        b = bytearray(imgs[i][1])
+        b[36 * 2 + 2] = (b[36 * 2 + 2] + 90) % 256
+        plants.append((100 + i, bytes(b)))
+    rows = [
+        (i, "image/x-portable-graymap", _p5(18, 16, r))
+        for i, r in imgs + plants
+    ]
+    media = spark.createDataFrame(
+        rows, "doc_id long, media_type string, payload binary"
+    )
+    pairs = hamming_code_pairs(
+        dhash_codes(media), "phash", "doc_id", max_hamming=3
+    )
+    got = {(r["id_a"], r["id_b"]): r["hamming"] for r in pairs.collect()}
+    pairs._index_cache.unpersist()
+    codes = {i: _dhash(_p5(18, 16, r)) for i, r in imgs + plants}
+    want = {}
+    ids = sorted(codes)
+    for ai, a in enumerate(ids):
+        for b in ids[ai + 1:]:
+            d = bin((codes[a] ^ codes[b]) & ((1 << 64) - 1)).count("1")
+            if d <= 3:
+                want[(a, b)] = d
+    assert got == want
+    assert all((i, 100 + i) in got for i in (0, 7, 19))
