@@ -512,6 +512,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["dedup_ngram_jaccard"] = _ngram_jaccard
     q["embedding_topk"] = _embedding_topk
     q["embedding_dedup"] = _embedding_dedup
+    q["embedding_semdedup"] = _embedding_semdedup
     q["text_quality"] = _text_quality
     q["docs_gopher_rules"] = _docs_gopher_rules
     q["text_lang_id"] = _lang_id
@@ -521,6 +522,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["text_token_count"] = _text_token_count
     q["media_resize"] = _media_resize
     q["media_phash_pairs"] = _media_phash_pairs
+    q["media_audio_fp_pairs"] = _media_audio_fp_pairs
     q["promql_federated_selector"] = _promql_federated_selector
     q["promql_sum_by_user_federated"] = _promql_sum_by_user_federated
     q["dedup_components"] = _dedup_components
@@ -2333,6 +2335,20 @@ def _embedding_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _embedding_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup (`pipeline.similarity.semantic_dedup`): embedding-space
+    near-duplicate groups (cosine ≥ 0.9 over LSH bucket collisions —
+    scale-safe candidates, not the paper's fixed-k intra-cluster scan)
+    collapsed to keep-one-per-cluster via distributed connected
+    components. Planted exact copies of every 25th vector cluster with
+    their originals, so the plants are exactly the dropped rows."""
+    from metric_store_release_spark.pipeline.similarity import semantic_dedup
+
+    return semantic_dedup(
+        _emb_planted(spark, sf_dir), threshold=0.9, planes=_dedup_planes()
+    )
+
+
 def _text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     from metric_store_release_spark.pipeline.text import quality_features
 
@@ -2924,6 +2940,46 @@ def _media_phash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hamming_code_pairs(
         codes, "phash", "doc_id", bits=64, max_hamming=3
     )
+
+
+def _media_audio_fp_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-duplicate audio clips
+    (`pipeline.multimodal.audio_fingerprint_codes` +
+    `pipeline.dedup.hamming_code_pairs`): 63-bit delta-sign fingerprints
+    over PCM16 samples — invariant to positive amplitude scaling — then
+    the banded-Hamming join (distance ≤ 3). Fixture: the deterministic
+    64-sample WAV corpus plus planted copies of every 25th clip with
+    sample 0 overwritten (flips at most the first delta bit)."""
+    from metric_store_release_spark.pipeline.dedup import hamming_code_pairs
+    from metric_store_release_spark.pipeline.multimodal import (
+        audio_fingerprint_codes,
+        wav64_media_from_documents,
+        _wav_header,
+    )
+
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    base = wav64_media_from_documents(docs)
+    data = F.concat(
+        *[
+            F.unhex(F.md5(F.concat(F.lit(f"{k}:"), F.col("text"))))
+            for k in range(8)
+        ]
+    )
+    plant = (
+        docs.filter(F.col("doc_id") % _PLANT_EVERY == 0)
+        .withColumn("__data", data)
+        .select(
+            (F.col("doc_id") + F.lit(_PLANT_OFFSET)).alias("doc_id"),
+            F.lit("audio/wav").alias("media_type"),
+            F.concat(
+                F.lit(_wav_header(128)),
+                F.lit(bytes([0x00, 0x40])),
+                F.expr("substring(__data, 3, 126)"),
+            ).alias("payload"),
+        )
+    )
+    codes = audio_fingerprint_codes(base.unionByName(plant))
+    return hamming_code_pairs(codes, "afp", "doc_id", bits=64, max_hamming=3)
 
 
 def _dedup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -4667,6 +4723,7 @@ SELECT query_id, vec_id, cos_sim, rank FROM (
 """
 
     o["embedding_dedup"] = _embedding_dedup_oracle()
+    o["embedding_semdedup"] = _semdedup_oracle()
 
     o["embedding_ivf_topk"] = _ivf_oracle()
     o["embedding_hard_negatives"] = _hard_negatives_oracle()
@@ -4983,6 +5040,52 @@ SELECT id_a, id_b, hamming FROM (
 ) WHERE hamming <= 3
 """
 
+    # delta-sign audio fingerprint replay: samples from the hex pairs
+    # (lo + 256*hi, signed 16-bit), bit k = s[k+1] > s[k], (hi, lo)
+    # 32-bit packing + bit_count(xor) — brute-force all-pairs, proving
+    # the banding recall total (same structure as media_phash_pairs)
+    _afp_ras = "||".join(f"md5('{k}:'||text)" for k in range(8))
+    o["media_audio_fp_pairs"] = f"""
+WITH ras AS (
+  SELECT doc_id, {_afp_ras} AS hx FROM documents
+),
+media AS (
+  SELECT doc_id, hx FROM ras
+  UNION ALL
+  SELECT doc_id + {_PLANT_OFFSET}, '0040' || substr(hx, 5) AS hx
+  FROM ras WHERE doc_id % {_PLANT_EVERY} = 0
+),
+raw AS (
+  SELECT doc_id, i.g AS i,
+         ('0x' || substr(hx, 4*i.g + 1, 2))::INT
+         + 256 * (('0x' || substr(hx, 4*i.g + 3, 2))::INT) AS v
+  FROM media, generate_series(0, 63) i(g)
+),
+smp AS (
+  SELECT doc_id, i, CASE WHEN v >= 32768 THEN v - 65536 ELSE v END AS s
+  FROM raw
+),
+bits AS (
+  SELECT a.doc_id, a.i AS k, CASE WHEN b.s > a.s THEN 1 ELSE 0 END AS bit
+  FROM smp a JOIN smp b ON b.doc_id = a.doc_id AND b.i = a.i + 1
+  WHERE a.i < 63
+),
+codes AS (
+  SELECT doc_id,
+         CAST(SUM(CASE WHEN k < 32 AND bit = 1
+                       THEN (1::BIGINT << k) ELSE 0 END) AS BIGINT) AS lo,
+         CAST(SUM(CASE WHEN k >= 32 AND bit = 1
+                       THEN (1::BIGINT << (k - 32)) ELSE 0 END) AS BIGINT) AS hi
+  FROM bits GROUP BY doc_id
+)
+SELECT id_a, id_b, hamming FROM (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         CAST(bit_count(xor(a.lo, b.lo))
+              + bit_count(xor(a.hi, b.hi)) AS INT) AS hamming
+  FROM codes a JOIN codes b ON a.doc_id < b.doc_id
+) WHERE hamming <= 3
+"""
+
     o["media_resize"] = """
 SELECT doc_id,
        2 AS width,
@@ -5095,6 +5198,56 @@ FROM sig a JOIN sig b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
 WHERE list_dot_product(a.v, b.v)
       / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v)))
       >= {threshold} - 5e-7
+"""
+
+
+def _semdedup_oracle(threshold: float = 0.9) -> str:
+    """semantic_dedup replay: the _embedding_dedup_oracle LSH/cosine pair
+    construction (same planes, same -5e-7 rounding slack) feeding the
+    recursive reachability of _components_oracle, then keep = id ==
+    min-reachable-id with singletons keeping themselves."""
+
+    def arr(p: list[float]) -> str:
+        return "[" + ", ".join(repr(x) for x in p) + "]"
+
+    bits = "\n      || ".join(
+        f"(CASE WHEN list_dot_product(v, {arr(p)}) >= 0 THEN '1' ELSE '0' END)"
+        for p in _dedup_planes()
+    )
+    return f"""
+WITH RECURSIVE aug AS (
+  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+  UNION ALL
+  SELECT vec_id + {_PLANT_OFFSET}, embedding::DOUBLE[] FROM embeddings
+  WHERE vec_id % {_PLANT_EVERY} = 0
+),
+sig AS (
+  SELECT vec_id, v,
+      {bits} AS bucket
+  FROM aug
+),
+pairs AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b
+  FROM sig a JOIN sig b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+  WHERE list_dot_product(a.v, b.v)
+        / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v)))
+        >= {threshold} - 5e-7
+),
+edges AS (
+  SELECT id_a AS a, id_b AS b FROM pairs
+  UNION
+  SELECT id_b, id_a FROM pairs
+),
+reach(id, r) AS (
+  SELECT DISTINCT a, a FROM edges
+  UNION
+  SELECT e.b, r.r FROM reach r JOIN edges e ON e.a = r.id
+),
+comp AS (SELECT id, MIN(r) AS component FROM reach GROUP BY id)
+SELECT aug.vec_id,
+       COALESCE(c.component, aug.vec_id) AS component,
+       COALESCE(c.component, aug.vec_id) = aug.vec_id AS keep
+FROM aug LEFT JOIN comp c ON c.id = aug.vec_id
 """
 
 

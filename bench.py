@@ -169,6 +169,11 @@ def main() -> None:
         # the netpbm corpus, then the dedup_simhash_pairs banded-Hamming
         # join; multimodal near-dup at corpus scale, never all-pairs
         "media_phash_pairs",
+        # round 8: delta-sign audio fingerprint near-dup (same banded
+        # join, audio modality) and SemDeDup-style keep-one-per-cluster
+        # over embedding near-dup components
+        "media_audio_fp_pairs",
+        "embedding_semdedup",
     ]
     # Offline-pass entries, benched in their own trailing loop: the
     # PassJoin edit-distance join and the exact containment verifier

@@ -403,9 +403,8 @@ AUDIO_FEATURES_SCHEMA = StructType(
 )
 
 
-def _decode_wav(payload: bytes) -> tuple[int, int, float, float, int]:
-    """RIFF/WAVE PCM16 mono decoder (real chunk walk, no audio libs):
-    (n_samples, sample_rate, duration_ms, rms, zero_crossings)."""
+def _wav_pcm16(payload: bytes) -> tuple[tuple[int, ...], int]:
+    """RIFF/WAVE PCM16 mono chunk walk (no audio libs): (samples, rate)."""
     import struct
 
     if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
@@ -428,7 +427,14 @@ def _decode_wav(payload: bytes) -> tuple[int, int, float, float, int]:
     if audio_format != 1 or bits != 16 or channels != 1:
         raise ValueError("only PCM16 mono supported")
     n = len(data) // 2
-    samples = struct.unpack(f"<{n}h", data[: 2 * n])
+    return struct.unpack(f"<{n}h", data[: 2 * n]), rate
+
+
+def _decode_wav(payload: bytes) -> tuple[int, int, float, float, int]:
+    """RIFF/WAVE PCM16 mono features:
+    (n_samples, sample_rate, duration_ms, rms, zero_crossings)."""
+    samples, rate = _wav_pcm16(payload)
+    n = len(samples)
     rms = (sum(s * s for s in samples) / n) ** 0.5 if n else 0.0
     zc = sum(
         1 for a, b in zip(samples, samples[1:]) if (a < 0) != (b < 0)
@@ -478,6 +484,73 @@ def _wav_header(n_data_bytes: int, rate: int = 8000) -> bytes:
             b"data",
             struct.pack("<I", n_data_bytes),
         ]
+    )
+
+
+AUDIO_FP_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType(), False),
+        StructField("afp", LongType(), True),
+    ]
+)
+
+
+def audio_fingerprint_codes(media: DataFrame, n_bits: int = 63) -> DataFrame:
+    """Acoustic fingerprint per clip: (doc_id, afp) — the sign pattern of
+    successive PCM sample deltas (bit k = s[k+1] > s[k]), the simplest
+    member of the delta-sign fingerprint family behind audio dedup
+    systems (cf. Haitsma & Kalker 2002: sign of band-energy deltas).
+    Integer-exact: strict comparisons on int16 samples, packed into a
+    ≤63-bit long (always positive — no sign-bit handling needed), so a
+    SQL oracle reproduces codes from the payload bytes exactly, and the
+    code is invariant to any positive amplitude scaling. Feed to
+    dedup.hamming_code_pairs for near-duplicate clip pairs; Arrow
+    batches bound memory, same mapInPandas shape as the other decoders."""
+    if n_bits > 63:
+        raise ValueError("delta-sign fingerprint must fit 63 bits")
+
+    def fingerprint(payload: bytes) -> int:
+        samples, _rate = _wav_pcm16(payload)
+        if len(samples) < n_bits + 1:
+            raise ValueError(
+                f"clip too short: {len(samples)} samples < {n_bits + 1}"
+            )
+        code = 0
+        for k in range(n_bits):
+            if samples[k + 1] > samples[k]:
+                code += 1 << k
+        return code
+
+    def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "afp": pdf["payload"].map(fingerprint),
+                }
+            )
+
+    return media.mapInPandas(extract, schema=AUDIO_FP_SCHEMA)
+
+
+def wav64_media_from_documents(documents: DataFrame) -> DataFrame:
+    """Deterministic 64-sample PCM16 WAV corpus from `documents`: the
+    data chunk concatenates unhex(md5(k ‖ ':' ‖ text)) for k = 0..7
+    (8 × 16 bytes = 64 little-endian int16 samples) — long enough that
+    the 63-bit delta-sign fingerprint carries real entropy (the 8-sample
+    wav_media fixture would collapse to 7 bits and make accidental
+    collisions quadratic). A SQL oracle reproduces every sample from the
+    hex pairs (lo + 256·hi, signed)."""
+    data = F.concat(
+        *[
+            F.unhex(F.md5(F.concat(F.lit(f"{k}:"), F.col("text"))))
+            for k in range(8)
+        ]
+    )
+    return documents.select(
+        F.col("doc_id"),
+        F.lit("audio/wav").alias("media_type"),
+        F.concat(F.lit(_wav_header(128)), data).alias("payload"),
     )
 
 

@@ -1904,3 +1904,67 @@ def test_phash_pairs_banding_recall_is_total(spark):
                 want[(a, b)] = d
     assert got == want
     assert all((i, 100 + i) in got for i in (0, 7, 19))
+
+
+def test_audio_fingerprint_scale_invariant_and_detects_plants(spark):
+    """Delta-sign fingerprints: invariant to positive amplitude scaling,
+    changed by at most the adjacent delta bits on a single-sample edit,
+    and hamming_code_pairs finds planted near-identical clips."""
+    import struct
+
+    from metric_store_release_spark.pipeline.dedup import hamming_code_pairs
+    from metric_store_release_spark.pipeline.multimodal import (
+        _wav_header,
+        audio_fingerprint_codes,
+    )
+
+    def wav(samples):
+        data = struct.pack(f"<{len(samples)}h", *samples)
+        return _wav_header(len(data)) + data
+
+    state, clips = 11, []
+    for i in range(12):
+        s = []
+        for _ in range(64):
+            state = (state * 48271) % 2147483647
+            s.append(state % 20000 - 10000)
+        clips.append((i, s))
+    rows = [(i, "audio/wav", wav(s)) for i, s in clips]
+    # half-amplitude copy of clip 0: IDENTICAL fingerprint
+    rows.append((100, "audio/wav", wav([x // 2 for x in clips[0][1]])))
+    # one-sample edit of clip 3: Hamming <= 2 (two adjacent deltas)
+    edited = list(clips[3][1])
+    edited[10] += 5000
+    rows.append((103, "audio/wav", wav(edited)))
+    media = spark.createDataFrame(
+        rows, "doc_id long, media_type string, payload binary"
+    )
+    codes = {r["doc_id"]: r["afp"] for r in audio_fingerprint_codes(media).collect()}
+    # scaling by a positive constant preserves every delta sign exactly
+    # (x//2 keeps order for these magnitudes)
+    assert codes[100] == codes[0]
+    assert bin(codes[103] ^ codes[3]).count("1") <= 2
+    pairs = hamming_code_pairs(
+        audio_fingerprint_codes(media), "afp", "doc_id", max_hamming=3
+    )
+    got = {(r["id_a"], r["id_b"]) for r in pairs.collect()}
+    pairs._index_cache.unpersist()
+    assert (0, 100) in got and (3, 103) in got
+
+
+def test_semantic_dedup_keeps_one_per_cluster(spark):
+    from metric_store_release_spark.pipeline.similarity import semantic_dedup
+
+    rows = [
+        (1, [1.0, 0.0, 0.0]), (2, [0.999, 0.01, 0.0]),   # near-dups
+        (3, [0.0, 1.0, 0.0]),                              # singleton
+        (4, [0.0, 0.0, 1.0]), (5, [0.0, 0.01, 0.999]),     # near-dups
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    got = {
+        r["vec_id"]: (r["component"], r["keep"])
+        for r in semantic_dedup(emb, threshold=0.95).collect()
+    }
+    assert got[1] == (1, True) and got[2] == (1, False)
+    assert got[3] == (3, True)
+    assert got[4] == (4, True) and got[5] == (4, False)
