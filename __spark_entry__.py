@@ -523,6 +523,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["media_resize"] = _media_resize
     q["media_phash_pairs"] = _media_phash_pairs
     q["media_audio_fp_pairs"] = _media_audio_fp_pairs
+    q["docs_dsir_select"] = _docs_dsir_select
     q["promql_federated_selector"] = _promql_federated_selector
     q["promql_sum_by_user_federated"] = _promql_sum_by_user_federated
     q["dedup_components"] = _dedup_components
@@ -2905,6 +2906,19 @@ def _media_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _docs_dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR data selection (`pipeline.text.dsir_select`, Xie et al.
+    2023): the 100 documents whose hashed n-gram distribution is most
+    like the non-English slice — importance weight = Σ tf·(quantized
+    log p̂_target − log p̂_raw) under add-1-smoothed hashed bag-of-ngrams
+    LMs. Weights are exact int64 (the unigram-LM ln·10⁶ quantization),
+    so the oracle replays the ranking bit-for-bit."""
+    from metric_store_release_spark.pipeline.text import dsir_select
+
+    docs = _docs(spark, sf_dir).select("doc_id", "text", "lang")
+    return dsir_select(docs, F.col("lang") != "en", n=100)
+
+
 def _media_phash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Perceptual-hash image dedup (`pipeline.multimodal.dhash_codes` +
     `pipeline.dedup.hamming_code_pairs`): 64-bit dHash per image —
@@ -4044,6 +4058,54 @@ z AS (
   FROM feats JOIN w USING (feature) GROUP BY 1
 )
 SELECT doc_id, ROUND(1.0 / (1.0 + exp(-z)), 6) AS score FROM z
+"""
+
+    # DSIR replay: the classifier's gram/hash CTEs, per-feature counts on
+    # both corpora, add-1-smoothed quantized log ratios (the unigram-LM
+    # ROUND(ln * 1e6) rule — round-half-away in both engines), exact
+    # int64 document weights, top-100 by (liw DESC, doc_id)
+    o["docs_dsir_select"] = r"""
+WITH base AS (
+  SELECT doc_id, list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '') AS t
+  FROM documents
+),
+tt AS (SELECT * FROM base WHERE len(t) > 0),
+unis AS (SELECT doc_id, unnest(t) AS g FROM tt),
+bis AS (
+  SELECT doc_id, t[i] || ' ' || t[i + 1] AS g
+  FROM tt, unnest(generate_series(1, len(t) - 1)) AS u(i)
+  WHERE len(t) >= 2
+),
+grams AS (SELECT * FROM unis UNION ALL SELECT * FROM bis),
+feats AS (
+  SELECT doc_id,
+         ('0x' || substr(md5('feat' || g), 1, 8))::BIGINT % 262144 AS feature,
+         CAST(COUNT(*) AS BIGINT) AS tf
+  FROM grams GROUP BY 1, 2
+),
+rawc AS (SELECT feature, CAST(SUM(tf) AS BIGINT) AS n FROM feats GROUP BY feature),
+tgtc AS (
+  SELECT feature, CAST(SUM(tf) AS BIGINT) AS n
+  FROM feats JOIN documents USING (doc_id)
+  WHERE documents.lang <> 'en' GROUP BY feature
+),
+tot AS (
+  SELECT CAST((SELECT SUM(n) FROM rawc) + 262144 AS BIGINT) AS rt,
+         CAST(COALESCE((SELECT SUM(n) FROM tgtc), 0) + 262144 AS BIGINT) AS tt
+),
+ratio AS (
+  SELECT r.feature,
+         CAST(ROUND(ln((COALESCE(t.n, 0) + 1) * 1.0 / tot.tt) * 1000000.0) AS BIGINT)
+       - CAST(ROUND(ln((r.n + 1) * 1.0 / tot.rt) * 1000000.0) AS BIGINT) AS rr
+  FROM rawc r LEFT JOIN tgtc t USING (feature), tot
+),
+liw AS (
+  SELECT f.doc_id, CAST(SUM(f.tf * ratio.rr) AS BIGINT) AS liw
+  FROM feats f JOIN ratio USING (feature) GROUP BY 1
+)
+SELECT doc_id, liw FROM (
+  SELECT *, row_number() OVER (ORDER BY liw DESC, doc_id ASC) AS rn FROM liw
+) WHERE rn <= 100
 """
 
     from metric_store_release_spark.pipeline.classifier import (

@@ -174,6 +174,9 @@ def main() -> None:
         # over embedding near-dup components
         "media_audio_fp_pairs",
         "embedding_semdedup",
+        # round 8: DSIR importance-resampling selection — two LM-count
+        # passes over the hashed-feature table + one weighted top-n
+        "docs_dsir_select",
     ]
     # Offline-pass entries, benched in their own trailing loop: the
     # PassJoin edit-distance join and the exact containment verifier

@@ -968,3 +968,99 @@ def doc_fingerprint(text: Column, window: int = 8, mod: int = 1_000_003) -> Colu
     return F.aggregate(
         weighted, F.lit(0).cast("long"), lambda acc, x: (acc + x) % mod
     )
+
+
+# ------------------------------------------------------- DSIR selection
+
+def dsir_log_weights(
+    docs: DataFrame,
+    target_pred: Column,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_features: int = 1 << 18,
+    salt: str = "feat",
+) -> DataFrame:
+    """Per-document log importance weight for DSIR data selection (Xie,
+    Santurkar, Ma, Liang 2023, "Data Selection for Language Models via
+    Importance Resampling"): fit hashed bag-of-ngrams multinomial LMs on
+    the TARGET slice (rows matching ``target_pred``) and on the whole
+    RAW corpus, then weight every document by
+    log p_target(doc) − log p_raw(doc) = Σ_f tf_f · (log p̂_t(f) − log p̂_r(f))
+    with add-1 smoothing over the ``n_features`` hash buckets. Selecting
+    the top-weighted documents moves the raw corpus's n-gram
+    distribution toward the target domain's.
+
+    Determinism contract (the unigram-LM recipe): per-feature log-probs
+    are quantized to round-half-away(ln·10⁶) INTEGERS, so document
+    weights are exact int64 sums — ranking replays bit-for-bit in SQL.
+    Plan shape: one hashed-feature aggregation
+    (classifier.hashed_ngram_features, map-side combined), two
+    bounded collects (≤ n_features rows — the observed-feature count
+    tables, same class as the vocab collects), the quantized ratio table
+    re-enters as a LocalRelation broadcast join (lineage-free, SCALING
+    #18), and one per-doc aggregation. Returns (id, liw) for every doc
+    with at least one token; the caller owns the persisted feature table
+    via ``._index_cache`` (release with dedup.leased)."""
+    import math
+
+    from metric_store_release_spark.pipeline.classifier import (
+        hashed_ngram_features,
+    )
+
+    def qlog(n: int, total: int) -> int:
+        x = math.log(n / total) * 1_000_000.0
+        return int(math.copysign(math.floor(abs(x) + 0.5), x))
+
+    feats = hashed_ngram_features(
+        docs, text_col, id_col, n_features, salt
+    ).persist()
+    rawc = {
+        r["feature"]: r["n"]
+        for r in feats.groupBy("feature").agg(F.sum("tf").alias("n")).collect()
+    }
+    tgtc = {
+        r["feature"]: r["n"]
+        for r in (
+            feats.join(
+                docs.filter(target_pred).select(F.col(id_col)),
+                id_col,
+                "left_semi",
+            )
+            .groupBy("feature")
+            .agg(F.sum("tf").alias("n"))
+            .collect()
+        )
+    }
+    rt = sum(rawc.values()) + n_features
+    tt = sum(tgtc.values()) + n_features
+    ratio = sorted(
+        (int(f), qlog(tgtc.get(f, 0) + 1, tt) - qlog(rn + 1, rt))
+        for f, rn in rawc.items()
+    )
+    rdf = feats.sparkSession.createDataFrame(ratio, "feature long, r long")
+    out = (
+        feats.join(F.broadcast(rdf), "feature")
+        .groupBy(id_col)
+        .agg(F.sum(F.col("tf") * F.col("r")).alias("liw"))
+    )
+    out._index_cache = feats
+    return out
+
+
+def dsir_select(
+    docs: DataFrame,
+    target_pred: Column,
+    n: int = 100,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_features: int = 1 << 18,
+    salt: str = "feat",
+) -> DataFrame:
+    """The DSIR selection step: the ``n`` documents whose hashed-ngram
+    distribution is most target-like — top-n by (liw DESC, id ASC),
+    planned as TakeOrderedAndProject (per-partition top-n + driver
+    merge, no global sort shuffle)."""
+    w = dsir_log_weights(docs, target_pred, text_col, id_col, n_features, salt)
+    out = w.orderBy(F.col("liw").desc(), F.col(id_col).asc()).limit(n)
+    out._index_cache = w._index_cache
+    return out

@@ -1968,3 +1968,36 @@ def test_semantic_dedup_keeps_one_per_cluster(spark):
     assert got[1] == (1, True) and got[2] == (1, False)
     assert got[3] == (3, True)
     assert got[4] == (4, True) and got[5] == (4, False)
+
+
+def test_dsir_prefers_target_vocabulary_docs(spark):
+    """DSIR weights must rank documents sharing the target slice's
+    vocabulary above raw-typical documents, and be deterministic across
+    partitionings (int64 weight sums)."""
+    from pyspark.sql import functions as F
+
+    from metric_store_release_spark.pipeline.text import (
+        dsir_log_weights,
+        dsir_select,
+    )
+
+    rows = [(i, "alpha beta gamma delta " * 4, "t") for i in range(5)]
+    rows += [(100 + i, "common words filler prose " * 4, "r") for i in range(20)]
+    # raw docs that HAPPEN to use target vocabulary — should rank top
+    rows += [(200 + i, "alpha beta gamma delta " * 4, "r") for i in range(3)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    pred = F.col("lang") == "t"
+    w = dsir_log_weights(docs, pred, n_features=1 << 10)
+    got = {r["doc_id"]: r["liw"] for r in w.collect()}
+    w._index_cache.unpersist()
+    assert min(got[200 + i] for i in range(3)) > max(
+        got[100 + i] for i in range(20)
+    )
+    sel = dsir_select(docs, pred, n=8, n_features=1 << 10)
+    top = [r["doc_id"] for r in sel.collect()]
+    sel._index_cache.unpersist()
+    assert {200, 201, 202} <= set(top)
+    w2 = dsir_log_weights(docs.repartition(7), pred, n_features=1 << 10)
+    got2 = {r["doc_id"]: r["liw"] for r in w2.collect()}
+    w2._index_cache.unpersist()
+    assert got == got2
