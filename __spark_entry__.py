@@ -656,55 +656,34 @@ _FAMILY_FIRST_ORDER = [
     "promql_selector", "promql_sum_by_user", "promql_rate",
     "promql_binop_add", "promql_subquery", "promql_histogram_quantile",
     "promql_federated_selector", "promql_sum_by_user_federated",
-    # r7 swap-backs: the 20-query queue accumulated during round 6
-    "tpch_q4", "tpch_q5", "tpch_q7", "tpch_q8", "tpch_q10",
-    "tpch_q13", "tpch_q15", "tpch_q17", "tpch_q22",
-    "docs_chunks", "events_cube", "dedup_exact_normalized",
-    "docs_weighted_sample", "events_funnel", "events_top_users",
-    "events_rolling_7d", "docs_mixture", "events_retention",
-    "events_dau_wau", "docs_temperature_mix",
-    # longest-absent veterans (no driver row since r4 or earlier)
-    "tpch_q1", "tpch_q3", "rollup_counter", "dedup_minhash_lsh",
-    "text_quality", "multimodal_features", "media_resize",
-    "docs_sample", "embedding_kmeans", "events_props_stats",
-    # changed in r7 (judge asks #2/#4) — re-verify in the round they land
-    "embedding_hard_negatives", "docs_wordpiece_tokens",
-    # r7 amendment 1: deterministic HyperLogLog pair debuts
-    # (events_hll_users per-day distinct, events_hll_dau_wau lossless
-    # register-merge sliding window); events_range_scan and
-    # events_range_scan_zordered (single-green, events family heavily
-    # covered in-window) yield their slots per policy.
-    "events_hll_users", "events_hll_dau_wau",
-    # r7 amendment 2: docs_gopher_rules (the published MassiveText
-    # quality battery) debuts; dedup_containment (single-green, dedup
-    # family keeps editdist/spans in-window) yields per policy.
-    "docs_gopher_rules",
-    # r7 amendment 3: events_range_scan_hilbert (Hilbert-curve layout,
-    # same oracle as the scan pair) debuts; events_latency_pctl_dist
-    # (single-green, events family heavily covered) yields per policy.
-    "events_range_scan_hilbert",
-    # r7 amendment 4: docs_leakage_split (cluster-consistent train/eval
-    # split) debuts; graph_pagerank (single-green, moved to the offline
-    # bench loop this round) yields per policy.
-    "docs_leakage_split",
-    # r7 amendment 5: embedding_top_pc (matrix-free power iteration)
-    # debuts; dedup_spans (single-green, dedup family keeps editdist
-    # in-window) yields per policy.
-    "embedding_top_pc",
-    # r7 amendment 6: events_ab_test (deterministic-split experiment
-    # readout) debuts; promql_split_rate (single-green, shares
-    # promql_rate's oracle bit-identically and split_cached stays
-    # in-window) yields per policy.
-    "events_ab_test",
-    # r7 amendment 7: the unigram-LM tokenizer pair (Viterbi-EM train +
-    # apply, full-training-loop oracle) debuts; docs_bloom_contamination
-    # and dedup_editdist (single-green; their families keep
-    # ngram_contamination-adjacent and minhash reps in-window via the
-    # veteran swap-backs) yield per policy.
-    "docs_unigram_vocab", "docs_unigram_tokens",
-    # single-green late-r6 debuts holding the debut slots; these yield
-    # (most-covered family first) as new r7 operators land
-    "promql_split_cached",
+    # r8 swap-backs: the 39 queries rotated out in round 7 (the early-r6
+    # debuts and r5-era double-greens), minus the two range-scan twins
+    # deferred to the r9 queue below — every one keeps the <=3-round
+    # driver cadence. graph_pagerank CHANGED this round (src-partitioned
+    # edge cache) so its slot doubles as the re-debut.
+    "tpch_q18", "tpch_q19",
+    "events_anomalies", "events_transitions", "events_cms_topk",
+    "events_quantile_sketch", "events_kmv_overlap", "events_kmv_dau_wau",
+    "events_kmv_users", "events_latency_pctl_dist", "events_interval_join",
+    "events_sessionize_bucketed",
+    "docs_difficulty", "docs_difficulty_by_lang",
+    "dedup_keep_best", "dedup_editdist", "dedup_containment",
+    "dedup_spans", "dedup_components_star", "dedup_incremental",
+    "audio_features", "video_frame_features",
+    "text_classifier_score", "text_classifier_train", "text_bigram_logprob",
+    "storage_downsample", "series_cardinality", "series_correlation",
+    "promql_over_downsampled", "promql_tiered_read", "promql_split_rate",
+    "docs_bloom_contamination", "docs_wordpiece_vocab",
+    "docs_bpe_merges", "docs_bpe_tokens",
+    "embedding_ann_probe", "graph_pagerank",
+    # r8 debuts: IVF-PQ compressed serving, perceptual-hash image dedup,
+    # delta-sign audio-fingerprint dedup, SemDeDup keep-one-per-cluster,
+    # DSIR importance-resampling selection
+    "embedding_ann_pq", "media_phash_pairs", "media_audio_fp_pairs",
+    "embedding_semdedup", "docs_dsir_select",
+    # r9 queue (yielded this round to make room for the five debuts):
+    # events_range_scan, events_range_scan_zordered — their oracle was
+    # re-verified in r7 via the identical-answer Hilbert variant.
 ]
 
 
