@@ -2317,16 +2317,18 @@ def _embedding_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _embedding_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDeDup (`pipeline.similarity.semantic_dedup`): embedding-space
-    near-duplicate groups (cosine ≥ 0.9 over LSH bucket collisions —
-    scale-safe candidates, not the paper's fixed-k intra-cluster scan)
-    collapsed to keep-one-per-cluster via distributed connected
-    components. Planted exact copies of every 25th vector cluster with
-    their originals, so the plants are exactly the dropped rows."""
+    near-duplicate groups (cosine ≥ 0.9 over BANDED scale-adaptive
+    integer-SimHash collisions — 4 bands of log2(N/32) sign bits each,
+    occupancy and per-row candidates constant at every corpus size, not
+    the paper's fixed-k intra-cluster scan) collapsed to
+    keep-one-per-cluster via distributed connected components. Planted
+    exact copies of every 25th vector collide in every band, so the
+    plants are exactly the dropped rows. (The first cut of this query
+    used 8 FIXED hyperplanes — measured 40× cost for 10× data at sf10,
+    the r6 weak shape — before the adaptive re-bucketing.)"""
     from metric_store_release_spark.pipeline.similarity import semantic_dedup
 
-    return semantic_dedup(
-        _emb_planted(spark, sf_dir), threshold=0.9, planes=_dedup_planes()
-    )
+    return semantic_dedup(_emb_planted(spark, sf_dir), threshold=0.9)
 
 
 def _text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -5242,19 +5244,28 @@ WHERE list_dot_product(a.v, b.v)
 """
 
 
-def _semdedup_oracle(threshold: float = 0.9) -> str:
-    """semantic_dedup replay: the _embedding_dedup_oracle LSH/cosine pair
-    construction (same planes, same -5e-7 rounding slack) feeding the
-    recursive reachability of _components_oracle, then keep = id ==
+def _semdedup_oracle(
+    threshold: float = 0.9,
+    dim: int = _EMB_DIM,
+    bands: int = 4,
+    max_band_bits: int = 24,
+) -> str:
+    """semantic_dedup replay: the banded scale-adaptive integer SimHash
+    of `similarity.banded_simhash_pairs` — band_bits = GREATEST(4,
+    LEAST(24, LENGTH(BIN(N // 32)))) (the Python (N//32).bit_length()
+    rule), band k bit j's hyperplane = simhash_plane_weight's
+    Lehmer-square mix at GLOBAL index k·24 + j (fixed stride: weights
+    never depend on the corpus-derived bit count), components quantized
+    floor(v·2¹⁶), bucket = Σ sign-bit·2^j — all exact int64, both
+    engines agree bit-for-bit (the _hard_negatives_oracle pattern).
+    Cosine verification keeps the -5e-7 rounding slack; pairs feed the
+    recursive reachability of _components_oracle, keep = id ==
     min-reachable-id with singletons keeping themselves."""
-
-    def arr(p: list[float]) -> str:
-        return "[" + ", ".join(repr(x) for x in p) + "]"
-
-    bits = "\n      || ".join(
-        f"(CASE WHEN list_dot_product(v, {arr(p)}) >= 0 THEN '1' ELSE '0' END)"
-        for p in _dedup_planes()
-    )
+    w = (
+        "(((((({gi}*{dim} + c) * 48271) % 2147483647)"
+        " * ((({gi}*{dim} + c) * 48271) % 2147483647)) % 2147483647)"
+        " * 69621 + 12345) % 2147483647 - 1073741823"
+    ).format(gi=f"(pl.k*{max_band_bits} + pl.j)", dim=dim)
     return f"""
 WITH RECURSIVE aug AS (
   SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
@@ -5262,14 +5273,31 @@ WITH RECURSIVE aug AS (
   SELECT vec_id + {_PLANT_OFFSET}, embedding::DOUBLE[] FROM embeddings
   WHERE vec_id % {_PLANT_EVERY} = 0
 ),
+nb AS (SELECT GREATEST(4, LEAST({max_band_bits},
+                               LENGTH(BIN(COUNT(*) // 32)))) AS b FROM aug),
+pl AS (
+  -- generate_series can't take a subquery bound: emit the max range and
+  -- filter to the corpus-derived bit count
+  SELECT k.g AS k, j.g AS j
+  FROM generate_series(0, {bands - 1}) k(g),
+       generate_series(0, {max_band_bits - 1}) j(g)
+  WHERE j.g < (SELECT b FROM nb)
+),
 sig AS (
-  SELECT vec_id, v,
-      {bits} AS bucket
-  FROM aug
+  SELECT aug.vec_id, aug.v, pl.k,
+         CAST(SUM(CASE WHEN CAST(list_sum(list_transform(
+                    generate_series(1, {dim}), c ->
+                    CAST(FLOOR(aug.v[c] * 65536.0) AS BIGINT) * ({w})
+                  )) AS BIGINT) >= 0
+                  THEN CAST(POWER(2, pl.j) AS BIGINT) ELSE 0 END)
+              AS BIGINT) AS bucket
+  FROM aug CROSS JOIN pl
+  GROUP BY aug.vec_id, aug.v, pl.k
 ),
 pairs AS (
-  SELECT a.vec_id AS id_a, b.vec_id AS id_b
-  FROM sig a JOIN sig b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+  SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+  FROM sig a JOIN sig b
+    ON a.k = b.k AND a.bucket = b.bucket AND a.vec_id < b.vec_id
   WHERE list_dot_product(a.v, b.v)
         / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v)))
         >= {threshold} - 5e-7

@@ -663,6 +663,114 @@ def hard_negative_mining_simhash(
     return _ranked_topk(scored, k, id_col, "query_id")
 
 
+#: banded candidate generation for semantic_dedup: bands x r sign bits
+#: per band, r = log2(N / rows-per-bucket) — occupancy ~constant at
+#: every scale, candidates ~bands·16·N (linear). The global plane index
+#: strides by MAX_BAND_BITS so plane WEIGHTS never depend on the
+#: corpus-derived r — the oracle's literals stay static.
+SEMDEDUP_BANDS = 4
+SEMDEDUP_MAX_BAND_BITS = 24
+
+
+def banded_simhash_pairs(
+    corpus: DataFrame,
+    threshold: float = 0.9,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    bands: int = SEMDEDUP_BANDS,
+    rows_per_bucket: int = SIMHASH_ROWS_PER_BUCKET,
+    max_band_bits: int = SEMDEDUP_MAX_BAND_BITS,
+    dim: int | None = None,
+    band_bits: int | None = None,
+) -> DataFrame:
+    """Embedding near-dup pairs (cosine ≥ threshold) via BANDED
+    scale-adaptive integer SimHash — the pair-generation analog of
+    :func:`hard_negative_mining_simhash`, with minhash-style banding for
+    recall: a pair is a candidate if ANY of the ``bands`` independent
+    r-bit sign signatures collide (recall 1 − (1 − s^r)^bands, s the
+    per-plane agreement probability; exact duplicates collide in every
+    band). r = log2(N / rows_per_bucket) keeps per-bucket occupancy
+    ~constant at every corpus size, so candidates grow LINEARLY — the
+    scale-safe replacement for a fixed plane set, whose occupancy (and
+    candidate count) grows as N²/2^planes (measured 40× cost for 10×
+    data at sf10 before this rewrite).
+
+    Bucket math is exact int64 (floor(v·2^16) quantization ×
+    simhash_plane_weight integer hyperplanes), so a SQL oracle replays
+    every bucket bit-for-bit; only the verification cosine is floating
+    point (JVM fold, the established hash-matching pattern). Band k's
+    planes use global indexes k·max_band_bits + j, a FIXED stride, so
+    plane weights never depend on the corpus-derived r."""
+    if dim is None:
+        dim = corpus.select(F.size(F.col(vec_col))).first()[0]
+    if band_bits is None:
+        band_bits = max(
+            4,
+            min(
+                max_band_bits,
+                (corpus.count() // rows_per_bucket).bit_length(),
+            ),
+        )
+    from pyspark.sql.pandas.functions import pandas_udf
+
+    W = np.array(
+        [
+            [
+                simhash_plane_weight(k * max_band_bits + j, c, dim)
+                for c in range(1, dim + 1)
+            ]
+            for k in range(bands)
+            for j in range(band_bits)
+        ],
+        dtype=np.int64,
+    )
+    pows = (np.int64(1) << np.arange(band_bits, dtype=np.int64)).astype(
+        np.int64
+    )
+    n_bands = bands
+
+    @pandas_udf("array<long>")
+    def _buckets(v: pd.Series) -> pd.Series:
+        mat = np.vstack(v.to_numpy())
+        q = np.floor(mat * 65536.0).astype(np.int64)
+        d = q @ W.T  # n × (bands·band_bits), exact int64
+        bits = (d >= 0).reshape(len(q), n_bands, len(pows))
+        return pd.Series(list((bits * pows).sum(axis=2)))
+
+    base = corpus.select(
+        F.col(id_col), F.col(vec_col).cast("array<double>").alias("v")
+    ).withColumn("nrm", _norm(F.col("v")))
+    parts = corpus.sparkSession.sparkContext.defaultParallelism
+    if base.rdd.getNumPartitions() < parts:
+        base = base.repartition(parts)
+    bkt = base.withColumn("__bs", _buckets(F.col("v"))).select(
+        id_col,
+        "v",
+        "nrm",
+        F.posexplode("__bs").alias("band", "bucket"),
+    )
+    a, b = bkt.alias("a"), bkt.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            F.round(
+                _dot(F.col("a.v"), F.col("b.v"))
+                / (F.col("a.nrm") * F.col("b.nrm")),
+                6,
+            ).alias("cos_sim"),
+        )
+        .filter(F.col("cos_sim") >= threshold)
+        .distinct()  # a pair may collide in several bands
+    )
+
+
 def semantic_dedup(
     corpus: DataFrame,
     threshold: float = 0.9,
@@ -680,18 +788,28 @@ def semantic_dedup(
     IS its component's representative.
 
     The published recipe buckets by k-means cluster and scans pairs
-    within each cluster — O(N²/k) pairs with fixed k, the exact shape
-    the round-6 verdict flagged as a scale-killer. Here candidates come
-    from LSH bucket collisions instead (:func:`embedding_cosine_dedup`
-    with the caller's deterministic hyperplanes): bucket count grows
-    2^|planes|, never all-pairs, and the near-dup graph then collapses
-    via the O(diameter)-round distributed components of
-    [[pipeline/dedup.py]] — same semantics, scale-safe candidates."""
+    within each cluster — O(N²/k) pairs with fixed k, the scale-killer
+    shape. Default (``planes=None``): candidates from
+    :func:`banded_simhash_pairs` — scale-ADAPTIVE banded integer
+    SimHash, bucket count growing with N so occupancy (and candidate
+    count per row) stays constant at every corpus size, banding for
+    recall on sub-identical pairs. With explicit ``planes``: the legacy
+    fixed-plane LSH path (:func:`embedding_cosine_dedup`) — fine when
+    the caller sizes the plane count to the corpus, quadratic in
+    occupancy when they don't (measured 40× cost for 10× data at
+    sf10 with 8 fixed planes). The near-dup graph then collapses via
+    the O(diameter)-round distributed components of
+    [[pipeline/dedup.py]] — same semantics as the paper."""
     from metric_store_release_spark.pipeline.dedup import (
         connected_components,
     )
 
-    pairs = embedding_cosine_dedup(corpus, threshold, id_col, vec_col, planes)
+    if planes is None:
+        pairs = banded_simhash_pairs(corpus, threshold, id_col, vec_col)
+    else:
+        pairs = embedding_cosine_dedup(
+            corpus, threshold, id_col, vec_col, planes
+        )
     comp = connected_components(pairs)
     return (
         corpus.select(F.col(id_col).alias("id"))
