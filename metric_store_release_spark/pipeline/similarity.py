@@ -701,6 +701,46 @@ def banded_simhash_pairs(
     point (JVM fold, the established hash-matching pattern). Band k's
     planes use global indexes k·max_band_bits + j, a FIXED stride, so
     plane weights never depend on the corpus-derived r."""
+    bkt, _band_bits = _banded_buckets(
+        corpus, id_col, vec_col, bands, rows_per_bucket, max_band_bits,
+        dim, band_bits,
+    )
+    a, b = bkt.alias("a"), bkt.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            F.round(
+                _dot(F.col("a.v"), F.col("b.v"))
+                / (F.col("a.nrm") * F.col("b.nrm")),
+                6,
+            ).alias("cos_sim"),
+        )
+        .filter(F.col("cos_sim") >= threshold)
+        .distinct()  # a pair may collide in several bands
+    )
+
+
+def _banded_buckets(
+    corpus: DataFrame,
+    id_col: str,
+    vec_col: str,
+    bands: int,
+    rows_per_bucket: int,
+    max_band_bits: int,
+    dim: int | None,
+    band_bits: int | None,
+):
+    """The bucket stage of :func:`banded_simhash_pairs`, exposed so the
+    candidate-count instrumentation (scripts/candidate_counts.py) can
+    measure band-collision volume on the exact declared-query inputs.
+    Returns ((id, v, nrm, band, bucket) frame, band_bits)."""
     if dim is None:
         dim = corpus.select(F.size(F.col(vec_col))).first()[0]
     if band_bits is None:
@@ -749,26 +789,7 @@ def banded_simhash_pairs(
         "nrm",
         F.posexplode("__bs").alias("band", "bucket"),
     )
-    a, b = bkt.alias("a"), bkt.alias("b")
-    return (
-        a.join(
-            b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.bucket") == F.col("b.bucket"))
-            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
-        )
-        .select(
-            F.col(f"a.{id_col}").alias("id_a"),
-            F.col(f"b.{id_col}").alias("id_b"),
-            F.round(
-                _dot(F.col("a.v"), F.col("b.v"))
-                / (F.col("a.nrm") * F.col("b.nrm")),
-                6,
-            ).alias("cos_sim"),
-        )
-        .filter(F.col("cos_sim") >= threshold)
-        .distinct()  # a pair may collide in several bands
-    )
+    return bkt, band_bits
 
 
 def semantic_dedup(

@@ -119,6 +119,60 @@ def containment_counts(spark, sf_dir: str) -> dict:
     return out
 
 
+def semdedup_counts(spark, sf_dir: str) -> dict:
+    """Band-collision volume of the round-8 embedding_semdedup rewrite on
+    the exact declared-query input: distinct candidate pairs (pre-cosine)
+    should grow ~linearly in N because band_bits = log2(N/32) pins
+    per-bucket occupancy — the evidence the first cut's fixed 8 planes
+    failed (~N²/256 pairs, 40x cost per 10x at sf10)."""
+    import __spark_entry__ as e
+
+    from metric_store_release_spark.pipeline.similarity import (
+        _banded_buckets,
+        semantic_dedup,
+    )
+
+    emb = e._emb_planted(spark, sf_dir)
+    bkt, band_bits = _banded_buckets(
+        emb, "vec_id", "embedding", 4, 32, 24, None, None
+    )
+    bkt = bkt.persist()
+    collisions = bkt.groupBy("band", "bucket").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    occ = collisions.agg(
+        F.sum("n").alias("rows"),
+        F.sum(F.col("n") * (F.col("n") - 1) / 2).alias("pairs_with_dups"),
+        F.max("n").alias("max_bucket"),
+    ).first()
+    a, b = bkt.alias("a"), bkt.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .select(F.col("a.vec_id"), F.col("b.vec_id"))
+        .distinct()
+        .count()
+    )
+    bkt.unpersist()
+    out_rows = semantic_dedup(emb, threshold=0.9).filter(
+        ~F.col("keep")
+    ).count()
+    return {
+        "op": "embedding_semdedup",
+        "sf_dir": sf_dir,
+        "vectors": emb.count(),
+        "band_bits": band_bits,
+        "band_collision_pairs": int(occ["pairs_with_dups"]),
+        "distinct_cand_pairs": cand,
+        "max_bucket": occ["max_bucket"],
+        "dropped_rows": out_rows,
+    }
+
+
 def main() -> None:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
     which = sys.argv[2] if len(sys.argv) > 2 else "both"
@@ -130,6 +184,8 @@ def main() -> None:
         print(json.dumps(editdist_counts(spark, sf_dir)), flush=True)
     if which in ("containment", "both"):
         print(json.dumps(containment_counts(spark, sf_dir)), flush=True)
+    if which in ("semdedup", "both"):
+        print(json.dumps(semdedup_counts(spark, sf_dir)), flush=True)
 
 
 if __name__ == "__main__":
