@@ -2001,3 +2001,86 @@ def test_dsir_prefers_target_vocabulary_docs(spark):
     got2 = {r["doc_id"]: r["liw"] for r in w2.collect()}
     w2._index_cache.unpersist()
     assert got == got2
+
+
+def test_pq_guards_and_empty_query_set(spark):
+    """IVF-PQ input guards: non-divisible subspace split and oversized
+    codebooks fail loudly; an empty query set probes to an empty result
+    instead of erroring."""
+    import pytest as _pytest
+
+    from metric_store_release_spark.pipeline.similarity import (
+        int_kmeans_codebooks,
+        pq_index,
+        pq_probe,
+        pq_subspaces,
+    )
+
+    with _pytest.raises(ValueError, match="not divisible"):
+        pq_subspaces(64, 7)
+
+    rows = [(i, [float((i * 31 + j * 7) % 13) - 6.0 for j in range(16)])
+            for i in range(40)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    subs = pq_subspaces(16, 4)
+    coarse = int_kmeans_codebooks(emb, [(0, 16)], k=4, iters=1)[0]
+    books17 = [[[0] * 4] * 17] * 4  # ksub = 17 > 16: unpackable
+    with _pytest.raises(ValueError, match="ksub"):
+        pq_index(emb, coarse, books17, subs)
+
+    books = int_kmeans_codebooks(emb, subs, k=4, iters=1)
+    idx = pq_index(emb, coarse, books, subs)
+    empty_q = spark.createDataFrame(
+        [], "query_id long, embedding array<double>"
+    )
+    assert pq_probe(idx, emb, empty_q, coarse, books, subs, k=3).count() == 0
+
+    with _pytest.raises(ValueError, match="at least k"):
+        int_kmeans_codebooks(emb.limit(2), subs, k=4, iters=1)
+
+
+def test_dsir_empty_target_slice_is_uniformly_raw(spark):
+    """With an empty target slice both LMs see only the smoothing mass:
+    every feature's ratio is qlog(1/tt) - qlog((rn+1)/rt) — finite, no
+    error, and selection still returns deterministically."""
+    from pyspark.sql import functions as F
+
+    from metric_store_release_spark.pipeline.text import dsir_select
+
+    rows = [(i, "some words here " * 3, "en") for i in range(10)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    sel = dsir_select(docs, F.col("lang") == "zz", n=5, n_features=1 << 8)
+    got = [r["doc_id"] for r in sel.collect()]
+    sel._index_cache.unpersist()
+    # identical texts -> identical weights -> ties break on doc_id
+    assert got == [0, 1, 2, 3, 4]
+
+
+def test_dhash_rejects_16bit_and_truncated_netpbm(spark):
+    import pytest as _pytest
+
+    from metric_store_release_spark.pipeline.multimodal import _dhash
+
+    with _pytest.raises(ValueError, match="16-bit"):
+        _dhash(b"P5\n18 16\n65535\n" + bytes(18 * 16 * 2))
+    with _pytest.raises(ValueError, match="truncated"):
+        _dhash(b"P5\n18 16\n255\n" + bytes(10))
+
+
+def test_audio_fingerprint_rejects_short_clip(spark):
+    import struct
+
+    import pytest as _pytest
+
+    from metric_store_release_spark.pipeline.multimodal import (
+        _wav_header,
+        audio_fingerprint_codes,
+    )
+
+    data = struct.pack("<8h", *range(8))
+    media = spark.createDataFrame(
+        [(1, "audio/wav", _wav_header(len(data)) + data)],
+        "doc_id long, media_type string, payload binary",
+    )
+    with _pytest.raises(Exception, match="too short"):
+        audio_fingerprint_codes(media).collect()
