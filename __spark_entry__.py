@@ -2973,7 +2973,12 @@ def _media_audio_fp_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("payload"),
         )
     )
-    codes = audio_fingerprint_codes(base.unionByName(plant))
+    # short clips fingerprint as NULL (round-9 contract) — drop them
+    # before the banded join (the 64-sample fixture produces none, so
+    # the oracle is unaffected)
+    codes = audio_fingerprint_codes(base.unionByName(plant)).filter(
+        F.col("afp").isNotNull()
+    )
     return hamming_code_pairs(codes, "afp", "doc_id", bits=64, max_hamming=3)
 
 
@@ -6144,7 +6149,7 @@ def _ann_pq_oracle(
   SELECT p.cid, COALESCE(n.c, p.c) AS c
   FROM cc{it} p LEFT JOIN (
     SELECT cid, list(m ORDER BY pos) AS c FROM (
-      SELECT cid, pos, CAST(floor(SUM(v) / COUNT(*)) AS BIGINT) AS m FROM (
+      SELECT cid, pos, CAST((SUM(v) - ((SUM(v) % COUNT(*)) + COUNT(*)) % COUNT(*)) / COUNT(*) AS BIGINT) AS m FROM (
         SELECT cid, unnest(q) AS v, generate_subscripts(q, 1) AS pos
         FROM ca{it})
       GROUP BY cid, pos) GROUP BY cid
@@ -6176,7 +6181,7 @@ def _ann_pq_oracle(
   SELECT p.s, p.cid, COALESCE(n.c, p.c) AS c
   FROM pc{it} p LEFT JOIN (
     SELECT s, cid, list(m ORDER BY pos) AS c FROM (
-      SELECT s, cid, pos, CAST(floor(SUM(v) / COUNT(*)) AS BIGINT) AS m FROM (
+      SELECT s, cid, pos, CAST((SUM(v) - ((SUM(v) % COUNT(*)) + COUNT(*)) % COUNT(*)) / COUNT(*) AS BIGINT) AS m FROM (
         SELECT s, cid, unnest(qs) AS v, generate_subscripts(qs, 1) AS pos
         FROM pa{it})
       GROUP BY s, cid, pos) GROUP BY s, cid

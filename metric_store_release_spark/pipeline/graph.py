@@ -75,9 +75,15 @@ def pagerank(
     # build shuffle — and the cached layout then satisfies every
     # iteration's src-keyed join (REPARTITION_BY_NUM pins the count so
     # AQE can't coalesce it away from the joins' required distribution).
-    n_part = int(
-        edges.sparkSession.conf.get("spark.sql.shuffle.partitions")
-    )
+    # Some platforms set this conf to a non-numeric value (e.g. "auto"
+    # under AQE auto-optimized shuffle) — fall back to the cluster's
+    # default parallelism rather than crashing (round-9 ADVICE fix).
+    try:
+        n_part = int(
+            edges.sparkSession.conf.get("spark.sql.shuffle.partitions")
+        )
+    except (TypeError, ValueError):
+        n_part = edges.sparkSession.sparkContext.defaultParallelism
     e = (
         edges.select(
             F.col(src_col).alias("src"), F.col(dst_col).alias("dst")

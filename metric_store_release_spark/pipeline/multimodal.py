@@ -505,16 +505,18 @@ def audio_fingerprint_codes(media: DataFrame, n_bits: int = 63) -> DataFrame:
     SQL oracle reproduces codes from the payload bytes exactly, and the
     code is invariant to any positive amplitude scaling. Feed to
     dedup.hamming_code_pairs for near-duplicate clip pairs; Arrow
-    batches bound memory, same mapInPandas shape as the other decoders."""
+    batches bound memory, same mapInPandas shape as the other decoders.
+
+    Clips shorter than n_bits+1 samples fingerprint as NULL (the schema
+    allows it) rather than failing the whole job on one short clip —
+    filter nulls before hamming_code_pairs (round-9 ADVICE fix)."""
     if n_bits > 63:
         raise ValueError("delta-sign fingerprint must fit 63 bits")
 
-    def fingerprint(payload: bytes) -> int:
+    def fingerprint(payload: bytes):
         samples, _rate = _wav_pcm16(payload)
         if len(samples) < n_bits + 1:
-            raise ValueError(
-                f"clip too short: {len(samples)} samples < {n_bits + 1}"
-            )
+            return None
         code = 0
         for k in range(n_bits):
             if samples[k + 1] > samples[k]:

@@ -700,13 +700,26 @@ def banded_simhash_pairs(
     every bucket bit-for-bit; only the verification cosine is floating
     point (JVM fold, the established hash-matching pattern). Band k's
     planes use global indexes k·max_band_bits + j, a FIXED stride, so
-    plane weights never depend on the corpus-derived r."""
+    plane weights never depend on the corpus-derived r.
+
+    The bucket table is persisted and MATERIALIZED before the self-join
+    (round-9 ADVICE fix) — otherwise the pandas-UDF signature pass and
+    the full upstream lineage recompute on BOTH join sides. Caller-owned
+    via ``_index_cache`` on the result, like hamming_code_pairs; release
+    with dedup.release_index_cache / dedup.leased."""
+    from pyspark import StorageLevel
+
     bkt, _band_bits = _banded_buckets(
         corpus, id_col, vec_col, bands, rows_per_bucket, max_band_bits,
         dim, band_bits,
     )
+    bkt = bkt.persist(StorageLevel.MEMORY_AND_DISK)
+    bkt.count()  # one signature pass; both join sides read the cache
+    base_cache = getattr(bkt, "_base_cache", None)
+    if base_cache is not None:
+        base_cache.unpersist()
     a, b = bkt.alias("a"), bkt.alias("b")
-    return (
+    out = (
         a.join(
             b,
             (F.col("a.band") == F.col("b.band"))
@@ -725,6 +738,9 @@ def banded_simhash_pairs(
         .filter(F.col("cos_sim") >= threshold)
         .distinct()  # a pair may collide in several bands
     )
+    # caller-owned persisted bucket table — dedup.release_index_cache
+    out._index_cache = bkt
+    return out
 
 
 def _banded_buckets(
@@ -740,18 +756,31 @@ def _banded_buckets(
     """The bucket stage of :func:`banded_simhash_pairs`, exposed so the
     candidate-count instrumentation (scripts/candidate_counts.py) can
     measure band-collision volume on the exact declared-query inputs.
-    Returns ((id, v, nrm, band, bucket) frame, band_bits)."""
+    Returns ((id, v, nrm, band, bucket) frame, band_bits). The projected
+    corpus is persisted so the sizing count()/first() jobs and the
+    signature pass share one upstream scan (round-9 ADVICE fix); the
+    cache rides on the returned frame as ``_base_cache`` for the caller
+    to unpersist once the bucket table itself is materialized."""
+    from pyspark import StorageLevel
+    from pyspark.sql.pandas.functions import pandas_udf
+
+    base = corpus.select(
+        F.col(id_col), F.col(vec_col).cast("array<double>").alias("v")
+    ).withColumn("nrm", _norm(F.col("v")))
+    parts = corpus.sparkSession.sparkContext.defaultParallelism
+    if base.rdd.getNumPartitions() < parts:
+        base = base.repartition(parts)
+    base = base.persist(StorageLevel.MEMORY_AND_DISK)
     if dim is None:
-        dim = corpus.select(F.size(F.col(vec_col))).first()[0]
+        dim = base.select(F.size(F.col("v"))).first()[0]
     if band_bits is None:
         band_bits = max(
             4,
             min(
                 max_band_bits,
-                (corpus.count() // rows_per_bucket).bit_length(),
+                (base.count() // rows_per_bucket).bit_length(),
             ),
         )
-    from pyspark.sql.pandas.functions import pandas_udf
 
     W = np.array(
         [
@@ -777,18 +806,13 @@ def _banded_buckets(
         bits = (d >= 0).reshape(len(q), n_bands, len(pows))
         return pd.Series(list((bits * pows).sum(axis=2)))
 
-    base = corpus.select(
-        F.col(id_col), F.col(vec_col).cast("array<double>").alias("v")
-    ).withColumn("nrm", _norm(F.col("v")))
-    parts = corpus.sparkSession.sparkContext.defaultParallelism
-    if base.rdd.getNumPartitions() < parts:
-        base = base.repartition(parts)
     bkt = base.withColumn("__bs", _buckets(F.col("v"))).select(
         id_col,
         "v",
         "nrm",
         F.posexplode("__bs").alias("band", "bucket"),
     )
+    bkt._base_cache = base
     return bkt, band_bits
 
 
@@ -994,9 +1018,11 @@ def int_kmeans_codebooks(
             for r in rows:
                 s = pos2s[r["pos"]]
                 off = subspaces[s][0]
-                # Python // floors — the oracle replays it as
-                # CAST(floor(SUM/COUNT) AS BIGINT) (DuckDB's // truncates
-                # toward zero, which differs on negative sums)
+                # Python // floors — the oracle replays it with an exact
+                # integer floor: (SUM - nonneg_residue(SUM, COUNT)) / COUNT
+                # over HUGEINT (DuckDB's // truncates toward zero and its
+                # plain / is double division, either of which can differ
+                # from an exact floor — round-9 ADVICE fix)
                 upd[(s, r["cid"], r["pos"] - off)] = r["s"] // r["n"]
             cents = [
                 [
@@ -1156,11 +1182,14 @@ def pq_probe(
     )
     # unpack the 4-bit codes and fold the per-subspace LUT rows:
     # element_at is 1-based; pow(2, ·) because shift builtins only take
-    # literal counts (SCALING note)
+    # literal counts (SCALING note). The unpack modulus is the PACK base
+    # (16, pq_index packs 4-bit fields) — NOT ksub: for ksub with
+    # 16 % ksub != 0, `% ksub` would bleed higher-subspace bits into the
+    # LUT lookup (round-9 ADVICE fix).
     adc = F.expr(
         f"aggregate(transform(sequence(0, {m - 1}), "
         f"s -> element_at(element_at(__lut, s + 1), "
-        f"cast((code div cast(pow(2, 4 * s) as bigint)) % {ksub} as int) + 1)), "
+        f"cast((code div cast(pow(2, 4 * s) as bigint)) % 16 as int) + 1)), "
         "0L, (acc, x) -> acc + x)"
     )
     cand = index.join(

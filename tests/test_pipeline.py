@@ -2067,20 +2067,29 @@ def test_dhash_rejects_16bit_and_truncated_netpbm(spark):
         _dhash(b"P5\n18 16\n255\n" + bytes(10))
 
 
-def test_audio_fingerprint_rejects_short_clip(spark):
+def test_audio_fingerprint_nulls_short_clip(spark):
+    """A too-short clip fingerprints as NULL instead of failing the whole
+    job (round-9 ADVICE fix); full-length clips in the same batch still
+    get real codes."""
     import struct
-
-    import pytest as _pytest
 
     from metric_store_release_spark.pipeline.multimodal import (
         _wav_header,
         audio_fingerprint_codes,
     )
 
-    data = struct.pack("<8h", *range(8))
+    short = struct.pack("<8h", *range(8))
+    full = struct.pack("<64h", *((k * 37 % 251) - 125 for k in range(64)))
     media = spark.createDataFrame(
-        [(1, "audio/wav", _wav_header(len(data)) + data)],
+        [
+            (1, "audio/wav", _wav_header(len(short)) + short),
+            (2, "audio/wav", _wav_header(len(full)) + full),
+        ],
         "doc_id long, media_type string, payload binary",
     )
-    with _pytest.raises(Exception, match="too short"):
-        audio_fingerprint_codes(media).collect()
+    rows = {
+        r["doc_id"]: r["afp"]
+        for r in audio_fingerprint_codes(media).collect()
+    }
+    assert rows[1] is None
+    assert rows[2] is not None and rows[2] > 0
