@@ -580,6 +580,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["events_range_scan_zordered"] = _events_range_scan_zordered
     q["events_range_scan_hilbert"] = _events_range_scan_hilbert
     q["dedup_spans"] = _dedup_spans
+    q["dedup_substring_spans"] = _dedup_substring_spans
     q["graph_pagerank"] = _graph_pagerank
     q["events_latency_pctl_dist"] = _events_latency_pctl_dist
     q["docs_wordpiece_vocab"] = _docs_wordpiece_vocab
@@ -3010,6 +3011,40 @@ def _dedup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cleaned.filter(F.col("n_removed") > 0)
 
 
+def _dedup_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact substring-span dedup (ExactSubstr, Lee et al. 2022,
+    `pipeline.dedup.remove_repeated_substrings`): every occurrence of
+    every repeated span of >= 15 tokens is excised — at ANY token
+    offset, the suffix-array pass dedup_spans' fixed 10-word chunks
+    approximate. Planted copies prepend a UNIQUE token before the copied
+    half-prefix, so the shared span sits at offset 0 in the original but
+    offset 1 in the copy: chunk-aligned span dedup would miss it, the
+    sliding-window cover removes it from both exactly. Returns the
+    affected docs."""
+    from metric_store_release_spark.pipeline.dedup import (
+        remove_repeated_substrings,
+    )
+
+    docs = _docs(spark, sf_dir).select("doc_id", "text", "n_chars")
+    copies = docs.filter(
+        (F.col("doc_id") % _PLANT_EVERY == 0) & (F.col("n_chars") >= 200)
+    ).withColumns(
+        {
+            "doc_id": F.col("doc_id") + F.lit(_PLANT_OFFSET),
+            "text": F.concat(
+                F.lit("xq"),
+                F.col("doc_id").cast("string"),
+                F.lit(" "),
+                F.expr("substr(text, 1, n_chars div 2)"),
+            ),
+        }
+    )
+    cleaned = remove_repeated_substrings(
+        docs.unionByName(copies).select("doc_id", "text"), k=15, min_count=2
+    )
+    return cleaned.filter(F.col("n_removed") > 0)
+
+
 def _graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PageRank (5 damped power iterations, `pipeline.graph.pagerank`)
     over the undirected customer-supplier order graph: an edge links a
@@ -4647,6 +4682,58 @@ SELECT doc_id,
                            ORDER BY span_idx), '') AS text,
        count(*) AS n_spans,
        CAST(sum(CASE WHEN is_banned THEN 1 ELSE 0 END) AS BIGINT) AS n_removed
+FROM flagged
+GROUP BY doc_id
+HAVING n_removed > 0
+"""
+
+    # ExactSubstr (Lee et al. 2022): k=15 sliding windows, total-count
+    # >= 2, covered positions removed, order-preserving reassembly.
+    # DuckDB list slice l[a:b] is 1-based INCLUSIVE: ws[i : i+14] is the
+    # 15-token window starting at token i.
+    o["dedup_substring_spans"] = f"""
+WITH aug AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + {_PLANT_OFFSET},
+         'xq' || doc_id || ' ' || substr(text, 1, n_chars // 2)
+  FROM documents
+  WHERE doc_id % {_PLANT_EVERY} = 0 AND n_chars >= 200
+),
+toks AS (
+  SELECT doc_id, list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS ws
+  FROM aug
+),
+gl AS (
+  SELECT doc_id,
+         CASE WHEN len(ws) >= 15
+              THEN [array_to_string(ws[i : i + 14], ' ')
+                    for i in range(1, len(ws) - 15 + 2)]
+              ELSE []::VARCHAR[] END AS gs
+  FROM toks
+),
+grams AS (
+  SELECT doc_id, generate_subscripts(gs, 1) - 1 AS s, unnest(gs) AS g FROM gl
+),
+dup AS (SELECT g FROM grams GROUP BY g HAVING count(*) >= 2),
+hits AS (SELECT DISTINCT gr.doc_id, gr.s FROM grams gr JOIN dup USING (g)),
+cov AS (
+  SELECT DISTINCT doc_id, s + j.j AS pos
+  FROM hits, (SELECT unnest(generate_series(0, 14)) AS j) j
+),
+tok AS (
+  SELECT doc_id, generate_subscripts(ws, 1) - 1 AS pos, unnest(ws) AS w
+  FROM toks WHERE len(ws) > 0
+),
+flagged AS (
+  SELECT t.doc_id, t.pos, t.w, c.pos IS NOT NULL AS is_cov
+  FROM tok t LEFT JOIN cov c ON c.doc_id = t.doc_id AND c.pos = t.pos
+)
+SELECT doc_id,
+       coalesce(string_agg(CASE WHEN NOT is_cov THEN w END, ' '
+                           ORDER BY pos), '') AS text,
+       count(*) AS n_tokens,
+       CAST(sum(CASE WHEN is_cov THEN 1 ELSE 0 END) AS BIGINT) AS n_removed
 FROM flagged
 GROUP BY doc_id
 HAVING n_removed > 0

@@ -1327,6 +1327,139 @@ def remove_duplicate_spans(
     )
 
 
+def remove_repeated_substrings(
+    df: DataFrame,
+    k: int = 15,
+    min_count: int = 2,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Exact substring-span deduplication — the ExactSubstr pass of Lee
+    et al. 2022 ("Deduplicating Training Data Makes Language Models
+    Better"): delete EVERY occurrence of every repeated span of >= ``k``
+    tokens, wherever it starts, and reassemble each document from its
+    surviving tokens in original order.
+
+    The paper finds repeated spans with a corpus-wide suffix array — a
+    sequential construction that does not distribute. The distributed
+    equivalence this implementation rests on: a token position is inside
+    some repeated span of length >= k  ⟺  it is covered by some k-token
+    WINDOW whose content occurs >= ``min_count`` times in the corpus.
+    (⇐ a repeated k-window is itself a repeated span of length k;
+    ⇒ every position of a repeated span of length L >= k lies in one of
+    its L−k+1 k-windows, each of which recurs wherever the span does.)
+    So sliding k-gram occurrence counts recover the exact cover set of
+    the suffix-array pass — maximal repeated runs emerge as merged
+    overlapping windows, no suffix array needed. Occurrences are counted
+    TOTAL (not distinct-doc), so a span repeated within one document is
+    excised too, matching the paper's self-repetition handling; all
+    copies are removed (the paper's released tool deletes every
+    occurrence, not all-but-one).
+
+    Unlike :func:`remove_duplicate_spans` (fixed ``span_words`` chunks —
+    the C4 line-dedup analog, alignment-sensitive), this catches spans
+    at ANY token offset in either document.
+
+    Returns (id, text, n_tokens, n_removed) for every document with at
+    least one token; untouched documents come back with n_removed = 0
+    and single-space-canonicalized text. Fully-duplicated documents
+    survive as empty text with n_removed = n_tokens.
+
+    Scale design — four bounded shuffles, no self-join, no all-pairs:
+      1. k-gram occurrence count: hash-aggregate keyed by
+         xxhash64(gram) — 8-byte keys, map-side partial count first
+         (gram strings never shuffle; the hash is computed in a Project
+         BEFORE the explode, the Generate-boundary rule, SCALING #13);
+      2. dup-gram semi-join back to the gram table on the 8-byte hash
+         (the dup side is count-filtered and usually tiny — AQE
+         broadcasts it when it fits, but it is NOT force-broadcast: a
+         degenerate all-boilerplate corpus must degrade to a shuffle
+         join, not an executor OOM);
+      3. covered-position expansion: k rows per DUP-gram hit only (the
+         blowup is bounded by the duplicated volume, not the corpus),
+         deduplicated by one (id, pos) hash-aggregate;
+      4. reassembly: hash-aggregate keyed by doc id over AFFECTED
+         documents only — untouched documents pass through map-side
+         (anti-join against the small affected-id set), never re-agg'd.
+    A false merge needs an xxhash64 collision between two distinct
+    k-grams — the same ~1e-9 birthday-bound contract as
+    [[remove_duplicate_spans]] / [[dedup_editdist]].
+    """
+    words = F.filter(F.split(F.col(text_col), r"\s+"), lambda w: w != "")
+    toks = df.select(F.col(id_col).alias("id"), words.alias("__words")).filter(
+        F.size("__words") > 0
+    )
+    # gram hashes in their own Project, exploded as a bare column
+    # (SCALING #13: codegen CSE does not cross a Generate). The short-doc
+    # case MUST be guarded inside the expression, not by a separate
+    # filter: Catalyst merges the Generate's inferred size()>0 predicate
+    # with any row filter, and predicate-level CSE then evaluates the
+    # transform BEFORE the cheap size check — sequence(0, n-k) DESCENDS
+    # for n < k and slice(…, 0, …) throws (the remove_duplicate_spans
+    # empty-array rule, SCALING #26).
+    grams = toks.select(
+        "id",
+        F.when(
+            F.size("__words") >= k,
+            F.transform(
+                F.sequence(F.lit(0), F.size("__words") - k),
+                lambda s: F.xxhash64(
+                    F.array_join(F.slice("__words", s + 1, k), " ")
+                ),
+            ),
+        ).otherwise(F.expr("array()").cast("array<bigint>")).alias(
+            "__hashes"
+        ),
+    ).select("id", F.posexplode("__hashes").alias("s", "h"))
+    dup = (
+        grams.groupBy("h")
+        .agg(F.count(F.lit(1)).alias("__cnt"))
+        .filter(F.col("__cnt") >= min_count)
+        .select("h")
+    )
+    hits = grams.join(dup, "h", "left_semi").select("id", "s")
+    covered = hits.select(
+        "id", F.explode(F.sequence(F.col("s"), F.col("s") + (k - 1))).alias("pos")
+    ).distinct()
+    affected = covered.select("id").distinct()
+    tok = toks.join(affected, "id", "left_semi").select(
+        "id", F.posexplode("__words").alias("pos", "w")
+    )
+    flagged = tok.join(
+        covered.withColumn("__cov", F.lit(True)), ["id", "pos"], "left"
+    )
+    kept_in_order = F.array_join(
+        F.transform(
+            F.array_sort(
+                F.collect_list(
+                    F.when(
+                        ~F.coalesce(F.col("__cov"), F.lit(False)),
+                        F.struct(F.col("pos"), F.col("w")),
+                    )
+                )
+            ),
+            lambda s: s["w"],
+        ),
+        " ",
+    )
+    reassembled = flagged.groupBy("id").agg(
+        kept_in_order.alias("text"),
+        F.count(F.lit(1)).alias("n_tokens"),
+        F.sum(
+            F.coalesce(F.col("__cov"), F.lit(False)).cast("bigint")
+        ).alias("n_removed"),
+    )
+    untouched = toks.join(affected, "id", "left_anti").select(
+        "id",
+        F.array_join("__words", " ").alias("text"),
+        F.size("__words").cast("bigint").alias("n_tokens"),
+        F.lit(0).cast("bigint").alias("n_removed"),
+    )
+    return reassembled.unionByName(untouched).select(
+        F.col("id").alias(id_col), "text", "n_tokens", "n_removed"
+    )
+
+
 def bloom_contamination(
     corpus: DataFrame,
     benchmark: DataFrame,

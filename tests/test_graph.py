@@ -229,6 +229,77 @@ def test_spans_zero_word_doc_dropped(spark):
     assert got[2] == ("a b", 1, 0)
 
 
+# --------------------------------------- exact substring-span dedup (r9)
+
+def _substr_clean(spark, docs, **kw):
+    from metric_store_release_spark.pipeline.dedup import (
+        remove_repeated_substrings,
+    )
+
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+    return {
+        r["doc_id"]: (r["text"], r["n_tokens"], r["n_removed"])
+        for r in remove_repeated_substrings(df, **kw).collect()
+    }
+
+
+def test_substr_spans_removed_at_any_offset(spark):
+    # the shared 5-token span sits at offset 0 in doc 1 but offset 1 in
+    # doc 2 — fixed-chunk span dedup would misalign; ExactSubstr removes
+    # it from both, preserving surrounding token order
+    docs = [
+        (1, "a b c d e f g"),
+        (2, "zz a b c d e yy"),
+        (3, "totally unrelated words over here"),
+    ]
+    got = _substr_clean(spark, docs, k=5)
+    assert got[1] == ("f g", 7, 5)
+    assert got[2] == ("zz yy", 7, 5)
+    assert got[3] == ("totally unrelated words over here", 5, 0)
+
+
+def test_substr_longer_span_fully_covered_by_window_union(spark):
+    # a repeated span LONGER than k: every position is inside some
+    # repeated k-window, so the whole maximal run goes, exactly
+    docs = [(1, "s1 s2 s3 s4 s5 s6 s7 tailone"), (2, "pre s1 s2 s3 s4 s5 s6 s7")]
+    got = _substr_clean(spark, docs, k=4)
+    assert got[1] == ("tailone", 8, 7)
+    assert got[2] == ("pre", 8, 7)
+
+
+def test_substr_within_doc_repeat_removed_all_occurrences(spark):
+    # TOTAL occurrence count (not distinct docs): an internal repeat
+    # reaches min_count inside one document and ALL copies are excised
+    # (Lee et al.'s released tool deletes every occurrence)
+    docs = [(1, "p q r s MID p q r s tail"), (2, "none of these words")]
+    got = _substr_clean(spark, docs, k=4)
+    assert got[1] == ("MID tail", 10, 8)
+    assert got[2] == ("none of these words", 4, 0)
+
+
+def test_substr_short_doc_untouched_and_canonicalized(spark):
+    # docs shorter than k tokens produce no windows and pass through
+    # with single-space canonicalization; zero-word docs are dropped
+    docs = [(1, "a  b   c"), (2, "   "), (3, "a b c d e"), (4, "a b c d e")]
+    got = _substr_clean(spark, docs, k=4)
+    assert set(got) == {1, 3, 4}
+    assert got[1] == ("a b c", 3, 0)
+    assert got[3] == ("", 5, 5)
+    assert got[4] == ("", 5, 5)
+
+
+def test_substr_disjoint_repeats_leave_gap_tokens(spark):
+    # two separate repeated runs in one doc: only their union is removed,
+    # the in-between token survives in order
+    docs = [
+        (1, "a1 a2 a3 a4 GAP b1 b2 b3 b4"),
+        (2, "a1 a2 a3 a4 x1 x2 b1 b2 b3 b4"),
+    ]
+    got = _substr_clean(spark, docs, k=4)
+    assert got[1] == ("GAP", 9, 8)
+    assert got[2] == ("x1 x2", 10, 8)
+
+
 # ------------------------------------------------- hard-negative mining
 
 def test_hard_negative_mining_excludes_self_and_same_label(spark):
