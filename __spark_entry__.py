@@ -543,6 +543,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["embedding_ann_trained"] = _embedding_ann_trained
     q["embedding_ann_probe"] = _embedding_ann_probe
     q["embedding_ann_pq"] = _embedding_ann_pq
+    q["embedding_ann_append"] = _embedding_ann_append
     q["events_sessionize_bucketed"] = _events_sessionize_bucketed
     q["events_interval_join"] = _events_interval_join
     q["events_kmv_users"] = _events_kmv_users
@@ -2709,6 +2710,98 @@ def _embedding_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     spark = _prepare(spark)
     index, coarse, books = _pq_index_for(spark, sf_dir)
+    emb = _emb(spark, sf_dir)
+    corpus = emb.filter(F.col("vec_id") >= 5)
+    queries_df = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding")
+    )
+    return pq_probe(
+        index,
+        corpus,
+        queries_df,
+        coarse,
+        books,
+        pq_subspaces(_EMB_DIM, _PQ_M),
+        k=10,
+        n_probe=_PQ_NPROBE,
+        rerank=_PQ_RERANK,
+    )
+
+
+#: every 10th corpus vector (vec_id % 10 == 7) arrives AFTER the index is
+#: built — the append batch for embedding_ann_append
+_PQ_APPEND_MOD = 10
+_PQ_APPEND_REM = 7
+
+#: sf_dir → (bucketed code table incl. the appended batch, coarse, books)
+_PQ_APPEND_INDEX: dict[str, tuple[str, list, list]] = {}
+
+
+def _pq_append_index_for(spark: SparkSession, sf_dir: str):
+    """Base index trained + built on 90% of the corpus, then the held-out
+    10% appended with FROZEN quantizers (`pipeline.similarity.
+    pq_index_append`) — batch-proportional incremental maintenance."""
+    from metric_store_release_spark.pipeline.similarity import (
+        int_kmeans_codebooks,
+        pq_index,
+        pq_index_append,
+        pq_subspaces,
+    )
+    from metric_store_release_spark.sources.bucketed import (
+        read_bucketed,
+        write_bucketed,
+    )
+
+    cached = _PQ_APPEND_INDEX.get(sf_dir)
+    if cached is not None:
+        table, coarse, books = cached
+        if spark.catalog.tableExists(table):
+            return read_bucketed(spark, table), coarse, books
+    emb = _emb(spark, sf_dir)
+    base = emb.filter(
+        (F.col("vec_id") >= 5)
+        & (F.col("vec_id") % _PQ_APPEND_MOD != _PQ_APPEND_REM)
+    )
+    delta = emb.filter(
+        (F.col("vec_id") >= 5)
+        & (F.col("vec_id") % _PQ_APPEND_MOD == _PQ_APPEND_REM)
+    )
+    subs = pq_subspaces(_EMB_DIM, _PQ_M)
+    coarse = int_kmeans_codebooks(
+        base, [(0, _EMB_DIM)], k=_PQ_COARSE_K, iters=_PQ_ITERS,
+        sample_fraction=_ANN_TRAIN_FRACTION,
+    )[0]
+    books = int_kmeans_codebooks(
+        base, subs, k=_PQ_KSUB, iters=_PQ_ITERS,
+        sample_fraction=_ANN_TRAIN_FRACTION,
+    )
+    table = "msr_ann_pqa_" + _table_suffix(sf_dir)
+    write_bucketed(
+        pq_index(base, coarse, books, subs), table, "list_id", _PQ_COARSE_K
+    )
+    pq_index_append(delta, table, coarse, books, subs, _PQ_COARSE_K)
+    _PQ_APPEND_INDEX[sf_dir] = (table, coarse, books)
+    return read_bucketed(spark, table), coarse, books
+
+
+def _embedding_ann_append(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental IVF-PQ index maintenance (`pipeline.similarity.
+    pq_index_append`): the quantizers train on the 90% base corpus, the
+    held-out 10% appends as a later batch — assign-and-append with
+    frozen codebooks, cost proportional to the batch, never a retrain or
+    corpus re-encode (the ANN twin of dedup_incremental's
+    batch-vs-persistent-index pattern). The probe then serves over the
+    appended table; because code assignment is per-row deterministic
+    given the quantizers, the result is bit-identical to a from-scratch
+    encode of the union (the oracle replays exactly that: training
+    filtered to the base predicate, codes over the full corpus)."""
+    from metric_store_release_spark.pipeline.similarity import (
+        pq_probe,
+        pq_subspaces,
+    )
+
+    spark = _prepare(spark)
+    index, coarse, books = _pq_append_index_for(spark, sf_dir)
     emb = _emb(spark, sf_dir)
     corpus = emb.filter(F.col("vec_id") >= 5)
     queries_df = emb.filter(F.col("vec_id") < 5).select(
@@ -4962,6 +5055,9 @@ FROM cum
     o["embedding_ann_probe"] = _ann_trained_oracle()
 
     o["embedding_ann_pq"] = _ann_pq_oracle()
+    o["embedding_ann_append"] = _ann_pq_oracle(
+        train_pred=f"vec_id % {_PQ_APPEND_MOD} <> {_PQ_APPEND_REM}"
+    )
 
     o["events_latency_pctl"] = """
 SELECT event_type,
@@ -6183,6 +6279,7 @@ def _ann_pq_oracle(
     n_probe: int = _PQ_NPROBE,
     rerank: int = _PQ_RERANK,
     k: int = 10,
+    train_pred: str = "TRUE",
 ) -> str:
     """IVF-PQ replay — EXACT up to the shortlist, by construction: the
     Spark side quantizes components as floor(x·2^16) (a power-of-two
@@ -6215,7 +6312,11 @@ def _ann_pq_oracle(
         "FROM embeddings WHERE vec_id >= 5)",
         "qv AS MATERIALIZED (SELECT vec_id, list_transform(e, "
         "x -> CAST(floor(x * 65536.0) AS BIGINT)) AS q FROM emb)",
-        "tr AS MATERIALIZED (SELECT * FROM qv WHERE"
+        # train_pred restricts TRAINING only (embedding_ann_append: the
+        # appended batch never influences the quantizers); codes/probes
+        # below still run over the full qv — exactly append semantics,
+        # since assignment is deterministic given frozen quantizers
+        f"tr AS MATERIALIZED (SELECT * FROM qv WHERE ({train_pred}) AND"
         " ('0x' || substr(md5(vec_id::VARCHAR), 1, 8))::BIGINT / 4294967296.0"
         f" < {_ANN_TRAIN_FRACTION})",
         f"""cc0 AS MATERIALIZED (

@@ -1092,6 +1092,41 @@ def pq_index(
     )
 
 
+def pq_index_append(
+    delta: DataFrame,
+    table: str,
+    coarse: list[list[int]],
+    codebooks: list[list[list[int]]],
+    subspaces: list[tuple[int, int]],
+    n_buckets: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Incremental maintenance for the IVF-PQ serving index: encode NEW
+    vectors with the FROZEN quantizers (one Arrow-batched pass over the
+    delta, the same kernel as the initial build) and append the codes
+    into the existing bucketed table — cost proportional to the BATCH,
+    not the corpus. No retrain, no re-encode of existing rows; the
+    appended files land in the same hash-bucket layout (`bucketBy` +
+    append), so probe reads keep their Exchange-free scan.
+
+    Correctness invariant (pytest-asserted): code assignment is per-row
+    deterministic given (coarse, codebooks), so probing an appended
+    index returns EXACTLY what a from-scratch encode of base ∪ delta
+    with the same quantizers returns. This is the standard IVF-PQ
+    freshness recipe (Jégou 2011 serving systems: quantizers train
+    offline, inserts assign-and-append); drift from a frozen quantizer
+    accumulates only as the data distribution moves — retrain cadence
+    is an offline policy decision, not a per-batch cost.
+
+    The dedup-side twin is [[dedup_incremental]] (batch vs persistent
+    band index); this closes the same gap for the ANN family."""
+    from metric_store_release_spark.sources.bucketed import write_bucketed
+
+    codes = pq_index(delta, coarse, codebooks, subspaces, id_col, vec_col)
+    write_bucketed(codes, table, "list_id", n_buckets, mode="append")
+
+
 def _ranked_shortlist(
     scored: DataFrame,
     n: int,

@@ -1808,6 +1808,74 @@ def test_ivf_pq_recall_and_compression(spark, tmp_path):
     assert shrink >= 8.0, shrink
 
 
+def test_pq_append_equals_from_scratch_union_encode(spark):
+    """Incremental IVF-PQ maintenance invariant: appending a batch to a
+    bucketed code table with FROZEN quantizers yields an index — and
+    probe results — EXACTLY equal to encoding base ∪ delta from scratch
+    with the same quantizers (assignment is per-row deterministic), and
+    the probe over the appended table equals the rebuild's probe."""
+    import math
+
+    from metric_store_release_spark.pipeline.similarity import (
+        int_kmeans_codebooks,
+        pq_index,
+        pq_index_append,
+        pq_probe,
+        pq_subspaces,
+    )
+    from metric_store_release_spark.sources.bucketed import (
+        read_bucketed,
+        write_bucketed,
+    )
+
+    dim = 16
+    rows = [
+        (i, [math.sin(i * 0.7 + j) for j in range(dim)]) for i in range(80)
+    ]
+    all_df = spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>"
+    )
+    base = all_df.filter("vec_id % 4 != 3")
+    delta = all_df.filter("vec_id % 4 = 3")
+    subs = pq_subspaces(dim, 4)
+    coarse = int_kmeans_codebooks(base, [(0, dim)], k=4, iters=2)[0]
+    books = int_kmeans_codebooks(base, subs, k=8, iters=2)
+
+    table = "msr_test_pq_append"
+    try:
+        write_bucketed(
+            pq_index(base, coarse, books, subs), table, "list_id", 4
+        )
+        pq_index_append(delta, table, coarse, books, subs, 4)
+        appended = {
+            (r["vec_id"], r["list_id"], r["code"])
+            for r in read_bucketed(spark, table).collect()
+        }
+        rebuilt = {
+            (r["vec_id"], r["list_id"], r["code"])
+            for r in pq_index(all_df, coarse, books, subs).collect()
+        }
+        assert appended == rebuilt
+
+        queries = spark.createDataFrame(
+            [(0, rows[5][1]), (1, rows[43][1])],
+            "query_id long, embedding array<double>",
+        )
+        got_app = pq_probe(
+            read_bucketed(spark, table), all_df, queries, coarse, books,
+            subs, k=5, n_probe=2, rerank=20,
+        )
+        got_reb = pq_probe(
+            pq_index(all_df, coarse, books, subs), all_df, queries, coarse,
+            books, subs, k=5, n_probe=2, rerank=20,
+        )
+        assert sorted(map(tuple, got_app.collect())) == sorted(
+            map(tuple, got_reb.collect())
+        )
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {table}")
+
+
 def test_int_kmeans_codebooks_deterministic_and_partition_invariant(spark):
     """Integer Lloyd must give the SAME codebooks regardless of
     partitioning (int64 sums are order-independent — the property the
