@@ -71,3 +71,72 @@ def test_threshold_excludes_partial_overlap(spark):
     assert ngram_containment_pairs(df, threshold=0.8).count() == 0
     found = ngram_containment_pairs(df, threshold=0.4).collect()
     assert [(r.contained_id, r.container_id) for r in found] == [(2, 1)]
+
+
+def test_df_cap_full_recall_on_zipfian_rare_shingles(spark):
+    """On a corpus whose true containment pairs share RARE shingles (the
+    Zipfian web-corpus profile the cap is designed for), the capped
+    variant is pair-for-pair identical to the exact verifier — and on
+    ANY corpus its output is a subset with exact containment values."""
+    import random
+
+    from metric_store_release_spark.pipeline.dedup import (
+        ngram_containment_pairs_capped,
+    )
+
+    rng = random.Random(99)
+    rows = []
+    for b in range(30):
+        # per-doc-unique vocabulary: every shingle has df 1 except the
+        # planted copies' (df 2) — all candidates come from rare postings
+        words = [f"u{b}_{i}" for i in range(rng.randint(25, 50))]
+        rows.append((len(rows), " ".join(words)))
+        if b % 3 == 0:
+            cut = rng.randint(10, len(words) - 5)
+            rows.append((len(rows), " ".join(words[:cut])))
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    exact = {
+        (r.contained_id, r.container_id): r.containment
+        for r in ngram_containment_pairs(df, threshold=0.8).collect()
+    }
+    capped = {
+        (r.contained_id, r.container_id): r.containment
+        for r in ngram_containment_pairs_capped(
+            df, threshold=0.8, df_cap=5
+        ).collect()
+    }
+    assert capped == exact
+    assert len(exact) >= 8  # non-vacuous
+
+
+def test_df_cap_is_subset_with_exact_values_on_hot_corpus(spark):
+    """When a pair's every shared shingle exceeds the cap, the pair is
+    LOST (the documented recall trade, the reason dedup_containment does
+    not adopt the cap on this repo's low-entropy fixtures) — but every
+    pair that IS emitted carries the exact uncapped containment value."""
+    from metric_store_release_spark.pipeline.dedup import (
+        ngram_containment_pairs_capped,
+    )
+
+    shared = " ".join(f"h{i}" for i in range(25))
+    # 6 docs all containing the same hot block -> its shingles have df 6;
+    # docs 0 and 1 are identical (pure hot content, no rare shingle)
+    rows = [(0, shared), (1, shared)]
+    for j in range(2, 6):
+        rows.append((j, shared + " " + " ".join(f"t{j}_{i}" for i in range(12))))
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    exact = {
+        (r.contained_id, r.container_id): r.containment
+        for r in ngram_containment_pairs(df, threshold=0.8).collect()
+    }
+    capped = {
+        (r.contained_id, r.container_id): r.containment
+        for r in ngram_containment_pairs_capped(
+            df, threshold=0.8, df_cap=5
+        ).collect()
+    }
+    # the all-hot (0, 1) pair is lost under the cap...
+    assert (0, 1) in exact and (0, 1) not in capped
+    # ...and everything emitted is a subset with identical exact values
+    assert set(capped) < set(exact)
+    assert all(exact[p] == v for p, v in capped.items())
