@@ -368,15 +368,24 @@ def hll_registers(
     groups = list(group_cols)
     m = 1 << p
     k_bits = _HLL_BITS - p
-    # 60-bit hash via the repo's fixed-width per-digit hex parse — same
-    # value as conv(substr(md5,1,15),16,10) / the oracle's
-    # ('0x' || substr(md5,..))::BIGINT, minus conv's BigInteger path
-    # (measured ~10 s per 26M rows in the shingle pipeline, SCALING #2)
-    from metric_store_release_spark.pipeline.text import hex_word
-
-    h = hex_word(
-        F.md5(F.concat(F.lit(salt), F.col(key_col).cast("string"))), 1, 15
-    )
+    # 60-bit hash = conv(substr(md5,1,15),16,10), the same value the
+    # oracle's ('0x' || substr(md5,..))::BIGINT computes. ROUND-9 REVERT
+    # of the r8 hex_word swap: the driver cell doubling (0.51 → 1.24 s)
+    # was REAL — an isolated same-session A/B measured the hex_word
+    # build at 1.21/1.19 s warm vs conv's 0.63/0.62 s at sf0.1/sf1, and
+    # a 20M-row microbench confirms conv beats the per-digit parse in a
+    # plain Project at BOTH widths (1.5 vs 2.4 s at 8 digits, 1.7 vs
+    # 3.4 s at 15). The r6 finding that motivated hex_word (#2) was
+    # context-specific: UNDER A GENERATE the md5 re-evaluates per digit
+    # read (#13) and conv's single parse wins there too — see SCALING
+    # #29 for the per-context rule.
+    h = F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit(salt), F.col(key_col).cast("string"))), 1, 15
+        ),
+        16,
+        10,
+    ).cast("long")
     hashed = df.select(*groups, h.alias("__h"))
     w = F.expr(f"__h div {m}")
     rank = F.when(w == 0, F.lit(k_bits + 1)).otherwise(

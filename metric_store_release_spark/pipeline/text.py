@@ -33,12 +33,16 @@ def hex_word(hexcol: Column, start: int = 1, n: int = 8) -> Column:
 
     Numerically identical to ``conv(substring(hexcol, start, n), 16, 10)``
     (the form the DuckDB oracles use via ``('0x' || substr(..))::BIGINT``)
-    but parsed with fixed-width per-digit arithmetic — plain codegen
-    ascii/multiply ops instead of ``conv``'s arbitrary-base BigInteger
-    path, which profiled ~1.5x slower end-to-end on a 26M-shingle minhash
-    run. Callers pass an md5 hex string; codegen subexpression elimination
-    shares the single md5 across the digit reads. ``n`` must be <= 15
-    (60 bits) so the value fits a signed long."""
+    but parsed with fixed-width per-digit arithmetic. PERF IS
+    CONTEXT-DEPENDENT (SCALING #29): a round-9 20M-row microbench in a
+    plain Project measured ``conv`` FASTER than this parse at both 8 and
+    15 digits (1.5 vs 2.4 s, 1.7 vs 3.4 s) — the r1-era 26M-shingle run
+    where conv cost ~10 s/pass (SCALING #2) does not generalize; measure
+    per site before choosing. Callers pass an md5 hex string; codegen
+    subexpression elimination shares the single md5 across the digit
+    reads ONLY in a plain Project — under a Generate every digit read
+    re-evaluates it (SCALING #13). ``n`` must be <= 15 (60 bits) so the
+    value fits a signed long."""
     if n > 15:
         raise ValueError(f"hex_word: n={n} overflows a signed long")
     out = F.lit(0).cast("long")
