@@ -173,6 +173,73 @@ def semdedup_counts(spark, sf_dir: str) -> dict:
     }
 
 
+def substring_spans_counts(spark, sf_dir: str) -> dict:
+    """Candidate volume of the round-9 ExactSubstr pass on the exact
+    declared-query input: dup-gram HITS (the rows entering the k×
+    covered-position expansion — the only super-constant stage) and the
+    distinct covered positions should both grow ~linearly in N, because
+    duplicated volume is plant-proportional; a corpus-quadratic blowup
+    here would mean the df filter stopped bounding the expansion."""
+    import __spark_entry__ as e
+
+    docs = e._docs(spark, sf_dir).select("doc_id", "text", "n_chars")
+    copies = docs.filter(
+        (F.col("doc_id") % e._PLANT_EVERY == 0) & (F.col("n_chars") >= 200)
+    ).withColumns(
+        {
+            "doc_id": F.col("doc_id") + F.lit(e._PLANT_OFFSET),
+            "text": F.concat(
+                F.lit("xq"),
+                F.col("doc_id").cast("string"),
+                F.lit(" "),
+                F.expr("substr(text, 1, n_chars div 2)"),
+            ),
+        }
+    )
+    aug = docs.unionByName(copies).select("doc_id", "text")
+    k = 15
+    words = F.filter(F.split(F.col("text"), r"\s+"), lambda w: w != "")
+    toks = aug.select(
+        F.col("doc_id").alias("id"), words.alias("__words")
+    ).filter(F.size("__words") > 0)
+    grams = toks.select(
+        "id",
+        F.when(
+            F.size("__words") >= k,
+            F.transform(
+                F.sequence(F.lit(0), F.size("__words") - k),
+                lambda s: F.xxhash64(
+                    F.array_join(F.slice("__words", s + 1, k), " ")
+                ),
+            ),
+        ).otherwise(F.expr("array()").cast("array<bigint>")).alias("__hs"),
+    ).select("id", F.posexplode("__hs").alias("s", "h")).persist()
+    n_grams = grams.count()
+    dup = (
+        grams.groupBy("h")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .filter(F.col("c") >= 2)
+    )
+    hits = grams.join(dup.select("h"), "h", "left_semi").persist()
+    n_hits = hits.count()
+    covered = hits.select(
+        "id", F.explode(F.sequence(F.col("s"), F.col("s") + (k - 1))).alias("p")
+    ).distinct()
+    n_cov = covered.count()
+    n_affected = covered.select("id").distinct().count()
+    grams.unpersist()
+    hits.unpersist()
+    return {
+        "op": "dedup_substring_spans",
+        "sf_dir": sf_dir,
+        "docs": aug.count(),
+        "grams": n_grams,
+        "dup_gram_hits": n_hits,
+        "covered_positions": n_cov,
+        "affected_docs": n_affected,
+    }
+
+
 def main() -> None:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
     which = sys.argv[2] if len(sys.argv) > 2 else "both"
@@ -186,6 +253,8 @@ def main() -> None:
         print(json.dumps(containment_counts(spark, sf_dir)), flush=True)
     if which in ("semdedup", "both"):
         print(json.dumps(semdedup_counts(spark, sf_dir)), flush=True)
+    if which in ("substring_spans", "both"):
+        print(json.dumps(substring_spans_counts(spark, sf_dir)), flush=True)
 
 
 if __name__ == "__main__":
