@@ -525,6 +525,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["media_phash_pairs"] = _media_phash_pairs
     q["media_audio_fp_pairs"] = _media_audio_fp_pairs
     q["docs_dsir_select"] = _docs_dsir_select
+    q["docs_ccnet_buckets"] = _docs_ccnet_buckets
+    q["text_classifier_pr"] = _text_classifier_pr
+    q["graph_label_prop"] = _graph_label_prop
     q["promql_federated_selector"] = _promql_federated_selector
     q["promql_sum_by_user_federated"] = _promql_sum_by_user_federated
     q["dedup_components"] = _dedup_components
@@ -704,13 +707,17 @@ _PINNED = [
 #: operators that are NEW or materially CHANGED this round — they debut
 #: (or re-debut) in the window per the steady-state policy. Round 9:
 #: ExactSubstr substring-span dedup and incremental IVF-PQ append are
-#: new; embedding_semdedup re-debuts (its candidate stage gained the
-#: persisted bucket table this round); embedding_ann_pq and
+#: new, as are docs_ccnet_buckets, text_classifier_pr and
+#: graph_label_prop; embedding_semdedup re-debuts (its candidate stage
+#: gained the persisted bucket table this round); embedding_ann_pq and
 #: media_audio_fp_pairs re-debut (ADC unpack-base fix / null-code
-#: filter).
+#: filter); events_hll_dau_wau re-debuts (register hash reverted to
+#: conv after the isolated A/B, SCALING #29).
 _DEBUTS = [
     "dedup_substring_spans", "embedding_ann_append",
+    "docs_ccnet_buckets", "text_classifier_pr", "graph_label_prop",
     "embedding_semdedup", "embedding_ann_pq", "media_audio_fp_pairs",
+    "events_hll_dau_wau",
 ]
 
 #: explicitly queued by the previous round's verdict (deferred debts)
@@ -2285,6 +2292,32 @@ def _text_classifier_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _text_classifier_pr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Precision/recall curve of the TRAINED quality classifier
+    (`pipeline.classifier.pr_curve`) against the lang=='en' labels it was
+    trained on — the eval leg that closes the classifier lifecycle
+    (train -> serve -> evaluate) and the operating-point sweep behind
+    FineWeb-Edu-style 'keep documents scoring above τ' selection. One
+    row per distinct 6-dp-quantized score: confusion counts + P/R at the
+    'score ≥ this' threshold; the oracle replays training, scoring,
+    quantization and the cumulative sweep."""
+    from metric_store_release_spark.pipeline.classifier import (
+        hashed_ngram_features,
+        linear_scores,
+        pr_curve,
+        train_logistic_hashed,
+    )
+
+    spark = _prepare(spark)
+    docs = _docs(spark, sf_dir)
+    feats = hashed_ngram_features(docs)
+    labels = docs.select(
+        "doc_id", (F.col("lang") == "en").cast("double").alias("y")
+    )
+    w = train_logistic_hashed(feats, labels, lr=0.5, iters=3)
+    return pr_curve(linear_scores(feats, w), labels)
+
+
 def _docs_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     """alpha=0.5 temperature mixture over LANGUAGES (the skewed stratum in
     the fixture: en dominates) — the multilingual-training rebalancing
@@ -2848,6 +2881,21 @@ def _embedding_ann_append(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _docs_ccnet_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet head/middle/tail perplexity bucketing per language
+    (`pipeline.text.ccnet_perplexity_buckets`, Wenzek et al. 2020): each
+    language's docs cut at nearest-rank terciles of an integer-quantized
+    hashed-ngram LM surprisal — the published keep-the-head corpus
+    selection rule, integer-exact end-to-end so the oracle replays
+    scores, thresholds and bucket labels bit-for-bit."""
+    from metric_store_release_spark.pipeline.text import (
+        ccnet_perplexity_buckets,
+    )
+
+    docs = _docs(spark, sf_dir).select("doc_id", "text", "lang")
+    return ccnet_perplexity_buckets(docs)
+
+
 def _ngram_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Train/eval contamination (pipeline.dedup.ngram_contamination):
     13-gram collision of the corpus against a planted benchmark set
@@ -3192,6 +3240,49 @@ def _graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("node_type"),
         F.expr("node div 2").alias("key"),
         F.round("rank", 6).alias("rank"),
+    )
+
+
+def _graph_label_prop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Clamped-seed label propagation (`pipeline.graph.label_propagation`,
+    Zhu & Ghahramani 2002): suppliers seed their REGION name into the
+    undirected customer-supplier order graph; 3 synchronous majority
+    votes label every reachable customer with its dominant trading
+    region (ties → lexicographically smallest). The scarce-labels →
+    graph-bootstrap shape of training pipelines; the oracle unrolls the
+    same 3 rounds with an identical (count DESC, label ASC) argmax."""
+    from metric_store_release_spark.pipeline.graph import label_propagation
+
+    spark = _prepare(spark)
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    pairs = orders.join(
+        li, orders["o_orderkey"] == li["l_orderkey"]
+    ).select(
+        (F.col("o_custkey") * 2).alias("src"),
+        (F.col("l_suppkey") * 2 + 1).alias("dst"),
+    )
+    edges = pairs.unionByName(
+        pairs.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    supplier = spark.read.parquet(f"{sf_dir}/supplier.parquet")
+    nation = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    region = spark.read.parquet(f"{sf_dir}/region.parquet")
+    seeds = (
+        supplier.join(nation, supplier["s_nationkey"] == nation["n_nationkey"])
+        .join(region, nation["n_regionkey"] == region["r_regionkey"])
+        .select(
+            (F.col("s_suppkey") * 2 + 1).alias("node"),
+            F.col("r_name").alias("label"),
+        )
+    )
+    lp = label_propagation(edges, seeds, iterations=3)
+    return lp.select(
+        F.when(F.col("node") % 2 == 0, F.lit("customer"))
+        .otherwise(F.lit("supplier"))
+        .alias("node_type"),
+        F.expr("node div 2").alias("key"),
+        "label",
     )
 
 
@@ -4250,6 +4341,65 @@ SELECT doc_id, liw FROM (
 ) WHERE rn <= 100
 """
 
+    # CCNet terciles: same hashed-feature replay as DSIR, surprisal
+    # −ROUND(ln((cf+1)/T)·1e6), integer mean (all-positive so // ≡ floor),
+    # nearest-rank thresholds over the (lang, ppl_q) distribution table.
+    o["docs_ccnet_buckets"] = r"""
+WITH base AS (
+  SELECT doc_id, list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '') AS t
+  FROM documents
+),
+tt AS (SELECT * FROM base WHERE len(t) > 0),
+unis AS (SELECT doc_id, unnest(t) AS g FROM tt),
+bis AS (
+  SELECT doc_id, t[i] || ' ' || t[i + 1] AS g
+  FROM tt, unnest(generate_series(1, len(t) - 1)) AS u(i)
+  WHERE len(t) >= 2
+),
+grams AS (SELECT * FROM unis UNION ALL SELECT * FROM bis),
+feats AS (
+  SELECT doc_id,
+         ('0x' || substr(md5('feat' || g), 1, 8))::BIGINT % 262144 AS feature,
+         CAST(COUNT(*) AS BIGINT) AS tf
+  FROM grams GROUP BY 1, 2
+),
+cf AS (SELECT feature, CAST(SUM(tf) AS BIGINT) AS n FROM feats GROUP BY feature),
+tot AS (SELECT CAST((SELECT SUM(n) FROM cf) + 262144 AS BIGINT) AS t),
+surp AS (
+  SELECT feature,
+         -CAST(ROUND(ln((n + 1) * 1.0 / tot.t) * 1000000.0) AS BIGINT) AS s
+  FROM cf, tot
+),
+scored AS (
+  SELECT f.doc_id,
+         CAST(CAST(SUM(f.tf * surp.s) AS BIGINT)
+              // CAST(SUM(f.tf) AS BIGINT) AS BIGINT) AS ppl_q
+  FROM feats f JOIN surp USING (feature) GROUP BY f.doc_id
+),
+sl AS (
+  SELECT s.doc_id, d.lang, s.ppl_q
+  FROM scored s JOIN documents d USING (doc_id)
+),
+dist AS (SELECT lang, ppl_q, COUNT(*) AS c FROM sl GROUP BY 1, 2),
+cum AS (
+  SELECT lang, ppl_q,
+         SUM(c) OVER (PARTITION BY lang ORDER BY ppl_q) AS cum,
+         SUM(c) OVER (PARTITION BY lang) AS n_lang
+  FROM dist
+),
+thr AS (
+  SELECT lang,
+         MIN(CASE WHEN cum >= (n_lang + 2) // 3 THEN ppl_q END) AS t1,
+         MIN(CASE WHEN cum >= (2 * n_lang + 2) // 3 THEN ppl_q END) AS t2
+  FROM cum GROUP BY lang
+)
+SELECT sl.doc_id, sl.lang, sl.ppl_q,
+       CASE WHEN sl.ppl_q <= thr.t1 THEN 'head'
+            WHEN sl.ppl_q <= thr.t2 THEN 'middle'
+            ELSE 'tail' END AS bucket
+FROM sl JOIN thr USING (lang)
+"""
+
     from metric_store_release_spark.pipeline.classifier import (
         train_and_score_oracle_sql,
     )
@@ -4259,6 +4409,16 @@ SELECT doc_id, liw FROM (
         "CASE WHEN lang = 'en' THEN 1.0 ELSE 0.0 END",
         lr=0.5,
         iters=3,
+    )
+
+    from metric_store_release_spark.pipeline.classifier import (
+        pr_curve_oracle_sql,
+    )
+
+    o["text_classifier_pr"] = pr_curve_oracle_sql(
+        o["text_classifier_train"],
+        "CASE WHEN lang = 'en' THEN 1.0 ELSE 0.0 END",
+        "documents",
     )
 
     o["docs_temperature_mix"] = """
@@ -4861,6 +5021,7 @@ HAVING n_removed > 0
 """
 
     o["graph_pagerank"] = _pagerank_oracle()
+    o["graph_label_prop"] = _label_prop_oracle()
 
     from metric_store_release_spark.pipeline.tokenizer import (
         maxmatch_token_counts_oracle_sql,
@@ -6294,6 +6455,57 @@ SELECT query_id, vec_id, cos_sim, rank FROM (
                 ORDER BY cos_sim DESC, vec_id ASC) AS INT) AS rank
   FROM scored
 ) WHERE rank <= {k}
+"""
+    )
+
+
+def _label_prop_oracle(iterations: int = 3) -> str:
+    """The same clamped-seed majority-vote rounds as
+    `pipeline.graph.label_propagation`, unrolled one CTE trio per
+    iteration; argmax = row_number over (count DESC, label ASC), the
+    exact tie-break Spark's min(struct(-count, label)) encodes. All
+    arithmetic is integer / string — no float anywhere."""
+    ctes = [
+        """pairs AS (
+  SELECT DISTINCT o_custkey * 2 AS src, l_suppkey * 2 + 1 AS dst
+  FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+),
+edges AS (SELECT src, dst FROM pairs UNION ALL SELECT dst, src FROM pairs),
+seeds AS (
+  SELECT s_suppkey * 2 + 1 AS node, r_name AS label
+  FROM supplier
+  JOIN nation ON s_nationkey = n_nationkey
+  JOIN region ON n_regionkey = r_regionkey
+),
+l0 AS (SELECT node, label FROM seeds)"""
+    ]
+    for k in range(1, iterations + 1):
+        ctes.append(
+            f"""v{k} AS (
+  SELECT e.dst AS node, l.label, COUNT(*) AS c
+  FROM edges e JOIN l{k - 1} l ON l.node = e.src
+  GROUP BY 1, 2
+),
+b{k} AS (
+  SELECT node, label FROM (
+    SELECT *, row_number() OVER (PARTITION BY node
+                                 ORDER BY c DESC, label ASC) AS rn
+    FROM v{k}) WHERE rn = 1
+),
+l{k} AS (
+  SELECT node, label FROM seeds
+  UNION ALL
+  SELECT b.node, b.label FROM b{k} b
+  WHERE NOT EXISTS (SELECT 1 FROM seeds s WHERE s.node = b.node)
+)"""
+        )
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f"""
+SELECT CASE WHEN node % 2 = 0 THEN 'customer' ELSE 'supplier' END AS node_type,
+       node // 2 AS key, label
+FROM l{iterations}
 """
     )
 

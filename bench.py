@@ -186,6 +186,9 @@ def main() -> None:
         # compare embedding_ann_pq for the from-scratch-index probe)
         "dedup_substring_spans",
         "embedding_ann_append",
+        # round 9: CCNet per-language perplexity terciles (one
+        # hashed-feature agg + distribution-table thresholds)
+        "docs_ccnet_buckets",
     ]
     # Offline-pass entries, benched in their own trailing loop: the
     # PassJoin edit-distance join and the exact containment verifier
@@ -206,6 +209,9 @@ def main() -> None:
         "dedup_containment",
         "graph_pagerank",
         "dedup_components_star",
+        # round 9: clamped-seed label propagation — iterative job like
+        # pagerank (3 majority-vote rounds over the same order graph)
+        "graph_label_prop",
     ]
     # warm the JVM + parquet footers with one tiny action
     spark.read.parquet(f"{SF_DIR}/region.parquet").count()

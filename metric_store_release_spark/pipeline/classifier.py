@@ -204,6 +204,99 @@ def train_logistic_hashed(
     return weights
 
 
+def pr_curve(
+    scored: DataFrame,
+    labels: DataFrame,
+    id_col: str = "doc_id",
+    score_col: str = "score",
+    label_col: str = "y",
+) -> DataFrame:
+    """Distributed precision/recall curve — the eval half of the quality-
+    classifier lifecycle (train → serve → EVALUATE): one row per distinct
+    quantized score, giving the confusion counts and precision/recall at
+    the threshold "score ≥ this value". The operating-point sweep behind
+    FineWeb-Edu-style "keep documents the classifier scores above τ"
+    selection: the curve is what picks τ.
+
+    Determinism contract: scores are quantized through the repo's 6-dp
+    presentation rounding (the proven-green classifier contract) to
+    score_q = round(round(score, 6)·10⁶) integers, so grouping keys are
+    exact int64 in both engines; only the final precision/recall
+    divisions are float, rounded 6 like every scorer.
+
+    Plan shape — the distribution-table form (events_latency_pctl_dist):
+    one (score_q → n_pos, n_neg) hash aggregation over the corpus, then
+    cumulative sums over the DISTINCT quantized scores descending. The
+    unpartitioned window runs over score-distribution rows (≤ 10⁶+1
+    by construction of the quantization), never the documents."""
+    from pyspark.sql import Window
+
+    sq = F.round(F.round(F.col(score_col), 6) * 1e6, 0).cast("long")
+    joined = scored.select(F.col(id_col), sq.alias("score_q")).join(
+        labels.select(
+            F.col(id_col), F.col(label_col).cast("long").alias("__y")
+        ),
+        id_col,
+    )
+    dist = joined.groupBy("score_q").agg(
+        F.sum("__y").alias("__pos"),
+        F.sum(F.lit(1) - F.col("__y")).alias("__neg"),
+    )
+    w = Window.orderBy(F.col("score_q").desc()).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    wall = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    cum = dist.select(
+        "score_q",
+        F.sum("__pos").over(w).alias("tp"),
+        F.sum("__neg").over(w).alias("fp"),
+        F.sum("__pos").over(wall).alias("__p"),
+    )
+    return cum.select(
+        "score_q",
+        "tp",
+        "fp",
+        (F.col("__p") - F.col("tp")).alias("fn"),
+        F.round(F.col("tp") / (F.col("tp") + F.col("fp")), 6).alias(
+            "precision"
+        ),
+        F.round(F.col("tp") / F.col("__p"), 6).alias("recall"),
+    )
+
+
+def pr_curve_oracle_sql(scored_sql: str, label_sql: str, doc_table: str) -> str:
+    """DuckDB oracle for :func:`pr_curve` over a scored subquery (e.g.
+    the train_and_score_oracle_sql output) — same quantization, same
+    distribution-table cumulative sweep."""
+    return f"""
+WITH scored AS (SELECT * FROM ({scored_sql}) s),
+lab AS (SELECT doc_id, {label_sql} AS y FROM {doc_table}),
+q AS (
+  SELECT CAST(ROUND(ROUND(s.score, 6) * 1000000.0) AS BIGINT) AS score_q,
+         l.y
+  FROM scored s JOIN lab l USING (doc_id)
+),
+dist AS (
+  SELECT score_q, CAST(SUM(y) AS BIGINT) AS pos,
+         CAST(SUM(1 - y) AS BIGINT) AS neg
+  FROM q GROUP BY score_q
+),
+cum AS (
+  SELECT score_q,
+         CAST(SUM(pos) OVER (ORDER BY score_q DESC) AS BIGINT) AS tp,
+         CAST(SUM(neg) OVER (ORDER BY score_q DESC) AS BIGINT) AS fp,
+         CAST(SUM(pos) OVER () AS BIGINT) AS p
+  FROM dist
+)
+SELECT score_q, tp, fp, p - tp AS fn,
+       ROUND(tp * 1.0 / (tp + fp), 6) AS precision,
+       ROUND(tp * 1.0 / p, 6) AS recall
+FROM cum
+"""
+
+
 def train_and_score_oracle_sql(
     doc_table: str,
     label_sql: str,

@@ -170,3 +170,92 @@ def pagerank(
     sinks.unpersist()
     nodes.unpersist()
     return out
+
+
+def label_propagation(
+    edges: DataFrame,
+    seeds: DataFrame,
+    iterations: int = 3,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    node_col: str = "node",
+    label_col: str = "label",
+) -> DataFrame:
+    """Semi-supervised label propagation (Zhu & Ghahramani 2002 /
+    Raghavan 2007 LPA, the synchronous CLAMPED-seed variant): seed nodes
+    carry fixed labels; each iteration every node takes the MAJORITY
+    label among its in-neighbors' current labels (ties → the smallest
+    label), with seed labels never overwritten. Fixed iteration count —
+    deterministic, and a SQL oracle unrolls the same k steps (the
+    pagerank/kmeans contract). Undirected graphs: pass each edge both
+    ways. Returns (node, label) for every node labeled after k rounds;
+    unreached nodes are absent.
+
+    The training-pipeline shape: propagate scarce human quality labels
+    through a near-dup / co-citation graph to bootstrap classifier
+    training data — the graph-side counterpart of the hashed-feature
+    classifier in [[pipeline/classifier.py]].
+
+    Scale design — the pagerank recipe: edges pre-partitioned by src,
+    distinct-ed and persisted ONCE (the repartition replaces distinct's
+    own shuffle); each iteration is one src-keyed equi-join reusing that
+    layout, one (dst, label) hash aggregation, and one per-dst argmax —
+    expressed as min(struct(-count, label)) inside the SAME aggregation,
+    so an iteration costs ONE extra Exchange (the dst transpose), never
+    a window sort. Labels re-persist per iteration with the previous
+    iteration released and the result localCheckpoint-ed (lineage stays
+    O(1) deep)."""
+    try:
+        n_part = int(
+            edges.sparkSession.conf.get("spark.sql.shuffle.partitions")
+        )
+    except (TypeError, ValueError):
+        n_part = edges.sparkSession.sparkContext.defaultParallelism
+    e = (
+        edges.select(
+            F.col(src_col).alias("src"), F.col(dst_col).alias("dst")
+        )
+        .repartition(n_part, "src")
+        .distinct()
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    e.count()
+    seed = seeds.select(
+        F.col(node_col).alias("node"), F.col(label_col).alias("label")
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    seed.count()
+
+    labels = seed
+    for _ in range(int(iterations)):
+        votes = (
+            e.join(labels.withColumnRenamed("node", "src"), "src")
+            .groupBy(F.col("dst").alias("node"), "label")
+            .agg(F.count(F.lit(1)).alias("__c"))
+        )
+        best = (
+            votes.groupBy("node")
+            .agg(
+                F.min(
+                    F.struct(
+                        (-F.col("__c")).alias("nc"),
+                        F.col("label").alias("l"),
+                    )
+                ).alias("__b")
+            )
+            .select("node", F.col("__b.l").alias("label"))
+        )
+        new_labels = (
+            seed.unionByName(best.join(seed.select("node"), "node", "left_anti"))
+            .persist(StorageLevel.MEMORY_AND_DISK)
+        )
+        new_labels.count()
+        if labels is not seed:
+            labels.unpersist()
+        labels = new_labels
+
+    out = labels.localCheckpoint(eager=True)
+    if labels is not seed:
+        labels.unpersist()
+    seed.unpersist()
+    e.unpersist()
+    return out

@@ -1051,6 +1051,101 @@ def dsir_log_weights(
     return out
 
 
+def ccnet_perplexity_buckets(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    lang_col: str = "lang",
+    n_features: int = 1 << 18,
+    salt: str = "feat",
+) -> DataFrame:
+    """CCNet-style per-language perplexity bucketing (Wenzek et al. 2020,
+    "CCNet: Extracting High Quality Monolingual Datasets from Web Crawl
+    Data"): score every document under a language-model proxy, then cut
+    each LANGUAGE's documents into head / middle / tail perplexity
+    terciles — head (lowest perplexity = most fluent) is what the paper
+    keeps for pretraining, tail is the junk drawer. Per-language cuts
+    matter because absolute perplexity is not comparable across
+    languages.
+
+    LM proxy + determinism contract (the DSIR recipe): per-feature
+    surprisal −ln((cf+1)/T) under the corpus's own add-1-smoothed hashed
+    bag-of-ngrams LM, quantized to round-half-away(ln·10⁶) INTEGERS, so
+    each document's score sum is an exact int64 and the per-gram mean
+    (integer floor division — all-positive, so trunc ≡ floor in any
+    engine) replays bit-for-bit in SQL. Tercile thresholds are
+    NEAREST-RANK order statistics over the integer means: t_k = the
+    ⌈k·n_lang/3⌉-th smallest — integer arithmetic end-to-end, no
+    interpolation, no cross-engine float hazard anywhere.
+
+    Plan shape: one hashed-feature aggregation (map-side combined), one
+    bounded ≤ n_features collect re-entering as a LocalRelation
+    broadcast (SCALING #18), one per-doc aggregation, then the
+    threshold pass as a (lang, mean) DISTRIBUTION TABLE + per-lang
+    cumulative window — the events_latency_pctl_dist shape: the window
+    runs over DISTINCT quantized means per language, never the raw
+    documents. Returns (id, lang, ppl_q, bucket) for every doc with at
+    least one token; caller owns the persisted feature table via
+    ``._index_cache`` (release with dedup.leased)."""
+    import math
+
+    from pyspark.sql import Window
+
+    from metric_store_release_spark.pipeline.classifier import (
+        hashed_ngram_features,
+    )
+
+    def qlog(n: int, total: int) -> int:
+        x = math.log(n / total) * 1_000_000.0
+        return int(math.copysign(math.floor(abs(x) + 0.5), x))
+
+    feats = hashed_ngram_features(
+        docs, text_col, id_col, n_features, salt
+    ).persist()
+    cf = {
+        r["feature"]: r["n"]
+        for r in feats.groupBy("feature").agg(F.sum("tf").alias("n")).collect()
+    }
+    total = sum(cf.values()) + n_features
+    surp = sorted((int(f), -qlog(n + 1, total)) for f, n in cf.items())
+    sdf = feats.sparkSession.createDataFrame(surp, "feature long, s long")
+    scored = (
+        feats.join(F.broadcast(sdf), "feature")
+        .groupBy(id_col)
+        .agg(
+            F.sum(F.col("tf") * F.col("s")).alias("__ssum"),
+            F.sum("tf").alias("__n"),
+        )
+        .join(docs.select(F.col(id_col), F.col(lang_col).alias("lang")), id_col)
+        .select(
+            id_col, "lang", F.expr("__ssum div __n").alias("ppl_q")
+        )
+    )
+    # per-language tercile thresholds from the (lang, ppl_q) distribution
+    dist = scored.groupBy("lang", "ppl_q").agg(F.count(F.lit(1)).alias("c"))
+    w = Window.partitionBy("lang").orderBy("ppl_q")
+    cum = dist.withColumn("cum", F.sum("c").over(w)).withColumn(
+        "n_lang", F.sum("c").over(Window.partitionBy("lang"))
+    )
+    r1 = F.expr("(n_lang + 2) div 3")  # ceil(n/3)
+    r2 = F.expr("(2 * n_lang + 2) div 3")  # ceil(2n/3)
+    thresholds = cum.groupBy("lang").agg(
+        F.min(F.when(F.col("cum") >= r1, F.col("ppl_q"))).alias("t1"),
+        F.min(F.when(F.col("cum") >= r2, F.col("ppl_q"))).alias("t2"),
+    )
+    out = scored.join(F.broadcast(thresholds), "lang").select(
+        id_col,
+        "lang",
+        "ppl_q",
+        F.when(F.col("ppl_q") <= F.col("t1"), F.lit("head"))
+        .when(F.col("ppl_q") <= F.col("t2"), F.lit("middle"))
+        .otherwise(F.lit("tail"))
+        .alias("bucket"),
+    )
+    out._index_cache = feats
+    return out
+
+
 def dsir_select(
     docs: DataFrame,
     target_pred: Column,

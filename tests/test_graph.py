@@ -452,3 +452,53 @@ def test_hard_negative_mining_probe_widens_candidates(spark):
     n2 = hard_negative_mining(emb, cents, k=3, n_probe=2, query_pred=pred)
     assert n1.count() == 0
     assert [r["vec_id"] for r in n2.collect()] == [3]
+
+
+# ------------------------------------------------ label propagation (r9)
+
+def test_label_prop_majority_tiebreak_and_clamping(spark):
+    from metric_store_release_spark.pipeline.graph import label_propagation
+
+    # node 10 hears A from two seeds and B from one -> majority A;
+    # node 11 hears A and B once each -> tie, smallest label A wins;
+    # seed 1 also receives votes but stays clamped to its own label B
+    edges = spark.createDataFrame(
+        [
+            (1, 10), (2, 10), (3, 10),   # seeds 1(B) 2(A) 3(A) -> 10
+            (2, 11), (1, 11),            # A and B -> 11 (tie)
+            (2, 1),                      # vote into a seed: must not flip
+        ],
+        "src long, dst long",
+    )
+    seeds = spark.createDataFrame(
+        [(1, "B"), (2, "A"), (3, "A")], "node long, label string"
+    )
+    got = {
+        r["node"]: r["label"]
+        for r in label_propagation(edges, seeds, iterations=1).collect()
+    }
+    assert got[10] == "A"
+    assert got[11] == "A"
+    assert got[1] == "B"  # clamped
+
+
+def test_label_prop_multi_hop_reach_and_unreached_absent(spark):
+    from metric_store_release_spark.pipeline.graph import label_propagation
+
+    # chain seed(1,"X") -> 2 -> 3: node 3 is only labelable in round 2;
+    # node 99 has no in-edges from labeled nodes and stays absent
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (50, 99)], "src long, dst long"
+    )
+    seeds = spark.createDataFrame([(1, "X")], "node long, label string")
+    one = {
+        r["node"]: r["label"]
+        for r in label_propagation(edges, seeds, iterations=1).collect()
+    }
+    assert one == {1: "X", 2: "X"}
+    two = {
+        r["node"]: r["label"]
+        for r in label_propagation(edges, seeds, iterations=2).collect()
+    }
+    assert two == {1: "X", 2: "X", 3: "X"}
+    assert 99 not in two

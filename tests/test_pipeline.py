@@ -2161,3 +2161,64 @@ def test_audio_fingerprint_nulls_short_clip(spark):
     }
     assert rows[1] is None
     assert rows[2] is not None and rows[2] > 0
+
+
+def test_pr_curve_hand_case(spark):
+    """4 docs, scores 0.9/0.8(pos) 0.8/0.1(neg): thresholds sweep
+    hand-checkably, including a positive and a negative SHARING one
+    quantized score."""
+    from metric_store_release_spark.pipeline.classifier import pr_curve
+
+    scored = spark.createDataFrame(
+        [(1, 0.9), (2, 0.8), (3, 0.8), (4, 0.1)], "doc_id long, score double"
+    )
+    labels = spark.createDataFrame(
+        [(1, 1.0), (2, 1.0), (3, 0.0), (4, 0.0)], "doc_id long, y double"
+    )
+    rows = {
+        r["score_q"]: (r["tp"], r["fp"], r["fn"], r["precision"], r["recall"])
+        for r in pr_curve(scored, labels).collect()
+    }
+    assert rows[900000] == (1, 0, 1, 1.0, 0.5)
+    assert rows[800000] == (2, 1, 0, round(2 / 3, 6), 1.0)
+    assert rows[100000] == (2, 2, 0, 0.5, 1.0)
+    assert len(rows) == 3
+
+
+def test_ccnet_buckets_terciles_per_language(spark):
+    """Bucket sizes per language follow the nearest-rank tercile rule and
+    head really is the LOWEST-surprisal third."""
+    from metric_store_release_spark.pipeline.dedup import leased
+    from metric_store_release_spark.pipeline.text import (
+        ccnet_perplexity_buckets,
+    )
+
+    # 9 'aa' docs of graded repetitiveness + 4 'bb' docs: per-lang cuts
+    rows = []
+    for i in range(9):
+        # more distinct rare words -> higher surprisal
+        words = ["common"] * (9 - i) + [f"rare{i}_{j}" for j in range(i + 1)]
+        rows.append((i, " ".join(words), "aa"))
+    for i in range(4):
+        rows.append((100 + i, f"x{i} " * 3 + f"y{i}_{i}", "bb"))
+    df = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    with leased(ccnet_perplexity_buckets(df)) as out:
+        got = out.collect()
+    by_lang = {}
+    for r in got:
+        by_lang.setdefault(r["lang"], []).append((r["ppl_q"], r["bucket"]))
+    # every doc bucketed, per-lang tercile counts for n=9: 3/3/3
+    aa = sorted(by_lang["aa"])
+    assert [b for _, b in aa] == ["head"] * 3 + ["middle"] * 3 + ["tail"] * 3
+    # n=4: nearest-rank ceil(4/3)=2, ceil(8/3)=3 -> 2/1/1
+    bb = sorted(by_lang["bb"])
+    assert [b for _, b in bb].count("head") >= 1
+    assert len(bb) == 4
+    # head scores <= middle scores <= tail scores within each lang
+    def ordered(pairs):
+        order = {"head": 0, "middle": 1, "tail": 2}
+        return all(
+            order[pairs[i][1]] <= order[pairs[i + 1][1]]
+            for i in range(len(pairs) - 1)
+        )
+    assert ordered(aa) and ordered(bb)
