@@ -1808,6 +1808,54 @@ def test_ivf_pq_recall_and_compression(spark, tmp_path):
     assert shrink >= 8.0, shrink
 
 
+def test_pq_probe_non_power_of_two_ksub(spark):
+    """Regression (round-9 ADVICE): pq_probe must unpack codes with the
+    PACK base (16), not ksub — for ksub=10 (16 % 10 != 0) the old
+    `% ksub` bled higher-subspace bits into the LUT index and silently
+    corrupted the shortlist. With the fix, a ksub=10 index still returns
+    the exact nearest neighbors on well-separated data."""
+    import math
+
+    from metric_store_release_spark.pipeline.similarity import (
+        brute_force_topk,
+        int_kmeans_codebooks,
+        pq_index,
+        pq_probe,
+        pq_subspaces,
+    )
+
+    dim, n_clusters, per = 16, 4, 25
+    rows = []
+    for c in range(n_clusters):
+        for i in range(per):
+            v = [
+                (0.8 if (j % n_clusters) == c else -0.2)
+                + 0.01 * math.sin(7.0 * (c * per + i) + j)
+                for j in range(dim)
+            ]
+            rows.append((c * per + i + 100, v))
+    corpus = spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>"
+    )
+    queries = spark.createDataFrame(
+        [(c, rows[c * per][1]) for c in range(n_clusters)],
+        "query_id long, embedding array<double>",
+    )
+    subs = pq_subspaces(dim, 4)
+    coarse = int_kmeans_codebooks(corpus, [(0, dim)], k=4, iters=2)[0]
+    books = int_kmeans_codebooks(corpus, subs, k=10, iters=2)  # ksub=10
+    assert all(len(cb) == 10 for cb in books)
+    idx = pq_index(corpus, coarse, books, subs)
+    got = pq_probe(
+        idx, corpus, queries, coarse, books, subs, k=5, n_probe=2, rerank=30
+    )
+    exact = brute_force_topk(corpus, queries, k=5)
+    got_pairs = {(r["query_id"], r["vec_id"]) for r in got.collect()}
+    exact_pairs = {(r["query_id"], r["vec_id"]) for r in exact.collect()}
+    recall = len(got_pairs & exact_pairs) / len(exact_pairs)
+    assert recall >= 0.95, recall
+
+
 def test_pq_append_equals_from_scratch_union_encode(spark):
     """Incremental IVF-PQ maintenance invariant: appending a batch to a
     bucketed code table with FROZEN quantizers yields an index — and
