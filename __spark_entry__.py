@@ -528,6 +528,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["docs_ccnet_buckets"] = _docs_ccnet_buckets
     q["text_classifier_pr"] = _text_classifier_pr
     q["graph_label_prop"] = _graph_label_prop
+    q["audio_segments"] = _audio_segments
     q["promql_federated_selector"] = _promql_federated_selector
     q["promql_sum_by_user_federated"] = _promql_sum_by_user_federated
     q["dedup_components"] = _dedup_components
@@ -716,6 +717,7 @@ _PINNED = [
 _DEBUTS = [
     "dedup_substring_spans", "embedding_ann_append",
     "docs_ccnet_buckets", "text_classifier_pr", "graph_label_prop",
+    "audio_segments",
     "embedding_semdedup", "embedding_ann_pq", "media_audio_fp_pairs",
     "events_hll_dau_wau",
 ]
@@ -2879,6 +2881,22 @@ def _embedding_ann_append(spark: SparkSession, sf_dir: str) -> DataFrame:
         n_probe=_PQ_NPROBE,
         rerank=_PQ_RERANK,
     )
+
+
+def _audio_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Energy-threshold audio segmentation
+    (`pipeline.multimodal.audio_energy_segments`): VAD-style maximal
+    runs of above-threshold 8-sample windows over the 64-sample PCM16
+    corpus — integer-exact decode → window energies → gaps-and-islands,
+    so the oracle replays every segment boundary and energy sum
+    bit-for-bit from the md5 hex pairs."""
+    from metric_store_release_spark.pipeline.multimodal import (
+        audio_energy_segments,
+        wav64_media_from_documents,
+    )
+
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    return audio_energy_segments(wav64_media_from_documents(docs))
 
 
 def _docs_ccnet_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -5566,6 +5584,48 @@ SELECT agg.doc_id,
        ROUND(sqrt(ss / 8.0), 6) AS rms,
        zc.z AS zero_crossings
 FROM agg JOIN zc USING (doc_id)
+"""
+
+    # wav64 corpus: sample k*8+j = signed little-endian int16 from hex
+    # pairs 4j+1 / 4j+3 of md5(k || ':' || text); 8 windows of 8 samples,
+    # active >= 2.5e9, gaps-and-islands segmentation
+    o["audio_segments"] = """
+WITH h AS (
+  SELECT doc_id, k, md5(k::VARCHAR || ':' || text) AS m
+  FROM documents, unnest(generate_series(0, 7)) u(k)
+),
+s AS (
+  SELECT doc_id, k * 8 + j AS i,
+         CASE WHEN v >= 32768 THEN v - 65536 ELSE v END AS s
+  FROM (
+    SELECT doc_id, k, j,
+           ('0x' || substr(m, 4 * j + 1, 2))::BIGINT
+           + 256 * ('0x' || substr(m, 4 * j + 3, 2))::BIGINT AS v
+    FROM h, unnest(generate_series(0, 7)) uu(j)
+  )
+),
+en AS (
+  SELECT doc_id, i // 8 AS w, CAST(SUM(s * s) AS BIGINT) AS energy
+  FROM s GROUP BY 1, 2
+),
+act AS (SELECT * FROM en WHERE energy >= 2500000000),
+isl AS (
+  SELECT doc_id, w, energy,
+         w - row_number() OVER (PARTITION BY doc_id ORDER BY w) AS island
+  FROM act
+),
+segs AS (
+  SELECT doc_id, island, MIN(w) AS w0, COUNT(*) AS nw,
+         CAST(SUM(energy) AS BIGINT) AS energy
+  FROM isl GROUP BY 1, 2
+)
+SELECT doc_id,
+       CAST(row_number() OVER (PARTITION BY doc_id ORDER BY w0) AS INT)
+         AS seg_idx,
+       CAST(w0 * 8 AS BIGINT) AS start_sample,
+       CAST(nw * 8 AS BIGINT) AS n_samples,
+       energy
+FROM segs
 """
 
     # video: frame k raster = first 24 hex chars of md5(k || ':' || text);

@@ -187,8 +187,10 @@ def main() -> None:
         "dedup_substring_spans",
         "embedding_ann_append",
         # round 9: CCNet per-language perplexity terciles (one
-        # hashed-feature agg + distribution-table thresholds)
+        # hashed-feature agg + distribution-table thresholds) and
+        # VAD-style energy segmentation over the PCM16 corpus
         "docs_ccnet_buckets",
+        "audio_segments",
     ]
     # Offline-pass entries, benched in their own trailing loop: the
     # PassJoin edit-distance join and the exact containment verifier

@@ -535,6 +535,81 @@ def audio_fingerprint_codes(media: DataFrame, n_bits: int = 63) -> DataFrame:
     return media.mapInPandas(extract, schema=AUDIO_FP_SCHEMA)
 
 
+AUDIO_ENERGY_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType(), False),
+        StructField("w", IntegerType(), False),
+        StructField("energy", LongType(), False),
+    ]
+)
+
+
+def audio_window_energies(media: DataFrame, window: int = 8) -> DataFrame:
+    """Per-clip fixed-window energy table: (doc_id, w, energy) with
+    energy = Σ s² over window ``window`` samples (exact int64 — |s| ≤
+    2¹⁵ so a window of ≤ 2³⁰ samples cannot overflow). The decode is the
+    usual Arrow-batched mapInPandas walk; an incomplete tail window is
+    dropped (deterministic, replayed by the oracle)."""
+
+    def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        out_ids, out_w, out_e = [], [], []
+        for pdf in batches:
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                samples, _rate = _wav_pcm16(payload)
+                for w in range(len(samples) // window):
+                    chunk = samples[w * window:(w + 1) * window]
+                    out_ids.append(doc_id)
+                    out_w.append(w)
+                    out_e.append(sum(s * s for s in chunk))
+            yield pd.DataFrame(
+                {"doc_id": out_ids, "w": out_w, "energy": out_e}
+            )
+            out_ids, out_w, out_e = [], [], []
+
+    return media.mapInPandas(extract, schema=AUDIO_ENERGY_SCHEMA)
+
+
+def audio_energy_segments(
+    media: DataFrame, window: int = 8, threshold: int = 2_500_000_000
+) -> DataFrame:
+    """Energy-threshold audio segmentation — the voice-activity-detection
+    shape of audio preprocessing pipelines (trim silence, keep speech
+    runs): windows whose energy ≥ ``threshold`` are ACTIVE, and maximal
+    runs of consecutive active windows become segments. Returns
+    (doc_id, seg_idx, start_sample, n_samples, energy) per segment,
+    seg_idx 1-based in stream order.
+
+    Integer-exact end-to-end (int16 samples → int64 window energies →
+    integer run arithmetic), so a SQL oracle replays segmentation
+    bit-for-bit. Plan: the Arrow decode emits the window table, the
+    classic gaps-and-islands trick labels runs — island = w −
+    row_number() over the clip's ACTIVE windows (consecutive w ⇒
+    constant island) — then one (doc, island) hash aggregation; the
+    per-clip window sort is bounded by the clip's window count, the
+    few-hot-keys shape every per-doc window here shares."""
+    from pyspark.sql import Window
+
+    en = audio_window_energies(media, window)
+    active = en.filter(F.col("energy") >= F.lit(int(threshold)))
+    wspec = Window.partitionBy("doc_id").orderBy("w")
+    isl = active.withColumn(
+        "island", F.col("w") - F.row_number().over(wspec)
+    )
+    segs = isl.groupBy("doc_id", "island").agg(
+        F.min("w").alias("__w0"),
+        F.count(F.lit(1)).alias("__nw"),
+        F.sum("energy").alias("energy"),
+    )
+    order = Window.partitionBy("doc_id").orderBy("__w0")
+    return segs.select(
+        "doc_id",
+        F.row_number().over(order).alias("seg_idx"),
+        (F.col("__w0") * window).cast("long").alias("start_sample"),
+        (F.col("__nw") * window).cast("long").alias("n_samples"),
+        "energy",
+    )
+
+
 def wav64_media_from_documents(documents: DataFrame) -> DataFrame:
     """Deterministic 64-sample PCM16 WAV corpus from `documents`: the
     data chunk concatenates unhex(md5(k ‖ ':' ‖ text)) for k = 0..7

@@ -2270,3 +2270,35 @@ def test_ccnet_buckets_terciles_per_language(spark):
             for i in range(len(pairs) - 1)
         )
     assert ordered(aa) and ordered(bb)
+
+
+def test_audio_energy_segments_hand_case(spark):
+    """19 samples at window=4 -> 4 full windows + dropped tail; loud
+    windows 0,1 and 3 -> two segments (run of 2, then run of 1), with
+    integer energies and 1-based seg_idx in stream order."""
+    import struct
+
+    from metric_store_release_spark.pipeline.multimodal import (
+        _wav_header,
+        audio_energy_segments,
+    )
+
+    loud, quiet = 1000, 1
+    samples = (
+        [loud] * 4 + [-loud] * 4 + [quiet] * 4 + [loud] * 4 + [7, 7, 7]
+    )
+    data = struct.pack(f"<{len(samples)}h", *samples)
+    media = spark.createDataFrame(
+        [(1, "audio/wav", _wav_header(len(data)) + data)],
+        "doc_id long, media_type string, payload binary",
+    )
+    segs = {
+        r["seg_idx"]: (r["start_sample"], r["n_samples"], r["energy"])
+        for r in audio_energy_segments(
+            media, window=4, threshold=4 * loud * loud
+        ).collect()
+    }
+    assert segs == {
+        1: (0, 8, 8 * loud * loud),
+        2: (12, 4, 4 * loud * loud),
+    }
