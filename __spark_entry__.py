@@ -529,6 +529,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["text_classifier_pr"] = _text_classifier_pr
     q["graph_label_prop"] = _graph_label_prop
     q["audio_segments"] = _audio_segments
+    q["video_scene_cuts"] = _video_scene_cuts
     q["promql_federated_selector"] = _promql_federated_selector
     q["promql_sum_by_user_federated"] = _promql_sum_by_user_federated
     q["dedup_components"] = _dedup_components
@@ -717,7 +718,7 @@ _PINNED = [
 _DEBUTS = [
     "dedup_substring_spans", "embedding_ann_append",
     "docs_ccnet_buckets", "text_classifier_pr", "graph_label_prop",
-    "audio_segments",
+    "audio_segments", "video_scene_cuts",
     "embedding_semdedup", "embedding_ann_pq", "media_audio_fp_pairs",
     "events_hll_dau_wau",
 ]
@@ -2897,6 +2898,22 @@ def _audio_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = _docs(spark, sf_dir).select("doc_id", "text")
     return audio_energy_segments(wav64_media_from_documents(docs))
+
+
+def _video_scene_cuts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard-cut shot-boundary detection
+    (`pipeline.multimodal.video_scene_cuts`): integer BT.601 luma sums
+    per frame (the dHash weights), per-video lag delta, cut where the
+    delta reaches 12000 — the shot-segmentation pass that decides WHERE
+    to sample frames. Integer-exact; the oracle replays sums and deltas
+    from the md5 hex rasters."""
+    from metric_store_release_spark.pipeline.multimodal import (
+        ppm_video_from_documents,
+        video_scene_cuts,
+    )
+
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    return video_scene_cuts(ppm_video_from_documents(docs))
 
 
 def _docs_ccnet_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -5626,6 +5643,30 @@ SELECT doc_id,
        CAST(nw * 8 AS BIGINT) AS n_samples,
        energy
 FROM segs
+"""
+
+    # scene cuts: per-frame integer luma sums over the same md5 rasters,
+    # lag delta >= 12000
+    o["video_scene_cuts"] = """
+WITH f AS (
+  SELECT doc_id, k, substr(md5(k::VARCHAR || ':' || text), 1, 24) AS m
+  FROM documents, unnest(generate_series(0, 3)) u(k)
+),
+l AS (
+  SELECT doc_id, k,
+         CAST(list_sum(list_transform(range(0, 8), p ->
+             77 * ascii(substr(m, 3 * p + 1, 1))
+           + 150 * ascii(substr(m, 3 * p + 2, 1))
+           + 29 * ascii(substr(m, 3 * p + 3, 1)))) AS BIGINT) AS ls
+  FROM f
+),
+d AS (
+  SELECT a.doc_id, CAST(b.k AS INT) AS frame_idx,
+         abs(b.ls - a.ls) AS delta
+  FROM l a JOIN l b ON a.doc_id = b.doc_id AND b.k = a.k + 1
+)
+SELECT doc_id, frame_idx, CAST(delta AS BIGINT) AS delta
+FROM d WHERE delta >= 12000
 """
 
     # video: frame k raster = first 24 hex chars of md5(k || ':' || text);

@@ -191,6 +191,7 @@ def main() -> None:
         # VAD-style energy segmentation over the PCM16 corpus
         "docs_ccnet_buckets",
         "audio_segments",
+        "video_scene_cuts",
     ]
     # Offline-pass entries, benched in their own trailing loop: the
     # PassJoin edit-distance join and the exact containment verifier

@@ -706,6 +706,69 @@ def sample_video_frames(media: DataFrame, every_n: int = 2) -> DataFrame:
     return media.mapInPandas(extract, schema=FRAME_FEATURES_SCHEMA)
 
 
+VIDEO_LUMA_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType(), False),
+        StructField("frame_idx", IntegerType(), False),
+        StructField("luma_sum", LongType(), False),
+    ]
+)
+
+
+def video_frame_luma_sums(media: DataFrame) -> DataFrame:
+    """(doc_id, frame_idx, luma_sum) for EVERY frame of a concatenated-
+    netpbm video: luma_sum = Σ_pixels (77·R + 150·G + 29·B), the exact
+    integer BT.601 weights the dHash path uses — no float anywhere, so a
+    SQL oracle replays per-frame sums bit-for-bit. One container walk
+    per payload, Arrow-batched."""
+
+    def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for _, r in pdf.iterrows():
+                for idx, frame in _walk_ppm_frames(r["payload"]):
+                    _magic, w, h, _maxval, off = _ppm_header(frame)
+                    raster = frame[off:off + w * h * 3]
+                    s = 0
+                    for p in range(w * h):
+                        s += (
+                            77 * raster[3 * p]
+                            + 150 * raster[3 * p + 1]
+                            + 29 * raster[3 * p + 2]
+                        )
+                    rows.append((r["doc_id"], idx, s))
+            yield pd.DataFrame(
+                rows, columns=["doc_id", "frame_idx", "luma_sum"]
+            )
+
+    return media.mapInPandas(extract, schema=VIDEO_LUMA_SCHEMA)
+
+
+def video_scene_cuts(media: DataFrame, threshold: int = 12000) -> DataFrame:
+    """Scene-change detection — the shot-segmentation pass of video
+    training-data pipelines (sample frames per SHOT, not per fixed
+    stride): a cut lands at frame k ≥ 1 when the absolute inter-frame
+    luma-sum delta reaches ``threshold``. The classic pixel-domain
+    hard-cut detector (luma-histogram/intensity differencing, cf. shot
+    boundary detection literature) in its integer-exact form. Returns
+    (doc_id, frame_idx, delta) per cut.
+
+    Plan: the Arrow decode emits one integer row per frame; the delta is
+    a per-video lag window (bounded by the clip's frame count) + filter —
+    all integers, oracle-replayable."""
+    from pyspark.sql import Window
+
+    luma = video_frame_luma_sums(media)
+    w = Window.partitionBy("doc_id").orderBy("frame_idx")
+    deltas = luma.withColumn(
+        "delta",
+        F.abs(F.col("luma_sum") - F.lag("luma_sum").over(w)),
+    ).filter(F.col("delta").isNotNull())
+    return deltas.filter(F.col("delta") >= F.lit(int(threshold))).select(
+        "doc_id", "frame_idx", "delta"
+    )
+
+
 def ppm_video_from_documents(
     documents: DataFrame, n_frames: int = 4
 ) -> DataFrame:

@@ -2302,3 +2302,29 @@ def test_audio_energy_segments_hand_case(spark):
         1: (0, 8, 8 * loud * loud),
         2: (12, 4, 4 * loud * loud),
     }
+
+
+def test_video_scene_cuts_hand_case(spark):
+    """Three frames: identical 0->1 (delta 0, no cut), step change 1->2
+    crossing the threshold (cut at frame 2 with the exact integer
+    delta). Frame 0 never emits (no predecessor)."""
+    from metric_store_release_spark.pipeline.multimodal import (
+        video_scene_cuts,
+    )
+
+    def frame(byte):
+        return b"P6\n4 2\n255\n" + bytes([byte] * 24)
+
+    payload = frame(10) + frame(10) + frame(60)
+    media = spark.createDataFrame(
+        [(1, "video/x-netpbm-stream", payload)],
+        "doc_id long, media_type string, payload binary",
+    )
+    # per-pixel luma = (77+150+29)*byte = 256*byte; 8 pixels
+    delta = 8 * 256 * (60 - 10)
+    got = [
+        (r["frame_idx"], r["delta"])
+        for r in video_scene_cuts(media, threshold=delta).collect()
+    ]
+    assert got == [(2, delta)]
+    assert video_scene_cuts(media, threshold=delta + 1).count() == 0
