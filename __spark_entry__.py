@@ -91,6 +91,10 @@ _PLANT_EVERY = 25
 # ids stay < 1e6). 1e9 clears every stride with headroom.
 _PLANT_OFFSET = 1_000_000_000
 _EMB_DIM = 64
+# token_budget_mixture: a FIXED per-source token budget is the operator's
+# real-world contract (the training budget does not grow with the crawl),
+# so the selected fraction intentionally shrinks as sf grows.
+_TOKEN_BUDGET = 800
 
 
 def _docs_planted(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -530,6 +534,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["graph_label_prop"] = _graph_label_prop
     q["audio_segments"] = _audio_segments
     q["video_scene_cuts"] = _video_scene_cuts
+    q["media_video_fp_pairs"] = _media_video_fp_pairs
+    q["docs_token_budget_mix"] = _docs_token_budget_mix
+    q["docs_ngram_novelty"] = _docs_ngram_novelty
+    q["embedding_scalar_quant"] = _embedding_scalar_quant
     q["promql_federated_selector"] = _promql_federated_selector
     q["promql_sum_by_user_federated"] = _promql_sum_by_user_federated
     q["dedup_components"] = _dedup_components
@@ -719,6 +727,8 @@ _DEBUTS = [
     "dedup_substring_spans", "embedding_ann_append",
     "docs_ccnet_buckets", "text_classifier_pr", "graph_label_prop",
     "audio_segments", "video_scene_cuts",
+    "media_video_fp_pairs", "docs_token_budget_mix",
+    "docs_ngram_novelty", "embedding_scalar_quant",
     "embedding_semdedup", "embedding_ann_pq", "media_audio_fp_pairs",
     "events_hll_dau_wau",
 ]
@@ -2914,6 +2924,93 @@ def _video_scene_cuts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = _docs(spark, sf_dir).select("doc_id", "text")
     return video_scene_cuts(ppm_video_from_documents(docs))
+
+
+def _media_video_fp_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-duplicate video clips
+    (`pipeline.multimodal.video_fingerprint_codes` +
+    `pipeline.dedup.hamming_code_pairs`): 63-bit delta-sign fingerprints
+    over per-frame integer BT.601 luma sums (temporal ordinal signature,
+    Coskun et al. 2006) — invariant to monotone brightness rescale —
+    then the same banded-Hamming join as the image/audio paths
+    (distance ≤ 3). Completes the multimodal near-dup trio: dHash
+    (image), delta-sign PCM (audio), delta-sign luma (video), all three
+    through the one factored band/verify/star join. Fixture: the
+    deterministic 64-frame netpbm corpus plus planted copies of every
+    25th clip with frame 0 replaced by a constant raster (flips at most
+    delta bit 0)."""
+    from metric_store_release_spark.pipeline.dedup import hamming_code_pairs
+    from metric_store_release_spark.pipeline.multimodal import (
+        ppm_video_from_documents,
+        video_fingerprint_codes,
+    )
+
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    base = ppm_video_from_documents(docs, n_frames=64)
+    plant_frames = [F.lit("P6\n4 2\n255\n" + "0" * 24)] + [
+        F.concat(
+            F.lit("P6\n4 2\n255\n"),
+            F.substring(
+                F.md5(F.concat(F.lit(f"{k}:"), F.col("text"))), 1, 24
+            ),
+        )
+        for k in range(1, 64)
+    ]
+    plant = docs.filter(F.col("doc_id") % _PLANT_EVERY == 0).select(
+        (F.col("doc_id") + F.lit(_PLANT_OFFSET)).alias("doc_id"),
+        F.lit("video/x-netpbm-stream").alias("media_type"),
+        F.concat(*plant_frames).cast("binary").alias("payload"),
+    )
+    codes = video_fingerprint_codes(base.unionByName(plant)).filter(
+        F.col("vfp").isNotNull()
+    )
+    return hamming_code_pairs(codes, "vfp", "doc_id", bits=64, max_hamming=3)
+
+
+def _docs_token_budget_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source token-budget mixture sampling
+    (`pipeline.text.token_budget_mixture`): each source keeps docs in
+    deterministic hash order until its cumulative token count reaches
+    the budget — the pretraining-mixture contract (budgets are tokens,
+    not doc counts). Two-pass distributed prefix sum: bucketed
+    per-(source, hash-range) totals -> bounded driver offsets -> within-
+    bucket window, so no source ever funnels through one task. The
+    oracle replays the same running sum as a single-partition window."""
+    from metric_store_release_spark.pipeline.text import token_budget_mixture
+
+    docs = _docs(spark, sf_dir).select("doc_id", "source", "text")
+    return token_budget_mixture(docs, _TOKEN_BUDGET)
+
+
+def _docs_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document 8-gram novelty (`pipeline.text.ngram_novelty`) — the
+    memorization-risk screen: share of each doc's distinct word 8-grams
+    that no other document contains, in integer basis points. The
+    per-doc summary of the cross-document repeated-span mass the
+    ExactSubstr pass (Lee et al. 2022) removes. Map-side array_distinct
+    (no distinct shuffle), df via one window over the 60-bit gram-hash
+    partition, per-doc hash-agg — two exchanges total."""
+    from metric_store_release_spark.pipeline.text import ngram_novelty
+
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    return ngram_novelty(docs, n=8)
+
+
+def _embedding_scalar_quant(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQ8 scalar quantization with exact reconstruction error
+    (`pipeline.similarity.scalar_quant_stats`, FAISS ScalarQuantizer
+    QT_8bit shape): per-dimension linear 8-bit grid over the exact
+    floor(x·2^16) integer lattice — 4 bytes/dim -> 1 byte/dim, the
+    first compression knob before IVF-PQ. Integer-exact end-to-end
+    (non-negative multiply + truncating div only), so codes, code sums
+    and the squared reconstruction error all replay bit-for-bit in the
+    oracle. One bounded dim-stats agg + one map-side encode pass."""
+    from metric_store_release_spark.pipeline.similarity import (
+        scalar_quant_stats,
+    )
+
+    emb = _emb(spark, sf_dir)
+    return scalar_quant_stats(emb)
 
 
 def _docs_ccnet_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -5683,6 +5780,131 @@ FROM (
   SELECT doc_id, k AS frame_idx, md5(CAST(k AS VARCHAR) || ':' || text) AS m
   FROM documents, unnest([0, 2]) AS u(k)
 )
+"""
+
+    # video fp: 63-bit delta-sign code over per-frame luma sums of the
+    # 64-frame md5 rasters; plant = every 25th clip with frame 0 replaced
+    # by the constant all-'0' raster (luma 8·48·256 = 98304); banded join
+    # replayed as brute pairs (the band stage is recall-total within
+    # hamming <= 3 by the pigeonhole contract)
+    o["media_video_fp_pairs"] = f"""
+WITH f AS (
+  SELECT doc_id, k, substr(md5(k::VARCHAR || ':' || text), 1, 24) AS m
+  FROM documents, unnest(generate_series(0, 63)) u(k)
+),
+l0 AS (
+  SELECT doc_id, k,
+         CAST(list_sum(list_transform(range(0, 8), p ->
+             77 * ascii(substr(m, 3 * p + 1, 1))
+           + 150 * ascii(substr(m, 3 * p + 2, 1))
+           + 29 * ascii(substr(m, 3 * p + 3, 1)))) AS BIGINT) AS ls
+  FROM f
+),
+l AS (
+  SELECT doc_id, k, ls FROM l0
+  UNION ALL
+  SELECT doc_id + {_PLANT_OFFSET}, k,
+         CASE WHEN k = 0 THEN 98304 ELSE ls END
+  FROM l0 WHERE doc_id % {_PLANT_EVERY} = 0
+),
+bits AS (
+  SELECT a.doc_id, a.k AS k, CASE WHEN b.ls > a.ls THEN 1 ELSE 0 END AS bit
+  FROM l a JOIN l b ON b.doc_id = a.doc_id AND b.k = a.k + 1
+  WHERE a.k < 63
+),
+codes AS (
+  SELECT doc_id,
+         CAST(SUM(CASE WHEN k < 32 AND bit = 1
+                       THEN (1::BIGINT << k) ELSE 0 END) AS BIGINT) AS lo,
+         CAST(SUM(CASE WHEN k >= 32 AND bit = 1
+                       THEN (1::BIGINT << (k - 32)) ELSE 0 END) AS BIGINT) AS hi
+  FROM bits GROUP BY doc_id
+)
+SELECT id_a, id_b, hamming FROM (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         CAST(bit_count(xor(a.lo, b.lo))
+              + bit_count(xor(a.hi, b.hi)) AS INT) AS hamming
+  FROM codes a JOIN codes b ON a.doc_id < b.doc_id
+) WHERE hamming <= 3
+"""
+
+    # token-budget mixture: the two-pass bucketed prefix sum equals this
+    # single-partition running sum exactly (bucket ranges partition the
+    # hash space in order)
+    o["docs_token_budget_mix"] = f"""
+WITH t AS (
+  SELECT doc_id, source,
+    len(list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> ''))
+      AS n_tokens,
+    ('0x' || substr(md5('budget' || doc_id::VARCHAR), 1, 8))::BIGINT AS h
+  FROM documents
+),
+c AS (
+  SELECT doc_id, source, CAST(n_tokens AS BIGINT) AS n_tokens,
+    SUM(n_tokens) OVER (PARTITION BY source ORDER BY h, doc_id
+                        ROWS UNBOUNDED PRECEDING) AS cum
+  FROM t
+)
+SELECT doc_id, source, n_tokens, CAST(cum AS BIGINT) AS cum_tokens
+FROM c WHERE cum <= {_TOKEN_BUDGET}
+"""
+
+    # 8-gram novelty: distinct 60-bit gram hashes per doc, df via window,
+    # basis points by integer floor division (both engines floor on
+    # non-negative operands)
+    o["docs_ngram_novelty"] = """
+WITH toks AS (
+  SELECT doc_id,
+    list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '') AS t
+  FROM documents
+),
+g AS (
+  SELECT DISTINCT doc_id,
+    ('0x' || substr(md5(array_to_string(t[i + 1:i + 8], ' ')), 1, 15))::BIGINT
+      AS g
+  FROM toks, unnest(generate_series(0, len(t) - 8)) AS s(i)
+  WHERE len(t) >= 8
+),
+c AS (SELECT doc_id, g, COUNT(*) OVER (PARTITION BY g) AS gdf FROM g)
+SELECT doc_id, COUNT(*) AS n_grams,
+  CAST(SUM(CASE WHEN gdf > 1 THEN 1 ELSE 0 END) AS BIGINT) AS dup_grams,
+  CAST((COUNT(*) - SUM(CASE WHEN gdf > 1 THEN 1 ELSE 0 END)) * 10000
+       // COUNT(*) AS BIGINT) AS novelty_bp
+FROM c GROUP BY doc_id
+"""
+
+    # SQ8: exact floor(x·2^16) grid, per-dim integer [min, range], codes
+    # and reconstruction by non-negative integer multiply + floor div —
+    # bit-identical across engines
+    o["embedding_scalar_quant"] = f"""
+WITH q AS (
+  SELECT vec_id,
+    list_transform(embedding::DOUBLE[],
+                   x -> CAST(floor(x * 65536) AS BIGINT)) AS qv
+  FROM embeddings
+),
+d AS (
+  SELECT i, MIN(qv[i + 1]) AS mn,
+         GREATEST(MAX(qv[i + 1]) - MIN(qv[i + 1]), 1) AS rng
+  FROM q, unnest(generate_series(0, {_EMB_DIM - 1})) AS t(i)
+  GROUP BY i
+),
+st AS (SELECT list(mn ORDER BY i) AS mns, list(rng ORDER BY i) AS rngs FROM d),
+enc AS (
+  SELECT vec_id,
+    list_transform(range(0, {_EMB_DIM}), i ->
+      ((qv[i + 1] - mns[i + 1]) * 255) // rngs[i + 1]) AS codes,
+    list_transform(range(0, {_EMB_DIM}), i ->
+      qv[i + 1] - (mns[i + 1]
+        + ((((qv[i + 1] - mns[i + 1]) * 255) // rngs[i + 1]) * rngs[i + 1])
+          // 255)) AS errs
+  FROM q, st
+)
+SELECT vec_id, CAST(list_min(codes) AS BIGINT) AS code_min,
+       CAST(list_max(codes) AS BIGINT) AS code_max,
+       CAST(list_sum(codes) AS BIGINT) AS code_sum,
+       CAST(list_sum(list_transform(errs, e -> e * e)) AS BIGINT) AS err2
+FROM enc
 """
     return o
 

@@ -192,6 +192,15 @@ def main() -> None:
         "docs_ccnet_buckets",
         "audio_segments",
         "video_scene_cuts",
+        # round 9 (second batch): video delta-sign fingerprint near-dup
+        # (completes the image/audio/video trio through the one factored
+        # banded-Hamming join), the two-pass token-budget mixture
+        # sampler, per-doc 8-gram novelty, and SQ8 scalar quantization
+        # with exact reconstruction error
+        "media_video_fp_pairs",
+        "docs_token_budget_mix",
+        "docs_ngram_novelty",
+        "embedding_scalar_quant",
     ]
     # Offline-pass entries, benched in their own trailing loop: the
     # PassJoin edit-distance join and the exact containment verifier

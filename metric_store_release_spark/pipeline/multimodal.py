@@ -769,6 +769,66 @@ def video_scene_cuts(media: DataFrame, threshold: int = 12000) -> DataFrame:
     )
 
 
+VIDEO_FP_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType(), False),
+        StructField("vfp", LongType(), True),
+    ]
+)
+
+
+def video_fingerprint_codes(media: DataFrame, n_bits: int = 63) -> DataFrame:
+    """Temporal video fingerprint per clip: (doc_id, vfp) — the sign
+    pattern of successive inter-frame luma-sum deltas (bit k = 1 when
+    frame k+1's integer BT.601 luma sum strictly exceeds frame k's), the
+    video member of the delta-sign family behind audio dedup
+    (`audio_fingerprint_codes`) — cf. Coskun et al. 2006 (temporal
+    ordinal signatures for video copy detection). Invariant to any
+    monotone per-frame brightness rescale and to spatial detail below the
+    luma-sum aggregate, which is exactly the robustness a copy detector
+    wants. Integer-exact end-to-end: the decode emits integer luma sums
+    (`video_frame_luma_sums`), the bits are strict long comparisons, so a
+    SQL oracle replays every code from the raster bytes.
+
+    Plan shape: Arrow-batched decode → one per-clip window (bounded by
+    the clip's frame count — no corpus-wide sort) → hash-agg pack of
+    bit·2^k into ONE int64 ≤ 63 bits. Clips with fewer than n_bits+1
+    frames fingerprint as NULL (same round-9 contract as the audio
+    path); clips with < 2 frames produce no row at all (no delta
+    exists). Feed non-null codes to dedup.hamming_code_pairs."""
+    from pyspark.sql import Window
+
+    if n_bits > 63:
+        raise ValueError("delta-sign fingerprint must fit 63 bits")
+    luma = video_frame_luma_sums(media)
+    w = Window.partitionBy("doc_id").orderBy("frame_idx")
+    bits = (
+        luma.select(
+            "doc_id",
+            "frame_idx",
+            "luma_sum",
+            F.lag("luma_sum").over(w).alias("prev"),
+        )
+        .filter(F.col("prev").isNotNull() & (F.col("frame_idx") <= n_bits))
+        .select(
+            "doc_id",
+            F.when(
+                F.col("luma_sum") > F.col("prev"),
+                F.expr("shiftleft(CAST(1 AS BIGINT), frame_idx - 1)"),
+            )
+            .otherwise(F.lit(0).cast("long"))
+            .alias("bitval"),
+        )
+    )
+    packed = bits.groupBy("doc_id").agg(
+        F.sum("bitval").alias("code"), F.count(F.lit(1)).alias("n")
+    )
+    return packed.select(
+        "doc_id",
+        F.when(F.col("n") >= n_bits, F.col("code")).alias("vfp"),
+    )
+
+
 def ppm_video_from_documents(
     documents: DataFrame, n_frames: int = 4
 ) -> DataFrame:

@@ -1163,3 +1163,139 @@ def dsir_select(
     out = w.orderBy(F.col("liw").desc(), F.col(id_col).asc()).limit(n)
     out._index_cache = w._index_cache
     return out
+
+
+def token_budget_mixture(
+    df: DataFrame,
+    budget_tokens: int,
+    source_col: str = "source",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    salt: str = "budget",
+    n_buckets: int = 64,
+) -> DataFrame:
+    """Token-budget mixture sampling: per source (domain), keep documents
+    in deterministic-hash order until the source's cumulative token count
+    reaches ``budget_tokens`` — the real pretraining-mixture contract
+    (budgets are TOKENS, not document counts; cf. The Pile / Dolma domain
+    token budgets), deterministic and prefix-consistent under the
+    hash_bucket rule every other sampler shares.
+
+    Semantics: order each source's docs by (hash_bucket(id, salt), id),
+    take the running token sum INCLUSIVE of the current doc, keep rows
+    with cum_tokens <= budget (a doc that would overflow the budget is
+    dropped, as is everything after it in hash order).
+
+    100 TB plan shape — a naive ``SUM() OVER (PARTITION BY source ORDER
+    BY hash)`` funnels each source's entire corpus through ONE task (a
+    handful of sources -> a handful of straggler partitions). This is the
+    two-pass distributed prefix sum instead: the 32-bit hash space is cut
+    into ``n_buckets`` ordered ranges, pass 1 is a hash-agg of per-(source,
+    bucket) token totals collected to the driver (bounded by construction:
+    n_sources x n_buckets rows), pass 2 adds the bucket-prefix offset to a
+    WITHIN-BUCKET running sum, so the widest window partition is
+    1/n_buckets of a source. Bucket ranges partition the hash space in
+    order, so offset + within-bucket sum == the single-partition global
+    sum exactly. Output: (doc_id, source, n_tokens, cum_tokens)."""
+    if n_buckets & (n_buckets - 1) or n_buckets <= 0:
+        raise ValueError("n_buckets must be a power of two")
+    from pyspark.sql import Window
+    from pyspark.storagelevel import StorageLevel
+
+    shift = 32 - (n_buckets.bit_length() - 1)
+    base = df.select(
+        F.col(id_col),
+        F.col(source_col).alias("source"),
+        F.size(tokens(F.col(text_col))).cast("long").alias("n_tokens"),
+        hash_bucket(F.col(id_col), salt).alias("__h"),
+    ).withColumn(
+        "__b", F.shiftrightunsigned(F.col("__h"), shift).cast("int")
+    )
+    base = base.persist(StorageLevel.MEMORY_AND_DISK)
+    # pass 1: per-(source, bucket) totals -> exclusive prefix offsets.
+    # The collect is bounded by construction (n_sources x n_buckets).
+    totals = (
+        base.groupBy("source", "__b")
+        .agg(F.sum("n_tokens").alias("t"))
+        .collect()
+    )
+    per_src: dict[str, list] = {}
+    for r in totals:
+        per_src.setdefault(r["source"], []).append((r["__b"], r["t"]))
+    offsets = []
+    for src, rows in per_src.items():
+        acc = 0
+        for b, t in sorted(rows):
+            offsets.append((src, b, acc))
+            acc += t
+    spark = df.sparkSession
+    off = spark.createDataFrame(
+        offsets, schema="source string, __b int, __off long"
+    )
+    # pass 2: within-bucket running sum + bucket offset
+    w = (
+        Window.partitionBy("source", "__b")
+        .orderBy("__h", id_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    out = (
+        base.join(F.broadcast(off), ["source", "__b"])
+        .withColumn(
+            "cum_tokens", F.col("__off") + F.sum("n_tokens").over(w)
+        )
+        .filter(F.col("cum_tokens") <= F.lit(int(budget_tokens)))
+        .select(id_col, "source", "n_tokens", "cum_tokens")
+    )
+    out._index_cache = base  # caller releases after materializing
+    return out
+
+
+def ngram_novelty(
+    df: DataFrame,
+    n: int = 8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-document n-gram novelty — the memorization-risk screen: the
+    share of a document's DISTINCT word n-grams that appear in no other
+    document (document frequency 1). Low novelty means the doc is stitched
+    from corpus-repeated spans (boilerplate, templates, near-dup debris
+    that survived pair-level dedup); the metric is the per-doc summary of
+    the duplicate-text mass ExactSubstr-style span dedup removes
+    (Lee et al. 2022 measure duplication by exactly this kind of
+    cross-document repeated-n-gram mass).
+
+    Integer-exact: grams hash to 60-bit md5 words (hash collisions are
+    part of the defined answer — the oracle replays the identical hash),
+    novelty reported in basis points via integer division. Docs with
+    fewer than ``n`` tokens have no grams and produce no row.
+
+    Plan shape: per-doc dedup happens MAP-SIDE (array_distinct on the
+    gram array before the explode — no distinct shuffle exists), then
+    exactly two exchanges: document frequency via a window over the
+    gram partition (one shuffle by 8-byte gram key, no join back), and
+    the per-doc hash-agg. Nothing is ever all-pairs and the gram keys
+    are longs, not strings."""
+    toks = tokens(F.col(text_col))
+    grams = F.transform(
+        F.sequence(F.lit(0), F.size(toks) - n),
+        lambda i: hex_word(
+            F.md5(F.concat_ws(" ", F.slice(toks, i + 1, n))), 1, 15
+        ),
+    )
+    gram_rows = df.filter(F.size(toks) >= n).select(
+        F.col(id_col), F.explode(F.array_distinct(grams)).alias("g")
+    )
+    from pyspark.sql import Window
+
+    cnt = gram_rows.withColumn(
+        "gdf", F.count(F.lit(1)).over(Window.partitionBy("g"))
+    )
+    return cnt.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_grams"),
+        F.sum(F.when(F.col("gdf") > 1, 1).otherwise(0)).alias("dup_grams"),
+        F.expr(
+            "CAST((count(1) - sum(CASE WHEN gdf > 1 THEN 1 ELSE 0 END)) "
+            "* 10000 DIV count(1) AS BIGINT)"
+        ).alias("novelty_bp"),
+    )

@@ -2328,3 +2328,204 @@ def test_video_scene_cuts_hand_case(spark):
     ]
     assert got == [(2, delta)]
     assert video_scene_cuts(media, threshold=delta + 1).count() == 0
+
+
+def test_video_fingerprint_hand_case(spark):
+    """Constant-byte frames give a hand-computable luma sequence: bit k
+    is set iff frame k+1 is strictly brighter than frame k. Clips
+    shorter than n_bits+1 frames fingerprint as NULL (audio-path
+    contract); a 1-frame clip (no delta exists) produces no row."""
+    from metric_store_release_spark.pipeline.multimodal import (
+        video_fingerprint_codes,
+    )
+
+    def frame(byte):
+        return b"P6\n4 2\n255\n" + bytes([byte] * 24)
+
+    # luma order: 10<60, 60>20, 20<30, 30<40, 40>5 -> bits 1,0,1,1,0
+    bright = [10, 60, 20, 30, 40, 5]
+    media = spark.createDataFrame(
+        [
+            (1, "video/x-netpbm-stream", b"".join(frame(b) for b in bright)),
+            (2, "video/x-netpbm-stream", frame(9) + frame(8)),  # too short
+            (3, "video/x-netpbm-stream", frame(7)),  # single frame
+        ],
+        "doc_id long, media_type string, payload binary",
+    )
+    got = {
+        r["doc_id"]: r["vfp"]
+        for r in video_fingerprint_codes(media, n_bits=5).collect()
+    }
+    assert got == {1: 0b01101, 2: None}  # doc 3 emits no row
+
+
+def test_video_fingerprint_brightness_invariance(spark):
+    """Doubling every raster byte (a monotone brightness rescale) doubles
+    every luma sum but preserves every strict ordering -> identical
+    code, the invariance a video copy detector needs."""
+    from metric_store_release_spark.pipeline.multimodal import (
+        video_fingerprint_codes,
+    )
+
+    def clip(doc_id, scale):
+        frames = b"".join(
+            b"P6\n4 2\n255\n" + bytes([b * scale] * 24)
+            for b in [10, 60, 20, 30, 40, 5]
+        )
+        return (doc_id, "video/x-netpbm-stream", frames)
+
+    media = spark.createDataFrame(
+        [clip(1, 1), clip(2, 2)],
+        "doc_id long, media_type string, payload binary",
+    )
+    got = {
+        r["doc_id"]: r["vfp"]
+        for r in video_fingerprint_codes(media, n_bits=5).collect()
+    }
+    assert got[1] == got[2] == 0b01101
+
+
+def test_token_budget_mixture_matches_global_prefix_sum(spark):
+    """The two-pass bucketed prefix sum must equal the naive global
+    running sum per source, for any bucket count; smaller budgets select
+    a strict hash-order prefix of larger ones (no knapsack reordering)."""
+    import hashlib
+
+    from metric_store_release_spark.pipeline.dedup import (
+        release_index_cache,
+    )
+    from metric_store_release_spark.pipeline.text import (
+        token_budget_mixture,
+    )
+
+    rows = [
+        (i, f"src{i % 3}", " ".join(f"w{j}" for j in range(3 + i % 7)))
+        for i in range(60)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, source string, text string")
+
+    def expected(budget):
+        h = lambda i: int(
+            hashlib.md5(f"budget{i}".encode()).hexdigest()[:8], 16
+        )
+        out = {}
+        by_src = {}
+        for i, src, text in rows:
+            by_src.setdefault(src, []).append((h(i), i, len(text.split())))
+        for src, docs in by_src.items():
+            acc = 0
+            for hh, i, n in sorted(docs):
+                acc += n
+                if acc <= budget:
+                    out[i] = (src, n, acc)
+        return out
+
+    for budget in (0, 17, 50, 10_000):
+        for n_buckets in (1, 4, 64):
+            got_df = token_budget_mixture(
+                df, budget, n_buckets=n_buckets
+            )
+            got = {
+                r["doc_id"]: (r["source"], r["n_tokens"], r["cum_tokens"])
+                for r in got_df.collect()
+            }
+            release_index_cache(got_df)
+            assert got == expected(budget), (budget, n_buckets)
+    # prefix consistency across budgets
+    small = set(expected(17)) if expected(17) else set()
+    assert small <= set(expected(50)) <= set(expected(10_000))
+
+
+def test_token_budget_mixture_rejects_bad_buckets(spark):
+    import pytest as _pytest
+
+    from metric_store_release_spark.pipeline.text import (
+        token_budget_mixture,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "a", "x y")], "doc_id long, source string, text string"
+    )
+    with _pytest.raises(ValueError):
+        token_budget_mixture(df, 10, n_buckets=48)
+
+
+def test_ngram_novelty_hand_case(spark):
+    """Doc A (9 tokens) has two 8-grams, the first shared with doc B
+    (exactly A's first 8 tokens) -> A is half novel, B fully duplicated,
+    C fully novel; a 7-token doc has no grams and no row. Basis points
+    use integer floor division."""
+    from metric_store_release_spark.pipeline.text import ngram_novelty
+
+    a = " ".join(f"t{j}" for j in range(9))
+    b = " ".join(f"t{j}" for j in range(8))
+    c = " ".join(f"u{j}" for j in range(8))
+    d = " ".join(f"v{j}" for j in range(7))
+    df = spark.createDataFrame(
+        [(1, a), (2, b), (3, c), (4, d)], "doc_id long, text string"
+    )
+    got = {
+        r["doc_id"]: (r["n_grams"], r["dup_grams"], r["novelty_bp"])
+        for r in ngram_novelty(df, n=8).collect()
+    }
+    assert got == {1: (2, 1, 5000), 2: (1, 1, 0), 3: (1, 0, 10000)}
+
+
+def test_ngram_novelty_repeated_gram_counts_once(spark):
+    """Within-doc repeats of the same gram dedup map-side: a doc that is
+    one 8-gram twice over contributes ONE distinct gram, and a single
+    other doc sharing it makes both fully duplicated."""
+    from metric_store_release_spark.pipeline.text import ngram_novelty
+
+    eight = " ".join(f"t{j}" for j in range(8))
+    df = spark.createDataFrame(
+        [(1, eight + " " + eight), (2, eight)],
+        "doc_id long, text string",
+    )
+    got = {
+        r["doc_id"]: (r["n_grams"], r["dup_grams"], r["novelty_bp"])
+        for r in ngram_novelty(df, n=8).collect()
+    }
+    # doc 1: 16 tokens -> 9 windows, all rotations of t0..t7; window 0
+    # and window 8 coincide -> 8 DISTINCT grams, of which exactly the
+    # aligned rotation (t0..t7) also appears in doc 2
+    assert got[2][1] == 1 and got[2][2] == 0
+    n, dup, bp = got[1]
+    assert (n, dup) == (8, 1)
+    assert bp == (n - dup) * 10000 // n
+
+
+def test_scalar_quant_stats_hand_case(spark):
+    """Dyadic inputs hit the floor(x*2^16) grid exactly; codes follow the
+    integer formula per dimension (constant dims clamp the range to 1
+    and reconstruct exactly), and err2 is the exact squared integer
+    reconstruction error."""
+    from metric_store_release_spark.pipeline.similarity import (
+        scalar_quant_stats,
+    )
+
+    def vec(qs):
+        return [q / 65536.0 for q in qs]
+
+    df = spark.createDataFrame(
+        [
+            (1, vec([0, 0, 5, 7])),
+            (2, vec([255, 10, 5, 7])),
+            (3, vec([100, 20, 5, 7])),
+        ],
+        "vec_id long, embedding array<double>",
+    )
+    got = {
+        r["vec_id"]: (
+            r["code_min"], r["code_max"], r["code_sum"], r["err2"]
+        )
+        for r in scalar_quant_stats(df).collect()
+    }
+    # d0: rng 255 -> codes (0, 255, 100), exact recon
+    # d1: rng 20 -> codes (0, 127, 255); vec2 recon 9 -> err 1
+    # d2/d3: constant -> rng clamps to 1, code 0, exact recon
+    assert got == {
+        1: (0, 0, 0, 0),
+        2: (0, 255, 255 + 127, 1),
+        3: (0, 255, 100 + 255, 0),
+    }
