@@ -538,6 +538,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["docs_token_budget_mix"] = _docs_token_budget_mix
     q["docs_ngram_novelty"] = _docs_ngram_novelty
     q["embedding_scalar_quant"] = _embedding_scalar_quant
+    q["docs_fuzzy_decontamination"] = _docs_fuzzy_decontamination
     q["promql_federated_selector"] = _promql_federated_selector
     q["promql_sum_by_user_federated"] = _promql_sum_by_user_federated
     q["dedup_components"] = _dedup_components
@@ -729,6 +730,7 @@ _DEBUTS = [
     "audio_segments", "video_scene_cuts",
     "media_video_fp_pairs", "docs_token_budget_mix",
     "docs_ngram_novelty", "embedding_scalar_quant",
+    "docs_fuzzy_decontamination",
     "embedding_semdedup", "embedding_ann_pq", "media_audio_fp_pairs",
     "events_hll_dau_wau",
 ]
@@ -3059,6 +3061,25 @@ def _docs_bloom_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bloom_contamination(docs, bench, window_n=13)
 
 
+def _docs_fuzzy_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fuzzy (near-duplicate) benchmark decontamination
+    (`pipeline.dedup.fuzzy_contamination`): MinHash-LSH candidates
+    between a planted LIGHTLY-EDITED benchmark (every 25th doc,
+    id-shifted, two words appended — the exact-13-gram passes still
+    catch the unedited grams, but a pure exact-match contract is what
+    editing defeats) and the corpus band index, verified by exact
+    shingle Jaccard in integer percent (>= 80). Corpus banded once,
+    probe cost ∝ benchmark, verify touches candidate docs only."""
+    from metric_store_release_spark.pipeline.dedup import fuzzy_contamination
+
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    bench = docs.filter(F.col("doc_id") % _PLANT_EVERY == 0).select(
+        (F.col("doc_id") + F.lit(_PLANT_OFFSET)).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" xz qv")).alias("text"),
+    )
+    return fuzzy_contamination(docs, bench)
+
+
 def _events_latency_pctl(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact interpolated percentiles per event type (`F.percentile` ==
     ANSI quantile_cont linear interpolation): single hash aggregation."""
@@ -5167,6 +5188,7 @@ HAVING n_removed > 0
     o["docs_wordpiece_tokens"] = maxmatch_token_counts_oracle_sql()
 
     o["dedup_minhash_lsh"] = _minhash_oracle()
+    o["docs_fuzzy_decontamination"] = _fuzzy_decontamination_oracle()
 
     o["dedup_incremental"] = _incremental_oracle()
 
@@ -6200,6 +6222,52 @@ def _minhash_oracle(num_hashes: int = 8, bands: int = 4, shingle_n: int = 3) -> 
     return f"""
 WITH {_minhash_pairs_ctes(num_hashes, bands, shingle_n)}
 SELECT id_a, id_b FROM pairs
+"""
+
+
+def _fuzzy_decontamination_oracle(
+    num_hashes: int = 8,
+    bands: int = 4,
+    shingle_n: int = 3,
+    threshold_pct: int = 80,
+) -> str:
+    """`fuzzy_contamination` replay: band the corpus and the edited
+    benchmark independently (the same stacked CTEs as incremental
+    dedup), candidates from (band_id, bh) collisions, then exact
+    shingle-Jaccard verification in integer percent over the SAME
+    list_distinct shingle lists the banding used — LSH recall and every
+    border-case integer division are part of the checked answer."""
+    bench_src = (
+        f"(SELECT doc_id + {_PLANT_OFFSET} AS doc_id, text || ' xz qv' "
+        f"AS text FROM documents WHERE doc_id % {_PLANT_EVERY} = 0)"
+    )
+    return f"""
+WITH {_minhash_stacked_ctes("documents", "", num_hashes, bands, shingle_n)},
+{_minhash_stacked_ctes(bench_src, "b_", num_hashes, bands, shingle_n)},
+cand AS (
+  SELECT DISTINCT b.doc_id AS bench_id, s.doc_id AS corpus_id
+  FROM b_stacked b JOIN stacked s
+    ON b.band_id = s.band_id AND b.bh = s.bh
+),
+ix AS (
+  SELECT c.bench_id, c.corpus_id, COUNT(*) AS inter
+  FROM cand c
+  JOIN flat cf ON cf.doc_id = c.corpus_id
+  JOIN b_flat bf ON bf.doc_id = c.bench_id AND bf.sh = cf.sh
+  GROUP BY 1, 2
+),
+sz AS (SELECT doc_id, len(shingles) AS n FROM sh),
+b_sz AS (SELECT doc_id, len(shingles) AS n FROM b_sh)
+SELECT bench_id, corpus_id, inter, size_bench, size_corpus, jacc_pct
+FROM (
+  SELECT i.bench_id, i.corpus_id, i.inter,
+         b_sz.n AS size_bench, sz.n AS size_corpus,
+         CAST(i.inter * 100 // (b_sz.n + sz.n - i.inter) AS BIGINT)
+           AS jacc_pct
+  FROM ix i
+  JOIN sz ON sz.doc_id = i.corpus_id
+  JOIN b_sz ON b_sz.doc_id = i.bench_id
+) WHERE jacc_pct >= {threshold_pct}
 """
 
 

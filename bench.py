@@ -201,6 +201,11 @@ def main() -> None:
         "docs_token_budget_mix",
         "docs_ngram_novelty",
         "embedding_scalar_quant",
+        # round 9: MinHash fuzzy benchmark decontamination — corpus
+        # banded once, probe cost ∝ benchmark, exact-Jaccard verify on
+        # candidates only (compare docs_bloom_contamination for the
+        # exact-gram probe's cost)
+        "docs_fuzzy_decontamination",
     ]
     # Offline-pass entries, benched in their own trailing loop: the
     # PassJoin edit-distance join and the exact containment verifier

@@ -1735,3 +1735,94 @@ def bloom_flag_docs(
     return s3.select(
         "*", F.exists(F.col("__g"), _all_bits).alias(flag_col)
     ).drop("__g")
+
+
+def fuzzy_contamination(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 8,
+    bands: int = 4,
+    shingle_n: int = 3,
+    threshold_pct: int = 80,
+) -> DataFrame:
+    """Cross-corpus NEAR-duplicate decontamination: MinHash-LSH candidates
+    between an eval benchmark and the training corpus, verified by EXACT
+    word-shingle Jaccard in integer percent. The fuzzy complement to the
+    exact 13-gram pass (:func:`ngram_contamination`) and the Bloom probe
+    (:func:`bloom_contamination`): exact n-gram collision misses
+    benchmark items that were lightly edited before landing in the crawl
+    (reworded answers, re-hosted with boilerplate), which is precisely
+    the case near-dup decontamination exists for (GPT-3's appendix-C
+    dedup used 13-gram overlap; later pipelines moved to MinHash-style
+    fuzzy matching against benchmarks).
+
+    Output: (bench_id, corpus_id, inter, size_bench, size_corpus,
+    jacc_pct) for candidate pairs with Jaccard >= threshold_pct, where
+    jacc_pct = (|A∩B|·100) div (|A|+|B|−|A∩B|) — all integers, so an SQL
+    oracle replays every border case bit-for-bit. LSH recall (a pair
+    must collide in >= 1 of the ``bands`` band hashes) is part of the
+    defined answer, exactly as in :func:`minhash_lsh_candidates`.
+
+    100 TB shape: the corpus is banded ONCE (`minhash_band_table` — the
+    persistable index; in production write it bucketed and reuse it
+    across benchmark sweeps), the benchmark bands map-side and probes
+    with one equi-join (cost ∝ benchmark, `minhash_match`), and the
+    exact-Jaccard verify touches only CANDIDATE corpus docs (the
+    candidate id set semi-joins into the corpus shingle scan before
+    anything pairwise happens). Nothing is ever corpus × benchmark.
+    The pinned candidate-doc shingle table is caller-owned via
+    ``_index_cache``."""
+    bands_tbl = minhash_band_table(
+        corpus, text_col, id_col, num_hashes, bands, shingle_n
+    )
+    cands = minhash_match(
+        benchmark, bands_tbl, text_col, id_col, num_hashes, bands, shingle_n
+    ).select(
+        F.col("batch_id").alias("bench_id"),
+        F.col("index_id").alias("corpus_id"),
+    )
+    corp_sh = (
+        corpus.select(
+            F.col(id_col).alias("corpus_id"),
+            F.explode(_word_shingles(F.col(text_col), shingle_n)).alias("s"),
+        )
+        .join(cands.select("corpus_id").distinct(), "corpus_id", "left_semi")
+        .persist()
+    )
+    corp_sh.count()  # blocking: sizes + intersection both read it
+    bench_sh = benchmark.select(
+        F.col(id_col).alias("bench_id"),
+        F.explode(_word_shingles(F.col(text_col), shingle_n)).alias("s"),
+    )
+    corp_sizes = corp_sh.groupBy("corpus_id").agg(
+        F.count(F.lit(1)).alias("size_corpus")
+    )
+    bench_sizes = bench_sh.groupBy("bench_id").agg(
+        F.count(F.lit(1)).alias("size_bench")
+    )
+    inter = (
+        cands.join(corp_sh, "corpus_id")
+        .join(bench_sh, ["bench_id", "s"])
+        .groupBy("bench_id", "corpus_id")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    out = (
+        inter.join(bench_sizes, "bench_id")
+        .join(corp_sizes, "corpus_id")
+        .select(
+            "bench_id",
+            "corpus_id",
+            "inter",
+            "size_bench",
+            "size_corpus",
+            F.expr(
+                "CAST(inter * 100 DIV (size_bench + size_corpus - inter)"
+                " AS BIGINT)"
+            ).alias("jacc_pct"),
+        )
+        .filter(F.col("jacc_pct") >= F.lit(int(threshold_pct)))
+    )
+    out._index_cache = corp_sh
+    return out

@@ -2529,3 +2529,58 @@ def test_scalar_quant_stats_hand_case(spark):
         2: (0, 255, 255 + 127, 1),
         3: (0, 255, 100 + 255, 0),
     }
+
+
+def test_fuzzy_contamination_hand_case(spark):
+    """An edited copy of doc 1 (two appended words) is caught with the
+    exact integer Jaccard; an unrelated benchmark doc matches nothing;
+    heavy edits fall below the threshold and are excluded."""
+    from metric_store_release_spark.pipeline.dedup import (
+        fuzzy_contamination,
+        release_index_cache,
+    )
+
+    base = " ".join(f"w{j}" for j in range(20))
+    corpus = spark.createDataFrame(
+        [(1, base), (2, " ".join(f"z{j}" for j in range(20)))],
+        "doc_id long, text string",
+    )
+    bench = spark.createDataFrame(
+        [
+            (101, base + " xz qv"),  # light edit of doc 1
+            (102, " ".join(f"q{j}" for j in range(20))),  # unrelated
+        ],
+        "doc_id long, text string",
+    )
+    out = fuzzy_contamination(corpus, bench, threshold_pct=80)
+    rows = {(r["bench_id"], r["corpus_id"]): r for r in out.collect()}
+    release_index_cache(out)
+    assert set(rows) == {(101, 1)}
+    r = rows[(101, 1)]
+    # 20 tokens -> 18 distinct 3-shingles; +2 words -> 20 shingles, all
+    # 18 originals shared: J = 18 / (18 + 20 - 18) = 90%
+    assert (r["inter"], r["size_bench"], r["size_corpus"]) == (18, 20, 18)
+    assert r["jacc_pct"] == 90
+
+
+def test_fuzzy_contamination_threshold_excludes_weak_overlap(spark):
+    """A benchmark doc sharing only half its shingles with the corpus doc
+    sits far below 80% Jaccard and must not be reported, even though LSH
+    may surface it as a candidate."""
+    from metric_store_release_spark.pipeline.dedup import (
+        fuzzy_contamination,
+        release_index_cache,
+    )
+
+    first = " ".join(f"w{j}" for j in range(10))
+    corpus = spark.createDataFrame(
+        [(1, first + " " + " ".join(f"a{j}" for j in range(10)))],
+        "doc_id long, text string",
+    )
+    bench = spark.createDataFrame(
+        [(101, first + " " + " ".join(f"b{j}" for j in range(10)))],
+        "doc_id long, text string",
+    )
+    out = fuzzy_contamination(corpus, bench, threshold_pct=80)
+    assert out.count() == 0
+    release_index_cache(out)
