@@ -240,6 +240,41 @@ def substring_spans_counts(spark, sf_dir: str) -> dict:
     }
 
 
+def fuzzy_decon_counts(spark, sf_dir: str) -> dict:
+    """LSH candidate volume of the round-9 fuzzy decontamination probe on
+    the DECLARED fixture (edited copies of every 25th doc as the
+    benchmark): candidates should stay ∝ benchmark size (the corpus term
+    enters only through band-bucket occupancy), and verified pairs track
+    the plant count."""
+    import __spark_entry__ as e
+
+    from metric_store_release_spark.pipeline.dedup import (
+        fuzzy_contamination,
+        minhash_band_table,
+        minhash_match,
+        release_index_cache,
+    )
+
+    docs = e._docs(spark, sf_dir).select("doc_id", "text")
+    bench = docs.filter(F.col("doc_id") % e._PLANT_EVERY == 0).select(
+        (F.col("doc_id") + F.lit(e._PLANT_OFFSET)).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" xz qv")).alias("text"),
+    )
+    bands_tbl = minhash_band_table(docs)
+    cands = minhash_match(bench, bands_tbl)
+    out = {
+        "op": "docs_fuzzy_decontamination",
+        "sf_dir": sf_dir,
+        "corpus_docs": docs.count(),
+        "bench_docs": bench.count(),
+        "cand_pairs": cands.count(),
+    }
+    res = fuzzy_contamination(docs, bench)
+    out["verified_pairs"] = res.count()
+    release_index_cache(res)
+    return out
+
+
 def main() -> None:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
     which = sys.argv[2] if len(sys.argv) > 2 else "both"
@@ -255,6 +290,8 @@ def main() -> None:
         print(json.dumps(semdedup_counts(spark, sf_dir)), flush=True)
     if which in ("substring_spans", "both"):
         print(json.dumps(substring_spans_counts(spark, sf_dir)), flush=True)
+    if which in ("fuzzy_decon", "both"):
+        print(json.dumps(fuzzy_decon_counts(spark, sf_dir)), flush=True)
 
 
 if __name__ == "__main__":
