@@ -2947,7 +2947,15 @@ def _media_video_fp_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         video_fingerprint_codes,
     )
 
-    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    # The sf0.1 fixture is ONE parquet file — without a repartition the
+    # CPU-bound 64-frame Arrow decode serializes onto a single task
+    # (measured 10.7 vs 3.0 s at sf0.1). A real corpus arrives in many
+    # files; this stands in for that input parallelism.
+    docs = (
+        _docs(spark, sf_dir)
+        .select("doc_id", "text")
+        .repartition(spark.sparkContext.defaultParallelism)
+    )
     base = ppm_video_from_documents(docs, n_frames=64)
     plant_frames = [F.lit("P6\n4 2\n255\n" + "0" * 24)] + [
         F.concat(
@@ -5871,29 +5879,11 @@ SELECT doc_id, source, n_tokens, CAST(cum AS BIGINT) AS cum_tokens
 FROM c WHERE cum <= {_TOKEN_BUDGET}
 """
 
-    # 8-gram novelty: distinct 60-bit gram hashes per doc, df via window,
-    # basis points by integer floor division (both engines floor on
-    # non-negative operands)
-    o["docs_ngram_novelty"] = """
-WITH toks AS (
-  SELECT doc_id,
-    list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '') AS t
-  FROM documents
-),
-g AS (
-  SELECT DISTINCT doc_id,
-    ('0x' || substr(md5(array_to_string(t[i + 1:i + 8], ' ')), 1, 15))::BIGINT
-      AS g
-  FROM toks, unnest(generate_series(0, len(t) - 8)) AS s(i)
-  WHERE len(t) >= 8
-),
-c AS (SELECT doc_id, g, COUNT(*) OVER (PARTITION BY g) AS gdf FROM g)
-SELECT doc_id, COUNT(*) AS n_grams,
-  CAST(SUM(CASE WHEN gdf > 1 THEN 1 ELSE 0 END) AS BIGINT) AS dup_grams,
-  CAST((COUNT(*) - SUM(CASE WHEN gdf > 1 THEN 1 ELSE 0 END)) * 10000
-       // COUNT(*) AS BIGINT) AS novelty_bp
-FROM c GROUP BY doc_id
-"""
+    # 8-gram novelty: the substring-spans double-poly window-gram fold
+    # (md5 once per token, long-wise fold — the gram-string first cut
+    # re-evaluated tokenization per hex digit and measured 109 s at
+    # sf0.1), df via window, basis points by integer floor division
+    o["docs_ngram_novelty"] = _ngram_novelty_oracle()
 
     # SQ8: exact floor(x·2^16) grid, per-dim integer [min, range], codes
     # and reconstruction by non-negative integer multiply + floor div —
@@ -7070,6 +7060,30 @@ SELECT query_id, vec_id, cos_sim, rank FROM (
   FROM scored) WHERE rank <= {k}
 """
     )
+
+
+def _ngram_novelty_oracle(window_n: int = 8) -> str:
+    """`text.ngram_novelty` replay: the same double-poly window-gram
+    table as the substring/contamination oracles (whole-run window for
+    short docs included), per-gram df via a window, integer basis
+    points."""
+    from metric_store_release_spark.pipeline.dedup import SUBSTR_P1, SUBSTR_P2
+
+    p1, p2 = SUBSTR_P1, SUBSTR_P2
+    weights = ", ".join(
+        f"({e}, {pow(31, e, p1)}, {pow(31, e, p2)})" for e in range(window_n)
+    )
+    return f"""
+WITH wt(e, w1, w2) AS (VALUES {weights}),{_contamination_grams_cte('documents', 'c', window_n, p1, p2)},
+cnt AS (
+  SELECT doc_id, COUNT(*) OVER (PARTITION BY h1, h2) AS gdf FROM grams_c
+)
+SELECT doc_id, COUNT(*) AS n_grams,
+  CAST(SUM(CASE WHEN gdf > 1 THEN 1 ELSE 0 END) AS BIGINT) AS dup_grams,
+  CAST((COUNT(*) - SUM(CASE WHEN gdf > 1 THEN 1 ELSE 0 END)) * 10000
+       // COUNT(*) AS BIGINT) AS novelty_bp
+FROM cnt GROUP BY doc_id
+"""
 
 
 def _contamination_grams_cte(

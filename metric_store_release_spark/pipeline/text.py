@@ -1265,31 +1265,33 @@ def ngram_novelty(
     (Lee et al. 2022 measure duplication by exactly this kind of
     cross-document repeated-n-gram mass).
 
-    Integer-exact: grams hash to 60-bit md5 words (hash collisions are
-    part of the defined answer — the oracle replays the identical hash),
-    novelty reported in basis points via integer division. Docs with
-    fewer than ``n`` tokens have no grams and produce no row.
+    Integer-exact: grams are the double-poly-hash window table of
+    :func:`~metric_store_release_spark.pipeline.dedup._window_gram_table`
+    (md5 once per TOKEN, windows folded long-wise — hash collisions are
+    part of the defined answer; the oracle replays the identical fold),
+    novelty reported in basis points via integer division. Docs shorter
+    than ``n`` tokens hash their whole token run as one window (the gram
+    table's contract); empty docs produce no row.
 
-    Plan shape: per-doc dedup happens MAP-SIDE (array_distinct on the
-    gram array before the explode — no distinct shuffle exists), then
-    exactly two exchanges: document frequency via a window over the
-    gram partition (one shuffle by 8-byte gram key, no join back), and
-    the per-doc hash-agg. Nothing is ever all-pairs and the gram keys
-    are longs, not strings."""
-    toks = tokens(F.col(text_col))
-    grams = F.transform(
-        F.sequence(F.lit(0), F.size(toks) - n),
-        lambda i: hex_word(
-            F.md5(F.concat_ws(" ", F.slice(toks, i + 1, n))), 1, 15
-        ),
-    )
-    gram_rows = df.filter(F.size(toks) >= n).select(
-        F.col(id_col), F.explode(F.array_distinct(grams)).alias("g")
-    )
+    Plan shape: per-doc dedup happens MAP-SIDE inside the gram table
+    (array_distinct on the zipped window hashes — no distinct shuffle
+    exists), then exactly two exchanges: document frequency via a window
+    over the (h1, h2) gram partition (one shuffle by two long keys, no
+    join back), and the per-doc hash-agg. Nothing is ever all-pairs and
+    no gram STRING is ever materialized — a first cut that md5-hashed
+    concat_ws window strings inside a transform lambda re-evaluated the
+    tokenization per hex digit read (SCALING #13's Generate caveat) and
+    measured 109 s at sf0.1; this form is the substring-spans gram path
+    and measures ~2 s."""
     from pyspark.sql import Window
 
+    from metric_store_release_spark.pipeline.dedup import (
+        _window_gram_table,
+    )
+
+    gram_rows = _window_gram_table(df, text_col, id_col, n)
     cnt = gram_rows.withColumn(
-        "gdf", F.count(F.lit(1)).over(Window.partitionBy("g"))
+        "gdf", F.count(F.lit(1)).over(Window.partitionBy("h1", "h2"))
     )
     return cnt.groupBy(id_col).agg(
         F.count(F.lit(1)).alias("n_grams"),

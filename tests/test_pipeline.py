@@ -2334,7 +2334,7 @@ def test_video_fingerprint_hand_case(spark):
     """Constant-byte frames give a hand-computable luma sequence: bit k
     is set iff frame k+1 is strictly brighter than frame k. Clips
     shorter than n_bits+1 frames fingerprint as NULL (audio-path
-    contract); a 1-frame clip (no delta exists) produces no row."""
+    contract), including a 1-frame clip."""
     from metric_store_release_spark.pipeline.multimodal import (
         video_fingerprint_codes,
     )
@@ -2356,7 +2356,7 @@ def test_video_fingerprint_hand_case(spark):
         r["doc_id"]: r["vfp"]
         for r in video_fingerprint_codes(media, n_bits=5).collect()
     }
-    assert got == {1: 0b01101, 2: None}  # doc 3 emits no row
+    assert got == {1: 0b01101, 2: None, 3: None}
 
 
 def test_video_fingerprint_brightness_invariance(spark):
@@ -2453,7 +2453,8 @@ def test_token_budget_mixture_rejects_bad_buckets(spark):
 def test_ngram_novelty_hand_case(spark):
     """Doc A (9 tokens) has two 8-grams, the first shared with doc B
     (exactly A's first 8 tokens) -> A is half novel, B fully duplicated,
-    C fully novel; a 7-token doc has no grams and no row. Basis points
+    C fully novel; a 7-token doc hashes its whole run as ONE window (the
+    gram table's short-doc contract) and is fully novel. Basis points
     use integer floor division."""
     from metric_store_release_spark.pipeline.text import ngram_novelty
 
@@ -2468,7 +2469,12 @@ def test_ngram_novelty_hand_case(spark):
         r["doc_id"]: (r["n_grams"], r["dup_grams"], r["novelty_bp"])
         for r in ngram_novelty(df, n=8).collect()
     }
-    assert got == {1: (2, 1, 5000), 2: (1, 1, 0), 3: (1, 0, 10000)}
+    assert got == {
+        1: (2, 1, 5000),
+        2: (1, 1, 0),
+        3: (1, 0, 10000),
+        4: (1, 0, 10000),
+    }
 
 
 def test_ngram_novelty_repeated_gram_counts_once(spark):
