@@ -2590,3 +2590,70 @@ def test_fuzzy_contamination_threshold_excludes_weak_overlap(spark):
     out = fuzzy_contamination(corpus, bench, threshold_pct=80)
     assert out.count() == 0
     release_index_cache(out)
+
+
+def test_window_gram_table_kernel_matches_hof_reference(spark):
+    """The round-9 Arrow-kernel gram table must be VALUE-IDENTICAL to the
+    original higher-order-function formulation (md5 per token, (acc*31+wh)
+    mod p window fold, whole-run window for short docs, per-doc distinct)
+    — including edge cases: empty doc, short doc, within-doc repeated
+    windows, and a non-ASCII space (U+00A0 does NOT split under Java's
+    default \\s, so it must stay inside the token here too)."""
+    from pyspark.sql import functions as F
+
+    from metric_store_release_spark.pipeline.dedup import (
+        SUBSTR_P1,
+        SUBSTR_P2,
+        _window_gram_table,
+        _window_poly_hashes,
+    )
+    from metric_store_release_spark.pipeline.text import hex_word, tokens
+
+    eight = " ".join(f"t{j}" for j in range(8))
+    df = spark.createDataFrame(
+        [
+            (1, " ".join(f"w{j}" for j in range(20))),
+            (2, "only three tokens"),
+            (3, ""),
+            (4, eight + " " + eight),
+            (5, "nbsp joined stays one\ttoken here ok yes maybe more"),
+        ],
+        "doc_id long, text string",
+    )
+
+    def hof_reference(window_n):
+        toks = tokens(F.col("text"))
+        digests = df.select(
+            F.col("doc_id"),
+            F.transform(toks, lambda w: F.md5(w)).alias("__m"),
+        )
+        hashed = digests.select(
+            "doc_id",
+            F.transform(F.col("__m"), lambda m: hex_word(m, 1)).alias("__wh1"),
+            F.transform(F.col("__m"), lambda m: hex_word(m, 9)).alias("__wh2"),
+        )
+        return hashed.select(
+            "doc_id",
+            F.explode(
+                F.array_distinct(
+                    F.arrays_zip(
+                        _window_poly_hashes(
+                            F.col("__wh1"), window_n, SUBSTR_P1
+                        ).alias("h1"),
+                        _window_poly_hashes(
+                            F.col("__wh2"), window_n, SUBSTR_P2
+                        ).alias("h2"),
+                    )
+                )
+            ).alias("g"),
+        ).select("doc_id", F.col("g.h1").alias("h1"), F.col("g.h2").alias("h2"))
+
+    for n in (3, 8, 13):
+        got = sorted(
+            tuple(r) for r in _window_gram_table(df, "text", "doc_id", n).collect()
+        )
+        want = sorted(tuple(r) for r in hof_reference(n).collect())
+        assert got == want, f"window_n={n}"
+        # doc 3 (empty) absent; short docs present with ONE whole-run gram
+        ids = {g[0] for g in got}
+        assert 3 not in ids and 2 in ids
