@@ -403,7 +403,14 @@ def _window_gram_table(
     ws = _re.compile(r"\s+", _re.ASCII)
 
     def kernel(batches):
+        # The memo is a pure cache (values derive from the token alone),
+        # so a hard size cap costs only recompute, never correctness —
+        # without it a genuinely open vocabulary (URLs, hashes, typos in
+        # a real web corpus) would grow one dict per task without bound.
+        # 2^22 entries ≈ a few hundred MB worst-case, far above any
+        # natural-language vocabulary, far below executor memory.
         memo: dict = {}
+        memo_cap = 1 << 22
 
         def word_hashes(toks):
             h1 = _np.empty(len(toks), dtype=_np.int64)
@@ -413,6 +420,8 @@ def _window_gram_table(
                 if v is None:
                     d = hashlib.md5(t.encode("utf-8")).hexdigest()
                     v = (int(d[:8], 16), int(d[8:16], 16))
+                    if len(memo) >= memo_cap:
+                        memo.clear()
                     memo[t] = v
                 h1[i], h2[i] = v
             return h1, h2
