@@ -47,6 +47,51 @@ SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = os.environ.get("SPARK_GRAFT_CPUS", "32")
 
 
+def _calibrate(spark) -> dict:
+    """Fixed-work box-speed anchor (judge r9 ask #3): round-over-round
+    absolute timings drift with the shared builder box (r9 measured every
+    CPU-bound cell ~1.5-1.9x slower than r8 on identical committed code,
+    rescued only by a 69-shared-entry median-ratio analysis). Recording a
+    deterministic single-core CPython loop and a fixed tiny Spark job in
+    EVERY bench JSON turns that drift into a measured scalar:
+    cross-round comparisons divide by the calib ratio first.
+
+    - cpu_sec: 2M-iteration xorshift64 integer loop, pure CPython, single
+      core — pins interpreter + core speed (~0.5 s on the r10 box).
+    - spark_sec: sum over a fixed 200M-row range() with a multiply/mod,
+      32 partitions — pins JVM codegen + task scheduling throughput,
+      independent of SF_DIR. Median of 3 reps each.
+    """
+
+    def cpu_once() -> float:
+        t0 = time.perf_counter()
+        x = 88172645463325252
+        for _ in range(2_000_000):
+            x ^= (x << 13) & 0xFFFFFFFFFFFFFFFF
+            x ^= x >> 7
+            x ^= (x << 17) & 0xFFFFFFFFFFFFFFFF
+        assert x == 4432599367204585669  # pinned: the work is the work
+        return time.perf_counter() - t0
+
+    def spark_once() -> float:
+        t0 = time.perf_counter()
+        got = (
+            spark.range(0, 200_000_000, 1, 32)
+            .selectExpr("sum((id * 2654435761) % 1000003) AS s")
+            .collect()[0]["s"]
+        )
+        assert got == 100000202928013         # pinned result
+        return time.perf_counter() - t0
+
+    spark_once()  # one untimed warm-up: first run JIT-compiles the stage
+    return {
+        "cpu_sec": round(statistics.median(cpu_once() for _ in range(3)), 3),
+        "spark_sec": round(
+            statistics.median(spark_once() for _ in range(3)), 3
+        ),
+    }
+
+
 def main() -> None:
     from metric_store_release_spark.session import get_spark
 
@@ -232,6 +277,9 @@ def main() -> None:
     ]
     # warm the JVM + parquet footers with one tiny action
     spark.read.parquet(f"{SF_DIR}/region.parquet").count()
+    # fixed-work box-speed anchor, recorded in every bench JSON
+    calib = _calibrate(spark)
+    print(f"# calib: {calib}", file=sys.stderr)
     # build the federated store untimed: the replicated write is input
     # setup, not query work (the plan it returns is NOT executed here)
     qs["promql_sum_by_user_federated"](spark, SF_DIR)
@@ -314,6 +362,9 @@ def main() -> None:
         "spread": spread,
         "ingest_points_per_sec": ingest["points_per_sec"],
         "ingest_envelope_points_per_sec": 128.0,
+        # fixed-work box-speed anchor: divide cross-round timings by the
+        # calib ratio before reading any round-over-round delta
+        "calib": calib,
         # cold (first-run) vs all-runs best, reported separately so
         # comparisons with BENCH_r01..r05 don't mix methodology
         "run1_total": round(sum(run1.values()), 3),
@@ -357,6 +408,7 @@ def main() -> None:
             "offline_queries": offline,
             "sf": float(sf) if sf else None,
             "runs": runs,
+            "calib": calib,
             "full": "BENCH_FULL.json",
         },
         separators=(",", ":"),

@@ -242,7 +242,8 @@ def release_index_cache(df: DataFrame) -> None:
     """
     cache = getattr(df, "_index_cache", None)
     if cache is not None:
-        cache.unpersist()
+        for c in cache if isinstance(cache, (list, tuple)) else (cache,):
+            c.unpersist()
         try:
             df._index_cache = None
         except AttributeError:
@@ -467,9 +468,9 @@ def _window_gram_table(
                     s_idx[o], s_h1[o], s_h2[o] = d, a1, a2
                 parts.append((s_idx, s_h1, s_h2))
             if not parts:
-                yield _pd.DataFrame(
-                    {id_col: [], "h1": [], "h2": []}
-                ).astype({id_col: "int64", "h1": "int64", "h2": "int64"})
+                # mapInPandas permits yielding nothing for a batch — and
+                # an explicit empty frame would need the id column's REAL
+                # dtype (out_schema carries it), not a hardcoded int64
                 continue
             widx = _np.concatenate([p[0] for p in parts])
             gh1 = _np.concatenate([p[1] for p in parts])
@@ -1605,6 +1606,12 @@ def remove_repeated_substrings(
         .select("id", F.posexplode("__hashes").alias("s", "h"))
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
+    # Blocking materialization (SCALING #5): the df-agg and the semi-join
+    # probe read `grams` from two stages with no dependency between them
+    # in the degraded shuffle-join path (the documented all-boilerplate
+    # case where AQE cannot broadcast `dup`) — unpinned-by-count, those
+    # stages can race and recompute the full gram lineage twice.
+    grams.count()
     dup = (
         grams.groupBy("h")
         .agg(F.count(F.lit(1)).alias("__cnt"))
@@ -1862,17 +1869,27 @@ def fuzzy_contamination(
     exact-Jaccard verify touches only CANDIDATE corpus docs (the
     candidate id set semi-joins into the corpus shingle scan before
     anything pairwise happens). Nothing is ever corpus × benchmark.
-    The pinned candidate-doc shingle table is caller-owned via
-    ``_index_cache``."""
+    The pinned candidate-doc shingle table AND the pinned candidate-pair
+    table are caller-owned via ``_index_cache`` (a list — both release
+    through :func:`release_index_cache` / :func:`leased`)."""
     bands_tbl = minhash_band_table(
         corpus, text_col, id_col, num_hashes, bands, shingle_n
     )
-    cands = minhash_match(
-        benchmark, bands_tbl, text_col, id_col, num_hashes, bands, shingle_n
-    ).select(
-        F.col("batch_id").alias("bench_id"),
-        F.col("index_id").alias("corpus_id"),
+    cands = (
+        minhash_match(
+            benchmark, bands_tbl, text_col, id_col, num_hashes, bands, shingle_n
+        )
+        .select(
+            F.col("batch_id").alias("bench_id"),
+            F.col("index_id").alias("corpus_id"),
+        )
+        .persist()
     )
+    cands.count()  # blocking: the corp_sh semi-join and the inter join
+    # both read cands — unpersisted, the corpus would be minhash-banded
+    # and the benchmark probed TWICE per call (once per consumer),
+    # breaking the "corpus is banded ONCE" contract above. Small: ∝
+    # benchmark candidate pairs.
     corp_sh = (
         corpus.select(
             F.col(id_col).alias("corpus_id"),
@@ -1914,5 +1931,5 @@ def fuzzy_contamination(
         )
         .filter(F.col("jacc_pct") >= F.lit(int(threshold_pct)))
     )
-    out._index_cache = corp_sh
+    out._index_cache = [corp_sh, cands]
     return out

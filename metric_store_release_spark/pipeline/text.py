@@ -1173,6 +1173,7 @@ def token_budget_mixture(
     text_col: str = "text",
     salt: str = "budget",
     n_buckets: int = 64,
+    max_sources: int = 4096,
 ) -> DataFrame:
     """Token-budget mixture sampling: per source (domain), keep documents
     in deterministic-hash order until the source's cumulative token count
@@ -1196,7 +1197,17 @@ def token_budget_mixture(
     WITHIN-BUCKET running sum, so the widest window partition is
     1/n_buckets of a source. Bucket ranges partition the hash space in
     order, so offset + within-bucket sum == the single-partition global
-    sum exactly. Output: (doc_id, source, n_tokens, cum_tokens)."""
+    sum exactly. Output: (doc_id, source, n_tokens, cum_tokens).
+
+    CONTRACT — mixture sources only: "bounded by construction" holds
+    because ``source_col`` is a mixture domain (dozens to thousands of
+    values — Pile/Dolma-style source labels), NOT an open-ended key like
+    crawl hostname (10⁶ hosts × 64 buckets would collect 64M rows to the
+    driver). Enforced with ``max_sources``: the pass-1 collect is capped
+    at ``max_sources × n_buckets + 1`` rows via ``limit`` — the cap rides
+    the same job, no extra pass — and overflow raises instead of OOMing
+    the driver. Callers with genuinely many sources should bucket hosts
+    into a bounded domain column first."""
     if n_buckets & (n_buckets - 1) or n_buckets <= 0:
         raise ValueError("n_buckets must be a power of two")
     from pyspark.sql import Window
@@ -1213,12 +1224,23 @@ def token_budget_mixture(
     )
     base = base.persist(StorageLevel.MEMORY_AND_DISK)
     # pass 1: per-(source, bucket) totals -> exclusive prefix offsets.
-    # The collect is bounded by construction (n_sources x n_buckets).
+    # The collect is bounded by the max_sources contract (docstring): the
+    # limit caps driver memory inside the same job, and overflow raises.
+    cap = int(max_sources) * n_buckets
     totals = (
         base.groupBy("source", "__b")
         .agg(F.sum("n_tokens").alias("t"))
+        .limit(cap + 1)
         .collect()
     )
+    if len(totals) > cap:
+        base.unpersist()
+        raise ValueError(
+            f"token_budget_mixture: more than max_sources={max_sources} "
+            f"distinct {source_col!r} values — this operator's driver-side "
+            "prefix pass is for bounded mixture domains; bucket the source "
+            "column first or raise max_sources deliberately"
+        )
     per_src: dict[str, list] = {}
     for r in totals:
         per_src.setdefault(r["source"], []).append((r["__b"], r["t"]))
@@ -1275,29 +1297,54 @@ def ngram_novelty(
 
     Plan shape: per-doc dedup happens MAP-SIDE inside the gram table
     (array_distinct on the zipped window hashes — no distinct shuffle
-    exists), then exactly two exchanges: document frequency via a window
-    over the (h1, h2) gram partition (one shuffle by two long keys, no
-    join back), and the per-doc hash-agg. Nothing is ever all-pairs and
+    exists). Document frequency is a partial-agg'd ``groupBy(h1, h2)``
+    hash-aggregate filtered to df>1, SEMI-JOINED back to the gram rows —
+    never a ``Window.partitionBy`` over the gram keys: a window funnels
+    every occurrence row of one gram through a single task with no
+    map-side combine and no AQE mitigation (AQE splits skewed JOINS,
+    not windows), so one boilerplate 8-gram present in 1% of a web crawl
+    becomes a 10⁷-row straggler. The hash-agg form map-side-combines the
+    hot gram inside every input task, and the join back is
+    AQE-skew-splittable (usually broadcast: the dup-gram set is
+    df-filtered and small). Per-doc totals and dup counts are two
+    doc-keyed hash-aggs merged by one doc-keyed join — identical answer
+    to the window form, oracle unchanged. Nothing is ever all-pairs and
     no gram STRING is ever materialized — a first cut that md5-hashed
     concat_ws window strings inside a transform lambda re-evaluated the
     tokenization per hex digit read (SCALING #13's Generate caveat) and
     measured 109 s at sf0.1; this form is the substring-spans gram path
     and measures ~2 s."""
-    from pyspark.sql import Window
-
     from metric_store_release_spark.pipeline.dedup import (
         _window_gram_table,
     )
 
-    gram_rows = _window_gram_table(df, text_col, id_col, n)
-    cnt = gram_rows.withColumn(
-        "gdf", F.count(F.lit(1)).over(Window.partitionBy("h1", "h2"))
+    gram_rows = _window_gram_table(df, text_col, id_col, n).persist()
+    gram_rows.count()  # blocking: totals, df-agg and the probe all read it
+    dup_grams = (
+        gram_rows.groupBy("h1", "h2")
+        .agg(F.count(F.lit(1)).alias("__df"))
+        .filter(F.col("__df") > 1)
+        .select("h1", "h2")
     )
-    return cnt.groupBy(id_col).agg(
-        F.count(F.lit(1)).alias("n_grams"),
-        F.sum(F.when(F.col("gdf") > 1, 1).otherwise(0)).alias("dup_grams"),
-        F.expr(
-            "CAST((count(1) - sum(CASE WHEN gdf > 1 THEN 1 ELSE 0 END)) "
-            "* 10000 DIV count(1) AS BIGINT)"
-        ).alias("novelty_bp"),
+    totals = gram_rows.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_grams")
     )
+    dups = (
+        gram_rows.join(dup_grams, ["h1", "h2"], "left_semi")
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("dup_grams"))
+    )
+    out = (
+        totals.join(dups, id_col, "left")
+        .withColumn("dup_grams", F.coalesce("dup_grams", F.lit(0)))
+        .select(
+            id_col,
+            "n_grams",
+            "dup_grams",
+            F.expr(
+                "CAST((n_grams - dup_grams) * 10000 DIV n_grams AS BIGINT)"
+            ).alias("novelty_bp"),
+        )
+    )
+    out._index_cache = gram_rows  # caller releases after materializing
+    return out

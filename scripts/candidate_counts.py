@@ -260,8 +260,14 @@ def fuzzy_decon_counts(spark, sf_dir: str) -> dict:
         (F.col("doc_id") + F.lit(e._PLANT_OFFSET)).alias("doc_id"),
         F.concat(F.col("text"), F.lit(" xz qv")).alias("text"),
     )
-    bands_tbl = minhash_band_table(docs)
-    cands = minhash_match(bench, bands_tbl)
+    # Match fuzzy_contamination's ACTUAL parameters (num_hashes=8 ->
+    # 2-row bands, shingle_n=3), not minhash_band_table/minhash_match's
+    # own defaults (16 hashes / 4-row bands) — the stricter default LSH
+    # config understated the operator's real candidate volume.
+    bands_tbl = minhash_band_table(
+        docs, num_hashes=8, bands=4, shingle_n=3
+    )
+    cands = minhash_match(bench, bands_tbl, num_hashes=8, bands=4, shingle_n=3)
     out = {
         "op": "docs_fuzzy_decontamination",
         "sf_dir": sf_dir,

@@ -2450,6 +2450,33 @@ def test_token_budget_mixture_rejects_bad_buckets(spark):
         token_budget_mixture(df, 10, n_buckets=48)
 
 
+def test_token_budget_mixture_rejects_unbounded_sources(spark):
+    """The driver-side prefix pass is contractually for bounded mixture
+    domains: more distinct sources than max_sources must raise (capped
+    collect, pigeonhole over source x bucket rows) instead of silently
+    collecting an open-ended hostname domain to the driver."""
+    import pytest as _pytest
+
+    from metric_store_release_spark.pipeline.text import (
+        token_budget_mixture,
+    )
+
+    rows = [(i, f"host{i}", "w x y z") for i in range(40)]
+    df = spark.createDataFrame(
+        rows, "doc_id long, source string, text string"
+    )
+    with _pytest.raises(ValueError, match="max_sources"):
+        token_budget_mixture(df, 10, n_buckets=2, max_sources=4)
+    # at/below the cap the same frame works
+    ok = token_budget_mixture(df, 1000, n_buckets=2, max_sources=40)
+    assert ok.count() == 40
+    from metric_store_release_spark.pipeline.dedup import (
+        release_index_cache,
+    )
+
+    release_index_cache(ok)
+
+
 def test_ngram_novelty_hand_case(spark):
     """Doc A (9 tokens) has two 8-grams, the first shared with doc B
     (exactly A's first 8 tokens) -> A is half novel, B fully duplicated,
@@ -2499,6 +2526,43 @@ def test_ngram_novelty_repeated_gram_counts_once(spark):
     n, dup, bp = got[1]
     assert (n, dup) == (8, 1)
     assert bp == (n - dup) * 10000 // n
+
+
+def test_ngram_novelty_hot_gram_no_window(spark):
+    """One planted ultra-hot gram (present in >50% of docs) must flow
+    through a partial-agg'd hash aggregate, never a Window partitioned
+    by the gram keys: a gram-keyed window funnels every occurrence of
+    the hot gram through ONE task with no map-side combine and no AQE
+    skew mitigation. Asserts (a) correct answers under the hot gram and
+    (b) the optimized plan contains no Window node at all — the df>1
+    set must arrive via groupBy + semi-join."""
+    from metric_store_release_spark.pipeline.dedup import leased
+    from metric_store_release_spark.pipeline.text import ngram_novelty
+
+    hot = " ".join(f"h{j}" for j in range(8))
+    rows = []
+    for i in range(60):
+        uniq = " ".join(f"d{i}w{j}" for j in range(8))
+        # docs 0..39 carry the hot gram (2/3 of the corpus), all carry
+        # one private gram
+        rows.append((i, (hot + " x " + uniq) if i < 40 else uniq))
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    with leased(ngram_novelty(df, n=8)) as res:
+        plan = res._jdf.queryExecution().optimizedPlan().toString()
+        assert "Window" not in plan, plan
+        got = {
+            r["doc_id"]: (r["n_grams"], r["dup_grams"], r["novelty_bp"])
+            for r in res.collect()
+        }
+    for i in range(60):
+        if i < 40:
+            # hot+x+uniq = 17 tokens -> 10 windows; the shared 9-token
+            # prefix (hot gram + "x") makes exactly the first TWO
+            # windows repeat across the 40 hot docs
+            assert got[i][0] == 10 and got[i][1] == 2, (i, got[i])
+            assert got[i][2] == 8000
+        else:
+            assert got[i] == (1, 0, 10000), (i, got[i])
 
 
 def test_scalar_quant_stats_hand_case(spark):
