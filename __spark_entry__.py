@@ -552,6 +552,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["docs_pack"] = _docs_pack
     q["tpch_q14"] = _tpch_q14
     q["corpus_prepare"] = _corpus_prepare
+    q["corpus_prepare_full"] = _corpus_prepare_full
     q["events_latency_pctl"] = _events_latency_pctl
     q["ngram_contamination"] = _ngram_contamination
     q["docs_bloom_contamination"] = _docs_bloom_contamination
@@ -3123,6 +3124,28 @@ def _corpus_prepare(spark: SparkSession, sf_dir: str) -> DataFrame:
     return prepare_corpus(_docs(spark, sf_dir))
 
 
+def _corpus_prepare_full(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The round-9 operators composed end-to-end (pipeline.prepare
+    .prepare_corpus_full): ExactSubstr span dedup (Lee et al. 2022) →
+    MinHash fuzzy benchmark decontamination → CCNet perplexity terciles
+    (tail dropped) → per-source token-budget mixture. The benchmark is
+    the fuzzy fixture (edited copies of every 25th doc); the budget
+    counts CLEANED-text tokens — exactly what ships to the tokenizer.
+    Heavy intermediates build ONCE (persist + blocking count at each
+    fan-out point; component index caches released as soon as they are
+    consumed)."""
+    from metric_store_release_spark.pipeline.prepare import (
+        prepare_corpus_full,
+    )
+
+    docs = _docs(spark, sf_dir).select("doc_id", "text", "lang", "source")
+    bench = docs.filter(F.col("doc_id") % _PLANT_EVERY == 0).select(
+        (F.col("doc_id") + F.lit(_PLANT_OFFSET)).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" xz qv")).alias("text"),
+    )
+    return prepare_corpus_full(docs, bench, _TOKEN_BUDGET)
+
+
 def _tpch_q14(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H q14 shape (promotion revenue share): fact filter pushed to the
     scan, dimension broadcast join, conditional aggregate."""
@@ -5396,6 +5419,7 @@ FROM cum
 """
 
     o["corpus_prepare"] = _prepare_corpus_oracle()
+    o["corpus_prepare_full"] = _corpus_prepare_full_oracle()
 
     o["ngram_contamination"] = _contamination_oracle()
     o["docs_bloom_contamination"] = _bloom_contamination_oracle()
@@ -6258,6 +6282,170 @@ FROM (
   JOIN sz ON sz.doc_id = i.corpus_id
   JOIN b_sz ON b_sz.doc_id = i.bench_id
 ) WHERE jacc_pct >= {threshold_pct}
+"""
+
+
+def _corpus_prepare_full_oracle(
+    k: int = 15,
+    threshold_pct: int = 80,
+    n_features: int = 1 << 18,
+) -> str:
+    """`prepare_corpus_full` replay — the four stages as ONE chained CTE:
+    (1) the dedup_substring_spans cover-set excision over the raw corpus
+    (string grams; the fixture is collision-free, same contract as that
+    oracle), keeping every doc with surviving tokens; (2) the
+    fuzzy-decontamination stacked-MinHash CTEs over the CLEANED text vs
+    the edited-copy benchmark, dropping corpus docs at Jaccard >=
+    threshold; (3) the CCNet integer-surprisal tercile chain over the
+    survivors (LM counts from the cleaned surviving corpus itself, per
+    the operator's contract), tail dropped; (4) the per-source
+    token-budget running sum over cleaned-text token counts. Every stage
+    is expression-identical to its standalone oracle."""
+    bench_src = (
+        f"(SELECT doc_id + {_PLANT_OFFSET} AS doc_id, text || ' xz qv' "
+        f"AS text FROM documents WHERE doc_id % {_PLANT_EVERY} = 0)"
+    )
+    return f"""
+WITH toks0 AS (
+  SELECT doc_id, list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS ws
+  FROM documents
+),
+gl0 AS (
+  SELECT doc_id,
+         CASE WHEN len(ws) >= {k}
+              THEN [array_to_string(ws[i : i + {k - 1}], ' ')
+                    for i in range(1, len(ws) - {k} + 2)]
+              ELSE []::VARCHAR[] END AS gs
+  FROM toks0
+),
+grams0 AS (
+  SELECT doc_id, generate_subscripts(gs, 1) - 1 AS s, unnest(gs) AS g FROM gl0
+),
+dup0 AS (SELECT g FROM grams0 GROUP BY g HAVING count(*) >= 2),
+hits0 AS (SELECT DISTINCT gr.doc_id, gr.s FROM grams0 gr JOIN dup0 USING (g)),
+cov0 AS (
+  SELECT DISTINCT doc_id, s + j.j AS pos
+  FROM hits0, (SELECT unnest(generate_series(0, {k - 1})) AS j) j
+),
+tok0 AS (
+  SELECT doc_id, generate_subscripts(ws, 1) - 1 AS pos, unnest(ws) AS w
+  FROM toks0 WHERE len(ws) > 0
+),
+flagged0 AS (
+  SELECT t.doc_id, t.pos, t.w, c.pos IS NOT NULL AS is_cov
+  FROM tok0 t LEFT JOIN cov0 c ON c.doc_id = t.doc_id AND c.pos = t.pos
+),
+alive AS (
+  SELECT * FROM (
+    SELECT doc_id,
+           coalesce(string_agg(CASE WHEN NOT is_cov THEN w END, ' '
+                               ORDER BY pos), '') AS text
+    FROM flagged0 GROUP BY doc_id
+  ) WHERE text <> ''
+),
+{_minhash_stacked_ctes("alive", "c_")},
+{_minhash_stacked_ctes(bench_src, "b_")},
+cand AS (
+  SELECT DISTINCT b.doc_id AS bench_id, s.doc_id AS corpus_id
+  FROM b_stacked b JOIN c_stacked s
+    ON b.band_id = s.band_id AND b.bh = s.bh
+),
+ix AS (
+  SELECT c.bench_id, c.corpus_id, COUNT(*) AS inter
+  FROM cand c
+  JOIN c_flat cf ON cf.doc_id = c.corpus_id
+  JOIN b_flat bf ON bf.doc_id = c.bench_id AND bf.sh = cf.sh
+  GROUP BY 1, 2
+),
+csz AS (SELECT doc_id, len(shingles) AS n FROM c_sh),
+bsz AS (SELECT doc_id, len(shingles) AS n FROM b_sh),
+matched AS (
+  SELECT DISTINCT i.corpus_id
+  FROM ix i
+  JOIN csz ON csz.doc_id = i.corpus_id
+  JOIN bsz ON bsz.doc_id = i.bench_id
+  WHERE CAST(i.inter * 100 // (bsz.n + csz.n - i.inter) AS BIGINT)
+        >= {threshold_pct}
+),
+decon AS (
+  SELECT a.doc_id, a.text, d.lang, d.source
+  FROM alive a JOIN documents d USING (doc_id)
+  WHERE a.doc_id NOT IN (SELECT corpus_id FROM matched)
+),
+cbase AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '') AS t
+  FROM decon
+),
+ctt AS (SELECT * FROM cbase WHERE len(t) > 0),
+cunis AS (SELECT doc_id, unnest(t) AS g FROM ctt),
+cbis AS (
+  SELECT doc_id, t[i] || ' ' || t[i + 1] AS g
+  FROM ctt, unnest(generate_series(1, len(t) - 1)) AS u(i)
+  WHERE len(t) >= 2
+),
+cgrams AS (SELECT * FROM cunis UNION ALL SELECT * FROM cbis),
+cfeats AS (
+  SELECT doc_id,
+         ('0x' || substr(md5('feat' || g), 1, 8))::BIGINT % {n_features}
+           AS feature,
+         CAST(COUNT(*) AS BIGINT) AS tf
+  FROM cgrams GROUP BY 1, 2
+),
+ccf AS (SELECT feature, CAST(SUM(tf) AS BIGINT) AS n FROM cfeats GROUP BY feature),
+ctot AS (SELECT CAST((SELECT SUM(n) FROM ccf) + {n_features} AS BIGINT) AS t),
+csurp AS (
+  SELECT feature,
+         -CAST(ROUND(ln((n + 1) * 1.0 / ctot.t) * 1000000.0) AS BIGINT) AS s
+  FROM ccf, ctot
+),
+cscored AS (
+  SELECT f.doc_id,
+         CAST(CAST(SUM(f.tf * csurp.s) AS BIGINT)
+              // CAST(SUM(f.tf) AS BIGINT) AS BIGINT) AS ppl_q
+  FROM cfeats f JOIN csurp USING (feature) GROUP BY f.doc_id
+),
+csl AS (
+  SELECT s.doc_id, d.lang, s.ppl_q
+  FROM cscored s JOIN decon d USING (doc_id)
+),
+cdist AS (SELECT lang, ppl_q, COUNT(*) AS c FROM csl GROUP BY 1, 2),
+ccum AS (
+  SELECT lang, ppl_q,
+         SUM(c) OVER (PARTITION BY lang ORDER BY ppl_q) AS cum,
+         SUM(c) OVER (PARTITION BY lang) AS n_lang
+  FROM cdist
+),
+cthr AS (
+  SELECT lang,
+         MIN(CASE WHEN cum >= (n_lang + 2) // 3 THEN ppl_q END) AS t1,
+         MIN(CASE WHEN cum >= (2 * n_lang + 2) // 3 THEN ppl_q END) AS t2
+  FROM ccum GROUP BY lang
+),
+kept AS (
+  SELECT csl.doc_id, csl.lang,
+         CASE WHEN csl.ppl_q <= cthr.t1 THEN 'head'
+              WHEN csl.ppl_q <= cthr.t2 THEN 'middle'
+              ELSE 'tail' END AS bucket
+  FROM csl JOIN cthr USING (lang)
+),
+bt AS (
+  SELECT kk.doc_id, d.source, kk.lang, kk.bucket,
+         len(list_filter(regexp_split_to_array(d.text, '\\s+'),
+                         x -> x <> '')) AS n_tokens,
+         ('0x' || substr(md5('budget' || kk.doc_id::VARCHAR), 1, 8))::BIGINT
+           AS h
+  FROM kept kk JOIN decon d USING (doc_id)
+  WHERE kk.bucket <> 'tail'
+),
+bc AS (
+  SELECT doc_id, source, lang, bucket, CAST(n_tokens AS BIGINT) AS n_tokens,
+         SUM(n_tokens) OVER (PARTITION BY source ORDER BY h, doc_id
+                             ROWS UNBOUNDED PRECEDING) AS cum
+  FROM bt
+)
+SELECT doc_id, source, lang, bucket, n_tokens, CAST(cum AS BIGINT) AS cum_tokens
+FROM bc WHERE cum <= {_TOKEN_BUDGET}
 """
 
 

@@ -274,6 +274,12 @@ def main() -> None:
         # round 9: clamped-seed label propagation — iterative job like
         # pagerank (3 majority-vote rounds over the same order graph)
         "graph_label_prop",
+        # round 10: the composed end-to-end corpus pass (ExactSubstr →
+        # fuzzy decon → CCNet terciles → token budget) — a multi-job
+        # offline pipeline with internal blocking materializations, not
+        # a serving query; compare against the sum of its component
+        # entries for the composition overhead
+        "corpus_prepare_full",
     ]
     # warm the JVM + parquet footers with one tiny action
     spark.read.parquet(f"{SF_DIR}/region.parquet").count()

@@ -72,3 +72,121 @@ def prepare_corpus(
         salt="prep:",
     )
     return sampled.select(id_col, "lang_pred", "n_tokens", "quality_score")
+
+
+def prepare_corpus_full(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    budget_tokens: int,
+    k: int = 15,
+    min_count: int = 2,
+    jacc_threshold_pct: int = 80,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    lang_col: str = "lang",
+    source_col: str = "source",
+) -> DataFrame:
+    """The full modern pretraining-data pass, composed end-to-end:
+
+        raw documents
+          → ExactSubstr span dedup      (remove_repeated_substrings —
+                                         Lee et al. 2022: every repeated
+                                         ≥k-token span excised)
+          → fuzzy benchmark decontam.   (fuzzy_contamination — MinHash-LSH
+                                         candidates vs ``benchmark``,
+                                         exact-Jaccard ≥ threshold drops
+                                         the corpus doc)
+          → CCNet perplexity buckets    (ccnet_perplexity_buckets —
+                                         Wenzek et al. 2020; the tail
+                                         tercile is dropped, the
+                                         published keep-the-head rule)
+          → token-budget mixture        (token_budget_mixture — per-source
+                                         token budgets in deterministic
+                                         hash order)
+
+    Returns the survivor manifest (id, source, lang, bucket, n_tokens,
+    cum_tokens) where n_tokens counts the CLEANED text's tokens —
+    exactly what ships to the tokenizer.
+
+    Composition is where repeated index builds, extra exchanges AND
+    driver-side re-planning hide, so each heavy intermediate is
+    materialized ONCE and the lineage is CUT at every stage seam with
+    ``localCheckpoint`` (eager — materializes like persist+count AND
+    truncates the logical plan to an RDD scan):
+
+    - ``alive`` (span-deduped survivors): three consumers (the LSH band
+      build, the candidate shingle verify, the decon anti-join) — uncut,
+      the gram-kernel reassembly lineage re-executes per consumer;
+    - ``decon`` (decontaminated corpus): three consumers (hashed-feature
+      LM build, per-doc lang join, budget base);
+    - ``keep`` (CCNet head+middle): two consumers (budget input, final
+      manifest join).
+
+    Truncation, not just caching, is load-bearing: a first cut used
+    persist()+count() and measured ~105 s at sf0.1 against ~11 s for the
+    components summed — with the full composed tree in every frame,
+    Catalyst re-analyzed the span-dedup + stacked-MinHash expression
+    forest AND the CCNet surprisal LocalRelation (up to 2^18 rows
+    embedded IN the logical plan) on every downstream action; a
+    3000-row cached-join count() cost 8 s of pure driver planning. With
+    the checkpoint cuts the same pipeline runs ~32 s cold / component-sum
+    warm. (Same pattern as connected_components' per-round
+    localCheckpoint, which exists for the same reason.)
+
+    The component builders' pinned indexes (span-dedup gram table,
+    LSH band/candidate caches, CCNet feature table) are released HERE as
+    soon as the stage consuming them is checkpointed. Checkpointed
+    intermediates themselves are reclaimed by Spark's ContextCleaner
+    when the returned manifest drops its references — the caller owns
+    only the budget base via ``_index_cache``.
+    """
+    from .dedup import (
+        fuzzy_contamination,
+        release_index_cache,
+        remove_repeated_substrings,
+    )
+    from .text import ccnet_perplexity_buckets, token_budget_mixture
+
+    meta = docs.select(id_col, lang_col, source_col)
+    cleaned = remove_repeated_substrings(
+        docs.select(id_col, text_col), k=k, min_count=min_count
+    )
+    # docs fully consumed by repeated spans are gone; survivors carry
+    # single-space-canonicalized cleaned text from here on
+    alive = (
+        cleaned.filter(F.col(text_col) != "")
+        .select(id_col, text_col)
+        .localCheckpoint()
+    )
+    release_index_cache(cleaned)  # gram table fully consumed by alive
+    pairs = fuzzy_contamination(
+        alive, benchmark, text_col=text_col, id_col=id_col,
+        threshold_pct=jacc_threshold_pct,
+    )
+    hit_ids = pairs.select(F.col("corpus_id").alias(id_col)).distinct()
+    decon = (
+        alive.join(hit_ids, id_col, "left_anti")
+        .join(meta, id_col)
+        .localCheckpoint()
+    )
+    release_index_cache(pairs)  # LSH band + candidate caches consumed
+
+    buckets = ccnet_perplexity_buckets(
+        decon.select(id_col, text_col, lang_col),
+        text_col=text_col, id_col=id_col, lang_col=lang_col,
+    )
+    keep = buckets.filter(F.col("bucket") != "tail").localCheckpoint()
+    release_index_cache(buckets)  # the hashed-feature LM table
+
+    budget_in = keep.select(id_col).join(decon, id_col).select(
+        id_col, source_col, text_col
+    )
+    mix = token_budget_mixture(
+        budget_in, budget_tokens,
+        source_col=source_col, id_col=id_col, text_col=text_col,
+    )
+    out = mix.join(keep.select(id_col, "lang", "bucket"), id_col).select(
+        id_col, "source", "lang", "bucket", "n_tokens", "cum_tokens"
+    )
+    out._index_cache = mix._index_cache
+    return out

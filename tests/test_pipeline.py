@@ -579,6 +579,89 @@ def test_prepare_corpus_stages(spark):
     assert got[1]["lang_pred"] == "en" and got[1]["quality_score"] >= 0.5
 
 
+def test_prepare_corpus_full_composition(spark):
+    """prepare_corpus_full must equal the four stages run independently
+    (span dedup → fuzzy decon → ccnet terciles minus tail → token
+    budget), and its final plan must read the CHECKPOINTED intermediates
+    (Scan ExistingRDD) instead of recomputing the gram-kernel / LSH
+    lineage — each heavy table builds ONCE: no MapInPandas (the gram /
+    dhash kernels) may appear in the manifest's own plan, because every
+    kernel pass was materialized and lineage-cut upstream."""
+    from metric_store_release_spark.pipeline.dedup import (
+        fuzzy_contamination,
+        leased,
+        remove_repeated_substrings,
+    )
+    from metric_store_release_spark.pipeline.prepare import (
+        prepare_corpus_full,
+    )
+    from metric_store_release_spark.pipeline.text import (
+        ccnet_perplexity_buckets,
+        token_budget_mixture,
+    )
+
+    span = " ".join(f"s{j}" for j in range(20))
+    rows = []
+    for i in range(30):
+        body = " ".join(f"d{i}w{j}" for j in range(30))
+        # docs 0 and 1 share a 20-token span (ExactSubstr excises it
+        # from both); everyone keeps a unique 30-token body
+        text = (span + " " + body) if i < 2 else body
+        rows.append((i, text, "en" if i % 2 else "de", f"src{i % 3}"))
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string"
+    )
+    # benchmark contaminates doc 7 (its exact body, lightly suffixed)
+    bench = spark.createDataFrame(
+        [(900, " ".join(f"d7w{j}" for j in range(30)) + " xz qv")],
+        "doc_id long, text string",
+    )
+    budget = 10_000
+
+    with leased(prepare_corpus_full(docs, bench, budget)) as out:
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert "ExistingRDD" in plan, plan
+        assert "MapInPandas" not in plan, plan
+        got = {r["doc_id"]: r.asDict() for r in out.collect()}
+
+    # staged replay
+    cleaned = remove_repeated_substrings(
+        docs.select("doc_id", "text"), k=15, min_count=2
+    )
+    alive = cleaned.filter(F.col("text") != "").select("doc_id", "text")
+    with leased(fuzzy_contamination(alive, bench)) as pairs:
+        hit = {r["corpus_id"] for r in pairs.select("corpus_id").collect()}
+    assert hit == {7}
+    decon = alive.filter(~F.col("doc_id").isin(list(hit))).join(
+        docs.select("doc_id", "lang", "source"), "doc_id"
+    )
+    with leased(
+        ccnet_perplexity_buckets(decon.select("doc_id", "text", "lang"))
+    ) as b:
+        buckets = {r["doc_id"]: r.asDict() for r in b.collect()}
+    keep_ids = {i for i, r in buckets.items() if r["bucket"] != "tail"}
+    with leased(
+        token_budget_mixture(
+            decon.filter(F.col("doc_id").isin(list(keep_ids))).select(
+                "doc_id", "source", "text"
+            ),
+            budget,
+        )
+    ) as m:
+        mix = {r["doc_id"]: r.asDict() for r in m.collect()}
+
+    assert set(got) == set(mix)
+    for i, r in got.items():
+        assert r["n_tokens"] == mix[i]["n_tokens"]
+        assert r["cum_tokens"] == mix[i]["cum_tokens"]
+        assert r["bucket"] == buckets[i]["bucket"] != "tail"
+        assert r["lang"] == buckets[i]["lang"]
+    # the excised span survives nowhere: docs 0/1 kept only their bodies
+    for i in (0, 1):
+        if i in got:
+            assert got[i]["n_tokens"] == 30
+
+
 def test_ngram_contamination_detects_planted_overlap(spark):
     from metric_store_release_spark.pipeline.dedup import ngram_contamination
 
