@@ -527,6 +527,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["text_token_count"] = _text_token_count
     q["media_resize"] = _media_resize
     q["media_phash_pairs"] = _media_phash_pairs
+    q["media_pair_dedup"] = _media_pair_dedup
     q["media_audio_fp_pairs"] = _media_audio_fp_pairs
     q["docs_dsir_select"] = _docs_dsir_select
     q["docs_ccnet_buckets"] = _docs_ccnet_buckets
@@ -3291,6 +3292,57 @@ def _media_phash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _media_pair_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-modal training-pair dedup
+    (`pipeline.multimodal.cross_modal_pair_dedup`): (image, caption)
+    pairs collapse into one cluster when EITHER side near-matches —
+    dHash banded-Hamming image edges and MinHash-LSH caption edges
+    through ONE shared connected-components pass. Fixture plants dups on
+    exactly ONE side each: every 50th pair gets a copy with a
+    near-identical image ('~~' raster perturbation, the media_phash
+    plant) but a UNIQUE single-token caption; every (50n+25)th pair gets
+    a copy with a near-identical caption (' xz qv' suffix, the fuzzy
+    fixture) but an image from a DISJOINT hash chain — so neither
+    single-modality pass alone finds both plant families."""
+    from metric_store_release_spark.pipeline.multimodal import (
+        cross_modal_pair_dedup,
+    )
+
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    ras = F.concat(
+        *[F.md5(F.concat(F.lit(f"{k}:"), F.col("text"))) for k in range(9)]
+    )
+    ras_x = F.concat(
+        *[F.md5(F.concat(F.lit(f"x{k}:"), F.col("text"))) for k in range(9)]
+    )
+    hdr = F.lit("P5\n18 16\n255\n")
+    mt = F.lit("image/x-portable-graymap").alias("media_type")
+    base = docs.select(
+        F.col("doc_id").alias("pair_id"),
+        mt,
+        F.concat(hdr, ras).cast("binary").alias("payload"),
+        F.col("text").alias("caption"),
+    )
+    img_dup = docs.filter(F.col("doc_id") % 50 == 0).select(
+        (F.col("doc_id") + F.lit(_PLANT_OFFSET)).alias("pair_id"),
+        mt,
+        F.concat(hdr, F.lit("~~"), F.substring(ras, 3, 286))
+        .cast("binary")
+        .alias("payload"),
+        F.concat(F.lit("zz"), F.col("doc_id").cast("string")).alias(
+            "caption"
+        ),
+    )
+    cap_dup = docs.filter(F.col("doc_id") % 50 == 25).select(
+        (F.col("doc_id") + F.lit(_PLANT_OFFSET)).alias("pair_id"),
+        mt,
+        F.concat(hdr, ras_x).cast("binary").alias("payload"),
+        F.concat(F.col("text"), F.lit(" xz qv")).alias("caption"),
+    )
+    pairs = base.unionByName(img_dup).unionByName(cap_dup)
+    return cross_modal_pair_dedup(pairs)
+
+
 def _media_audio_fp_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-duplicate audio clips
     (`pipeline.multimodal.audio_fingerprint_codes` +
@@ -5644,6 +5696,77 @@ SELECT id_a, id_b, hamming FROM (
               + bit_count(xor(a.hi, b.hi)) AS INT) AS hamming
   FROM codes a JOIN codes b ON a.doc_id < b.doc_id
 ) WHERE hamming <= 3
+"""
+
+    # cross-modal pair dedup replay: brute-force dHash pairs over the
+    # three image groups (base rasters, '~~'-perturbed image-side plants,
+    # disjoint-chain caption-side plants) UNION the caption MinHash band
+    # pairs, then recursive-reachability components (min reachable id) —
+    # star-capped Spark edges and clique oracle edges yield identical
+    # components, the same argument as _components_oracle
+    _xm_ras_x = "||".join(f"md5('x{k}:'||text)" for k in range(9))
+    o["media_pair_dedup"] = f"""
+WITH RECURSIVE ras AS (
+  SELECT doc_id, {_phash_ras} AS s FROM documents
+),
+media AS (
+  SELECT doc_id, s FROM ras
+  UNION ALL
+  SELECT doc_id + {_PLANT_OFFSET}, '~~' || substr(s, 3) AS s
+  FROM ras WHERE doc_id % 50 = 0
+  UNION ALL
+  SELECT doc_id + {_PLANT_OFFSET}, {_xm_ras_x} AS s
+  FROM documents WHERE doc_id % 50 = 25
+),
+g AS (
+  SELECT doc_id, y.g AS y, x.g AS x,
+         ascii(substr(s, 36*y.g + 2*x.g + 1, 1)) AS l
+  FROM media, generate_series(0, 7) y(g), generate_series(0, 8) x(g)
+),
+bits AS (
+  SELECT a.doc_id, a.y * 8 + a.x AS k,
+         CASE WHEN a.l > b.l THEN 1 ELSE 0 END AS bit
+  FROM g a JOIN g b ON b.doc_id = a.doc_id AND b.y = a.y AND b.x = a.x + 1
+  WHERE a.x < 8
+),
+codes AS (
+  SELECT doc_id,
+         CAST(SUM(CASE WHEN k < 32 AND bit = 1
+                       THEN (1::BIGINT << k) ELSE 0 END) AS BIGINT) AS lo,
+         CAST(SUM(CASE WHEN k >= 32 AND bit = 1
+                       THEN (1::BIGINT << (k - 32)) ELSE 0 END) AS BIGINT) AS hi
+  FROM bits GROUP BY doc_id
+),
+img_pairs AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM codes a JOIN codes b ON a.doc_id < b.doc_id
+  WHERE bit_count(xor(a.lo, b.lo)) + bit_count(xor(a.hi, b.hi)) <= 3
+),
+{_minhash_stacked_ctes(
+    f"(SELECT doc_id, text FROM documents "
+    f"UNION ALL SELECT doc_id + {_PLANT_OFFSET}, 'zz' || doc_id "
+    f"FROM documents WHERE doc_id % 50 = 0 "
+    f"UNION ALL SELECT doc_id + {_PLANT_OFFSET}, text || ' xz qv' "
+    f"FROM documents WHERE doc_id % 50 = 25)",
+    "t_",
+)},
+txt_pairs AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM t_stacked a JOIN t_stacked b
+    ON a.band_id = b.band_id AND a.bh = b.bh AND a.doc_id < b.doc_id
+),
+edges AS (
+  SELECT id_a AS a, id_b AS b FROM img_pairs
+  UNION SELECT id_b, id_a FROM img_pairs
+  UNION SELECT id_a, id_b FROM txt_pairs
+  UNION SELECT id_b, id_a FROM txt_pairs
+),
+reach(id, r) AS (
+  SELECT DISTINCT a, a FROM edges
+  UNION
+  SELECT e.b, r.r FROM reach r JOIN edges e ON e.a = r.id
+)
+SELECT id AS pair_id, MIN(r) AS component FROM reach GROUP BY id
 """
 
     # delta-sign audio fingerprint replay: samples from the hex pairs

@@ -280,6 +280,10 @@ def main() -> None:
         # a serving query; compare against the sum of its component
         # entries for the composition overhead
         "corpus_prepare_full",
+        # round 10: cross-modal pair dedup — contains the iterative
+        # connected-components pass (dHash + caption-LSH edges through
+        # one shared component labeling), offline like components_star
+        "media_pair_dedup",
     ]
     # warm the JVM + parquet footers with one tiny action
     spark.read.parquet(f"{SF_DIR}/region.parquet").count()

@@ -872,3 +872,77 @@ def ppm_video_from_documents(
         F.lit("video/x-netpbm-stream").alias("media_type"),
         F.concat(*frames).cast("binary").alias("payload"),
     )
+
+
+def cross_modal_pair_dedup(
+    pairs: DataFrame,
+    id_col: str = "pair_id",
+    caption_col: str = "caption",
+    max_hamming: int = 3,
+    num_hashes: int = 8,
+    bands: int = 4,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """Training-PAIR deduplication across modalities: an (image, caption)
+    pair duplicates another when EITHER side near-matches — the rule
+    multimodal dataset curation needs (LAION-style pipelines dedup on
+    image hashes AND caption text: a re-hosted image with a rewritten
+    caption, or a re-captioned stock photo, must still collapse into one
+    cluster). Neither single-modality pass catches both.
+
+    Composition: image edges from the 64-bit dHash banded-Hamming join
+    (:func:`dhash_codes` + ``dedup.hamming_code_pairs``, distance <=
+    ``max_hamming``), caption edges from MinHash-LSH banding
+    (``dedup.minhash_lsh_candidates``), both edge sets fed into ONE
+    shared connected-components pass — transitivity ACROSS modalities is
+    the point: if A~B by image and B~C by caption, {A, B, C} is one
+    cluster and one exemplar survives.
+
+    Returns (id, component): every pair participating in at least one
+    within- or cross-modality near-duplicate relation, labeled with its
+    cluster's smallest id (the ``connected_components`` contract —
+    keep-one = id == component, or feed to keep_best_per_cluster).
+
+    100 TB shape: both edge builders are banded (never all-pairs — the
+    image side pigeonholes <= ``max_hamming``-bit flips across 4 code
+    bands, the text side collides LSH band hashes), components is the
+    O(log n)-round hash-min loop with one bounded shuffle per round, and
+    edge volume is candidate-linear on both sides (measured at three
+    scales, CANDIDATES.jsonl). Both builders' pinned band indexes are
+    released HERE: components materializes its labels via
+    localCheckpoint before returning, and the edge union is a new frame
+    that cannot carry the builders' ``_index_cache`` attributes — a
+    caller composing by hand would leak them.
+    """
+    from metric_store_release_spark.pipeline.dedup import (
+        connected_components,
+        hamming_code_pairs,
+        minhash_lsh_candidates,
+        release_index_cache,
+    )
+
+    codes = dhash_codes(
+        pairs.select(
+            F.col(id_col).alias("doc_id"), "media_type", "payload"
+        )
+    )
+    img_edges = hamming_code_pairs(
+        codes, "phash", "doc_id", bits=64, max_hamming=max_hamming
+    )
+    txt_edges = minhash_lsh_candidates(
+        pairs.select(F.col(id_col).alias("doc_id"), F.col(caption_col)),
+        text_col=caption_col,
+        id_col="doc_id",
+        num_hashes=num_hashes,
+        bands=bands,
+        shingle_n=shingle_n,
+    )
+    edges = img_edges.select("id_a", "id_b").unionByName(
+        txt_edges.select("id_a", "id_b")
+    )
+    comp = connected_components(edges)
+    # components fully materialized its labels; the builders' band
+    # indexes are consumed — release them here
+    release_index_cache(img_edges)
+    release_index_cache(txt_edges)
+    return comp.select(F.col("id").alias(id_col), "component")

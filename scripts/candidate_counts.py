@@ -281,6 +281,73 @@ def fuzzy_decon_counts(spark, sf_dir: str) -> dict:
     return out
 
 
+def media_pair_counts(spark, sf_dir: str) -> dict:
+    """Edge volume of the round-10 cross-modal pair dedup on the DECLARED
+    fixture (image-side plants every 50th pair, caption-side every
+    (50n+25)th): both edge sets must stay candidate-linear — image edges
+    from the banded-Hamming join, caption edges from MinHash banding —
+    and component count tracks the plant count plus the corpus's natural
+    near-dup population."""
+    import __spark_entry__ as e
+
+    from metric_store_release_spark.pipeline.dedup import (
+        hamming_code_pairs,
+        leased,
+        minhash_lsh_candidates,
+    )
+    from metric_store_release_spark.pipeline.multimodal import dhash_codes
+
+    docs = e._docs(spark, sf_dir).select("doc_id", "text")
+    ras = F.concat(
+        *[F.md5(F.concat(F.lit(f"{k}:"), F.col("text"))) for k in range(9)]
+    )
+    ras_x = F.concat(
+        *[F.md5(F.concat(F.lit(f"x{k}:"), F.col("text"))) for k in range(9)]
+    )
+    hdr = F.lit("P5\n18 16\n255\n")
+    mt = F.lit("image/x-portable-graymap").alias("media_type")
+    base = docs.select(
+        F.col("doc_id").alias("pair_id"), mt,
+        F.concat(hdr, ras).cast("binary").alias("payload"),
+        F.col("text").alias("caption"),
+    )
+    img_dup = docs.filter(F.col("doc_id") % 50 == 0).select(
+        (F.col("doc_id") + F.lit(e._PLANT_OFFSET)).alias("pair_id"), mt,
+        F.concat(hdr, F.lit("~~"), F.substring(ras, 3, 286))
+        .cast("binary").alias("payload"),
+        F.concat(F.lit("zz"), F.col("doc_id").cast("string")).alias("caption"),
+    )
+    cap_dup = docs.filter(F.col("doc_id") % 50 == 25).select(
+        (F.col("doc_id") + F.lit(e._PLANT_OFFSET)).alias("pair_id"), mt,
+        F.concat(hdr, ras_x).cast("binary").alias("payload"),
+        F.concat(F.col("text"), F.lit(" xz qv")).alias("caption"),
+    )
+    pairs = base.unionByName(img_dup).unionByName(cap_dup)
+    out = {"op": "media_pair_dedup", "sf_dir": sf_dir, "pairs": pairs.count()}
+    codes = dhash_codes(
+        pairs.select(F.col("pair_id").alias("doc_id"), "media_type", "payload")
+    )
+    with leased(
+        hamming_code_pairs(codes, "phash", "doc_id", bits=64, max_hamming=3)
+    ) as ie:
+        out["img_edges"] = ie.count()
+    with leased(
+        minhash_lsh_candidates(
+            pairs.select(F.col("pair_id").alias("doc_id"), "caption"),
+            text_col="caption", id_col="doc_id", num_hashes=8,
+        )
+    ) as te:
+        out["txt_edges"] = te.count()
+    from metric_store_release_spark.pipeline.multimodal import (
+        cross_modal_pair_dedup,
+    )
+
+    comp = cross_modal_pair_dedup(pairs)
+    out["clustered_pairs"] = comp.count()
+    out["components"] = comp.select("component").distinct().count()
+    return out
+
+
 def main() -> None:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
     which = sys.argv[2] if len(sys.argv) > 2 else "both"
@@ -298,6 +365,8 @@ def main() -> None:
         print(json.dumps(substring_spans_counts(spark, sf_dir)), flush=True)
     if which in ("fuzzy_decon", "both"):
         print(json.dumps(fuzzy_decon_counts(spark, sf_dir)), flush=True)
+    if which in ("media_pair", "both"):
+        print(json.dumps(media_pair_counts(spark, sf_dir)), flush=True)
 
 
 if __name__ == "__main__":

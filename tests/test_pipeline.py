@@ -2033,6 +2033,47 @@ def _p5(w, h, raster: bytes) -> bytes:
     return b"P5\n%d %d\n255\n" % (w, h) + raster
 
 
+def test_cross_modal_pair_dedup(spark):
+    """Pairs duplicated on exactly ONE side must still cluster, and
+    duplicate relations must be transitive ACROSS modalities: A~B by
+    image only, B~C by caption only => {A, B, C} is one component. A
+    pair unique on both sides appears in no component."""
+    import hashlib
+
+    from metric_store_release_spark.pipeline.dedup import leased
+    from metric_store_release_spark.pipeline.multimodal import (
+        cross_modal_pair_dedup,
+    )
+
+    def raster(seed: str) -> bytes:
+        return b"".join(
+            hashlib.md5(f"{k}:{seed}".encode()).hexdigest().encode()
+            for k in range(9)
+        )
+
+    def p5(r: bytes) -> bytes:
+        return b"P5\n18 16\n255\n" + r
+
+    mt = "image/x-portable-graymap"
+    ra = raster("imgA")
+    cap_b = "a shared caption about a dog on a beach with a red ball"
+    rows = [
+        # A and B: same image, unrelated captions (image-side dup)
+        (1, mt, p5(ra), "completely unrelated words qq ww ee rr tt yy"),
+        (2, mt, p5(b"~~" + ra[2:]), cap_b),
+        # C: near-dup of B's caption, unrelated image (caption-side dup)
+        (3, mt, p5(raster("imgC")), cap_b + " xz qv"),
+        # D: unique on both sides
+        (4, mt, p5(raster("imgD")), "nothing here matches anything zz"),
+    ]
+    df = spark.createDataFrame(
+        rows, "pair_id long, media_type string, payload binary, caption string"
+    )
+    with leased(cross_modal_pair_dedup(df)) as out:
+        got = {r["pair_id"]: r["component"] for r in out.collect()}
+    assert got == {1: 1, 2: 1, 3: 1}  # one cluster through B; D absent
+
+
 def test_dhash_gradient_and_grid_properties(spark):
     """dHash invariants the phash dedup rests on: (1) a uniform
     brightness shift never changes the code (gradient bits); (2) noise
