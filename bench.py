@@ -231,6 +231,11 @@ def main() -> None:
         # compare embedding_ann_pq for the from-scratch-index probe)
         "dedup_substring_spans",
         "embedding_ann_append",
+        # round 10: incremental ExactSubstr — the planted copies as a
+        # new batch against the already-deduped corpus; compare
+        # dedup_substring_spans for the from-scratch cost of the same
+        # fixture (the delta-proportional win is the point)
+        "dedup_substring_incr",
         # round 9: CCNet per-language perplexity terciles (one
         # hashed-feature agg + distribution-table thresholds) and
         # VAD-style energy segmentation over the PCM16 corpus

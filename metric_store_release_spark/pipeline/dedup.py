@@ -1576,36 +1576,8 @@ def remove_repeated_substrings(
     """
     from pyspark import StorageLevel
 
-    words = F.filter(F.split(F.col(text_col), r"\s+"), lambda w: w != "")
-    toks = df.select(F.col(id_col).alias("id"), words.alias("__words")).filter(
-        F.size("__words") > 0
-    )
-    # Per-word hashes once, then the k-gram composite by zip_with-folding
-    # k shifted views (SCALING #3: per-position slice allocates a fresh
-    # sub-array and runs interpreted; zip_with walks the arrays once).
-    # The short-doc case MUST be guarded inside the expression, not by a
-    # separate filter: Catalyst merges the Generate's inferred size()>0
-    # predicate with any row filter, and predicate-level CSE then
-    # evaluates the fold BEFORE the cheap size check — and slice() with
-    # a non-positive length throws (SCALING #26).
-    wh = F.transform(F.col("__words"), lambda w: F.xxhash64(w))
-    toks_h = toks.select("id", F.size("__words").alias("__n"), wh.alias("__wh"))
-    mlen = F.col("__n") - (k - 1)
-    acc = F.slice(F.col("__wh"), 1, mlen)
-    for j in range(1, k):
-        acc = F.zip_with(
-            acc,
-            F.slice(F.col("__wh"), 1 + j, mlen),
-            lambda a, b: F.xxhash64(a, b),
-        )
-    gram_hashes = F.when(F.col("__n") >= k, acc).otherwise(
-        F.expr("array()").cast("array<bigint>")
-    )
-    grams = (
-        toks_h.select("id", gram_hashes.alias("__hashes"))
-        .select("id", F.posexplode("__hashes").alias("s", "h"))
-        .persist(StorageLevel.MEMORY_AND_DISK)
-    )
+    toks = _tokens_frame(df, text_col, id_col)
+    grams = _xxgram_postings(toks, k).persist(StorageLevel.MEMORY_AND_DISK)
     # Blocking materialization (SCALING #5): the df-agg and the semi-join
     # probe read `grams` from two stages with no dependency between them
     # in the degraded shuffle-join path (the documented all-boilerplate
@@ -1619,6 +1591,60 @@ def remove_repeated_substrings(
         .select("h")
     )
     hits = grams.join(dup, "h", "left_semi").select("id", "s")
+    out = _excise_covered(toks, hits, k, id_col)
+    # caller-owned pinned gram table — dedup.release_index_cache
+    out._index_cache = grams
+    return out
+
+
+def _tokens_frame(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """(id, __words): whitespace tokens per document, empty docs dropped —
+    the shared front of the ExactSubstr passes."""
+    words = F.filter(F.split(F.col(text_col), r"\s+"), lambda w: w != "")
+    return df.select(F.col(id_col).alias("id"), words.alias("__words")).filter(
+        F.size("__words") > 0
+    )
+
+
+def _xxgram_postings(toks: DataFrame, k: int) -> DataFrame:
+    """(id, s, h): chained-xxhash64 k-gram postings of a _tokens_frame —
+    the persistable span-dedup index (unpersisted here; callers pin it).
+
+    Per-word hashes once, then the k-gram composite by zip_with-folding
+    k shifted views (SCALING #3: per-position slice allocates a fresh
+    sub-array and runs interpreted; zip_with walks the arrays once).
+    The short-doc case MUST be guarded inside the expression, not by a
+    separate filter: Catalyst merges the Generate's inferred size()>0
+    predicate with any row filter, and predicate-level CSE then
+    evaluates the fold BEFORE the cheap size check — and slice() with
+    a non-positive length throws (SCALING #26)."""
+    wh = F.transform(F.col("__words"), lambda w: F.xxhash64(w))
+    toks_h = toks.select("id", F.size("__words").alias("__n"), wh.alias("__wh"))
+    mlen = F.col("__n") - (k - 1)
+    acc = F.slice(F.col("__wh"), 1, mlen)
+    for j in range(1, k):
+        acc = F.zip_with(
+            acc,
+            F.slice(F.col("__wh"), 1 + j, mlen),
+            lambda a, b: F.xxhash64(a, b),
+        )
+    gram_hashes = F.when(F.col("__n") >= k, acc).otherwise(
+        F.expr("array()").cast("array<bigint>")
+    )
+    return toks_h.select("id", gram_hashes.alias("__hashes")).select(
+        "id", F.posexplode("__hashes").alias("s", "h")
+    )
+
+
+def _excise_covered(
+    toks: DataFrame, hits: DataFrame, k: int, id_col: str
+) -> DataFrame:
+    """Excise every position covered by a hit k-window and reassemble:
+    (id_col, text, n_tokens, n_removed) for every doc in ``toks``.
+    ``hits`` is (id, s) — window-start positions whose gram is banned.
+    Covered-position expansion is k rows per HIT only (bounded by the
+    duplicated volume); untouched docs pass through map-side via the
+    anti-join, never re-aggregated."""
     covered = hits.select(
         "id", F.explode(F.sequence(F.col("s"), F.col("s") + (k - 1))).alias("pos")
     ).distinct()
@@ -1656,11 +1682,94 @@ def remove_repeated_substrings(
         F.size("__words").cast("bigint").alias("n_tokens"),
         F.lit(0).cast("bigint").alias("n_removed"),
     )
-    out = reassembled.unionByName(untouched).select(
+    return reassembled.unionByName(untouched).select(
         F.col("id").alias(id_col), "text", "n_tokens", "n_removed"
     )
-    # caller-owned pinned gram table — dedup.release_index_cache
-    out._index_cache = grams
+
+
+def remove_repeated_substrings_incremental(
+    base: DataFrame,
+    delta: DataFrame,
+    k: int = 15,
+    min_count: int = 2,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    base_grams: DataFrame | None = None,
+) -> DataFrame:
+    """Incremental ExactSubstr: a new crawl batch (``delta``) lands on a
+    corpus (``base``) whose span dedup already ran — re-clean ONLY what
+    the batch changes, never the whole corpus. The same
+    index-reuse contract as :func:`minhash_match` (incremental near-dup)
+    and similarity.ivf_pq_append (incremental ANN): at 100 TB the
+    monthly crawl is ~1% of the corpus, and a from-scratch rerun is
+    99% wasted work.
+
+    Which documents can the batch change? A document's cover set depends
+    only on MEMBERSHIP of its k-grams in the >= ``min_count`` dup set,
+    and delta only ADDS occurrences — so a base document is affected iff
+    it contains a gram that CROSSES the threshold (base count <
+    min_count <= combined count). Already-dup grams stay dup (their
+    spans were excised in the prior state), never-dup grams stay unique.
+    Returns cleaned (id, text, n_tokens, n_removed) rows for every delta
+    doc and every affected base doc; union with the prior state's
+    untouched rows reproduces ``remove_repeated_substrings(base ∪
+    delta)`` EXACTLY (pytest-pinned equivalence, both directions).
+
+    ``base_grams`` is the persisted (id, s, h) posting table a prior
+    :func:`remove_repeated_substrings` run left as its ``_index_cache``
+    (in production: a bucketed warehouse table, with the per-gram count
+    table persisted alongside — then nothing here rescans base text
+    except the affected docs' reassembly). Built from ``base`` if None.
+
+    Plan shape: delta postings + counts are batch-proportional; the one
+    base-proportional pass is the count aggregate over ``base_grams``
+    (precomputed in production); threshold-crossing detection is a
+    counts-table equi-join on the 8-byte gram hash; the excision touches
+    only (delta ∪ affected) docs. Nothing is ever all-pairs and no
+    full-corpus reassembly happens.
+    """
+    from pyspark import StorageLevel
+
+    toks_b = _tokens_frame(base, text_col, id_col)
+    toks_d = _tokens_frame(delta, text_col, id_col)
+    own_gb = base_grams is None
+    gb = (
+        _xxgram_postings(toks_b, k).persist(StorageLevel.MEMORY_AND_DISK)
+        if own_gb
+        else base_grams
+    )
+    gd = _xxgram_postings(toks_d, k).persist(StorageLevel.MEMORY_AND_DISK)
+    gd.count()  # blocking: counts and the excision probe both read it
+    if own_gb:
+        gb.count()
+    cb = gb.groupBy("h").agg(F.count(F.lit(1)).alias("__cb"))
+    cd = gd.groupBy("h").agg(F.count(F.lit(1)).alias("__cd"))
+    counts = (
+        cb.join(cd, "h", "full_outer")
+        .select(
+            "h",
+            F.coalesce("__cb", F.lit(0)).alias("__cb"),
+            F.coalesce("__cd", F.lit(0)).alias("__cd"),
+        )
+        .withColumn("__comb", F.col("__cb") + F.col("__cd"))
+        .filter(F.col("__comb") >= min_count)
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    counts.count()  # read by the crossing detector and the excision probe
+    newly_dup = counts.filter(F.col("__cb") < min_count).select("h")
+    affected_base = (
+        gb.join(newly_dup, "h", "left_semi").select("id").distinct()
+    )
+    toks = toks_b.join(affected_base, "id", "left_semi").unionByName(toks_d)
+    grams_clean = (
+        gb.join(affected_base, "id", "left_semi").unionByName(gd)
+    )
+    hits = grams_clean.join(counts.select("h"), "h", "left_semi").select(
+        "id", "s"
+    )
+    out = _excise_covered(toks, hits, k, id_col)
+    caches = [gd, counts] + ([gb] if own_gb else [])
+    out._index_cache = caches
     return out
 
 

@@ -2033,6 +2033,87 @@ def _p5(w, h, raster: bytes) -> bytes:
     return b"P5\n%d %d\n255\n" % (w, h) + raster
 
 
+def test_remove_repeated_substrings_incremental_equivalence(spark):
+    """incremental(base, delta) must equal remove_repeated_substrings
+    (base ∪ delta) restricted to (delta ∪ affected-base) docs, AND every
+    base doc it does NOT return must have an identical row in the
+    prior full run over base alone — i.e. skipping it was sound. Fixture
+    exercises all four regimes: a base-internal dup (already excised,
+    untouched by delta), a base doc whose span becomes dup ONLY through
+    the delta copy (must be re-cleaned), a delta doc copying base text,
+    and unique docs on both sides."""
+    from metric_store_release_spark.pipeline.dedup import (
+        leased,
+        remove_repeated_substrings,
+        remove_repeated_substrings_incremental,
+    )
+
+    span_a = " ".join(f"a{j}" for j in range(20))  # base-internal dup
+    span_b = " ".join(f"b{j}" for j in range(20))  # dup only via delta
+    base_rows = [
+        (1, span_a + " " + " ".join(f"u1x{j}" for j in range(10))),
+        (2, span_a + " " + " ".join(f"u2x{j}" for j in range(10))),
+        (3, span_b + " " + " ".join(f"u3x{j}" for j in range(10))),
+        (4, " ".join(f"u4x{j}" for j in range(25))),
+    ]
+    delta_rows = [
+        (100, "xq100 " + span_b),                     # copies base span
+        (101, " ".join(f"d1x{j}" for j in range(25))),  # unique
+    ]
+    base = spark.createDataFrame(base_rows, "doc_id long, text string")
+    delta = spark.createDataFrame(delta_rows, "doc_id long, text string")
+
+    with leased(
+        remove_repeated_substrings_incremental(base, delta, k=15)
+    ) as inc:
+        got = {r["doc_id"]: r.asDict() for r in inc.collect()}
+    with leased(
+        remove_repeated_substrings(base.unionByName(delta), k=15)
+    ) as full:
+        want = {r["doc_id"]: r.asDict() for r in full.collect()}
+    with leased(remove_repeated_substrings(base, k=15)) as prior:
+        prior_rows = {r["doc_id"]: r.asDict() for r in prior.collect()}
+
+    # 3 (newly affected through delta) + both delta docs; NOT 1/2/4
+    assert set(got) == {3, 100, 101}, got
+    for i, r in got.items():
+        assert r == want[i], (i, r, want[i])
+    assert got[3]["n_removed"] == 20 and got[100]["n_removed"] == 20
+    # every skipped base doc: prior row already equals the full-run row
+    for i in (1, 2, 4):
+        assert prior_rows[i] == want[i], (i, prior_rows[i], want[i])
+
+
+def test_remove_repeated_substrings_incremental_reuses_index(spark):
+    """Passing the prior run's persisted posting table must give the
+    identical answer without rebuilding base grams (the production
+    index-reuse path)."""
+    from metric_store_release_spark.pipeline.dedup import (
+        leased,
+        release_index_cache,
+        remove_repeated_substrings,
+        remove_repeated_substrings_incremental,
+    )
+
+    span = " ".join(f"s{j}" for j in range(16))
+    base = spark.createDataFrame(
+        [(1, span + " tail1 tail2"), (2, " ".join(f"o{j}" for j in range(20)))],
+        "doc_id long, text string",
+    )
+    delta = spark.createDataFrame(
+        [(10, "lead " + span)], "doc_id long, text string"
+    )
+    prior = remove_repeated_substrings(base, k=15)
+    prior.collect()
+    gb = prior._index_cache  # the persisted (id, s, h) posting table
+    with leased(
+        remove_repeated_substrings_incremental(base, delta, k=15, base_grams=gb)
+    ) as inc:
+        got = {r["doc_id"]: r["n_removed"] for r in inc.collect()}
+    release_index_cache(prior)
+    assert got == {1: 16, 10: 16}
+
+
 def test_cross_modal_pair_dedup(spark):
     """Pairs duplicated on exactly ONE side must still cluster, and
     duplicate relations must be transitive ACROSS modalities: A~B by
