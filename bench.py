@@ -303,6 +303,7 @@ def main() -> None:
     qs["embedding_ann_probe"](spark, SF_DIR)
     qs["embedding_ann_pq"](spark, SF_DIR)
     qs["embedding_ann_append"](spark, SF_DIR)
+    qs["dedup_substring_incr"](spark, SF_DIR)
     qs["events_sessionize_bucketed"](spark, SF_DIR)
     qs["events_range_scan_zordered"](spark, SF_DIR)
     qs["events_range_scan_hilbert"](spark, SF_DIR)

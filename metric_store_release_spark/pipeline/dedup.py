@@ -1695,14 +1695,15 @@ def remove_repeated_substrings_incremental(
     text_col: str = "text",
     id_col: str = "doc_id",
     base_grams: DataFrame | None = None,
+    base_counts: DataFrame | None = None,
 ) -> DataFrame:
     """Incremental ExactSubstr: a new crawl batch (``delta``) lands on a
     corpus (``base``) whose span dedup already ran — re-clean ONLY what
-    the batch changes, never the whole corpus. The same
-    index-reuse contract as :func:`minhash_match` (incremental near-dup)
-    and similarity.ivf_pq_append (incremental ANN): at 100 TB the
-    monthly crawl is ~1% of the corpus, and a from-scratch rerun is
-    99% wasted work.
+    the batch changes, never the whole corpus. The same index-reuse
+    contract as :func:`minhash_match` (incremental near-dup) and
+    similarity.ivf_pq_append (incremental ANN): at 100 TB the monthly
+    crawl is ~1% of the corpus, and a from-scratch rerun is 99% wasted
+    work.
 
     Which documents can the batch change? A document's cover set depends
     only on MEMBERSHIP of its k-grams in the >= ``min_count`` dup set,
@@ -1715,61 +1716,97 @@ def remove_repeated_substrings_incremental(
     untouched rows reproduces ``remove_repeated_substrings(base ∪
     delta)`` EXACTLY (pytest-pinned equivalence, both directions).
 
-    ``base_grams`` is the persisted (id, s, h) posting table a prior
-    :func:`remove_repeated_substrings` run left as its ``_index_cache``
-    (in production: a bucketed warehouse table, with the per-gram count
-    table persisted alongside — then nothing here rescans base text
-    except the affected docs' reassembly). Built from ``base`` if None.
+    ``base_grams`` / ``base_counts`` are the persisted (id, s, h)
+    posting table and its (h, cnt) aggregate from the prior run — in
+    production, h-bucketed warehouse tables written once. Built from
+    ``base`` here if absent (then the call degrades to
+    corpus-proportional index construction, exactly the cost the
+    persisted index exists to amortize).
 
-    Plan shape: delta postings + counts are batch-proportional; the one
-    base-proportional pass is the count aggregate over ``base_grams``
-    (precomputed in production); threshold-crossing detection is a
-    counts-table equi-join on the 8-byte gram hash; the excision touches
-    only (delta ∪ affected) docs. Nothing is ever all-pairs and no
-    full-corpus reassembly happens.
+    DELTA-PROPORTIONAL plan shape (the point of the operator):
+    - a gram can cross the threshold ONLY if it occurs in delta
+      (cb < min_count <= cb + cd requires cd >= 1), so crossing
+      detection joins the SMALL delta count table against base counts —
+      one streamed pass over ``base_counts`` (h-colocated probe when the
+      index is h-bucketed; a first cut full_outer-joined the complete
+      count tables and measured ~7x the from-scratch op at sf0.1);
+    - affected-doc discovery is one semi-join probe of ``base_grams`` by
+      the (tiny, broadcastable) crossing-gram set;
+    - affected docs' postings are RE-DERIVED from their text
+      (∝ affected) rather than filtered out of the full posting table
+      (a second full pass);
+    - the dup test for the cleaned set probes base counts by the
+      cleaned docs' distinct gram hashes (small side broadcast, base
+      streamed — never shuffled);
+    - the excision touches only (delta ∪ affected) docs.
     """
     from pyspark import StorageLevel
 
     toks_b = _tokens_frame(base, text_col, id_col)
     toks_d = _tokens_frame(delta, text_col, id_col)
-    own_gb = base_grams is None
-    gb = (
-        _xxgram_postings(toks_b, k).persist(StorageLevel.MEMORY_AND_DISK)
-        if own_gb
-        else base_grams
-    )
-    gd = _xxgram_postings(toks_d, k).persist(StorageLevel.MEMORY_AND_DISK)
-    gd.count()  # blocking: counts and the excision probe both read it
-    if own_gb:
+    own: list[DataFrame] = []
+    gb = base_grams
+    if gb is None:
+        gb = _xxgram_postings(toks_b, k).persist(StorageLevel.MEMORY_AND_DISK)
         gb.count()
-    cb = gb.groupBy("h").agg(F.count(F.lit(1)).alias("__cb"))
-    cd = gd.groupBy("h").agg(F.count(F.lit(1)).alias("__cd"))
-    counts = (
-        cb.join(cd, "h", "full_outer")
-        .select(
-            "h",
-            F.coalesce("__cb", F.lit(0)).alias("__cb"),
-            F.coalesce("__cd", F.lit(0)).alias("__cd"),
+        own.append(gb)
+    cb = base_counts
+    if cb is None:
+        cb = (
+            gb.groupBy("h")
+            .agg(F.count(F.lit(1)).alias("cnt"))
+            .persist(StorageLevel.MEMORY_AND_DISK)
         )
-        .withColumn("__comb", F.col("__cb") + F.col("__cd"))
-        .filter(F.col("__comb") >= min_count)
+        cb.count()
+        own.append(cb)
+    gd = _xxgram_postings(toks_d, k).persist(StorageLevel.MEMORY_AND_DISK)
+    gd.count()  # blocking: crossing detection and the excision both read it
+    cd = gd.groupBy("h").agg(F.count(F.lit(1)).alias("__cd"))
+    crossing = (
+        cd.join(cb, "h", "left_outer")
+        .select("h", "__cd", F.coalesce("cnt", F.lit(0)).alias("__cb"))
+        .filter(
+            (F.col("__cb") < min_count)
+            & (F.col("__cb") + F.col("__cd") >= min_count)
+        )
+        .select("h")
+    )
+    # toks_aff is read FOUR times downstream (the re-derived postings,
+    # then _excise_covered's tok/untouched/union branches) — unpinned,
+    # every read re-runs the affected-id discovery (a full posting-table
+    # probe) plus the base re-tokenization; pinned it is tiny
+    # (∝ affected docs). Measured 7.6 → ~2 s at sf0.1.
+    toks_aff = (
+        toks_b.join(
+            gb.join(crossing, "h", "left_semi").select("id").distinct(),
+            "id",
+            "left_semi",
+        )
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
-    counts.count()  # read by the crossing detector and the excision probe
-    newly_dup = counts.filter(F.col("__cb") < min_count).select("h")
-    affected_base = (
-        gb.join(newly_dup, "h", "left_semi").select("id").distinct()
-    )
-    toks = toks_b.join(affected_base, "id", "left_semi").unionByName(toks_d)
+    toks_aff.count()
     grams_clean = (
-        gb.join(affected_base, "id", "left_semi").unionByName(gd)
+        _xxgram_postings(toks_aff, k)
+        .unionByName(gd)
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
-    hits = grams_clean.join(counts.select("h"), "h", "left_semi").select(
-        "id", "s"
+    grams_clean.count()  # read by the dup probe and the hit projection
+    dup_local = (
+        grams_clean.select("h")
+        .distinct()
+        .join(cb, "h", "left_outer")
+        .join(cd, "h", "left_outer")
+        .filter(
+            F.coalesce("cnt", F.lit(0)) + F.coalesce("__cd", F.lit(0))
+            >= min_count
+        )
+        .select("h")
     )
-    out = _excise_covered(toks, hits, k, id_col)
-    caches = [gd, counts] + ([gb] if own_gb else [])
-    out._index_cache = caches
+    hits = grams_clean.join(dup_local, "h", "left_semi").select("id", "s")
+    out = _excise_covered(
+        toks_aff.unionByName(toks_d), hits, k, id_col
+    )
+    out._index_cache = [gd, toks_aff, grams_clean] + own
     return out
 
 
