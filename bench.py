@@ -303,7 +303,11 @@ def main() -> None:
     qs["embedding_ann_probe"](spark, SF_DIR)
     qs["embedding_ann_pq"](spark, SF_DIR)
     qs["embedding_ann_append"](spark, SF_DIR)
-    qs["dedup_substring_incr"](spark, SF_DIR)
+    # span-dedup warehouse index only — calling the full query here would
+    # leave its _index_cache (gd/toks_aff/grams_clean) pinned for the whole
+    # bench session (advisor r10: storage-pressure accumulation the in-loop
+    # lease exists to prevent); the timed query needs just the tables
+    entry_mod._span_index_for(spark, SF_DIR)
     qs["events_sessionize_bucketed"](spark, SF_DIR)
     qs["events_range_scan_zordered"](spark, SF_DIR)
     qs["events_range_scan_hilbert"](spark, SF_DIR)

@@ -1236,14 +1236,26 @@ def token_budget_mixture(
     if len(totals) > cap:
         base.unpersist()
         raise ValueError(
-            f"token_budget_mixture: more than max_sources={max_sources} "
-            f"distinct {source_col!r} values — this operator's driver-side "
-            "prefix pass is for bounded mixture domains; bucket the source "
-            "column first or raise max_sources deliberately"
+            f"token_budget_mixture: pass-1 collect exceeded the "
+            f"max_sources={max_sources} x n_buckets={n_buckets} driver-row "
+            f"cap — too many distinct {source_col!r} values for the "
+            "driver-side prefix pass; bucket the source column first or "
+            "raise max_sources deliberately"
         )
     per_src: dict[str, list] = {}
     for r in totals:
         per_src.setdefault(r["source"], []).append((r["__b"], r["t"]))
+    # within the row cap the collect is COMPLETE, so this distinct-source
+    # count is exact — sparsely-bucketed domains that slip under the
+    # pigeonhole row bound still trip the contract here (advisor r10)
+    if len(per_src) > max_sources:
+        base.unpersist()
+        raise ValueError(
+            f"token_budget_mixture: {len(per_src)} distinct {source_col!r} "
+            f"values exceed max_sources={max_sources} — this operator's "
+            "driver-side prefix pass is for bounded mixture domains; bucket "
+            "the source column first or raise max_sources deliberately"
+        )
     offsets = []
     for src, rows in per_src.items():
         acc = 0
