@@ -3486,7 +3486,7 @@ _SPAN_INDEX: dict[str, tuple[str, str]] = {}
 def _span_index_for(spark: SparkSession, sf_dir: str):
     from metric_store_release_spark.pipeline.dedup import (
         _tokens_frame,
-        _xxgram_postings,
+        _gram_postings,
     )
     from metric_store_release_spark.sources.bucketed import (
         read_bucketed,
@@ -3499,7 +3499,7 @@ def _span_index_for(spark: SparkSession, sf_dir: str):
         if spark.catalog.tableExists(tg) and spark.catalog.tableExists(tc):
             return read_bucketed(spark, tg), read_bucketed(spark, tc)
     docs = _docs(spark, sf_dir).select("doc_id", "text")
-    grams = _xxgram_postings(_tokens_frame(docs, "text", "doc_id"), 15)
+    grams = _gram_postings(_tokens_frame(docs, "text", "doc_id"), 15)
     tg = "msr_span_grams_" + _table_suffix(sf_dir)
     tc = "msr_span_counts_" + _table_suffix(sf_dir)
     write_bucketed(grams, tg, "h", 8)

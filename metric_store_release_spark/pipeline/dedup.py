@@ -1547,13 +1547,12 @@ def remove_repeated_substrings(
     Scale design — four bounded shuffles, no self-join, no all-pairs:
       1. k-gram occurrence count: hash-aggregate keyed by the gram's
          64-bit composite hash — 8-byte keys, map-side partial count
-         first. The gram hash is a chained xxhash64 fold over the
-         PER-WORD hashes, built by zip_with-folding k shifted views of
-         the word-hash array (the _word_shingles recipe, SCALING #3) —
-         no per-gram string is ever materialized, so the stage allocates
-         k longs per position instead of ~k·|word| chars (measured
-         ~20% faster than string grams at sf1 and far lighter on GC at
-         sf10);
+         first. The gram hashes come from the shared vectorized Arrow
+         kernel (:func:`_gram_postings` — the same double-poly-hash
+         math as :func:`_window_gram_table`, ~2·k numpy passes over a
+         flat md5-memoized token-hash array); no per-gram string is
+         ever materialized, so the stage moves 8-byte longs instead of
+         ~k·|word| chars;
       2. dup-gram semi-join back to the PERSISTED gram table on the
          8-byte hash (unpersisted, the whole gram lineage would run
          twice — once per join side, the hamming_code_pairs lesson; the
@@ -1567,9 +1566,10 @@ def remove_repeated_substrings(
       4. reassembly: hash-aggregate keyed by doc id over AFFECTED
          documents only — untouched documents pass through map-side
          (anti-join against the small affected-id set), never re-agg'd.
-    A false merge needs a collision of the chained-xxhash64 composite
-    between two distinct k-grams — the same ~1e-9 64-bit birthday-bound
-    contract as [[remove_duplicate_spans]] / [[dedup_editdist]].
+    A false merge needs a ~2^62 composite collision between two distinct
+    k-grams (two independent 31-bit poly hashes — see _gram_postings) —
+    the same practical ~1e-9 birthday-bound contract as
+    [[remove_duplicate_spans]] / [[dedup_editdist]].
 
     The persisted gram table is caller-owned via ``_index_cache`` on the
     result — release with :func:`release_index_cache` / :func:`leased`.
@@ -1577,7 +1577,7 @@ def remove_repeated_substrings(
     from pyspark import StorageLevel
 
     toks = _tokens_frame(df, text_col, id_col)
-    grams = _xxgram_postings(toks, k).persist(StorageLevel.MEMORY_AND_DISK)
+    grams = _gram_postings(toks, k).persist(StorageLevel.MEMORY_AND_DISK)
     # Blocking materialization (SCALING #5): the df-agg and the semi-join
     # probe read `grams` from two stages with no dependency between them
     # in the degraded shuffle-join path (the documented all-boilerplate
@@ -1606,34 +1606,98 @@ def _tokens_frame(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     )
 
 
-def _xxgram_postings(toks: DataFrame, k: int) -> DataFrame:
-    """(id, s, h): chained-xxhash64 k-gram postings of a _tokens_frame —
+def _gram_postings(toks: DataFrame, k: int) -> DataFrame:
+    """(id, s, h): double-poly-hashed k-gram postings of a _tokens_frame —
     the persistable span-dedup index (unpersisted here; callers pin it).
+    ``s`` is the 0-based window start position; docs shorter than ``k``
+    tokens contribute no postings.
 
-    Per-word hashes once, then the k-gram composite by zip_with-folding
-    k shifted views (SCALING #3: per-position slice allocates a fresh
-    sub-array and runs interpreted; zip_with walks the arrays once).
-    The short-doc case MUST be guarded inside the expression, not by a
-    separate filter: Catalyst merges the Generate's inferred size()>0
-    predicate with any row filter, and predicate-level CSE then
-    evaluates the fold BEFORE the cheap size check — and slice() with
-    a non-positive length throws (SCALING #26)."""
-    wh = F.transform(F.col("__words"), lambda w: F.xxhash64(w))
-    toks_h = toks.select("id", F.size("__words").alias("__n"), wh.alias("__wh"))
-    mlen = F.col("__n") - (k - 1)
-    acc = F.slice(F.col("__wh"), 1, mlen)
-    for j in range(1, k):
-        acc = F.zip_with(
-            acc,
-            F.slice(F.col("__wh"), 1 + j, mlen),
-            lambda a, b: F.xxhash64(a, b),
-        )
-    gram_hashes = F.when(F.col("__n") >= k, acc).otherwise(
-        F.expr("array()").cast("array<bigint>")
+    ROUND-11 REWRITE — the same Arrow-kernel math as
+    :func:`_window_gram_table` (the gram-operator rule: one vectorized
+    kernel for every word-n-gram family member) instead of the previous
+    chained-xxhash64 zip_with fold: the fold was k interpreted lambda
+    steps per window and dominated every ExactSubstr cell (the sf0.1
+    corpus is one parquet split, so the 15-deep fold also ran
+    single-threaded — _fan_out now spreads it). The kernel computes both
+    poly-hash chains as ~2·k vectorized numpy passes over one flat
+    md5-memoized token-hash array (windows crossing document boundaries
+    masked out) and emits the composite ``h = (h1 << 31) XOR h2`` — two
+    independent 31-bit poly hashes, so a false merge needs a ~2^62
+    composite collision: the same practical ~1e-9 birthday-bound
+    contract the xxhash64 fold carried. Oracles are unaffected: every
+    SQL twin joins on the gram STRING itself, never the hash."""
+    import hashlib
+
+    import numpy as _np
+    import pandas as _pd
+
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    id_type = toks.schema["id"].dataType
+    out_schema = StructType(
+        [
+            StructField("id", id_type, True),
+            StructField("s", LongType(), True),
+            StructField("h", LongType(), True),
+        ]
     )
-    return toks_h.select("id", gram_hashes.alias("__hashes")).select(
-        "id", F.posexplode("__hashes").alias("s", "h")
-    )
+    n = int(k)
+    p1, p2 = SUBSTR_P1, SUBSTR_P2
+
+    def kernel(batches):
+        # md5 memo: pure cache keyed by token (see _window_gram_table)
+        memo: dict = {}
+        memo_cap = 1 << 22
+
+        def word_hashes(flat):
+            h1 = _np.empty(len(flat), dtype=_np.int64)
+            h2 = _np.empty(len(flat), dtype=_np.int64)
+            for i, t in enumerate(flat):
+                v = memo.get(t)
+                if v is None:
+                    d = hashlib.md5(t.encode("utf-8")).hexdigest()
+                    v = (int(d[:8], 16), int(d[8:16], 16))
+                    if len(memo) >= memo_cap:
+                        memo.clear()
+                    memo[t] = v
+                h1[i], h2[i] = v
+            return h1, h2
+
+        for pdf in batches:
+            ids = pdf["id"].to_numpy()
+            tok_lists = pdf["__words"]
+            counts = _np.fromiter(
+                (len(t) for t in tok_lists), dtype=_np.int64, count=len(ids)
+            )
+            flat: list = []
+            for tl in tok_lists:
+                flat.extend(tl)
+            total = len(flat)
+            if total < n:
+                continue
+            wh1, wh2 = word_hashes(flat)
+            doc_of = _np.repeat(_np.arange(len(ids)), counts)
+            m = total - n + 1
+            acc1 = wh1[:m] % p1
+            acc2 = wh2[:m] % p2
+            for j in range(1, n):
+                acc1 = (acc1 * 31 + wh1[j:j + m]) % p1
+                acc2 = (acc2 * 31 + wh2[j:j + m]) % p2
+            valid = doc_of[:m] == doc_of[n - 1:]
+            idx = _np.nonzero(valid)[0]
+            if not len(idx):
+                continue
+            d = doc_of[idx]
+            starts = _np.concatenate(([0], _np.cumsum(counts)))
+            yield _pd.DataFrame(
+                {
+                    "id": ids[d],
+                    "s": idx - starts[d],
+                    "h": (acc1[idx] << _np.int64(31)) ^ acc2[idx],
+                }
+            )
+
+    return _fan_out(toks).mapInPandas(kernel, schema=out_schema)
 
 
 def _excise_covered(
@@ -1747,7 +1811,7 @@ def remove_repeated_substrings_incremental(
     own: list[DataFrame] = []
     gb = base_grams
     if gb is None:
-        gb = _xxgram_postings(toks_b, k).persist(StorageLevel.MEMORY_AND_DISK)
+        gb = _gram_postings(toks_b, k).persist(StorageLevel.MEMORY_AND_DISK)
         gb.count()
         own.append(gb)
     cb = base_counts
@@ -1759,7 +1823,7 @@ def remove_repeated_substrings_incremental(
         )
         cb.count()
         own.append(cb)
-    gd = _xxgram_postings(toks_d, k).persist(StorageLevel.MEMORY_AND_DISK)
+    gd = _gram_postings(toks_d, k).persist(StorageLevel.MEMORY_AND_DISK)
     gd.count()  # blocking: crossing detection and the excision both read it
     cd = gd.groupBy("h").agg(F.count(F.lit(1)).alias("__cd"))
     crossing = (
@@ -1786,7 +1850,7 @@ def remove_repeated_substrings_incremental(
     )
     toks_aff.count()
     grams_clean = (
-        _xxgram_postings(toks_aff, k)
+        _gram_postings(toks_aff, k)
         .unionByName(gd)
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
