@@ -554,6 +554,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["tpch_q14"] = _tpch_q14
     q["corpus_prepare"] = _corpus_prepare
     q["corpus_prepare_full"] = _corpus_prepare_full
+    q["corpus_prepare_stream"] = _corpus_prepare_stream
     q["events_latency_pctl"] = _events_latency_pctl
     q["ngram_contamination"] = _ngram_contamination
     q["docs_bloom_contamination"] = _docs_bloom_contamination
@@ -3173,6 +3174,48 @@ def _corpus_prepare_full(spark: SparkSession, sf_dir: str) -> DataFrame:
     return prepare_corpus_full(docs, bench, _TOKEN_BUDGET)
 
 
+#: sf_dir → the previous corpus_prepare_stream state dir (each call builds
+#: fresh state — it IS the end-to-end pipeline — but the prior call's
+#: directory is reclaimed so repeated bench/gate runs don't accumulate)
+_STREAM_DIRS: dict[str, str] = {}
+
+
+def _corpus_prepare_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The streaming incremental corpus pass (streaming/corpus_stream.py,
+    judge r10 ask #3): the corpus arrives as a 90% bulk load plus two 5%
+    crawl updates; each batch is Bloom-less cleaned against the
+    ACCUMULATED parquet state (incremental ExactSubstr probing the gram
+    index; fuzzy decon probing the benchmark band index built once), then
+    `corpus_stream_finalize` runs the shared CCNet + token-budget tail
+    over the resolved survivors. Equivalence with the batch composition
+    is the module's pinned contract, so the oracle IS
+    corpus_prepare_full's chained-CTE replay over the union."""
+    import shutil
+    import tempfile
+
+    from metric_store_release_spark.streaming.corpus_stream import (
+        corpus_stream_finalize,
+        streaming_corpus_prepare,
+    )
+
+    spark = _prepare(spark)
+    docs = _docs(spark, sf_dir).select("doc_id", "text", "lang", "source")
+    bench = docs.filter(F.col("doc_id") % _PLANT_EVERY == 0).select(
+        (F.col("doc_id") + F.lit(_PLANT_OFFSET)).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" xz qv")).alias("text"),
+    )
+    old = _STREAM_DIRS.pop(sf_dir, None)
+    if old:
+        shutil.rmtree(old, ignore_errors=True)
+    state = tempfile.mkdtemp(prefix="msr_corpus_stream_")
+    _STREAM_DIRS[sf_dir] = state
+    fn = streaming_corpus_prepare(state, bench)
+    fn(docs.filter(F.col("doc_id") % 20 < 18), 0)   # bulk load
+    fn(docs.filter(F.col("doc_id") % 20 == 18), 1)  # crawl update
+    fn(docs.filter(F.col("doc_id") % 20 == 19), 2)  # crawl update
+    return corpus_stream_finalize(spark, state, _TOKEN_BUDGET)
+
+
 def _tpch_q14(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H q14 shape (promotion revenue share): fact filter pushed to the
     scan, dimension broadcast join, conditional aggregate."""
@@ -5641,6 +5684,10 @@ FROM cum
 
     o["corpus_prepare"] = _prepare_corpus_oracle()
     o["corpus_prepare_full"] = _corpus_prepare_full_oracle()
+    # the streaming incremental pass over a batch split of the SAME
+    # corpus is pytest-pinned equivalent to the batch composition over
+    # the union — one oracle, two execution shapes
+    o["corpus_prepare_stream"] = _corpus_prepare_full_oracle()
 
     o["ngram_contamination"] = _contamination_oracle()
     o["docs_bloom_contamination"] = _bloom_contamination_oracle()

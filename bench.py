@@ -289,6 +289,11 @@ def main() -> None:
         # connected-components pass (dHash + caption-LSH edges through
         # one shared component labeling), offline like components_star
         "media_pair_dedup",
+        # round 11: the streaming incremental corpus pass — 90% bulk
+        # load + two 5% crawl updates through the parquet-state
+        # foreachBatch pipeline, then the finalize tail; an end-to-end
+        # BUILD (state written fresh per run), not a serving query
+        "corpus_prepare_stream",
     ]
     # warm the JVM + parquet footers with one tiny action
     spark.read.parquet(f"{SF_DIR}/region.parquet").count()

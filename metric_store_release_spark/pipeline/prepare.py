@@ -159,7 +159,7 @@ def prepare_corpus_full(
         release_index_cache,
         remove_repeated_substrings,
     )
-    from .text import ccnet_perplexity_buckets, token_budget_mixture, tokens
+    from .text import tokens
 
     meta = docs.select(id_col, lang_col, source_col)
     cleaned = remove_repeated_substrings(
@@ -219,10 +219,40 @@ def prepare_corpus_full(
     release_index_cache(pairs)  # LSH band + candidate caches consumed
     decon = alive.join(hit_ids, id_col, "left_anti")
 
+    return ccnet_budget_manifest(
+        decon, budget_tokens,
+        id_col=id_col, text_col=text_col, lang_col=lang_col,
+        source_col=source_col,
+    )
+
+
+def ccnet_budget_manifest(
+    alive: DataFrame,
+    budget_tokens: int,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    lang_col: str = "lang",
+    source_col: str = "source",
+    ntok_col: str = "__ntok",
+) -> DataFrame:
+    """The corpus-global tail of the pretraining pass — CCNet perplexity
+    terciles (tail dropped) then per-source token-budget mixture — over a
+    cleaned survivor frame carrying (id, text, lang, source, ``ntok_col``
+    = precomputed whitespace-token count). Shared by the batch
+    composition (:func:`prepare_corpus_full`) and the streaming
+    incremental pass's ``finalize`` (streaming/corpus_stream.py): these
+    two stages depend on the WHOLE corpus distribution (per-language
+    tercile thresholds, per-source budget prefix sums), so they run as
+    one batch plan over the accumulated survivors, never per micro-batch.
+    Returns the (id, source, lang, bucket, n_tokens, cum_tokens)
+    manifest; caller owns the budget base via ``_index_cache``."""
+    from .dedup import release_index_cache
+    from .text import ccnet_perplexity_buckets, token_budget_mixture
+
     buckets = ccnet_perplexity_buckets(
-        decon,
+        alive,
         text_col=text_col, id_col=id_col, lang_col=lang_col,
-        passthrough=(source_col, "__ntok"),
+        passthrough=(source_col, ntok_col),
     )
     keep = buckets.filter(F.col("bucket") != "tail").localCheckpoint()
     release_index_cache(buckets)  # the hashed-feature LM table
@@ -230,7 +260,7 @@ def prepare_corpus_full(
     mix = token_budget_mixture(
         keep, budget_tokens,
         source_col=source_col, id_col=id_col, text_col=text_col,
-        passthrough=("lang", "bucket"), n_tokens_col="__ntok",
+        passthrough=("lang", "bucket"), n_tokens_col=ntok_col,
     )
     out = mix.select(
         id_col, "source", "lang", "bucket", "n_tokens", "cum_tokens"
