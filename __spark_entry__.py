@@ -528,6 +528,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["media_resize"] = _media_resize
     q["media_phash_pairs"] = _media_phash_pairs
     q["media_pair_dedup"] = _media_pair_dedup
+    q["media_pair_dedup_trimodal"] = _media_pair_dedup_trimodal
     q["media_audio_fp_pairs"] = _media_audio_fp_pairs
     q["docs_dsir_select"] = _docs_dsir_select
     q["docs_ccnet_buckets"] = _docs_ccnet_buckets
@@ -3412,6 +3413,154 @@ def _media_pair_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cross_modal_pair_dedup(pairs)
 
 
+def _media_pair_dedup_trimodal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-modal training-pair dedup over the FULL modality trio
+    (`pipeline.multimodal.cross_modal_pair_dedup`, judge r10 ask #7):
+    one heterogeneous pair corpus — (image, caption) for doc_id%3==0,
+    (clip, transcript) for %3==1, (video, caption) for %3==2 — routed by
+    media_type prefix to dHash / delta-sign-PCM / delta-sign-luma code
+    builders, all three edge families plus the MinHash caption edges
+    through ONE shared connected-components pass. Plants (one family per
+    %150 residue): a near-dup image (0), audio clip (1), and video (2)
+    each with a UNIQUE caption — only its own modality's edge finds it;
+    a caption near-dup with disjoint payload (75); and the cross-modal
+    transitive chain (90): image X ~caption~ audio Y ~audio~ audio Z —
+    {X, Y, Z} must land in one component though no single edge family
+    connects X to Z."""
+    from metric_store_release_spark.pipeline.multimodal import (
+        cross_modal_pair_dedup,
+    )
+
+    return cross_modal_pair_dedup(_trimodal_pairs(spark, sf_dir))
+
+
+def _trimodal_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The media_pair_dedup_trimodal fixture (shared with
+    scripts/candidate_counts.py so the edge-volume evidence measures the
+    DECLARED input)."""
+    from metric_store_release_spark.pipeline.multimodal import (
+        _wav_header,
+        ppm_video_from_documents,
+        wav64_media_from_documents,
+    )
+
+    docs = (
+        _docs(spark, sf_dir)
+        .select("doc_id", "text")
+        .repartition(spark.sparkContext.defaultParallelism)
+    )
+    ras = F.concat(
+        *[F.md5(F.concat(F.lit(f"{k}:"), F.col("text"))) for k in range(9)]
+    )
+    ras_x = F.concat(
+        *[F.md5(F.concat(F.lit(f"x{k}:"), F.col("text"))) for k in range(9)]
+    )
+    p5 = F.lit("P5\n18 16\n255\n")
+    img_mt = F.lit("image/x-portable-graymap").alias("media_type")
+    wav_data = F.concat(
+        *[
+            F.unhex(F.md5(F.concat(F.lit(f"{k}:"), F.col("text"))))
+            for k in range(8)
+        ]
+    )
+    wav_data_a = F.concat(
+        *[
+            F.unhex(F.md5(F.concat(F.lit(f"a{k}:"), F.col("text"))))
+            for k in range(8)
+        ]
+    )
+    zz_cap = F.concat(F.lit("zz"), F.col("doc_id").cast("string")).alias(
+        "caption"
+    )
+
+    img_base = docs.filter(F.col("doc_id") % 3 == 0).select(
+        F.col("doc_id").alias("pair_id"), img_mt,
+        F.concat(p5, ras).cast("binary").alias("payload"),
+        F.col("text").alias("caption"),
+    )
+    aud_base = wav64_media_from_documents(
+        docs.filter(F.col("doc_id") % 3 == 1)
+    ).join(docs.select("doc_id", F.col("text").alias("caption")), "doc_id")
+    aud_base = aud_base.select(
+        F.col("doc_id").alias("pair_id"), "media_type", "payload", "caption"
+    )
+    vid_base = ppm_video_from_documents(
+        docs.filter(F.col("doc_id") % 3 == 2), n_frames=64
+    ).join(docs.select("doc_id", F.col("text").alias("caption")), "doc_id")
+    vid_base = vid_base.select(
+        F.col("doc_id").alias("pair_id"), "media_type", "payload", "caption"
+    )
+
+    img_dup = docs.filter(F.col("doc_id") % 150 == 0).select(
+        (F.col("doc_id") + F.lit(_PLANT_OFFSET)).alias("pair_id"), img_mt,
+        F.concat(p5, F.lit("~~"), F.substring(ras, 3, 286))
+        .cast("binary")
+        .alias("payload"),
+        zz_cap,
+    )
+    aud_dup = (
+        docs.filter(F.col("doc_id") % 150 == 1)
+        .withColumn("__wd", wav_data)
+        .select(
+            (F.col("doc_id") + F.lit(_PLANT_OFFSET)).alias("pair_id"),
+            F.lit("audio/wav").alias("media_type"),
+            F.concat(
+                F.lit(_wav_header(128)),
+                F.lit(bytes([0x00, 0x40])),
+                F.expr("substring(__wd, 3, 126)"),
+            ).alias("payload"),
+            zz_cap,
+        )
+    )
+    vid_frames = [F.lit("P6\n4 2\n255\n" + "0" * 24)] + [
+        F.concat(
+            F.lit("P6\n4 2\n255\n"),
+            F.substring(
+                F.md5(F.concat(F.lit(f"{k}:"), F.col("text"))), 1, 24
+            ),
+        )
+        for k in range(1, 64)
+    ]
+    vid_dup = docs.filter(F.col("doc_id") % 150 == 2).select(
+        (F.col("doc_id") + F.lit(_PLANT_OFFSET)).alias("pair_id"),
+        F.lit("video/x-netpbm-stream").alias("media_type"),
+        F.concat(*vid_frames).cast("binary").alias("payload"),
+        zz_cap,
+    )
+    cap_dup = docs.filter(F.col("doc_id") % 150 == 75).select(
+        (F.col("doc_id") + F.lit(_PLANT_OFFSET)).alias("pair_id"), img_mt,
+        F.concat(p5, ras_x).cast("binary").alias("payload"),
+        F.concat(F.col("text"), F.lit(" xz qv")).alias("caption"),
+    )
+    chain_y = docs.filter(F.col("doc_id") % 150 == 90).select(
+        (F.col("doc_id") + F.lit(_PLANT_OFFSET)).alias("pair_id"),
+        F.lit("audio/wav").alias("media_type"),
+        F.concat(F.lit(_wav_header(128)), wav_data_a).alias("payload"),
+        F.concat(F.col("text"), F.lit(" xz qv")).alias("caption"),
+    )
+    chain_z = (
+        docs.filter(F.col("doc_id") % 150 == 90)
+        .withColumn("__wd", wav_data_a)
+        .select(
+            (F.col("doc_id") + F.lit(2 * _PLANT_OFFSET)).alias("pair_id"),
+            F.lit("audio/wav").alias("media_type"),
+            F.concat(
+                F.lit(_wav_header(128)),
+                F.lit(bytes([0x00, 0x40])),
+                F.expr("substring(__wd, 3, 126)"),
+            ).alias("payload"),
+            F.concat(F.lit("zy"), F.col("doc_id").cast("string")).alias(
+                "caption"
+            ),
+        )
+    )
+    pairs = img_base
+    for part in (aud_base, vid_base, img_dup, aud_dup, vid_dup, cap_dup,
+                 chain_y, chain_z):
+        pairs = pairs.unionByName(part)
+    return pairs
+
+
 def _media_audio_fp_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-duplicate audio clips
     (`pipeline.multimodal.audio_fingerprint_codes` +
@@ -5974,6 +6123,150 @@ txt_pairs AS (
 edges AS (
   SELECT id_a AS a, id_b AS b FROM img_pairs
   UNION SELECT id_b, id_a FROM img_pairs
+  UNION SELECT id_a, id_b FROM txt_pairs
+  UNION SELECT id_b, id_a FROM txt_pairs
+),
+reach(id, r) AS (
+  SELECT DISTINCT a, a FROM edges
+  UNION
+  SELECT e.b, r.r FROM reach r JOIN edges e ON e.a = r.id
+)
+SELECT id AS pair_id, MIN(r) AS component FROM reach GROUP BY id
+"""
+
+    # the trimodal pair dedup: image dHash + audio delta-sign-PCM +
+    # video delta-sign-luma codes re-derived per modality subset
+    # (%3 routing), brute all-pairs hamming <= 3 per modality (banding
+    # is recall-total by the pigeonhole contract), caption edges via the
+    # stacked-MinHash band collisions, one recursive component pass
+    _afp_ras9 = "||".join(f"md5('{k}:'||text)" for k in range(8))
+    _afp_ras_a = "||".join(f"md5('a{k}:'||text)" for k in range(8))
+    _code_pack = """
+         CAST(SUM(CASE WHEN k < 32 AND bit = 1
+                       THEN (1::BIGINT << k) ELSE 0 END) AS BIGINT) AS lo,
+         CAST(SUM(CASE WHEN k >= 32 AND bit = 1
+                       THEN (1::BIGINT << (k - 32)) ELSE 0 END) AS BIGINT) AS hi
+"""
+    o["media_pair_dedup_trimodal"] = f"""
+WITH RECURSIVE i_ras AS (
+  SELECT doc_id, {_phash_ras} AS s FROM documents WHERE doc_id % 3 = 0
+),
+i_media AS (
+  SELECT doc_id, s FROM i_ras
+  UNION ALL
+  SELECT doc_id + {_PLANT_OFFSET}, '~~' || substr(s, 3) AS s
+  FROM i_ras WHERE doc_id % 150 = 0
+  UNION ALL
+  SELECT doc_id + {_PLANT_OFFSET}, {_xm_ras_x} AS s
+  FROM documents WHERE doc_id % 150 = 75
+),
+i_g AS (
+  SELECT doc_id, y.g AS y, x.g AS x,
+         ascii(substr(s, 36*y.g + 2*x.g + 1, 1)) AS l
+  FROM i_media, generate_series(0, 7) y(g), generate_series(0, 8) x(g)
+),
+i_bits AS (
+  SELECT a.doc_id, a.y * 8 + a.x AS k,
+         CASE WHEN a.l > b.l THEN 1 ELSE 0 END AS bit
+  FROM i_g a JOIN i_g b ON b.doc_id = a.doc_id AND b.y = a.y AND b.x = a.x + 1
+  WHERE a.x < 8
+),
+i_codes AS (SELECT doc_id, {_code_pack} FROM i_bits GROUP BY doc_id),
+img_pairs AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM i_codes a JOIN i_codes b ON a.doc_id < b.doc_id
+  WHERE bit_count(xor(a.lo, b.lo)) + bit_count(xor(a.hi, b.hi)) <= 3
+),
+a_ras AS (
+  SELECT doc_id, {_afp_ras9} AS hx FROM documents WHERE doc_id % 3 = 1
+),
+a_media AS (
+  SELECT doc_id, hx FROM a_ras
+  UNION ALL
+  SELECT doc_id + {_PLANT_OFFSET}, '0040' || substr(hx, 5) AS hx
+  FROM a_ras WHERE doc_id % 150 = 1
+  UNION ALL
+  SELECT doc_id + {_PLANT_OFFSET}, {_afp_ras_a} AS hx
+  FROM documents WHERE doc_id % 150 = 90
+  UNION ALL
+  SELECT doc_id + {2 * _PLANT_OFFSET},
+         '0040' || substr({_afp_ras_a}, 5) AS hx
+  FROM documents WHERE doc_id % 150 = 90
+),
+a_raw AS (
+  SELECT doc_id, i.g AS i,
+         ('0x' || substr(hx, 4*i.g + 1, 2))::INT
+         + 256 * (('0x' || substr(hx, 4*i.g + 3, 2))::INT) AS v
+  FROM a_media, generate_series(0, 63) i(g)
+),
+a_smp AS (
+  SELECT doc_id, i, CASE WHEN v >= 32768 THEN v - 65536 ELSE v END AS s
+  FROM a_raw
+),
+a_bits AS (
+  SELECT a.doc_id, a.i AS k, CASE WHEN b.s > a.s THEN 1 ELSE 0 END AS bit
+  FROM a_smp a JOIN a_smp b ON b.doc_id = a.doc_id AND b.i = a.i + 1
+  WHERE a.i < 63
+),
+a_codes AS (SELECT doc_id, {_code_pack} FROM a_bits GROUP BY doc_id),
+aud_pairs AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM a_codes a JOIN a_codes b ON a.doc_id < b.doc_id
+  WHERE bit_count(xor(a.lo, b.lo)) + bit_count(xor(a.hi, b.hi)) <= 3
+),
+v_f AS (
+  SELECT doc_id, k, substr(md5(k::VARCHAR || ':' || text), 1, 24) AS m
+  FROM documents, unnest(generate_series(0, 63)) u(k)
+  WHERE doc_id % 3 = 2
+),
+v_l0 AS (
+  SELECT doc_id, k,
+         CAST(list_sum(list_transform(range(0, 8), p ->
+             77 * ascii(substr(m, 3 * p + 1, 1))
+           + 150 * ascii(substr(m, 3 * p + 2, 1))
+           + 29 * ascii(substr(m, 3 * p + 3, 1)))) AS BIGINT) AS ls
+  FROM v_f
+),
+v_l AS (
+  SELECT doc_id, k, ls FROM v_l0
+  UNION ALL
+  SELECT doc_id + {_PLANT_OFFSET}, k,
+         CASE WHEN k = 0 THEN 98304 ELSE ls END
+  FROM v_l0 WHERE doc_id % 150 = 2
+),
+v_bits AS (
+  SELECT a.doc_id, a.k AS k, CASE WHEN b.ls > a.ls THEN 1 ELSE 0 END AS bit
+  FROM v_l a JOIN v_l b ON b.doc_id = a.doc_id AND b.k = a.k + 1
+  WHERE a.k < 63
+),
+v_codes AS (SELECT doc_id, {_code_pack} FROM v_bits GROUP BY doc_id),
+vid_pairs AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM v_codes a JOIN v_codes b ON a.doc_id < b.doc_id
+  WHERE bit_count(xor(a.lo, b.lo)) + bit_count(xor(a.hi, b.hi)) <= 3
+),
+{_minhash_stacked_ctes(
+    f"(SELECT doc_id, text FROM documents "
+    f"UNION ALL SELECT doc_id + {_PLANT_OFFSET}, 'zz' || doc_id "
+    f"FROM documents WHERE doc_id % 150 IN (0, 1, 2) "
+    f"UNION ALL SELECT doc_id + {_PLANT_OFFSET}, text || ' xz qv' "
+    f"FROM documents WHERE doc_id % 150 IN (75, 90) "
+    f"UNION ALL SELECT doc_id + {2 * _PLANT_OFFSET}, 'zy' || doc_id "
+    f"FROM documents WHERE doc_id % 150 = 90)",
+    "t_",
+)},
+txt_pairs AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM t_stacked a JOIN t_stacked b
+    ON a.band_id = b.band_id AND a.bh = b.bh AND a.doc_id < b.doc_id
+),
+edges AS (
+  SELECT id_a AS a, id_b AS b FROM img_pairs
+  UNION SELECT id_b, id_a FROM img_pairs
+  UNION SELECT id_a, id_b FROM aud_pairs
+  UNION SELECT id_b, id_a FROM aud_pairs
+  UNION SELECT id_a, id_b FROM vid_pairs
+  UNION SELECT id_b, id_a FROM vid_pairs
   UNION SELECT id_a, id_b FROM txt_pairs
   UNION SELECT id_b, id_a FROM txt_pairs
 ),

@@ -294,6 +294,10 @@ def main() -> None:
         # foreachBatch pipeline, then the finalize tail; an end-to-end
         # BUILD (state written fresh per run), not a serving query
         "corpus_prepare_stream",
+        # round 11: the full modality trio through the shared components
+        # pass (image dHash + audio/video delta-sign codes + caption
+        # MinHash edges); decode kernels + components rounds -> offline
+        "media_pair_dedup_trimodal",
     ]
     # warm the JVM + parquet footers with one tiny action
     spark.read.parquet(f"{SF_DIR}/region.parquet").count()

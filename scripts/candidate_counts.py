@@ -348,6 +348,59 @@ def media_pair_counts(spark, sf_dir: str) -> dict:
     return out
 
 
+def media_trimodal_counts(spark, sf_dir: str) -> dict:
+    """Edge volume per family for the round-11 trimodal pair dedup on the
+    DECLARED fixture (__spark_entry__._trimodal_pairs — %3 modality
+    routing, one plant family per %150 residue): all four edge sets must
+    stay candidate-linear across scales."""
+    import __spark_entry__ as e
+
+    from metric_store_release_spark.pipeline.dedup import (
+        hamming_code_pairs,
+        leased,
+        minhash_lsh_candidates,
+    )
+    from metric_store_release_spark.pipeline.multimodal import (
+        audio_fingerprint_codes,
+        cross_modal_pair_dedup,
+        dhash_codes,
+        video_fingerprint_codes,
+    )
+
+    pairs = e._trimodal_pairs(spark, sf_dir)
+    out = {
+        "op": "media_pair_dedup_trimodal",
+        "sf_dir": sf_dir,
+        "pairs": pairs.count(),
+    }
+    media = pairs.select(
+        F.col("pair_id").alias("doc_id"), "media_type", "payload"
+    )
+    for kind, build, code in (
+        ("image", dhash_codes, "phash"),
+        ("audio", audio_fingerprint_codes, "afp"),
+        ("video", video_fingerprint_codes, "vfp"),
+    ):
+        codes = build(
+            media.filter(F.col("media_type").startswith(f"{kind}/"))
+        ).filter(F.col(code).isNotNull())
+        with leased(
+            hamming_code_pairs(codes, code, "doc_id", bits=64, max_hamming=3)
+        ) as edges:
+            out[f"{kind[:3]}_edges"] = edges.count()
+    with leased(
+        minhash_lsh_candidates(
+            pairs.select(F.col("pair_id").alias("doc_id"), "caption"),
+            text_col="caption", id_col="doc_id", num_hashes=8,
+        )
+    ) as te:
+        out["txt_edges"] = te.count()
+    comp = cross_modal_pair_dedup(pairs)
+    out["clustered_pairs"] = comp.count()
+    out["components"] = comp.select("component").distinct().count()
+    return out
+
+
 def main() -> None:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
     which = sys.argv[2] if len(sys.argv) > 2 else "both"
@@ -367,6 +420,8 @@ def main() -> None:
         print(json.dumps(fuzzy_decon_counts(spark, sf_dir)), flush=True)
     if which in ("media_pair", "both"):
         print(json.dumps(media_pair_counts(spark, sf_dir)), flush=True)
+    if which in ("media_trimodal", "both"):
+        print(json.dumps(media_trimodal_counts(spark, sf_dir)), flush=True)
 
 
 if __name__ == "__main__":
