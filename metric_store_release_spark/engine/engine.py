@@ -437,14 +437,39 @@ class PromQLEngine:
             if timeout is not None:
                 def _cancel() -> None:
                     timed_out.set()
-                    sc.cancelJobGroup(group)
+                    # cancel FUTURE jobs in the group too: with a slow
+                    # plan (Python UDF setup, big codegen) the deadline
+                    # can fire before the first job is even submitted,
+                    # and a plain cancelJobGroup is a lost no-op then —
+                    # the exact race the reference's context deadline
+                    # (metric_store.go:109 QueryTimeout) cannot have.
+                    # Group ids are per-call uuids, so poisoning the
+                    # group for future jobs leaks nothing.
+                    jsc = sc._jsc.sc()
+                    if hasattr(jsc, "cancelJobGroupAndFutureJobs"):
+                        jsc.cancelJobGroupAndFutureJobs(group)
+                    else:  # pragma: no cover - older Spark
+                        sc.cancelJobGroup(group)
 
                 timer = threading.Timer(timeout / 1000.0, _cancel)
                 timer.daemon = True
                 timer.start()
             t0 = time.monotonic()
             try:
-                return df.collect()
+                rows = df.collect()
+                # deadline semantics, not best-effort: if the timer fired,
+                # the query exceeded its wall-clock budget even when the
+                # cancel lost the race with the last task finishing — the
+                # reference's context-deadline kills it either way.
+                if timed_out.is_set():
+                    raise QueryTimeoutError(
+                        f"query cancelled after "
+                        f"{(time.monotonic() - t0) * 1000:.0f} ms "
+                        f"(timeout {timeout} ms)"
+                    )
+                return rows
+            except QueryTimeoutError:
+                raise
             except Exception as e:
                 if timed_out.is_set():
                     raise QueryTimeoutError(
