@@ -236,6 +236,17 @@ def main() -> None:
         # dedup_substring_spans for the from-scratch cost of the same
         # fixture (the delta-proportional win is the point)
         "dedup_substring_incr",
+        # round 11: incremental component labeling — the batch's LSH
+        # pairs merged into the session-persisted id-bucketed base
+        # labeling through a delta-sized super-graph pass; compare
+        # dedup_components_star (offline loop) for the from-scratch cost
+        "dedup_components_incr",
+        # round 11: Fellegi–Sunter record linkage over the enriched part
+        # catalog — combinatorial subset blocking (provably lossless for
+        # the weight-derived Jaccard floor) + exact verify, then the
+        # transitive-closure entity labeling on the matched pairs
+        "records_entity_pairs",
+        "records_entity_resolution",
         # round 9: CCNet per-language perplexity terciles (one
         # hashed-feature agg + distribution-table thresholds) and
         # VAD-style energy segmentation over the PCM16 corpus
@@ -317,6 +328,10 @@ def main() -> None:
     # bench session (advisor r10: storage-pressure accumulation the in-loop
     # lease exists to prevent); the timed query needs just the tables
     entry_mod._span_index_for(spark, SF_DIR)
+    # round 11: the id-bucketed base component labeling (and the band
+    # index it derives from) — the incremental-components query measures
+    # the delta merge, not the one-time base labeling
+    entry_mod._components_labels_for(spark, SF_DIR)
     qs["events_sessionize_bucketed"](spark, SF_DIR)
     qs["events_range_scan_zordered"](spark, SF_DIR)
     qs["events_range_scan_hilbert"](spark, SF_DIR)

@@ -763,6 +763,110 @@ def connected_components_star(
     return labels
 
 
+def connected_components_incremental(
+    base_labels: DataFrame,
+    delta_pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    full: bool = True,
+) -> DataFrame:
+    """INCREMENTAL component labeling: merge a batch of new candidate
+    pairs into an existing ``(id, component)`` labeling without
+    re-running components over the full edge set — the graph-axis
+    sibling of :func:`minhash_match` (near-dup), ivf_pq_append (ANN)
+    and :func:`remove_repeated_substrings_incremental` (spans). At
+    100 TB the nightly crawl adds a sliver of edges; relabeling the
+    whole corpus graph per batch is a non-starter.
+
+    ``base_labels`` must satisfy the invariant both producers
+    (:func:`connected_components`, :func:`connected_components_star`)
+    guarantee: ``component`` is the minimum member id of its component
+    (so every label is itself a row: ``(L, L)``). New edges can only
+    MERGE components (or attach new nodes), never split them, so the
+    update reduces to components over the SUPER-GRAPH whose nodes are
+    the touched base labels plus ids unknown to the base (new docs and
+    base singletons):
+
+      1. map each delta endpoint to ``lab(x) = base component, else x``
+         — one equi-join of the (small) endpoint set against the base
+         labeling; with the base table bucketed on ``id`` (or the delta
+         side broadcast by AQE) the base side never shuffles;
+      2. run :func:`connected_components_star` on the delta-sized
+         super-edge graph. Because every super-node id is already the
+         min of its base members (or a bare new id), the min super-node
+         id per super-component IS the global min member id — the merged
+         labeling keeps the producers' invariant with no second pass;
+      3. apply the (tiny, broadcast) old-label → new-label mapping back:
+         changed base rows re-point map-side, mapping rows unknown to
+         the base are emitted as new rows.
+
+    Cost is delta-proportional except the final remap, which is one
+    broadcast-join SCAN of ``base_labels`` (no shuffle) — and with
+    ``full=False`` even that is skipped: only changed + new rows are
+    returned, for merge-on-read state kept as versioned parquet the way
+    ``streaming/corpus_stream.py`` keeps its clean-rows table.
+
+    Equivalence ``incremental(labels(E_base), E_delta) ==
+    labels(E_base ∪ E_delta)`` is pytest-pinned, including multi-way
+    merges through a chain of new nodes (tests/test_pipeline.py).
+    """
+    base = base_labels.select("id", "component")
+    d = (
+        delta_pairs.select(F.col(id_a).alias("a"), F.col(id_b).alias("b"))
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+    )
+    ends = (
+        d.select(F.col("a").alias("id"))
+        .unionByName(d.select(F.col("b").alias("id")))
+        .distinct()
+    )
+    # lab(x): delta endpoints resolved against the base labeling. ends is
+    # delta-sized → AQE broadcasts it; the base side streams shuffle-free.
+    lab = ends.join(base, "id", "left").select(
+        "id", F.coalesce("component", "id").alias("lab")
+    )
+    super_edges = (
+        d.join(lab.withColumnRenamed("id", "a"), "a")
+        .withColumnRenamed("lab", "la")
+        .join(
+            lab.select(F.col("id").alias("b"), F.col("lab").alias("lb")), "b"
+        )
+        .select(F.col("la").alias("id_a"), F.col("lb").alias("id_b"))
+        .filter(F.col("id_a") != F.col("id_b"))
+        .distinct()
+    )
+    # ONE delta-sized component pass over the super-graph (materialized +
+    # lineage-cut inside connected_components_star); every end the base
+    # has never seen — new nodes and base singletons — is a super-node
+    # (its delta edge survives the self-loop filter: it can only map to
+    # itself, and a==b pairs were dropped), so m_all covers all of them
+    m_all = connected_components_star(super_edges).localCheckpoint()
+    # rows the base has never seen (a base component label is itself a
+    # base row (L, L), so anti-join on id is exactly "not a base node")
+    new_rows = (
+        ends.join(base.select("id"), "id", "left_anti")
+        .join(m_all.withColumnRenamed("component", "m"), "id", "left")
+        .select("id", F.coalesce("m", "id").alias("component"))
+    )
+    # old-label → new-label mapping for touched base components: tiny by
+    # construction → broadcast; the base remap below is a shuffle-free scan
+    remap = F.broadcast(
+        m_all.filter(F.col("id") != F.col("component")).select(
+            F.col("id").alias("component"), F.col("component").alias("m")
+        )
+    )
+    if full:
+        relabeled = base.join(remap, "component", "left").select(
+            "id", F.coalesce("m", "component").alias("component")
+        )
+        return relabeled.unionByName(new_rows)
+    changed = base.join(remap, "component").select(
+        "id", F.col("m").alias("component")
+    )
+    return changed.unionByName(new_rows)
+
+
 def simhash(
     df: DataFrame,
     text_col: str = "text",

@@ -2926,3 +2926,119 @@ def test_window_gram_table_kernel_matches_hof_reference(spark):
         # doc 3 (empty) absent; short docs present with ONE whole-run gram
         ids = {g[0] for g in got}
         assert 3 not in ids and 2 in ids
+
+
+# --- incremental connected components (round 11) -------------------------
+
+
+def _labels(df):
+    return {(r["id"], r["component"]) for r in df.collect()}
+
+
+def test_components_incremental_matches_scratch_randomized(spark):
+    """incremental(labels(E_base), E_delta) == labels(E_base ∪ E_delta)
+    on random graphs whose delta edges hit every case at once: old↔old
+    (merging and intra-component), old↔new, new↔new."""
+    import random
+
+    from metric_store_release_spark.pipeline.dedup import (
+        connected_components_incremental,
+        connected_components_star,
+    )
+
+    def pairs(rows):
+        return spark.createDataFrame(rows, "id_a long, id_b long")
+
+    rng = random.Random(1106)
+    for _ in range(3):
+        n = 60
+        base_e = [
+            (rng.randrange(n), rng.randrange(n)) for _ in range(40)
+        ]
+        delta_e = [(rng.randrange(n), rng.randrange(n)) for _ in range(8)]
+        delta_e += [
+            (rng.randrange(n), 100 + rng.randrange(10)) for _ in range(8)
+        ]
+        delta_e += [
+            (100 + rng.randrange(10), 100 + rng.randrange(10))
+            for _ in range(6)
+        ]
+        base_e = [(a, b) for a, b in base_e if a != b]
+        delta_e = [(a, b) for a, b in delta_e if a != b]
+        base = connected_components_star(pairs(base_e))
+        inc = connected_components_incremental(base, pairs(delta_e))
+        scratch = connected_components_star(pairs(base_e + delta_e))
+        assert _labels(inc) == _labels(scratch)
+        # full=False: exactly the rows whose label is new or changed
+        basemap = dict(_labels(base))
+        part = _labels(
+            connected_components_incremental(
+                base, pairs(delta_e), full=False
+            )
+        )
+        assert part == {
+            (i, c)
+            for i, c in _labels(scratch)
+            if basemap.get(i) != c
+        }
+
+
+def test_components_incremental_merge_chain_and_noops(spark):
+    """A delta chain through two NEW nodes merges three base components
+    (no single delta edge touches two base components); an intra-
+    component delta edge is a no-op; a base singleton attaches."""
+    from metric_store_release_spark.pipeline.dedup import (
+        connected_components_incremental,
+        connected_components_star,
+    )
+
+    base_pairs = spark.createDataFrame(
+        [(10, 11), (20, 21), (30, 31), (40, 41)], "id_a long, id_b long"
+    )
+    base = connected_components_star(base_pairs)
+    assert _labels(base) == {
+        (10, 10), (11, 10), (20, 20), (21, 20),
+        (30, 30), (31, 30), (40, 40), (41, 40),
+    }
+    delta = spark.createDataFrame(
+        [
+            (11, 500),   # comp 10 ↔ new node
+            (500, 501),  # new ↔ new
+            (501, 21),   # new node ↔ comp 20
+            (31, 30),    # intra-component: must change nothing
+            (5, 41),     # base singleton 5 (never seen) ↔ comp 40
+        ],
+        "id_a long, id_b long",
+    )
+    got = _labels(connected_components_incremental(base, delta))
+    assert got == {
+        (10, 10), (11, 10), (500, 10), (501, 10), (20, 10), (21, 10),
+        (30, 30), (31, 30),
+        (5, 5), (40, 5), (41, 5),
+    }
+    changed = _labels(
+        connected_components_incremental(base, delta, full=False)
+    )
+    assert changed == {
+        (500, 10), (501, 10), (20, 10), (21, 10),
+        (5, 5), (40, 5), (41, 5),
+    }
+
+
+def test_components_incremental_empty_delta_is_identity(spark):
+    from metric_store_release_spark.pipeline.dedup import (
+        connected_components_incremental,
+        connected_components_star,
+    )
+
+    base = connected_components_star(
+        spark.createDataFrame([(1, 2), (3, 4)], "id_a long, id_b long")
+    )
+    empty = spark.createDataFrame([], "id_a long, id_b long")
+    assert _labels(
+        connected_components_incremental(base, empty)
+    ) == {(1, 1), (2, 1), (3, 3), (4, 3)}
+    assert (
+        connected_components_incremental(base, empty, full=False).count()
+        == 0
+    )
