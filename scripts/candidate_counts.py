@@ -401,6 +401,123 @@ def media_trimodal_counts(spark, sf_dir: str) -> dict:
     return out
 
 
+def records_counts(spark, sf_dir: str) -> dict:
+    """Blocking-volume evidence for the round-11 record linkage on the
+    DECLARED fixture (__spark_entry__._records_src — enriched part
+    catalog): subset keys are linear in records by construction
+    (≤ 2^5 per record); the quantity to watch is distinct blocked
+    candidate pairs, which the key-derived q/r/s tokens keep
+    candidate-linear despite the 16-word base vocabulary."""
+    import __spark_entry__ as e
+
+    from metric_store_release_spark.pipeline.dedup import leased
+    from metric_store_release_spark.pipeline.records import (
+        blocking_is_lossless,
+        normalize_tokens,
+        record_linkage_pairs,
+        subset_block_keys,
+    )
+
+    src = e._records_src(spark, sf_dir)
+    j_min = blocking_is_lossless(
+        e._RL_NAME_W, e._RL_WEIGHTS, "brand", e._RL_THRESHOLD
+    )
+    keys = src.select(
+        "pk", "brand", normalize_tokens(F.col("name")).alias("toks")
+    ).select(
+        "pk", "brand",
+        F.explode(subset_block_keys("toks", j_min)).alias("k"),
+    )
+    cand = (
+        keys.alias("a")
+        .join(
+            keys.alias("b"),
+            (F.col("a.brand") == F.col("b.brand"))
+            & (F.col("a.k") == F.col("b.k"))
+            & (F.col("a.pk") < F.col("b.pk")),
+        )
+        .select(F.col("a.pk"), F.col("b.pk"))
+    )
+    out = {
+        "op": "records_entity_pairs",
+        "sf_dir": sf_dir,
+        "records": src.count(),
+        "block_keys": keys.count(),
+        "cand_rows": cand.count(),
+        "cand_pairs": cand.distinct().count(),
+    }
+    with leased(
+        record_linkage_pairs(
+            src, "pk", "name", "brand",
+            e._RL_WEIGHTS, e._RL_NAME_W, e._RL_THRESHOLD,
+        )
+    ) as matched:
+        out["matched_pairs"] = matched.count()
+    return out
+
+
+def components_incr_counts(spark, sf_dir: str) -> dict:
+    """Delta-proportionality evidence for incremental components: the
+    super-graph the merge pass actually labels must scale with the
+    BATCH (delta pairs), never the base labeling."""
+    import __spark_entry__ as e
+
+    from metric_store_release_spark.pipeline.dedup import (
+        connected_components_incremental,
+    )
+
+    base_labels = e._components_labels_for(spark, sf_dir)
+    out = {
+        "op": "dedup_components_incr",
+        "sf_dir": sf_dir,
+        "base_labels": base_labels.count(),
+    }
+    # reuse the declared query's delta construction, then recount its
+    # intermediate volumes
+    import pyspark.sql.functions as F2
+
+    docs = e._docs(spark, sf_dir).select("doc_id", "text")
+    batch = docs.filter(F2.col("doc_id") % e._PLANT_EVERY == 0).withColumn(
+        "doc_id", F2.col("doc_id") + F2.lit(e._PLANT_OFFSET)
+    )
+    out["batch_docs"] = batch.count()
+    full = e._dedup_components_incr(spark, sf_dir)
+    out["labels_out"] = full.count()
+    # changed/new rows only — the merge-on-read state delta
+    from metric_store_release_spark.pipeline.dedup import (
+        minhash_band_table,
+        minhash_match,
+    )
+
+    probe = minhash_match(
+        batch, e._mh_index_for(spark, sf_dir),
+        num_hashes=8, bands=4, shingle_n=3,
+    ).select(
+        F2.col("batch_id").alias("id_a"), F2.col("index_id").alias("id_b")
+    )
+    nb = minhash_band_table(batch, num_hashes=8, bands=4, shingle_n=3)
+    selfp = (
+        nb.alias("a")
+        .join(
+            nb.alias("b"),
+            (F2.col("a.band_id") == F2.col("b.band_id"))
+            & (F2.col("a.bh") == F2.col("b.bh"))
+            & (F2.col("a.doc_id") < F2.col("b.doc_id")),
+        )
+        .select(
+            F2.col("a.doc_id").alias("id_a"),
+            F2.col("b.doc_id").alias("id_b"),
+        )
+        .distinct()
+    )
+    delta = probe.unionByName(selfp)
+    out["delta_pairs"] = delta.count()
+    out["changed_rows"] = connected_components_incremental(
+        base_labels, delta, full=False
+    ).count()
+    return out
+
+
 def main() -> None:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
     which = sys.argv[2] if len(sys.argv) > 2 else "both"
@@ -422,6 +539,10 @@ def main() -> None:
         print(json.dumps(media_pair_counts(spark, sf_dir)), flush=True)
     if which in ("media_trimodal", "both"):
         print(json.dumps(media_trimodal_counts(spark, sf_dir)), flush=True)
+    if which in ("records", "both"):
+        print(json.dumps(records_counts(spark, sf_dir)), flush=True)
+    if which in ("components_incr", "both"):
+        print(json.dumps(components_incr_counts(spark, sf_dir)), flush=True)
 
 
 if __name__ == "__main__":
