@@ -409,6 +409,12 @@ def main() -> None:
         # fixed-work box-speed anchor: divide cross-round timings by the
         # calib ratio before reading any round-over-round delta
         "calib": calib,
+        # the SAME anchor re-measured after all loops: a session whose
+        # start anchor hit a transient slow window (r11 observed a 2.15x
+        # spark_sec outlier at sf1 session start while raw medians showed
+        # ordinary ~1.2x drift) is now self-diagnosing — read the
+        # [calib, calib_end] bracket, not a single point
+        "calib_end": _calibrate(spark),
         # cold (first-run) vs all-runs best, reported separately so
         # comparisons with BENCH_r01..r05 don't mix methodology
         "run1_total": round(sum(run1.values()), 3),

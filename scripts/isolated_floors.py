@@ -38,6 +38,9 @@ OFFLINE = [
     "graph_label_prop",
     "corpus_prepare_full",
     "media_pair_dedup",
+    # round 11 offline debuts
+    "corpus_prepare_stream",
+    "media_pair_dedup_trimodal",
 ]
 
 
@@ -71,6 +74,58 @@ def measure_one(sf_dir: str, name: str, runs: int = 3) -> None:
                 "warm": times[1:],
                 "warm_median": round(statistics.median(times[1:]), 2),
                 "calib": calib,
+                # start/end bracket: a cell whose anchors disagree ran
+                # under box drift; one whose anchors agree but whose
+                # floor disagrees with the in-loop chain is measuring a
+                # real cache/plan effect (judge r10 ask #2)
+                "calib_end": _calibrate(spark),
+            }
+        ),
+        flush=True,
+    )
+
+
+def measure_pair(sf_dir: str, warm_name: str, name: str, runs: int = 3) -> None:
+    """Adjudication probe for the r10 dedup_containment floor inversion
+    (judge r10 ask #2): run ``warm_name`` ONCE (untimed) in the same
+    fresh JVM, then measure ``name`` — if the warm median returns to the
+    in-loop number, the inversion was page-cache help from the
+    neighbouring cell streaming the same parquet, not box drift (which
+    the per-cell calib anchor rules in or out independently)."""
+    sys.path.insert(0, "/root/repo")
+    from metric_store_release_spark.session import get_spark
+
+    spark = get_spark(
+        app_name=f"isolated_pair_{name}", master="local[32]",
+        shuffle_partitions=32,
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    import __spark_entry__ as entry_mod
+    from bench import _calibrate
+
+    from metric_store_release_spark.pipeline.dedup import leased
+
+    calib = _calibrate(spark)
+    qs = entry_mod.queries()
+    with leased(qs[warm_name](spark, sf_dir)) as df:
+        df.count()
+    times = []
+    for _ in range(1 + runs):
+        t0 = time.perf_counter()
+        with leased(qs[name](spark, sf_dir)) as df:
+            df.count()
+        times.append(round(time.perf_counter() - t0, 2))
+    print(
+        json.dumps(
+            {
+                "op": name,
+                "paired_after": warm_name,
+                "sf_dir": sf_dir,
+                "cold": times[0],
+                "warm": times[1:],
+                "warm_median": round(statistics.median(times[1:]), 2),
+                "calib": calib,
+                "calib_end": _calibrate(spark),
             }
         ),
         flush=True,
@@ -80,6 +135,9 @@ def measure_one(sf_dir: str, name: str, runs: int = 3) -> None:
 def main() -> None:
     if len(sys.argv) > 1 and sys.argv[1] == "--one":
         measure_one(sys.argv[2], sys.argv[3])
+        return
+    if len(sys.argv) > 1 and sys.argv[1] == "--pair":
+        measure_pair(sys.argv[2], sys.argv[3], sys.argv[4])
         return
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/repo/.scaledata/sf10"
     cells = sys.argv[2:] if len(sys.argv) > 2 else OFFLINE

@@ -198,3 +198,63 @@ def test_write_bucketed_rejects_non_identifier_names(spark):
     for bad in ("../escape", "a/b", "a;DROP TABLE x", "a.b.c", "", "1abc"):
         with pytest.raises(ValueError):
             write_bucketed(df, bad, "doc_id", 2)
+
+
+@pytest.fixture(scope="module")
+def bucketed_labels(spark):
+    """A tiny id-bucketed component labeling (the _components_labels_for
+    warehouse shape): labels of a 3-cluster pair graph."""
+    from metric_store_release_spark.pipeline.dedup import (
+        connected_components_star,
+    )
+
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(0, 58, 2)], "id_a long, id_b long"
+    )
+    write_bucketed(
+        connected_components_star(pairs), "b_comp_labels", "id", 4
+    )
+    return read_bucketed(spark, "b_comp_labels")
+
+
+def test_components_incremental_no_base_exchange(
+    spark, bucketed_labels, no_broadcast
+):
+    """Incremental components over the id-bucketed base labeling: the
+    base table is only ever joined on its bucket key (endpoint resolve,
+    anti-join for new rows) or through the explicit broadcast remap —
+    every hash Exchange in the final plan belongs to the delta-derived
+    side, none sits above the bucketed labels scan."""
+    from metric_store_release_spark.pipeline.dedup import (
+        connected_components_incremental,
+    )
+
+    delta = spark.createDataFrame(
+        [(1, 3), (5, 1000), (1000, 1001)], "id_a long, id_b long"
+    )
+    out = connected_components_incremental(bucketed_labels, delta)
+    plan = _plan(out)
+    # the bucketed scans must not be re-hashed: walk each b_comp_labels
+    # scan's ancestor chain (nearest lines above with strictly smaller
+    # tree indentation) and assert no hash Exchange sits on it
+    def _depth(ln: str) -> int:
+        i = 0
+        while i < len(ln) and ln[i] in ": +-*(0123456789)":
+            i += 1
+        return i
+
+    lines = plan.splitlines()
+    scan_idx = [
+        i for i, ln in enumerate(lines) if "b_comp_labels" in ln and "Scan" in ln
+    ]
+    assert scan_idx, plan
+    for i in scan_idx:
+        d = _depth(lines[i])
+        j = i - 1
+        while j >= 0 and d > 0:
+            dj = _depth(lines[j])
+            if dj < d:
+                assert "Exchange hashpartitioning" not in lines[j], plan
+                d = dj
+            j -= 1
+    assert out.count() >= 60  # 58 base ids + the new nodes
