@@ -2217,23 +2217,35 @@ def _records_src(spark: SparkSession, sf_dir: str) -> DataFrame:
     fixture's p_name is 2 tokens from a 16-word vocabulary (64 distinct
     names), so raw names would make the ANSWER SET itself quadratic at
     scale (every same-name-same-brand pair matches). Enrich each name
-    with three key-derived tokens (q/r/s radix digits of p_partkey,
-    deterministic in both engines) to restore real-catalog entropy, then
-    plant four dirty-variant families (key + 1e9) that exercise each
-    decision path:
-      %50==1  s-token replaced by 'zzq'      → J≈4/6, brand+price agree → match
-      %50==2  same token set, price +2 cents → J=1,  brand agrees       → match
-      %50==3  all-new tokens                 → J=0                      → no match
-      %50==4  same name, brand 'Brand#99'    → brand disagrees          → no match
-    """
+    with three key-derived tokens (deterministic in both engines) to
+    restore real-catalog entropy. Each token's modulus is ≥ 8641, so
+    EVERY subset-blocking key family contains at least one ~1e4-entropy
+    token and candidate pairs stay ~linear past sf10 (the q-modulus-97
+    first cut measured 4x cost for 10x data at sf1: the {adj, noun, q}
+    key family's space saturated at 64·97·25 ≈ 1.6e5 buckets and pairs
+    went quadratic — the editdist/containment fixture-entropy lesson,
+    caught before artifacts shipped). Then plant four dirty-variant
+    families (key + 1e9) that exercise each decision path:
+      %50==1  s-token replaced by 'zzq<key>'  → J≈4/6, brand+price agree → match
+      %50==2  same token set, price +2 cents  → J=1,  brand agrees       → match
+      %50==3  key-unique junk tokens          → J=0                      → no match
+      %50==4  same name, key-unique brand     → brand disagrees          → no match
+    Every decoy token/brand is KEY-UNIQUE: a constant decoy name (the
+    first cut's 'zzv zzw zzx zzy zzz') makes the decoys an N/50-member
+    same-brand J=1 clique — 337k decoy↔decoy matched pairs at sf1, the
+    answer set itself quadratic (caught by the candidate-counts cell
+    before artifacts shipped)."""
     part = _prepare(spark).read.parquet(f"{sf_dir}/part.parquet")
     base = part.select(
         F.col("p_partkey").alias("pk"),
         F.concat(
             F.col("p_name"),
-            F.lit(" q"), (F.col("p_partkey") % 97).cast("string"),
-            F.lit(" r"), (F.expr("p_partkey div 97") % 89).cast("string"),
-            F.lit(" s"), (F.expr("p_partkey div 8633") % 83).cast("string"),
+            F.lit(" q"), (F.col("p_partkey") % 9973).cast("string"),
+            F.lit(" r"),
+            F.expr(
+                "(p_partkey * CAST(2654435761 AS BIGINT)) % 4294967296 % 9967"
+            ).cast("string"),
+            F.lit(" s"), (F.col("p_partkey") % 8641).cast("string"),
         ).alias("name"),
         F.col("p_brand").alias("brand"),
         F.round(F.col("p_retailprice") * 100).cast("long").alias("cents"),
@@ -2246,13 +2258,23 @@ def _records_src(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.when(
                 r == 1,
                 F.concat(
-                    F.substring_index(F.col("name"), " ", 4), F.lit(" zzq")
+                    F.substring_index(F.col("name"), " ", 4),
+                    F.lit(" zzq"),
+                    F.col("pk").cast("string"),
                 ),
             )
-            .when(r == 3, F.lit("zzv zzw zzx zzy zzz"))
+            .when(
+                r == 3,
+                F.concat(
+                    F.lit("zzv"), F.col("pk").cast("string"),
+                    F.lit(" zzw"), F.col("pk").cast("string"),
+                    F.lit(" zzx"), F.col("pk").cast("string"),
+                    F.lit(" zzy zzz"),
+                ),
+            )
             .otherwise(F.col("name"))
             .alias("name"),
-            F.when(r == 4, F.lit("Brand#99"))
+            F.when(r == 4, F.concat(F.lit("BrandZ"), F.col("pk").cast("string")))
             .otherwise(F.col("brand"))
             .alias("brand"),
             (F.col("cents") + F.when(r == 2, F.lit(2)).otherwise(F.lit(0))).alias(
@@ -7358,9 +7380,9 @@ def _records_ctes() -> str:
     return f"""
 src AS (
   SELECT p_partkey AS pk,
-         p_name || ' q' || CAST(p_partkey % 97 AS VARCHAR)
-                || ' r' || CAST((p_partkey // 97) % 89 AS VARCHAR)
-                || ' s' || CAST((p_partkey // 8633) % 83 AS VARCHAR) AS name,
+         p_name || ' q' || CAST(p_partkey % 9973 AS VARCHAR)
+                || ' r' || CAST((p_partkey * 2654435761) % 4294967296 % 9967 AS VARCHAR)
+                || ' s' || CAST(p_partkey % 8641 AS VARCHAR) AS name,
          p_brand AS brand,
          CAST(ROUND(p_retailprice * 100) AS BIGINT) AS cents
   FROM part
@@ -7368,10 +7390,15 @@ src AS (
 plants AS (
   SELECT p.pk + {_PLANT_OFFSET} AS pk,
          CASE
-           WHEN p.pk % 50 = 1 THEN regexp_replace(p.name, ' s[0-9]+$', ' zzq')
-           WHEN p.pk % 50 = 3 THEN 'zzv zzw zzx zzy zzz'
+           WHEN p.pk % 50 = 1 THEN regexp_replace(
+             p.name, ' s[0-9]+$', ' zzq' || CAST(p.pk AS VARCHAR))
+           WHEN p.pk % 50 = 3 THEN
+             'zzv' || CAST(p.pk AS VARCHAR)
+             || ' zzw' || CAST(p.pk AS VARCHAR)
+             || ' zzx' || CAST(p.pk AS VARCHAR) || ' zzy zzz'
            ELSE p.name END AS name,
-         CASE WHEN p.pk % 50 = 4 THEN 'Brand#99' ELSE p.brand END AS brand,
+         CASE WHEN p.pk % 50 = 4 THEN 'BrandZ' || CAST(p.pk AS VARCHAR)
+              ELSE p.brand END AS brand,
          p.cents + CASE WHEN p.pk % 50 = 2 THEN 2 ELSE 0 END AS cents
   FROM src p WHERE p.pk % 50 IN (1, 2, 3, 4)
 ),
