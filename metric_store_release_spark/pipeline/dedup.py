@@ -624,8 +624,21 @@ def connected_components(
     driver-orchestrated but every data operation is distributed.
     """
     e = pairs.select(F.col(id_a).alias("a"), F.col(id_b).alias("b"))
+    # Pre-partition by the join key BEFORE distinct (the pagerank recipe,
+    # pipeline/graph.py): hash(a) satisfies distinct's
+    # ClusteredDistribution(a, b), so this is still ONE build shuffle —
+    # and the cached hash(a) layout then satisfies every round's a-keyed
+    # join, so the (big) edge side is never exchanged again. Without it,
+    # distinct leaves hash(a, b) partitioning, which no round can reuse.
+    try:
+        n_part = int(
+            pairs.sparkSession.conf.get("spark.sql.shuffle.partitions")
+        )
+    except (TypeError, ValueError):
+        n_part = pairs.sparkSession.sparkContext.defaultParallelism
     edges = (
         e.unionByName(e.select(F.col("b").alias("a"), F.col("a").alias("b")))
+        .repartition(n_part, "a")
         .distinct()
         .persist()
     )
@@ -635,6 +648,20 @@ def connected_components(
         .select("id", F.col("id").alias("component"))
         .localCheckpoint()
     )
+
+    # Exact convergence probe WITHOUT the old per-round label self-join:
+    # hash-min labels are monotonically non-increasing over a FIXED id
+    # set (msgs ids ⊆ edge endpoints = the label ids), so the labels
+    # changed iff Σ component decreased — one single-row aggregation of
+    # the just-checkpointed frame replaces a join + filter + count over
+    # both label generations. decimal(38,0) keeps the sum exact far past
+    # any real id range (≤ 19-digit ids × ≤ 10^18 rows < 38 digits).
+    def _label_sum(lb: DataFrame):
+        return lb.agg(
+            F.sum(F.col("component").cast("decimal(38,0)"))
+        ).first()[0]
+
+    prev_sum = _label_sum(labels)
     for _ in range(max_iter):
         msgs = edges.join(labels, edges.a == labels.id).select(
             F.col("b").alias("id"), "component"
@@ -645,16 +672,11 @@ def connected_components(
             .agg(F.min("component").alias("component"))
             .localCheckpoint()  # truncate lineage; also materializes
         )
-        changed = (
-            new_labels.join(
-                labels.withColumnRenamed("component", "old"), "id"
-            )
-            .filter(F.col("component") != F.col("old"))
-            .count()
-        )
+        new_sum = _label_sum(new_labels)
         labels = new_labels
-        if changed == 0:
+        if new_sum == prev_sum:
             break
+        prev_sum = new_sum
     edges.unpersist()
     # labels are localCheckpoint-ed (materialized, lineage truncated), so
     # the pairs plan — and any index cache backing it — is done for good;
@@ -1944,11 +1966,20 @@ def remove_repeated_substrings_incremental(
     # every read re-runs the affected-id discovery (a full posting-table
     # probe) plus the base re-tokenization; pinned it is tiny
     # (∝ affected docs). Measured 7.6 → ~2 s at sf0.1.
+    # Round 11: the affected-id semi-join lands on the RAW base rows,
+    # BEFORE tokenization — the previous shape tokenized the entire base
+    # corpus and then semi-joined (Catalyst does not push a join below a
+    # projection, so every base doc paid the split/filter work only to
+    # be dropped); now only affected docs tokenize, ∝ delta by the
+    # crossing-gram argument.
+    aff_ids = (
+        gb.join(crossing, "h", "left_semi")
+        .select(F.col("id").alias(id_col))
+        .distinct()
+    )
     toks_aff = (
-        toks_b.join(
-            gb.join(crossing, "h", "left_semi").select("id").distinct(),
-            "id",
-            "left_semi",
+        _tokens_frame(
+            base.join(aff_ids, id_col, "left_semi"), text_col, id_col
         )
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
@@ -2212,39 +2243,43 @@ def fuzzy_contamination(
         )
         .persist()
     )
-    cands.count()  # blocking: the corp_sh semi-join and the inter join
-    # both read cands — unpersisted, the corpus would be minhash-banded
-    # and the benchmark probed TWICE per call (once per consumer),
-    # breaking the "corpus is banded ONCE" contract above. Small: ∝
-    # benchmark candidate pairs.
-    corp_sh = (
-        corpus.select(
-            F.col(id_col).alias("corpus_id"),
-            F.explode(_word_shingles(F.col(text_col), shingle_n)).alias("s"),
-        )
-        .join(cands.select("corpus_id").distinct(), "corpus_id", "left_semi")
-        .persist()
+    cands.count()  # blocking: the corpus-side semi-join and the verify
+    # join both read cands — unpersisted, the corpus would be
+    # minhash-banded and the benchmark probed TWICE per call (once per
+    # consumer). Small: ∝ benchmark candidate pairs.
+    # ROUND-11 VERIFY REWRITE: the exact-Jaccard verify joins each side's
+    # distinct SHINGLE ARRAY once and intersects MAP-SIDE
+    # (array_intersect over distinct arrays IS the set intersection the
+    # exploded (id, s) join counted). The previous shape shingle-EXPLODED
+    # the ENTIRE corpus per call and only then semi-joined the candidate
+    # ids (a join does not push below a projection), then paid a second
+    # blocking materialization (corp_sh persist+count), two groupBy
+    # exchanges and two size joins. Now the candidate semi-join lands on
+    # the RAW corpus rows before any shingling — the verify cost is
+    # ∝ candidates, the 100 TB contract stated above — and the pinned
+    # shingle table disappears outright.
+    corp_arr = corpus.join(
+        cands.select(F.col("corpus_id").alias(id_col)).distinct(),
+        id_col,
+        "left_semi",
+    ).select(
+        F.col(id_col).alias("corpus_id"),
+        _word_shingles(F.col(text_col), shingle_n).alias("__cs"),
     )
-    corp_sh.count()  # blocking: sizes + intersection both read it
-    bench_sh = benchmark.select(
+    bench_arr = benchmark.select(
         F.col(id_col).alias("bench_id"),
-        F.explode(_word_shingles(F.col(text_col), shingle_n)).alias("s"),
-    )
-    corp_sizes = corp_sh.groupBy("corpus_id").agg(
-        F.count(F.lit(1)).alias("size_corpus")
-    )
-    bench_sizes = bench_sh.groupBy("bench_id").agg(
-        F.count(F.lit(1)).alias("size_bench")
-    )
-    inter = (
-        cands.join(corp_sh, "corpus_id")
-        .join(bench_sh, ["bench_id", "s"])
-        .groupBy("bench_id", "corpus_id")
-        .agg(F.count(F.lit(1)).alias("inter"))
+        _word_shingles(F.col(text_col), shingle_n).alias("__bs"),
     )
     out = (
-        inter.join(bench_sizes, "bench_id")
-        .join(corp_sizes, "corpus_id")
+        cands.join(corp_arr, "corpus_id")
+        .join(bench_arr, "bench_id")
+        .select(
+            "bench_id",
+            "corpus_id",
+            F.size(F.array_intersect("__cs", "__bs")).alias("inter"),
+            F.size("__bs").alias("size_bench"),
+            F.size("__cs").alias("size_corpus"),
+        )
         .select(
             "bench_id",
             "corpus_id",
@@ -2258,5 +2293,5 @@ def fuzzy_contamination(
         )
         .filter(F.col("jacc_pct") >= F.lit(int(threshold_pct)))
     )
-    out._index_cache = [corp_sh, cands]
+    out._index_cache = [cands]
     return out

@@ -186,31 +186,35 @@ def record_linkage_pairs(
         .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
         .distinct()
     )
-    tok = recs.select("id", F.explode("toks").alias("t"))
-    inter = (
-        cand.join(tok.select(F.col("id").alias("id_a"), "t"), "id_a")
-        .join(tok.select(F.col("id").alias("id_b"), "t"), ["id_b", "t"])
-        .groupBy("id_a", "id_b")
-        .agg(F.count(F.lit(1)).alias("inter"))
-    )
-    sizes = recs.select("id", F.size("toks").alias("n"))
+    # Verify + score in ONE pass over the candidate set: each side's
+    # record row joins once (two id-keyed joins of the tiny candidate
+    # frame against the pinned record table) and the exact intersection
+    # is computed MAP-SIDE with array_intersect — ``toks`` is distinct
+    # by construction, so |array_intersect| IS the set intersection the
+    # token-explode/double-join/groupBy formulation counted (round-11:
+    # that shape cost four joins plus a (id_a, id_b) hash aggregation
+    # over the exploded candidate-token rows; this one costs two joins
+    # and no aggregation — same rows, same floats, same rounding).
     a_side = recs.select(
         F.col("id").alias("id_a"),
+        F.col("toks").alias("__ta"),
         *[F.col(c).alias(f"a_{c}") for c in exact_cols],
     )
     b_side = recs.select(
         F.col("id").alias("id_b"),
+        F.col("toks").alias("__tb"),
         *[F.col(c).alias(f"b_{c}") for c in exact_cols],
     )
     scored = (
-        inter.join(sizes.select(F.col("id").alias("id_a"), F.col("n").alias("na")), "id_a")
-        .join(sizes.select(F.col("id").alias("id_b"), F.col("n").alias("nb")), "id_b")
+        cand.join(a_side, "id_a")
+        .join(b_side, "id_b")
+        .withColumn("inter", F.size(F.array_intersect("__ta", "__tb")))
+        .withColumn("na", F.size("__ta"))
+        .withColumn("nb", F.size("__tb"))
         .withColumn(
             "name_jacc",
             F.col("inter") / (F.col("na") + F.col("nb") - F.col("inter")),
         )
-        .join(a_side, "id_a")
-        .join(b_side, "id_b")
     )
     match_cols = {
         f"{c}_match": (F.col(f"a_{c}") == F.col(f"b_{c}")).cast("int")

@@ -592,102 +592,83 @@ def _viterbi_segmented(
     max_len: int,
 ) -> DataFrame:
     """(w, wc, toks): best-score segmentation of every distinct word
-    under integer piece ``scores``. Jump-table join + O(max_piece_len)
-    fold per position + bounded backtrace fold."""
-    spark = wc.sparkSession
-    mpl = max_piece_len
-    vocab_df = spark.createDataFrame(
-        sorted(scores.items()), "piece string, s long"
-    )
-    # COMPLETE (pos, len) grid per word — out-of-bounds and non-vocab
-    # slots carry the sentinel — so the per-word score array is dense
-    # and the fold can element_at((pos-1)*mpl + len)
-    grid = wc.select(
-        "w",
-        F.explode(F.sequence(F.lit(1), F.length("w"))).alias("pos"),
-    ).select(
-        "w",
-        "pos",
-        F.explode(
-            F.array(*[F.lit(n) for n in range(1, mpl + 1)])
-        ).alias("len"),
-    )
-    cand = grid.withColumn(
-        "piece",
-        F.when(
-            F.col("pos") + F.col("len") - 1 <= F.length("w"),
-            F.expr("substr(w, pos, len)"),
-        ),
-    ).join(F.broadcast(vocab_df), "piece", "left")
-    sc = cand.groupBy("w").agg(
-        F.transform(
-            F.sort_array(
-                F.collect_list(
-                    F.struct(
-                        ((F.col("pos") - 1) * mpl + F.col("len")).alias("i"),
-                        F.coalesce("s", F.lit(_UNIGRAM_NEG)).alias("s"),
-                    )
-                )
-            ),
-            lambda x: x["s"],
-        ).alias("__sc")
+    under integer piece ``scores``.
+
+    ROUND-11 REWRITE — Arrow-batched kernel instead of the (pos, len)
+    grid explode + broadcast-vocab join + sort_array(collect_list)
+    reassembly + interpreted forward/backtrace folds. The grid path paid
+    two exchanges per EM pass (the grid groupBy(w) reassembly and the
+    wc re-join) plus ~|w|·mpl interpreted HOF steps per word; the kernel
+    runs the same DP as O(len·max_piece_len) exact Python-int ops per
+    distinct word against the driver-resident integer score dict
+    (vocab-sized: seed_k + alphabet — it ships in the task closure), so
+    the whole segmentation is MAP-SIDE on the distinct-word table: no
+    shuffle, no join, no fold. Work a builtin cannot express at codegen
+    speed — the _window_gram_table precedent (SCALING #32).
+
+    Value-identical to the fold formulation, cell for cell: candidates
+    j = 1..mpl with score best[i-j] + sc(w[i-j:i]) when j <= i (absent
+    pieces carry the _UNIGRAM_NEG sentinel, infeasible j the 2·NEG
+    sentinel), maximized lexicographically on (score, j) — ties break to
+    the LONGER piece; the backtrace walks bp from len(w). Python int64
+    replay is exact (all sums stay far inside int64 by the sentinel's
+    construction); ``max_len`` is unused (the fold needed the global
+    bound, the kernel iterates each word's own length) and kept for
+    signature stability."""
+    import pandas as _pd
+
+    from pyspark.sql.types import (
+        ArrayType,
+        LongType,
+        StringType,
+        StructField,
+        StructType,
     )
 
-    def fwd(acc, i):
-        cands = []
-        for j in range(1, mpl + 1):
-            sj = F.when(
-                F.lit(j) <= i,
-                F.element_at(acc["best"], i - F.lit(j) + 1)
-                + F.element_at(F.col("__sc"), (i - F.lit(j)) * mpl + j),
-            ).otherwise(F.lit(2 * _UNIGRAM_NEG))
-            cands.append(F.struct(sj.alias("s"), F.lit(j).alias("j")))
-        # max (score, piece-length): ties break to the LONGER piece
-        best = F.greatest(*cands)
-        return F.when(i > F.length("w"), acc).otherwise(
-            F.struct(
-                F.concat(acc["best"], F.array(best["s"])).alias("best"),
-                F.concat(acc["bp"], F.array(best["j"])).alias("bp"),
+    mpl = int(max_piece_len)
+    neg = _UNIGRAM_NEG
+    neg2 = 2 * _UNIGRAM_NEG
+    sc_map = dict(scores)
+    out_schema = StructType(
+        [
+            StructField("w", StringType(), True),
+            StructField("wc", LongType(), True),
+            StructField("toks", ArrayType(StringType()), True),
+        ]
+    )
+
+    def kernel(batches):
+        for pdf in batches:
+            toks_col = []
+            for w in pdf["w"]:
+                n = len(w)
+                best = [0] * (n + 1)
+                bp = [0] * (n + 1)
+                for i in range(1, n + 1):
+                    b_s = None
+                    b_j = 0
+                    for j in range(1, mpl + 1):
+                        if j <= i:
+                            s = best[i - j] + sc_map.get(w[i - j:i], neg)
+                        else:
+                            s = neg2
+                        if b_s is None or s > b_s or (s == b_s and j > b_j):
+                            b_s, b_j = s, j
+                    best[i] = b_s
+                    bp[i] = b_j
+                ts = []
+                pos = n
+                while pos > 0:
+                    j = bp[pos]
+                    ts.append(w[pos - j:pos])
+                    pos -= j
+                ts.reverse()
+                toks_col.append(ts)
+            yield _pd.DataFrame(
+                {"w": pdf["w"], "wc": pdf["wc"], "toks": toks_col}
             )
-        )
 
-    fwd_init = F.struct(
-        F.array(F.lit(0).cast("long")).alias("best"),
-        F.expr("array()").cast("array<int>").alias("bp"),
-    )
-    dp = wc.join(sc, "w").select(
-        "w",
-        "wc",
-        F.aggregate(
-            F.sequence(F.lit(1), F.lit(max(max_len, 1))), fwd_init, fwd
-        )["bp"].alias("__bp"),
-    )
-
-    def back(acc, _):
-        pos = acc["pos"]
-        j = F.element_at(F.col("__bp"), pos)
-        return F.when(pos <= 0, acc).otherwise(
-            F.struct(
-                (pos - j).alias("pos"),
-                F.concat(
-                    acc["toks"], F.array(F.substr(F.col("w"), pos - j + 1, j))
-                ).alias("toks"),
-            )
-        )
-
-    back_init = F.struct(
-        F.length("w").alias("pos"),
-        F.expr("array()").cast("array<string>").alias("toks"),
-    )
-    return dp.select(
-        "w",
-        "wc",
-        F.reverse(
-            F.aggregate(
-                F.sequence(F.lit(1), F.lit(max(max_len, 1))), back_init, back
-            )["toks"]
-        ).alias("toks"),
-    )
+    return wc.select("w", "wc").mapInPandas(kernel, schema=out_schema)
 
 
 def _unigram_train(
@@ -700,7 +681,10 @@ def _unigram_train(
     """Shared trainer: returns (pinned wc, max_len, final n-counts dict,
     final scores dict). Caller unpersists wc."""
     wc = _word_counts(df, text_col).persist()
-    max_len = wc.agg(F.max(F.length("w"))).first()[0] or 1
+    # max_len (the global longest-word bound) fed the fold formulation's
+    # fixed iteration count; the round-11 kernel iterates each word's own
+    # length, so the dedicated max() aggregation job is gone
+    max_len = 1
 
     # seed: occurrence-weighted substring counts, len 1..max_piece_len;
     # vocabulary = top seed_k ∪ every single character (counts kept)
@@ -721,15 +705,23 @@ def _unigram_train(
     for p in parts[1:]:
         allp = allp.unionByName(p)
     seedcnt = allp.groupBy("piece").agg(F.sum("wc").alias("cnt"))
-    topk = {
-        r["piece"]: r["cnt"]
-        for r in seedcnt.orderBy(F.col("cnt").desc(), "piece")
+    # ONE collect serves both vocab halves (round 11 — was a top-k
+    # collect plus a second single-char collect, two jobs over the same
+    # aggregate): the union keeps the same rows, dict insertion dedups
+    seed_rows = (
+        seedcnt.orderBy(F.col("cnt").desc(), "piece")
         .limit(seed_k)
+        .withColumn("is_topk", F.lit(True))
+        .unionByName(
+            seedcnt.filter(F.length("piece") == 1).withColumn(
+                "is_topk", F.lit(False)
+            )
+        )
         .collect()
-    }
+    )
+    topk = {r["piece"]: r["cnt"] for r in seed_rows if r["is_topk"]}
     chars = {
-        r["piece"]: r["cnt"]
-        for r in seedcnt.filter(F.length("piece") == 1).collect()
+        r["piece"]: r["cnt"] for r in seed_rows if len(r["piece"]) == 1
     }
     counts = {**topk, **chars}
     total = sum(counts.values())
