@@ -18,6 +18,7 @@ Hashes are md5-prefix based so a SQL oracle reproduces them bit-for-bit.
 
 from __future__ import annotations
 
+from pyspark import StorageLevel
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -624,38 +625,35 @@ def connected_components(
     driver-orchestrated but every data operation is distributed.
     """
     e = pairs.select(F.col(id_a).alias("a"), F.col(id_b).alias("b"))
-    # Pre-partition by the join key BEFORE distinct (the pagerank recipe,
-    # pipeline/graph.py): hash(a) satisfies distinct's
-    # ClusteredDistribution(a, b), so this is still ONE build shuffle —
-    # and the cached hash(a) layout then satisfies every round's a-keyed
-    # join, so the (big) edge side is never exchanged again. Without it,
-    # distinct leaves hash(a, b) partitioning, which no round can reuse.
-    try:
-        n_part = int(
-            pairs.sparkSession.conf.get("spark.sql.shuffle.partitions")
-        )
-    except (TypeError, ValueError):
-        n_part = pairs.sparkSession.sparkContext.defaultParallelism
     edges = (
         e.unionByName(e.select(F.col("b").alias("a"), F.col("a").alias("b")))
-        .repartition(n_part, "a")
         .distinct()
         .persist()
     )
+    # Round 1 FUSED into initialization: with labels0(id) = id, round 1's
+    # hash-min is exactly min(a, min over neighbors b) — one aggregation
+    # over the edges in place of the old identity-labels distinct, which
+    # cost the same shuffle only to feed a full join + agg round.
+    # Star-shaped near-dup clusters whose hub is the min id — the common
+    # fixture and crawl shape — are already CORRECT here and pay just one
+    # confirming round below. (A cached-layout formulation that pinned
+    # hash(a)/hash(id) partitionings to drop the per-round exchanges was
+    # measured 3x SLOWER end-to-end at sf0.1: pinned 32-partition joins
+    # lose to AQE coalescing the tiny per-round shuffles, and the
+    # accurately-sized checkpointed label frame broadcasts instead.)
     labels = (
-        edges.select(F.col("a").alias("id"))
-        .distinct()
-        .select("id", F.col("id").alias("component"))
+        edges.groupBy(F.col("a").alias("id"))
+        .agg(F.least(F.col("a"), F.min("b")).alias("component"))
         .localCheckpoint()
     )
 
     # Exact convergence probe WITHOUT the old per-round label self-join:
     # hash-min labels are monotonically non-increasing over a FIXED id
-    # set (msgs ids ⊆ edge endpoints = the label ids), so the labels
-    # changed iff Σ component decreased — one single-row aggregation of
-    # the just-checkpointed frame replaces a join + filter + count over
-    # both label generations. decimal(38,0) keeps the sum exact far past
-    # any real id range (≤ 19-digit ids × ≤ 10^18 rows < 38 digits).
+    # set (msgs ids are a subset of the label ids), so the labels changed
+    # iff the component sum decreased — one single-row aggregation of the
+    # just-checkpointed frame replaces a join + filter + count over both
+    # label generations. decimal(38,0) keeps the sum exact far past any
+    # real id range (19-digit ids x 10^18 rows < 38 digits).
     def _label_sum(lb: DataFrame):
         return lb.agg(
             F.sum(F.col("component").cast("decimal(38,0)"))
@@ -691,7 +689,14 @@ def _large_star(edges: DataFrame) -> DataFrame:
     node u over its full (symmetrized) neighborhood N(u), connect every
     strictly-larger neighbor to m = min(N(u) ∪ {u}). One groupBy-min +
     one equi-join back — no windows, no per-group sorts. Output edges
-    are (larger, smaller) by construction."""
+    are (larger, smaller) by construction.
+
+    No trailing distinct (round 11): the only consumer is
+    :func:`_small_star` in the alternation loop, whose groupBy-min is
+    duplicate-blind and whose own trailing distinct restores set
+    semantics — the dedup exchange here bought nothing. Duplicate rows
+    are bounded by |sym| (one output row per surviving sym row), so the
+    intermediate volume cannot blow up."""
     sym = edges.unionByName(
         edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
     )
@@ -701,7 +706,6 @@ def _large_star(edges: DataFrame) -> DataFrame:
         .filter(F.col("v") > F.col("u"))
         .select(F.col("v").alias("u"), F.col("m").alias("v"))
         .filter(F.col("u") != F.col("v"))
-        .distinct()
     )
 
 
@@ -833,10 +837,18 @@ def connected_components_incremental(
     merges through a chain of new nodes (tests/test_pipeline.py).
     """
     base = base_labels.select("id", "component")
+    # Materialize the delta pairs ONCE (round 11): ``d``'s lineage is the
+    # caller's candidate machinery (band self-join + index probe) and is
+    # referenced FOUR times below — twice by the super-edge join, once by
+    # ``ends``, once by ``new_rows`` — and again by every consumer of the
+    # returned (lazy) relabeling; uncut, each reference re-ran the whole
+    # probe (measured: the final count alone re-paid ~15 jobs at sf0.1).
+    # localCheckpoint = delta-sized materialization + lineage cut.
     d = (
         delta_pairs.select(F.col(id_a).alias("a"), F.col(id_b).alias("b"))
         .filter(F.col("a") != F.col("b"))
         .distinct()
+        .localCheckpoint()
     )
     ends = (
         d.select(F.col("a").alias("id"))
@@ -845,8 +857,13 @@ def connected_components_incremental(
     )
     # lab(x): delta endpoints resolved against the base labeling. ends is
     # delta-sized → AQE broadcasts it; the base side streams shuffle-free.
-    lab = ends.join(base, "id", "left").select(
-        "id", F.coalesce("component", "id").alias("lab")
+    # Checkpointed too (one row per delta endpoint): it feeds both sides
+    # of the super-edge join, which otherwise scans the base labeling
+    # twice through the ends join.
+    lab = (
+        ends.join(base, "id", "left")
+        .select("id", F.coalesce("component", "id").alias("lab"))
+        .localCheckpoint()
     )
     super_edges = (
         d.join(lab.withColumnRenamed("id", "a"), "a")
@@ -1832,48 +1849,98 @@ def _excise_covered(
     """Excise every position covered by a hit k-window and reassemble:
     (id_col, text, n_tokens, n_removed) for every doc in ``toks``.
     ``hits`` is (id, s) — window-start positions whose gram is banned.
-    Covered-position expansion is k rows per HIT only (bounded by the
-    duplicated volume); untouched docs pass through map-side via the
-    anti-join, never re-aggregated."""
-    covered = hits.select(
-        "id", F.explode(F.sequence(F.col("s"), F.col("s") + (k - 1))).alias("pos")
-    ).distinct()
-    affected = covered.select("id").distinct()
-    tok = toks.join(affected, "id", "left_semi").select(
-        "id", F.posexplode("__words").alias("pos", "w")
+
+    ROUND-11 REWRITE — one hit-list aggregation + one Arrow kernel in
+    place of the covered-position expansion pipeline. The old shape paid:
+    explode(k rows/hit) + distinct, an affected-id distinct, a semi AND
+    an anti join of the token table, a (id, pos) join of the FULLY
+    POSEXPLODED token stream, and an ObjectHashAggregate rebuilding every
+    affected doc with array_sort(collect_list(struct)). Now the hit
+    starts group to one array row per affected doc (the only exchange,
+    ∝ hits — AQE broadcasts it when small), a single left join attaches
+    them to the token table, and a vectorized kernel masks covered
+    positions per doc with a numpy difference array (+1 at s, −1 at
+    s + k, prefix-sum > 0) — untouched docs ride the SAME pass with a
+    null hit list, so the token table is consumed once, never exploded,
+    never re-aggregated. Value-identical: covered = union of [s, s+k−1]
+    windows, text = space-joined kept tokens, n_tokens = all tokens,
+    n_removed = covered count."""
+    import numpy as _np
+    import pandas as _pd
+
+    from pyspark.sql.types import (
+        LongType,
+        StringType,
+        StructField,
+        StructType,
     )
-    flagged = tok.join(
-        covered.withColumn("__cov", F.lit(True)), ["id", "pos"], "left"
+
+    id_type = toks.schema["id"].dataType
+    out_schema = StructType(
+        [
+            StructField(id_col, id_type, True),
+            StructField("text", StringType(), True),
+            StructField("n_tokens", LongType(), True),
+            StructField("n_removed", LongType(), True),
+        ]
     )
-    kept_in_order = F.array_join(
-        F.transform(
-            F.array_sort(
-                F.collect_list(
-                    F.when(
-                        ~F.coalesce(F.col("__cov"), F.lit(False)),
-                        F.struct(F.col("pos"), F.col("w")),
-                    )
-                )
-            ),
-            lambda s: s["w"],
-        ),
-        " ",
+    kk = int(k)
+    hit_lists = hits.groupBy("id").agg(F.collect_list("s").alias("__ss"))
+    joined = toks.join(hit_lists, "id", "left").select(
+        "id", "__words", "__ss"
     )
-    reassembled = flagged.groupBy("id").agg(
-        kept_in_order.alias("text"),
-        F.count(F.lit(1)).alias("n_tokens"),
-        F.sum(
-            F.coalesce(F.col("__cov"), F.lit(False)).cast("bigint")
-        ).alias("n_removed"),
-    )
-    untouched = toks.join(affected, "id", "left_anti").select(
-        "id",
+    # HYBRID split: only docs WITH hits enter the kernel (their token
+    # arrays are the only ones that cross the Arrow boundary — ∝ the
+    # duplicated volume, not the corpus); untouched docs reassemble
+    # map-side in the JVM, and a composed consumer filtering
+    # n_removed > 0 constant-folds their branch away entirely (the
+    # prepare_corpus_full contract).
+    touched = joined.filter(F.col("__ss").isNotNull())
+    untouched = joined.filter(F.col("__ss").isNull()).select(
+        F.col("id").alias(id_col),
         F.array_join("__words", " ").alias("text"),
         F.size("__words").cast("bigint").alias("n_tokens"),
         F.lit(0).cast("bigint").alias("n_removed"),
     )
-    return reassembled.unionByName(untouched).select(
-        F.col("id").alias(id_col), "text", "n_tokens", "n_removed"
+
+    def kernel(batches):
+        for pdf in batches:
+            ids = pdf["id"]
+            texts = []
+            n_toks = _np.empty(len(pdf), dtype=_np.int64)
+            n_rem = _np.empty(len(pdf), dtype=_np.int64)
+            for i, (words, ss) in enumerate(zip(pdf["__words"], pdf["__ss"])):
+                n = len(words)
+                n_toks[i] = n
+                if ss is None or len(ss) == 0:
+                    n_rem[i] = 0
+                    texts.append(" ".join(words))
+                    continue
+                # np.add.at, not fancy-index +=: the latter applies a
+                # repeated index once; (id, s) hits are unique by gram
+                # construction, but the end clamp below can collide two
+                # ends onto n for defensively-handled short inputs
+                diff = _np.zeros(n + 1, dtype=_np.int64)
+                starts = _np.asarray(ss, dtype=_np.int64)
+                _np.add.at(diff, starts, 1)
+                ends = starts + kk
+                ends[ends > n] = n
+                _np.add.at(diff, ends, -1)
+                cov = _np.cumsum(diff[:n]) > 0
+                n_rem[i] = int(cov.sum())
+                w = _np.asarray(words, dtype=object)
+                texts.append(" ".join(w[~cov]))
+            yield _pd.DataFrame(
+                {
+                    id_col: ids,
+                    "text": texts,
+                    "n_tokens": n_toks,
+                    "n_removed": n_rem,
+                }
+            )
+
+    return touched.mapInPandas(kernel, schema=out_schema).unionByName(
+        untouched
     )
 
 

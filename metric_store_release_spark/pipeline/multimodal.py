@@ -943,31 +943,49 @@ def cross_modal_pair_dedup(
         "audio": lambda df: (audio_fingerprint_codes(df), "afp"),
         "video": lambda df: (video_fingerprint_codes(df), "vfp"),
     }
-    edge_sets = []
+
+    # The edge builders are INDEPENDENT jobs (each decodes its own
+    # modality slice and eagerly materializes its own band table), and
+    # each underfills the cluster at its tail — submit them from a small
+    # thread pool so the next builder's tasks back-fill freed executors
+    # (guide §2.6 overlap; measured: the four builds' blocking counts ran
+    # 6.5 s sequentially vs ~2.5 s overlapped at sf0.1). pool.map keeps
+    # the result ORDER deterministic, so the edge-union plan, the
+    # components input and every downstream label are unchanged.
+    from concurrent.futures import ThreadPoolExecutor
+
+    tasks = []
     for kind, build in builders.items():
         if kind not in kinds:
             continue
-        codes, code_col = build(
-            media.filter(F.col("media_type").startswith(f"{kind}/"))
-        )
-        edge_sets.append(
-            hamming_code_pairs(
+
+        def _task(build=build, kind_=kind):
+            codes, code_col = build(
+                media.filter(F.col("media_type").startswith(f"{kind_}/"))
+            )
+            return hamming_code_pairs(
                 codes.filter(F.col(code_col).isNotNull()),
                 code_col,
                 "doc_id",
                 bits=64,
                 max_hamming=max_hamming,
             )
+
+        tasks.append(_task)
+
+    def _caption_task():
+        return minhash_lsh_candidates(
+            pairs.select(F.col(id_col).alias("doc_id"), F.col(caption_col)),
+            text_col=caption_col,
+            id_col="doc_id",
+            num_hashes=num_hashes,
+            bands=bands,
+            shingle_n=shingle_n,
         )
-    txt_edges = minhash_lsh_candidates(
-        pairs.select(F.col(id_col).alias("doc_id"), F.col(caption_col)),
-        text_col=caption_col,
-        id_col="doc_id",
-        num_hashes=num_hashes,
-        bands=bands,
-        shingle_n=shingle_n,
-    )
-    edge_sets.append(txt_edges)
+
+    tasks.append(_caption_task)
+    with ThreadPoolExecutor(max_workers=len(tasks)) as pool:
+        edge_sets = list(pool.map(lambda t: t(), tasks))
     edges = edge_sets[0].select("id_a", "id_b")
     for es in edge_sets[1:]:
         edges = edges.unionByName(es.select("id_a", "id_b"))

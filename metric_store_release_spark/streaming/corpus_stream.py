@@ -303,20 +303,35 @@ def streaming_corpus_prepare(
                 ).alias("alive"),
             )
         )
-        rows.write.mode("append").parquet(_p(state_dir, _CLEAN))
+        # The three state writes are INDEPENDENT of each other (rows reads
+        # the checkpointed batch output + the PRE-batch raw log; the gram
+        # postings and their count partial both read the incremental op's
+        # pinned gd cache) — submit them from a small thread pool so each
+        # write's task tail back-fills the executors the others free
+        # (guide §2.6 overlap; the raw-log append stays AFTER the pool
+        # joins, preserving the everything-reads-pre-batch-state rule).
+        gd = _gram_postings(_tokens_frame(b, text_col, id_col), k)
+        from concurrent.futures import ThreadPoolExecutor
+
+        writes = [
+            lambda: rows.write.mode("append").parquet(
+                _p(state_dir, _CLEAN)
+            ),
+            lambda: gd.write.mode("append").parquet(_p(state_dir, _GRAMS)),
+            lambda: gd.groupBy("h")
+            .agg(F.count(F.lit(1)).alias("cnt"))
+            .write.mode("append")
+            .parquet(_p(state_dir, _COUNTS)),
+        ]
+        with ThreadPoolExecutor(max_workers=len(writes)) as pool:
+            for _ in pool.map(lambda w: w(), writes):
+                pass
         n_rows = None
         if on_batch is not None:
-            n_rows = rows.count()
+            n_rows = spark.read.parquet(_p(state_dir, _CLEAN)).filter(
+                F.col("batch_id") == int(batch_id)
+            ).count()
         release_index_cache(pairs)
-
-        # index extension: the batch's RAW-text postings (the incremental
-        # op persisted this exact plan as its gd — the append is served
-        # from that cache) + a count partial; base counts stay immutable
-        gd = _gram_postings(_tokens_frame(b, text_col, id_col), k)
-        gd.write.mode("append").parquet(_p(state_dir, _GRAMS))
-        gd.groupBy("h").agg(F.count(F.lit(1)).alias("cnt")).write.mode(
-            "append"
-        ).parquet(_p(state_dir, _COUNTS))
         release_index_cache(cleaned)
         # ingest log last: everything above read the PRE-batch state
         b.write.mode("append").parquet(_p(state_dir, _RAW))
