@@ -31,27 +31,21 @@ def tokens(text: Column) -> Column:
 def hex_word(hexcol: Column, start: int = 1, n: int = 8) -> Column:
     """``n`` hex digits of ``hexcol`` from 1-based ``start`` as a long.
 
-    Numerically identical to ``conv(substring(hexcol, start, n), 16, 10)``
-    (the form the DuckDB oracles use via ``('0x' || substr(..))::BIGINT``)
-    but parsed with fixed-width per-digit arithmetic. PERF IS
-    CONTEXT-DEPENDENT (SCALING #29): a round-9 20M-row microbench in a
-    plain Project measured ``conv`` FASTER than this parse at both 8 and
-    15 digits (1.5 vs 2.4 s, 1.7 vs 3.4 s) — the r1-era 26M-shingle run
-    where conv cost ~10 s/pass (SCALING #2) does not generalize; measure
-    per site before choosing. Callers pass an md5 hex string; codegen
-    subexpression elimination shares the single md5 across the digit
-    reads ONLY in a plain Project — under a Generate every digit read
-    re-evaluates it (SCALING #13). ``n`` must be <= 15 (60 bits) so the
-    value fits a signed long."""
+    ROUND 11: implemented as ``conv(substring(hexcol, start, n), 16, 10)``
+    — exactly the form the DuckDB oracles replay via
+    ``('0x' || substr(..))::BIGINT``. The previous fixed-width per-digit
+    arithmetic parse (8 chained ascii(substring) reads per word) was the
+    r1-era choice; the round-9 20M-row microbench (SCALING #29) and a
+    round-11 re-measurement (median 0.89 s vs 1.49 s per 20M hashes in a
+    plain Project, sums asserted equal) both have ``conv`` ~1.65x faster
+    — and under a Generate or a higher-order-function lambda (where
+    subexpression elimination does NOT share the md5 across digit reads,
+    SCALING #13) the one-call form evaluates the input ONCE instead of
+    ``n`` times. ``n`` must be <= 15 (60 bits) so the value fits a
+    signed long."""
     if n > 15:
         raise ValueError(f"hex_word: n={n} overflows a signed long")
-    out = F.lit(0).cast("long")
-    for i in range(n):
-        c = F.ascii(F.substring(hexcol, start + i, 1))
-        # '0'-'9' -> 48..57, 'a'-'f' -> 97..102 (md5 hex is lowercase)
-        d = (c - 48 - F.when(c >= 97, 39).otherwise(0)).cast("long")
-        out = out * 16 + d
-    return out
+    return F.conv(F.substring(hexcol, start, n), 16, 10).cast("long")
 
 
 def token_count(text: Column) -> Column:
