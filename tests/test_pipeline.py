@@ -3042,3 +3042,55 @@ def test_components_incremental_empty_delta_is_identity(spark):
         connected_components_incremental(base, empty, full=False).count()
         == 0
     )
+
+
+def test_connected_components_descending_chain_converges(spark):
+    """Round-11 loop rewrite guard: the fused min-neighbor initialization
+    plus the monotone component-sum convergence probe must NOT terminate
+    early on a graph where init alone is far from the fixpoint — a
+    descending path (9-8, 8-7, ... 1-0) needs the label 0 to propagate
+    the full diameter before the sum goes stable."""
+    from metric_store_release_spark.pipeline.dedup import (
+        connected_components,
+    )
+
+    pairs = spark.createDataFrame(
+        [(i, i - 1) for i in range(9, 0, -1)], "id_a long, id_b long"
+    )
+    got = {
+        r["id"]: r["component"] for r in connected_components(pairs).collect()
+    }
+    assert got == {i: 0 for i in range(10)}
+
+
+def test_excise_covered_kernel_matches_reference(spark):
+    """Round-11 excision kernel guard: overlapping windows, adjacent
+    windows, a fully-covered doc, an untouched doc and an empty-ish doc,
+    checked against a brute-force Python cover reference."""
+    from metric_store_release_spark.pipeline.dedup import _excise_covered
+
+    k = 3
+    docs = {
+        1: ["a", "b", "c", "d", "e", "f"],   # hits at 0 and 1 (overlap)
+        2: ["p", "q", "r", "s", "t", "u"],   # hits at 0 and 3 (adjacent)
+        3: ["x", "y", "z"],                  # hit at 0 — fully covered
+        4: ["m", "n", "o", "w"],             # no hits — untouched
+        5: ["g", "h", "i", "j", "k"],        # hit at 2 — tail covered
+    }
+    hits = {1: [0, 1], 2: [0, 3], 3: [0], 5: [2]}
+    toks = spark.createDataFrame(
+        [(i, w) for i, w in docs.items()], "id long, __words array<string>"
+    )
+    hits_df = spark.createDataFrame(
+        [(i, s) for i, ss in hits.items() for s in ss], "id long, s long"
+    )
+    got = {
+        r["doc_id"]: (r["text"], r["n_tokens"], r["n_removed"])
+        for r in _excise_covered(toks, hits_df, k, "doc_id").collect()
+    }
+    for i, words in docs.items():
+        cov = set()
+        for s in hits.get(i, []):
+            cov.update(range(s, s + k))
+        kept = [w for p, w in enumerate(words) if p not in cov]
+        assert got[i] == (" ".join(kept), len(words), len(cov)), i
