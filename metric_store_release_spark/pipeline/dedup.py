@@ -641,10 +641,14 @@ def connected_components(
     # measured 3x SLOWER end-to-end at sf0.1: pinned 32-partition joins
     # lose to AQE coalescing the tiny per-round shuffles, and the
     # accurately-sized checkpointed label frame broadcasts instead.)
+    # eager=False: the convergence probe right below is the first action,
+    # so the probe's single-row aggregation IS the job that materializes
+    # the checkpoint — one job per round instead of checkpoint + probe
+    # (the same fusion in the star loop; A/B'd round 11, jobs halve).
     labels = (
         edges.groupBy(F.col("a").alias("id"))
         .agg(F.least(F.col("a"), F.min("b")).alias("component"))
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
 
     # Exact convergence probe WITHOUT the old per-round label self-join:
@@ -668,7 +672,8 @@ def connected_components(
             labels.unionByName(msgs)
             .groupBy("id")
             .agg(F.min("component").alias("component"))
-            .localCheckpoint()  # truncate lineage; also materializes
+            # lazy: the sum probe below materializes it (1 job/round)
+            .localCheckpoint(eager=False)
         )
         new_sum = _label_sum(new_labels)
         labels = new_labels
@@ -752,14 +757,22 @@ def connected_components_star(
     edges themselves.
     """
     e = pairs.select(F.col(id_a).alias("u"), F.col(id_b).alias("v"))
-    # symmetric, self-loop-free, directed-pair start state
+    # symmetric, self-loop-free, directed-pair start state. Both
+    # checkpoints are LAZY: the init fingerprint below is the action that
+    # materializes ``edges`` (one job instead of checkpoint + fingerprint),
+    # and ``nodes`` — consumed only by the final labels join — rides that
+    # job's checkpointed partitions when the result materializes.
     edges = (
         e.unionByName(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
         .filter(F.col("u") != F.col("v"))
         .distinct()
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
-    nodes = edges.select(F.col("u").alias("id")).distinct().localCheckpoint()
+    nodes = (
+        edges.select(F.col("u").alias("id"))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
 
     def _fingerprint(ed: DataFrame) -> tuple:
         row = ed.select(
@@ -773,7 +786,8 @@ def connected_components_star(
     fp = _fingerprint(edges)
     for _ in range(max_iter):
         edges = _large_star(edges)
-        edges = _small_star(edges).localCheckpoint()
+        # lazy: the fingerprint is the materializing action (1 job/round)
+        edges = _small_star(edges).localCheckpoint(eager=False)
         new_fp = _fingerprint(edges)
         if new_fp == fp:
             break
