@@ -257,6 +257,30 @@ def streaming_corpus_prepare(
         # whole probe lineage (the composition checkpoint rule)
         out = cleaned.localCheckpoint()
 
+        # The gram-posting state writes depend only on the batch's pinned
+        # gd cache — NOT on the fuzzy verdicts — and the gram/count state
+        # reads completed at the checkpoint above, so submit them now and
+        # let them overlap the fuzzy probe's blocking candidate count
+        # (guide §2.6; the old shape started all three writes only after
+        # the probe finished).
+        from concurrent.futures import ThreadPoolExecutor
+
+        gd = _gram_postings(_tokens_frame(b, text_col, id_col), k)
+        pool = ThreadPoolExecutor(max_workers=3)
+        write_futs = [
+            pool.submit(
+                lambda: gd.write.mode("append").parquet(
+                    _p(state_dir, _GRAMS)
+                )
+            ),
+            pool.submit(
+                lambda: gd.groupBy("h")
+                .agg(F.count(F.lit(1)).alias("cnt"))
+                .write.mode("append")
+                .parquet(_p(state_dir, _COUNTS))
+            ),
+        ]
+
         # fuzzy decon: roles swapped on purpose — the BENCHMARK is the
         # banded corpus (index prebuilt at setup), the batch's cleaned
         # survivors are the probe side; LSH banding and exact Jaccard are
@@ -303,29 +327,20 @@ def streaming_corpus_prepare(
                 ).alias("alive"),
             )
         )
-        # The three state writes are INDEPENDENT of each other (rows reads
-        # the checkpointed batch output + the PRE-batch raw log; the gram
-        # postings and their count partial both read the incremental op's
-        # pinned gd cache) — submit them from a small thread pool so each
-        # write's task tail back-fills the executors the others free
-        # (guide §2.6 overlap; the raw-log append stays AFTER the pool
-        # joins, preserving the everything-reads-pre-batch-state rule).
-        gd = _gram_postings(_tokens_frame(b, text_col, id_col), k)
-        from concurrent.futures import ThreadPoolExecutor
-
-        writes = [
-            lambda: rows.write.mode("append").parquet(
-                _p(state_dir, _CLEAN)
-            ),
-            lambda: gd.write.mode("append").parquet(_p(state_dir, _GRAMS)),
-            lambda: gd.groupBy("h")
-            .agg(F.count(F.lit(1)).alias("cnt"))
-            .write.mode("append")
-            .parquet(_p(state_dir, _COUNTS)),
-        ]
-        with ThreadPoolExecutor(max_workers=len(writes)) as pool:
-            for _ in pool.map(lambda w: w(), writes):
-                pass
+        # rows (reads the checkpointed batch output + the PRE-batch raw
+        # log) joins the two gram-state writes already in flight; the
+        # raw-log append stays AFTER the pool joins, preserving the
+        # everything-reads-pre-batch-state rule.
+        write_futs.append(
+            pool.submit(
+                lambda: rows.write.mode("append").parquet(
+                    _p(state_dir, _CLEAN)
+                )
+            )
+        )
+        for f in write_futs:
+            f.result()
+        pool.shutdown()
         n_rows = None
         if on_batch is not None:
             n_rows = spark.read.parquet(_p(state_dir, _CLEAN)).filter(
