@@ -3865,7 +3865,11 @@ def _dedup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
         span_words=10,
         min_df=2,
     )
-    return cleaned.filter(F.col("n_removed") > 0)
+    out = cleaned.filter(F.col("n_removed") > 0)
+    # the lease contract lives on the builder's returned object; carry it
+    # through the filter so the bench/gate release the pinned span table
+    out._index_cache = getattr(cleaned, "_index_cache", None)
+    return out
 
 
 def _dedup_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
