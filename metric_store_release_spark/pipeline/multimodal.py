@@ -858,19 +858,19 @@ def ppm_video_from_documents(
     """Deterministic 4-frame 4x2 'video' per document: frame k's raster is
     the first 24 hex chars of md5(k || ':' || text) — real concatenated-P6
     payloads whose per-frame features a SQL oracle reproduces exactly."""
-    frames = [
-        F.concat(
-            F.lit("P6\n4 2\n255\n"),
-            F.substring(
-                F.md5(F.concat(F.lit(f"{k}:"), F.col("text"))), 1, 24
-            ),
-        )
+    # one SQL string, one JVM-side parse: the chained-Column build issued
+    # ~6 py4j round-trips per frame (~1.2 s of driver time at the
+    # 64-frame fingerprint fixture — the simhash construction lesson,
+    # round 11); the parsed tree is identical, Spark's default string
+    # literals process the \n escapes
+    frames_sql = ", ".join(
+        rf"concat('P6\n4 2\n255\n', substring(md5(concat('{k}:', text)), 1, 24))"
         for k in range(n_frames)
-    ]
+    )
     return documents.select(
         F.col("doc_id"),
         F.lit("video/x-netpbm-stream").alias("media_type"),
-        F.concat(*frames).cast("binary").alias("payload"),
+        F.expr(f"cast(concat({frames_sql}) as binary)").alias("payload"),
     )
 
 
