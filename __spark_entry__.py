@@ -43,10 +43,21 @@ def _prepare(spark: SparkSession) -> SparkSession:
     return spark
 
 
+#: session-lifetime engine memo (round 11): PromQLEngine now carries the
+#: split-evaluation PLAN cache, which only pays off if repeated queries
+#: reach the SAME engine instance — the query-frontend shape (plans are
+#: memoized, results recompute from the source on every action)
+_ENGINES: dict = {}
+
+
 def _engine(spark: SparkSession, lookback_ms: int = LOOKBACK):
     from metric_store_release_spark import EngineConfig, PromQLEngine
 
-    return PromQLEngine(spark, EngineConfig(lookback_ms=lookback_ms))
+    eng = _ENGINES.get((spark, lookback_ms))
+    if eng is None:
+        eng = PromQLEngine(spark, EngineConfig(lookback_ms=lookback_ms))
+        _ENGINES[(spark, lookback_ms)] = eng
+    return eng
 
 
 def _samples(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -222,3 +222,62 @@ def test_misaligned_grid_not_poisoned(engine, metric, tmp_path):
         engine.query_range(metric, expr, 5 * S, 405 * S, 10 * S), []
     )
     assert b == pytest.approx(want_b)
+
+
+# ------------------------------------------------------------ split plan cache
+def test_split_plan_cache_hits_on_equal_source(engine, metric):
+    # same query shape + plan-identical source -> the SAME cached plan
+    # object comes back (no rebuild), and re-executing it recomputes the
+    # same rows (plans are cached, results are not)
+    expr = "rate(http_requests[50s])"
+    a = engine.query_range_split(metric, expr, 0, 600 * S, 10 * S, 140 * S)
+    b = engine.query_range_split(metric, expr, 0, 600 * S, 10 * S, 140 * S)
+    assert b is a
+    want = rows_to_dict(a, ["instance"])
+    assert rows_to_dict(b, ["instance"]) == pytest.approx(want)
+
+
+def test_split_plan_cache_rejects_different_source(engine, metric):
+    # a source with a DIFFERENT plan must not be served the cached plan:
+    # results must reflect the new source, not the cached one
+    expr = "sum by(job)(http_requests)"
+    full = engine.query_range_split(metric, expr, 0, 600 * S, 10 * S, 140 * S)
+    filtered_src = metric.filter("labels['instance'] = '0'")
+    filt = engine.query_range_split(
+        filtered_src, expr, 0, 600 * S, 10 * S, 140 * S
+    )
+    assert filt is not full
+    want = rows_to_dict(
+        engine.query_range(filtered_src, expr, 0, 600 * S, 10 * S), ["job"]
+    )
+    assert rows_to_dict(filt, ["job"]) == pytest.approx(want)
+    # and a fresh-but-equal source DOES hit (sameSemantics, not identity)
+    again = engine.query_range_split(
+        metric.filter("labels['instance'] = '0'"),
+        expr, 0, 600 * S, 10 * S, 140 * S,
+    )
+    assert again is filt
+
+
+def test_split_cached_plan_survives_cache_dir_wipe(engine, metric, tmp_path):
+    # the cached-variant plan reads chunk-result directories; wiping the
+    # cache dir (the caller-owned invalidation contract) must force a
+    # rebuild + refill, not a read of dead paths
+    import shutil
+
+    expr = "sum(metric)"
+    root = str(tmp_path)
+    a = engine.query_range_split_cached(
+        metric, expr, 0, 600 * S, 10 * S, 200 * S, root
+    )
+    want = rows_to_dict(a, [])
+    hit = engine.query_range_split_cached(
+        metric, expr, 0, 600 * S, 10 * S, 200 * S, root
+    )
+    assert hit is a
+    shutil.rmtree(root)
+    rebuilt = engine.query_range_split_cached(
+        metric, expr, 0, 600 * S, 10 * S, 200 * S, root
+    )
+    assert rebuilt is not a
+    assert rows_to_dict(rebuilt, []) == pytest.approx(want)
