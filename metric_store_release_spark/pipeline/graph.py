@@ -122,19 +122,24 @@ def pagerank(
         outdeg.select(F.col("src").alias("node")), "node", "left_anti"
     ).persist(StorageLevel.MEMORY_AND_DISK)
 
-    # Job structure (round 11): the old loop blocked on a count per
-    # iteration — k scheduler barriers on tiny per-round frames whose
-    # only purpose was materialize-then-unpersist bookkeeping. Without
-    # dangling nodes no iteration needs a driver scalar, so the k
-    # iterations now chain LAZILY and the trailing localCheckpoint
-    # executes them as ONE job (every iteration reads only the pinned
-    # e/outdeg/nodes leaves plus the previous iteration's subtree — a
-    # linear chain, each step computed exactly once in that job). With
-    # dangling nodes, iteration k's dangling aggregation is itself the
-    # action that materializes rank_k-1's persist — one job per
-    # iteration, not two. Measured (fixture, no sinks): 58 -> 32 jobs,
-    # 7.11 -> 4.90 s warm median (same-session alternating A/B, 4/4 reps
-    # faster, rank sums identical).
+    # Job structure (round 11, REVISED after sf10 measurement): a first
+    # cut chained the no-sinks iterations LAZILY and let the trailing
+    # localCheckpoint execute all k as ONE job — fewer scheduler
+    # barriers, ~8% faster at sf0.1 (6.54 -> 5.99 s alternating A/B).
+    # At sf10 the SAME A/B inverted: the k-iteration mega-job ran ~11%
+    # slower in median with a pathological tail (old per-iteration warm
+    # reps [40.0..66.4] vs lazy-chain [43.1..150.6] across two 64g
+    # sessions; two isolated-floors sessions agreed, 35.3 vs 66.7 s
+    # medians) — one deep 5x(join+agg) adaptive plan gives the executor
+    # k stages of concurrent shuffle/GC pressure where the per-iteration
+    # barrier gave it bounded, predictable work. The barrier costs
+    # ~0.1-0.3 s/iteration at bench scale and buys stability at 100x —
+    # so each iteration MATERIALIZES: without sinks via an explicit
+    # count on the persisted new rank; with sinks the next iteration's
+    # dangling aggregation doubles as the materialization point (one job
+    # per iteration either way; the with-sinks fusion, the outdeg-count
+    # sink check, the lazy sinks pin and the unpersisted initial rank
+    # are kept from the first cut).
     prev = None
     for _ in range(iterations):
         # O(1)-row driver action (a scalar, like kmeans' centroid
@@ -169,10 +174,12 @@ def pagerank(
                    + F.lit(dangling / n_nodes))
             ).alias("rank"),
         )
-        if has_sinks:
-            # next iteration's dangling agg reads new_rank twice (the agg
-            # and the contrib join) — pin it; the agg fills the pin
-            new_rank = new_rank.persist(StorageLevel.MEMORY_AND_DISK)
+        new_rank = new_rank.persist(StorageLevel.MEMORY_AND_DISK)
+        if not has_sinks:
+            # per-iteration materialization barrier (see loop comment):
+            # rank is consumed, release it now
+            new_rank.count()
+            rank.unpersist()
         prev, rank = rank, new_rank
 
     # Truncate lineage BEFORE releasing the caches: the returned plan
