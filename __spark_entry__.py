@@ -18,6 +18,7 @@ Conventions:
 from __future__ import annotations
 
 import os
+import weakref
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
@@ -46,17 +47,25 @@ def _prepare(spark: SparkSession) -> SparkSession:
 #: session-lifetime engine memo (round 11): PromQLEngine now carries the
 #: split-evaluation PLAN cache, which only pays off if repeated queries
 #: reach the SAME engine instance — the query-frontend shape (plans are
-#: memoized, results recompute from the source on every action)
-_ENGINES: dict = {}
+#: memoized, results recompute from the source on every action).
+#: WEAK-keyed on the session (advisor r11): a stopped/replaced
+#: SparkSession must not pin its engines — and their cached DataFrame
+#: py4j handles — for process lifetime; the nested per-lookback dict
+#: dies with its session entry.
+_ENGINES: weakref.WeakKeyDictionary = weakref.WeakKeyDictionary()
 
 
 def _engine(spark: SparkSession, lookback_ms: int = LOOKBACK):
     from metric_store_release_spark import EngineConfig, PromQLEngine
 
-    eng = _ENGINES.get((spark, lookback_ms))
+    per_session = _ENGINES.get(spark)
+    if per_session is None:
+        per_session = {}
+        _ENGINES[spark] = per_session
+    eng = per_session.get(lookback_ms)
     if eng is None:
         eng = PromQLEngine(spark, EngineConfig(lookback_ms=lookback_ms))
-        _ENGINES[(spark, lookback_ms)] = eng
+        per_session[lookback_ms] = eng
     return eng
 
 

@@ -95,11 +95,42 @@ class PromQLEngine:
         # stale plan. Plans are not results: every action on the cached
         # frame recomputes from the source. Bounded FIFO.
         self._split_plan_cache: dict[tuple, tuple] = {}
+        # guards the check-then-mutate sequences below: the engine allows
+        # max_concurrent_queries driver threads, and an unguarded
+        # pop(next(iter(...))) can KeyError under two concurrent puts
+        # (advisor r11)
+        self._split_plan_lock = threading.Lock()
 
     _SPLIT_PLAN_CACHE_MAX = 32
 
+    def _plan_config_key(self) -> tuple:
+        """Every EngineConfig field that changes a BUILT PLAN, folded into
+        the split plan-cache key (advisor r11: keying on lookback/subquery
+        step alone let a caller who mutates e.g. max_samples between
+        identical queries be served a plan built WITHOUT the admission
+        guard). Execution-time knobs (timeout, gate size, query log) do
+        not shape the plan and stay out of the key."""
+        c = self.config
+        return (
+            c.lookback_ms,
+            c.default_subquery_step_ms,
+            c.max_samples,
+            c.check_matching,
+            c.bucketed_range_threshold,
+        )
+
+    def invalidate_split_plans(self) -> None:
+        """Drop every cached split plan. Required after in-place mutation
+        of a FILE-BACKED samples source (append/compact under the same
+        path): path-equal file sources are sameSemantics-equal, so the
+        cache cannot detect that mutation itself (see query_range_split's
+        staleness caveat)."""
+        with self._split_plan_lock:
+            self._split_plan_cache.clear()
+
     def _split_plan_get(self, key: tuple, samples: DataFrame):
-        hit = self._split_plan_cache.get(key)
+        with self._split_plan_lock:
+            hit = self._split_plan_cache.get(key)
         if hit is None:
             return None
         src, out, paths = hit
@@ -108,7 +139,8 @@ class PromQLEngine:
         if any(not os.path.isdir(p) for p in paths):
             # a result-cache chunk was invalidated (caller dropped the
             # directory) — the cached plan reads dead paths; rebuild
-            del self._split_plan_cache[key]
+            with self._split_plan_lock:
+                self._split_plan_cache.pop(key, None)
             return None
         try:
             same = samples.sameSemantics(src)
@@ -119,10 +151,13 @@ class PromQLEngine:
     def _split_plan_put(
         self, key: tuple, samples: DataFrame, out: DataFrame, paths=()
     ) -> None:
-        cache = self._split_plan_cache
-        if len(cache) >= self._SPLIT_PLAN_CACHE_MAX:
-            cache.pop(next(iter(cache)))
-        cache[key] = (samples, out, tuple(paths))
+        with self._split_plan_lock:
+            cache = self._split_plan_cache
+            # overwriting an existing key must not evict an unrelated
+            # entry (advisor r11)
+            if key not in cache and len(cache) >= self._SPLIT_PLAN_CACHE_MAX:
+                cache.pop(next(iter(cache)), None)
+            cache[key] = (samples, out, tuple(paths))
 
     def query_range(
         self,
@@ -283,6 +318,19 @@ class PromQLEngine:
         `@ end()`) read outside their chunk's slice, so source pruning is
         disabled for such queries (the split itself remains valid because
         `query_bounds` pins start()/end() to the parent query).
+
+        Plan-cache staleness caveat (advisor r11): a cache hit requires
+        the incoming source to be PLAN-EQUAL to the cached one
+        (sameSemantics). For FILE-BACKED sources, plan equality is by
+        root path — a fresh ``spark.read.parquet(path)`` issued AFTER
+        files were appended to / compacted under ``path`` is plan-equal
+        to the cached source, yet the cached plan executes against the
+        file listing captured when it was built. Callers whose parquet
+        source mutates in place own invalidation, exactly like the
+        ``_cached`` variant's directory contract: call
+        :meth:`invalidate_split_plans` after mutating the store (or
+        construct a fresh engine). In-memory / view / filtered sources
+        are unaffected — any plan change misses the cache and rebuilds.
         """
         if split_ms <= 0:
             raise ValueError("split_ms must be positive")
@@ -290,8 +338,7 @@ class PromQLEngine:
             raise ValueError("bad query range")
         plan_key = (
             "split", promql, start_ms, end_ms, step_ms, split_ms,
-            prune_source, self.config.lookback_ms,
-            self.config.default_subquery_step_ms,
+            prune_source, self._plan_config_key(),
         )
         cached = self._split_plan_get(plan_key, samples)
         if cached is not None:
@@ -418,8 +465,7 @@ class PromQLEngine:
             raise ValueError("bad query range")
         plan_key = (
             "split_cached", promql, start_ms, end_ms, step_ms, split_ms,
-            cache_dir, prune_source, self.config.lookback_ms,
-            self.config.default_subquery_step_ms,
+            cache_dir, prune_source, self._plan_config_key(),
         )
         cached = self._split_plan_get(plan_key, samples)
         if cached is not None:

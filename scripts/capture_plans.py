@@ -58,10 +58,10 @@ def main() -> None:
     spark = get_spark(app_name="capture_plans")
     spark.sparkContext.setLogLevel("ERROR")
     qs = entry_mod.queries()
-    out_dir = os.path.join(
+    out_dir = os.environ.get("SPARK_GRAFT_PLANS_DIR") or os.path.join(
         os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
         "plans",
-        "r11",
+        "r12",
     )
     os.makedirs(out_dir, exist_ok=True)
     for name in names:
